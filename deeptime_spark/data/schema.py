@@ -1,0 +1,108 @@
+"""Canonical DataFrame schemas and input adapters.
+
+Reference data model (SURVEY.md §1): a trajectory is an ordered ``(T, d)``
+float64 ndarray (``ensure_timeseries_data``,
+/root/reference/src/deeptime/util/types.py:142); a dtraj is a 1-d int array
+(util/types.py:123) with -1 = unassigned. Here both are DataFrames keyed by
+``(traj_id, t)``; ordering is data, not layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+TRAJECTORY_SCHEMA = StructType(
+    [
+        StructField("traj_id", LongType(), False),
+        StructField("t", LongType(), False),
+        StructField("x", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+DTRAJ_SCHEMA = StructType(
+    [
+        StructField("traj_id", LongType(), False),
+        StructField("t", LongType(), False),
+        StructField("state", IntegerType(), False),
+    ]
+)
+
+
+def trajectory_from_arrays(spark: SparkSession, trajs, weights=None) -> DataFrame:
+    """List of (T_i, d) ndarrays -> trajectory DataFrame.
+
+    Mirrors the reference's universal list-of-trajectories input convention
+    (covariance/_covariance.py:405-413).
+    """
+    if isinstance(trajs, np.ndarray) and trajs.ndim == 2:
+        trajs = [trajs]
+    rows = []
+    for tid, traj in enumerate(trajs):
+        traj = np.asarray(traj, dtype=np.float64)
+        if traj.ndim == 1:
+            traj = traj[:, None]
+        if weights is not None:
+            w = np.asarray(weights[tid], dtype=np.float64)
+            rows.extend(
+                (tid, t, [float(v) for v in frame], float(w[t]))
+                for t, frame in enumerate(traj)
+            )
+        else:
+            rows.extend((tid, t, [float(v) for v in frame]) for t, frame in enumerate(traj))
+    if weights is not None:
+        schema = StructType(TRAJECTORY_SCHEMA.fields + [StructField("weight", DoubleType(), False)])
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, TRAJECTORY_SCHEMA)
+
+
+def dtraj_from_arrays(spark: SparkSession, dtrajs) -> DataFrame:
+    """List of 1-d int arrays -> dtraj DataFrame (util/types.py:123)."""
+    if isinstance(dtrajs, np.ndarray) and dtrajs.ndim == 1:
+        dtrajs = [dtrajs]
+    rows = []
+    for tid, dtraj in enumerate(dtrajs):
+        rows.extend((tid, t, int(s)) for t, s in enumerate(np.asarray(dtraj)))
+    return spark.createDataFrame(rows, DTRAJ_SCHEMA)
+
+
+def trajectory_from_events(events: DataFrame) -> DataFrame:
+    """Adapt the harness ``events`` table to the trajectory schema.
+
+    ``traj_id := user_id``, ``t := row_number() over (partition by user_id
+    order by ts, event_id) - 1``, ``x := [value]`` (FIXTURES.md F5).
+    event_id is the tiebreaker making the ordering total and deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.col("user_id").cast("long").alias("traj_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        F.array(F.col("value").cast("double")).alias("x"),
+    )
+
+
+def collect_trajectories(df: DataFrame) -> list[np.ndarray]:
+    """Driver-side materialization back to the reference's list-of-ndarrays
+    form (testing / small-data interop only — never in the hot path)."""
+    rows = df.select("traj_id", "t", "x").orderBy("traj_id", "t").collect()
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(r.traj_id, []).append(r.x)
+    return [np.asarray(out[k], dtype=np.float64) for k in sorted(out)]
+
+
+def collect_dtrajs(df: DataFrame) -> list[np.ndarray]:
+    rows = df.select("traj_id", "t", "state").orderBy("traj_id", "t").collect()
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(r.traj_id, []).append(r.state)
+    return [np.asarray(out[k], dtype=np.int32) for k in sorted(out)]

@@ -1,0 +1,133 @@
+"""Koopman models: the fitted projections produced by TICA/VAMP.
+
+Reference: ``TransferOperatorModel``
+(/root/reference/src/deeptime/decomposition/_koopman.py:14-129) and
+``CovarianceKoopmanModel`` (:131-763). The model is driver-side (small
+matrices); ``transform`` runs on executors as generated column expressions
+(linear projection of the feature array) — fully inside whole-stage codegen,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deeptime_spark.base import Model, Transformer
+
+
+def _project_expr(df: DataFrame, W: np.ndarray, mu: Optional[np.ndarray], x_col: str, out_col: str) -> DataFrame:
+    """out = W (x - mu) as array column; W is (k, d)."""
+    k, d = W.shape
+    x = [F.col(x_col)[j] - (F.lit(float(mu[j])) if mu is not None else F.lit(0.0)) for j in range(d)]
+    comps = []
+    for i in range(k):
+        expr = F.lit(0.0)
+        for j in range(d):
+            wij = float(W[i, j])
+            if wij != 0.0:
+                expr = expr + F.lit(wij) * x[j]
+        comps.append(expr)
+    return df.withColumn(out_col, F.array(*comps))
+
+
+class TransferOperatorModel(Model, Transformer):
+    """Minimal E[g(x_{t+tau})] = K^T E[f(x_t)] model (_koopman.py:14-129).
+
+    U maps features to f-space (instantaneous), V to g-space (timelagged);
+    K is the Koopman matrix in those bases.
+    """
+
+    def __init__(
+        self,
+        koopman_matrix: np.ndarray,
+        U: np.ndarray,
+        V: np.ndarray,
+        mean_0: Optional[np.ndarray] = None,
+        mean_t: Optional[np.ndarray] = None,
+        x_col: str = "x",
+    ):
+        self.koopman_matrix = koopman_matrix
+        self.U = U  # (d, k): f(x) = U^T (x - mean_0)
+        self.V = V  # (d, k): g(x) = V^T (x - mean_t)
+        self.mean_0 = mean_0
+        self.mean_t = mean_t
+        self.x_col = x_col
+
+    @property
+    def output_dimension(self) -> int:
+        return self.U.shape[1]
+
+    def transform(self, df: DataFrame, propagate: bool = False, out_col: str = "proj") -> DataFrame:
+        """Project onto instantaneous singular/eigen-functions (f-space);
+        with ``propagate``, onto the timelagged g-space (_koopman.py:90-128)."""
+        if propagate:
+            return _project_expr(df, self.V.T, self.mean_t, self.x_col, out_col)
+        return _project_expr(df, self.U.T, self.mean_0, self.x_col, out_col)
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        """Driver-side single-vector propagation (numpy parity surface)."""
+        f = (np.atleast_2d(x) - (self.mean_0 if self.mean_0 is not None else 0.0)) @ self.U
+        return f @ self.koopman_matrix
+
+
+class CovarianceKoopmanModel(TransferOperatorModel):
+    """Koopman model over covariance pairs (_koopman.py:131-763).
+
+    singular_values: Koopman singular values (TICA: eigenvalues).
+    ``timescales = -lagtime / ln|sigma_i|`` (_koopman.py:613-650);
+    ``score`` VAMP-r (_koopman.py:434-487).
+    """
+
+    def __init__(
+        self,
+        singular_values: np.ndarray,
+        U: np.ndarray,
+        V: np.ndarray,
+        cov: "object" = None,
+        lagtime: int = 1,
+        scaling: Optional[str] = None,
+        epsilon: float = 1e-10,
+        x_col: str = "x",
+    ):
+        K = np.diag(np.asarray(singular_values, dtype=np.float64))
+        super().__init__(
+            K,
+            U,
+            V,
+            mean_0=getattr(cov, "mean_0", None),
+            mean_t=getattr(cov, "mean_t", None),
+            x_col=x_col,
+        )
+        self.singular_values = np.asarray(singular_values, dtype=np.float64)
+        self.cov = cov
+        self.lagtime = lagtime
+        self.scaling = scaling
+        self.epsilon = epsilon
+
+    @property
+    def timescales(self) -> np.ndarray:
+        """-tau / ln|sigma| with infinite timescale for sigma >= 1
+        (_koopman.py:613-650)."""
+        sv = np.abs(self.singular_values)
+        ts = np.full(sv.shape, np.inf)
+        mask = sv < 1.0
+        ts[mask] = -self.lagtime / np.log(sv[mask])
+        return ts
+
+    @property
+    def cumulative_kinetic_variance(self) -> np.ndarray:
+        """cumsum(sigma^2)/sum(sigma^2) (_koopman.py:383-393)."""
+        sq = self.singular_values**2
+        return np.cumsum(sq) / np.sum(sq)
+
+    def score(self, r: float = 2.0) -> float:
+        """VAMP-r score of the fitted model: 1 + sum(sigma^r)
+        (published VAMP theory; reference _koopman.py:434-487 /
+        _score.py:13-118 for the general cross-validated form)."""
+        if r == np.inf or (isinstance(r, str) and r == "E"):
+            raise NotImplementedError("VAMP-E scoring requires test covariances; see vamp_score")
+        return 1.0 + float(np.sum(np.abs(self.singular_values) ** r))

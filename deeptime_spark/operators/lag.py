@@ -1,0 +1,154 @@
+"""Time-lagging / windowing / splitting — the engine's projection layer.
+
+Reference semantics (SURVEY.md §2.2):
+
+- ``timeshifted_split`` (/root/reference/src/deeptime/util/data.py:55-152):
+  yields pairs ``(x_t, x_{t+tau})`` per trajectory; pairs never cross
+  trajectory boundaries (util/data.py:57-59); optional stride.
+- ``TrajectoryDataset`` lag application ``traj[:-tau], traj[tau:]``
+  (util/data.py:333-341).
+- ``sliding_window`` radius-r windows (util/data.py:11-52).
+- ``blocksplit_trajs`` / ``cvsplit_trajs``
+  (/root/reference/src/deeptime/decomposition/_score.py:156,204).
+
+Spark realization: one ``lead`` window per lag over
+``Window.partitionBy(traj_id).orderBy(t)``. Catalyst merges window
+expressions sharing a spec into a single physical window pass, so lagging k
+columns costs one shuffle (by traj_id) total — and zero extra shuffle if the
+input is already hash-partitioned by traj_id (e.g. bucketed storage at scale).
+Chunking in the reference (chunksize=1000) is subsumed by Spark partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TRAJ_COL = "traj_id"
+TIME_COL = "t"
+FEATURES_COL = "x"
+
+
+def _traj_window(traj_col: str = TRAJ_COL, time_col: str = TIME_COL):
+    return Window.partitionBy(traj_col).orderBy(time_col)
+
+
+def with_lagged(
+    df: DataFrame,
+    lagtime: int,
+    cols: Sequence[str] = (FEATURES_COL,),
+    traj_col: str = TRAJ_COL,
+    time_col: str = TIME_COL,
+    suffix: str = "_lagged",
+    drop_incomplete: bool = True,
+) -> DataFrame:
+    """Add ``<col>_lagged = lead(col, lagtime)`` per trajectory.
+
+    Equivalent to the reference's ``traj[:-tau], traj[tau:]`` pairing
+    (util/data.py:333-341): row ``t`` carries ``(x_t, x_{t+tau})``; rows whose
+    lead falls off the end of the trajectory are dropped when
+    ``drop_incomplete`` (they correspond to ``traj[:-tau]`` truncation).
+
+    Assumes frame indices are dense (0..T-1) within each trajectory, matching
+    the reference's positional-lag convention. One window pass; no shuffle if
+    already partitioned by traj_col.
+    """
+    if lagtime < 0:
+        raise ValueError(f"lagtime must be >= 0, got {lagtime}")
+    w = _traj_window(traj_col, time_col)
+    out = df
+    for c in cols:
+        out = out.withColumn(c + suffix, F.lead(c, lagtime).over(w))
+    if drop_incomplete and lagtime > 0:
+        out = out.where(F.col(cols[0] + suffix).isNotNull())
+    return out
+
+
+def timeshifted(
+    df: DataFrame,
+    lagtime: int,
+    stride: int = 1,
+    cols: Sequence[str] = (FEATURES_COL,),
+    traj_col: str = TRAJ_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """``timeshifted_split`` semantics (util/data.py:55-152) as one DataFrame.
+
+    Returns rows ``(traj_id, t, x, x_lagged)`` where ``x_lagged = x[t+tau]``,
+    restricted to ``t % stride == 0`` (reference stride semantics: stride
+    subsamples the *start* frames, the lag is applied on the unstrided series,
+    see util/data.py:120-126).
+    """
+    out = with_lagged(df, lagtime, cols=cols, traj_col=traj_col, time_col=time_col)
+    if stride > 1:
+        out = out.where(F.col(time_col) % stride == 0)
+    return out
+
+
+def strided(df: DataFrame, stride: int, time_col: str = TIME_COL) -> DataFrame:
+    """Frame subsampling ``t % stride == 0`` (pushdown-friendly filter)."""
+    if stride <= 1:
+        return df
+    return df.where(F.col(time_col) % stride == 0)
+
+
+def sliding_window(
+    df: DataFrame,
+    radius: int,
+    col: str = FEATURES_COL,
+    traj_col: str = TRAJ_COL,
+    time_col: str = TIME_COL,
+    out_col: str = "window",
+    fixed_width: bool = False,
+) -> DataFrame:
+    """Sliding windows of radius r per trajectory (util/data.py:11-52).
+
+    ``window[t] = [x[t-r] .. x[t+r]]`` clipped at trajectory boundaries.
+    With ``fixed_width``, only complete windows are kept (the reference
+    instead shifts the window inward at the edges; complete-only is the
+    distributed-friendly equivalent and documented deviation).
+    """
+    w = _traj_window(traj_col, time_col).rowsBetween(-radius, radius)
+    out = df.withColumn(out_col, F.collect_list(col).over(w))
+    if fixed_width:
+        out = out.where(F.size(out_col) == 2 * radius + 1)
+    return out
+
+
+def blocksplit(
+    df: DataFrame,
+    blocksize: int,
+    shift: int = 0,
+    traj_col: str = TRAJ_COL,
+    time_col: str = TIME_COL,
+    out_col: str = "block_id",
+) -> DataFrame:
+    """Cut trajectories into contiguous blocks of ``blocksize`` frames.
+
+    Bootstrap/CV unit of ``blocksplit_trajs``
+    (decomposition/_score.py:156-202): block boundaries never split a lagged
+    pair when blocksize >= lagtime. block_id is globally unique
+    (traj_id, local block) so downstream sampling can treat blocks as iid.
+    """
+    if blocksize < 1:
+        raise ValueError("blocksize must be >= 1")
+    local_block = ((F.col(time_col) - F.lit(shift)) / blocksize).cast("long")
+    return df.withColumn(out_col, F.concat_ws("_", F.col(traj_col), local_block))
+
+
+def cvsplit(
+    df: DataFrame,
+    seed: int = 42,
+    traj_col: str = TRAJ_COL,
+    out_col: str = "fold",
+    n_folds: int = 2,
+) -> DataFrame:
+    """Deterministic per-trajectory fold assignment (cvsplit_trajs,
+    decomposition/_score.py:204-225): hash(traj_id, seed) % n_folds.
+
+    Whole trajectories go to one fold (the reference splits the trajectory
+    *list*), preserving temporal correlation structure within folds.
+    """
+    return df.withColumn(out_col, F.pmod(F.hash(F.col(traj_col), F.lit(seed)), F.lit(n_folds)))

@@ -1,0 +1,73 @@
+"""Lag/windowing semantics vs the reference's timeshifted_split contract
+(util/data.py:55-152): pairs never cross trajectory boundaries; stride
+subsamples start frames; sliding windows clip at edges."""
+
+import numpy as np
+import pytest
+
+from deeptime_spark.data import trajectory_from_arrays
+from deeptime_spark.operators import with_lagged, timeshifted, sliding_window, blocksplit, cvsplit
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    trajs = [np.arange(10, dtype=float)[:, None], np.arange(100, 105, dtype=float)[:, None]]
+    return trajectory_from_arrays(spark, trajs)
+
+
+def test_lagged_pairs_match_numpy_slicing(spark, small_df):
+    tau = 3
+    rows = with_lagged(small_df, tau).orderBy("traj_id", "t").collect()
+    # trajectory 0: pairs (t, t+3) for t in 0..6; trajectory 1: t in 0..1
+    assert len(rows) == 7 + 2
+    for r in rows:
+        assert r["x_lagged"][0] == r["x"][0] + tau
+
+
+def test_pairs_never_cross_trajectories(spark, small_df):
+    rows = with_lagged(small_df, 4).collect()
+    for r in rows:
+        # traj 1 holds values 100..104; lagged values must stay in-trajectory
+        if r["x"][0] >= 100:
+            assert r["x_lagged"][0] >= 100
+
+
+def test_stride_subsamples_start_frames(spark, small_df):
+    rows = timeshifted(small_df, lagtime=2, stride=3).collect()
+    assert all(r["t"] % 3 == 0 for r in rows)
+    # traj 0 (T=10): t in {0,3,6} with t+2<=9 -> 3 pairs; traj 1 (T=5): t in {0} ... t=3 ok too
+    t0 = sorted(r["t"] for r in rows if r["x"][0] < 100)
+    assert t0 == [0, 3, 6]
+
+
+def test_lag_zero_identity(spark, small_df):
+    rows = with_lagged(small_df, 0).collect()
+    assert len(rows) == 15
+    assert all(r["x"] == r["x_lagged"] for r in rows)
+
+
+def test_sliding_window_clips_at_edges(spark, small_df):
+    rows = sliding_window(small_df, radius=2, col="x").orderBy("traj_id", "t").collect()
+    first = rows[0]  # t=0 of traj 0: window = frames 0..2
+    assert len(first["window"]) == 3
+    mid = rows[5]  # t=5 of traj 0: full window 3..7
+    assert len(mid["window"]) == 5
+
+
+def test_sliding_window_fixed_width(spark, small_df):
+    rows = sliding_window(small_df, radius=2, fixed_width=True).collect()
+    assert all(len(r["window"]) == 5 for r in rows)
+
+
+def test_blocksplit_block_sizes(spark, small_df):
+    out = blocksplit(small_df, blocksize=4).groupBy("block_id").count().collect()
+    sizes = sorted(r["count"] for r in out)
+    # traj0 (10): 4+4+2, traj1 (5): 4+1
+    assert sizes == [1, 2, 4, 4, 4]
+
+
+def test_cvsplit_whole_trajectories(spark, small_df):
+    rows = cvsplit(small_df, seed=7).select("traj_id", "fold").distinct().collect()
+    # each trajectory maps to exactly one fold
+    assert len(rows) == 2
+    assert all(r["fold"] in (0, 1) for r in rows)
