@@ -44,35 +44,51 @@ def trajectory_from_arrays(spark: SparkSession, trajs, weights=None) -> DataFram
     Mirrors the reference's universal list-of-trajectories input convention
     (covariance/_covariance.py:405-413).
     """
+    import pandas as pd
+
     if isinstance(trajs, np.ndarray) and trajs.ndim == 2:
         trajs = [trajs]
-    rows = []
+    frames = []
     for tid, traj in enumerate(trajs):
         traj = np.asarray(traj, dtype=np.float64)
         if traj.ndim == 1:
             traj = traj[:, None]
+        pdf = pd.DataFrame(
+            {
+                "traj_id": np.full(len(traj), tid, dtype=np.int64),
+                "t": np.arange(len(traj), dtype=np.int64),
+                "x": list(traj),
+            }
+        )
         if weights is not None:
-            w = np.asarray(weights[tid], dtype=np.float64)
-            rows.extend(
-                (tid, t, [float(v) for v in frame], float(w[t]))
-                for t, frame in enumerate(traj)
-            )
-        else:
-            rows.extend((tid, t, [float(v) for v in frame]) for t, frame in enumerate(traj))
+            pdf["weight"] = np.asarray(weights[tid], dtype=np.float64)
+        frames.append(pdf)
+    combined = pd.concat(frames, ignore_index=True)
     if weights is not None:
         schema = StructType(TRAJECTORY_SCHEMA.fields + [StructField("weight", DoubleType(), False)])
-        return spark.createDataFrame(rows, schema)
-    return spark.createDataFrame(rows, TRAJECTORY_SCHEMA)
+        return spark.createDataFrame(combined, schema)
+    return spark.createDataFrame(combined, TRAJECTORY_SCHEMA)
 
 
 def dtraj_from_arrays(spark: SparkSession, dtrajs) -> DataFrame:
     """List of 1-d int arrays -> dtraj DataFrame (util/types.py:123)."""
+    import pandas as pd
+
     if isinstance(dtrajs, np.ndarray) and dtrajs.ndim == 1:
         dtrajs = [dtrajs]
-    rows = []
+    frames = []
     for tid, dtraj in enumerate(dtrajs):
-        rows.extend((tid, t, int(s)) for t, s in enumerate(np.asarray(dtraj)))
-    return spark.createDataFrame(rows, DTRAJ_SCHEMA)
+        arr = np.asarray(dtraj)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "traj_id": np.full(len(arr), tid, dtype=np.int64),
+                    "t": np.arange(len(arr), dtype=np.int64),
+                    "state": arr.astype(np.int32),
+                }
+            )
+        )
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True), DTRAJ_SCHEMA)
 
 
 def trajectory_from_events(events: DataFrame) -> DataFrame:

@@ -1,0 +1,175 @@
+"""Transition counting — the engine's groupBy-count layer.
+
+Reference: ``TransitionCountEstimator``
+(/root/reference/src/deeptime/markov/_transition_counting.py:423-636) with
+count modes sliding / sliding-effective / sample (:428-447; the doctest at
+:617-623 pins the sliding semantics), ``TransitionCountModel`` (:42-421),
+``count_states`` (markov/_util.py:25).
+
+Spark realization: ``lead(state, tau)`` over the per-trajectory window, then
+``groupBy(s_from, s_to).count()``. At scale this is one shuffle whose key
+cardinality is n_states^2 — tiny — so the reduce side is trivially
+broadcast-collectable; AQE handles the skew that hot states produce on the
+map side. The collected COO becomes a driver-side dense/sparse matrix at the
+natural distributed/local IR boundary (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deeptime_spark.base import Estimator, Model
+
+
+def count_states(df: DataFrame, state_col: str = "state", ignore_negative: bool = True) -> np.ndarray:
+    """Histogram of state visits (reference markov/_util.py:25-55).
+
+    Returns a dense vector indexed by state; -1 (unassigned) is excluded
+    when ignore_negative.
+    """
+    grouped = df.groupBy(state_col).count().collect()
+    pairs = [(r[state_col], r["count"]) for r in grouped if r[state_col] is not None]
+    if ignore_negative:
+        pairs = [(s, c) for s, c in pairs if s >= 0]
+    n = max(s for s, _ in pairs) + 1 if pairs else 0
+    out = np.zeros(n, dtype=np.int64)
+    for s, c in pairs:
+        out[s] = c
+    return out
+
+
+class TransitionCountModel(Model):
+    """Count-matrix container (reference: _transition_counting.py:42-421).
+
+    Holds the (n, n) dense count matrix (no scipy in this environment;
+    n_states is small relative to data volume by construction — for huge
+    state spaces the counts stay distributed as a DataFrame upstream), the
+    state histogram and the symbol<->index mapping for submodels.
+    """
+
+    def __init__(
+        self,
+        count_matrix,
+        counting_mode: Optional[str] = None,
+        lagtime: int = 1,
+        state_histogram: Optional[np.ndarray] = None,
+        state_symbols: Optional[np.ndarray] = None,
+    ):
+        self.count_matrix = count_matrix
+        self.counting_mode = counting_mode
+        self.lagtime = lagtime
+        self.state_histogram = state_histogram
+        self.state_symbols = (
+            state_symbols if state_symbols is not None else np.arange(self._n(count_matrix))
+        )
+
+    @staticmethod
+    def _n(C) -> int:
+        return C.shape[0]
+
+    @property
+    def n_states(self) -> int:
+        return self._n(self.count_matrix)
+
+    @property
+    def total_count(self) -> float:
+        C = self.count_matrix
+        return float(C.sum())
+
+    def connected_sets(self, directed: bool = True) -> list[np.ndarray]:
+        """Connected components of the count graph, largest first
+        (reference api.py:410-461; driver-side — n_states is small relative
+        to data volume by construction)."""
+        from deeptime_spark.numeric.graph import connected_components
+
+        return connected_components(self.count_matrix > 0, directed=directed)
+
+    def submodel(self, states: np.ndarray) -> "TransitionCountModel":
+        """Restriction to a state subset (reference :333-363)."""
+        states = np.asarray(states)
+        sub = self.count_matrix[np.ix_(states, states)]
+        hist = self.state_histogram[states] if self.state_histogram is not None else None
+        return TransitionCountModel(
+            sub,
+            counting_mode=self.counting_mode,
+            lagtime=self.lagtime,
+            state_histogram=hist,
+            state_symbols=self.state_symbols[states],
+        )
+
+    def submodel_largest(self, directed: bool = True) -> "TransitionCountModel":
+        """Largest connected submodel (reference :364-405)."""
+        return self.submodel(self.connected_sets(directed=directed)[0])
+
+    def states_to_symbols(self, states: np.ndarray) -> np.ndarray:
+        return self.state_symbols[np.asarray(states)]
+
+    def symbols_to_states(self, symbols) -> np.ndarray:
+        lookup = {s: i for i, s in enumerate(self.state_symbols)}
+        return np.array([lookup[s] for s in symbols if s in lookup], dtype=int)
+
+
+class TransitionCountEstimator(Estimator):
+    """ctor mirrors the reference (:423-460): lagtime, count_mode in
+    {'sliding', 'sliding-effective', 'sample'}, n_states override, sparse.
+
+    ``fit(df)`` expects the dtraj schema (traj_id, t, state). Negative
+    states (unassigned, reference :148) are excluded from counting.
+    """
+
+    SPARSE_OCCUPANCY_THRESHOLD = 1.0 / 3.0
+
+    def __init__(
+        self,
+        lagtime: int,
+        count_mode: str = "sliding",
+        n_states: Optional[int] = None,
+        sparse: Optional[bool] = None,
+        state_col: str = "state",
+    ):
+        super().__init__()
+        if count_mode not in ("sliding", "sliding-effective", "sample"):
+            raise ValueError(f"unsupported count_mode {count_mode!r}")
+        self.lagtime = lagtime
+        self.count_mode = count_mode
+        self.n_states = n_states
+        self.sparse = sparse
+        self.state_col = state_col
+
+    def fit(self, df: DataFrame) -> "TransitionCountEstimator":
+        tau = self.lagtime
+        sc = self.state_col
+        w = Window.partitionBy("traj_id").orderBy("t")
+        pairs = df.withColumn("s_to", F.lead(sc, tau).over(w)).where(F.col("s_to").isNotNull())
+        if self.count_mode == "sample":
+            # subsample starts at multiples of tau (reference :428-447)
+            pairs = pairs.where(F.col("t") % tau == 0)
+        pairs = pairs.where((F.col(sc) >= 0) & (F.col("s_to") >= 0))
+        counted = pairs.groupBy(F.col(sc).alias("s_from"), F.col("s_to")).count().collect()
+
+        hist = count_states(df, state_col=sc)
+        n = self.n_states or max(
+            len(hist), (max((max(r["s_from"], r["s_to"]) for r in counted), default=-1) + 1)
+        )
+        rows = np.array([r["s_from"] for r in counted], dtype=int)
+        cols = np.array([r["s_to"] for r in counted], dtype=int)
+        vals = np.array([r["count"] for r in counted], dtype=np.float64)
+        if self.count_mode == "sliding-effective":
+            # sliding counts overestimate statistical weight by ~tau
+            # (reference :436-441): divide through
+            vals = vals / tau
+        C = np.zeros((n, n), dtype=np.float64)
+        np.add.at(C, (rows, cols), vals)
+        if len(hist) < n:
+            hist = np.pad(hist, (0, n - len(hist)))
+        self._model = TransitionCountModel(
+            C,
+            counting_mode=self.count_mode,
+            lagtime=tau,
+            state_histogram=hist,
+        )
+        return self

@@ -38,6 +38,10 @@ def get_spark(app_name: str = "deeptime-spark", shuffle_partitions: int | None =
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the harness events table stores TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects by default — read as long nanos instead
+        # (normalized back to timestamp in load_tables)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
@@ -62,9 +66,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             "documents",
             "embeddings",
         )
+    from pyspark.sql import functions as F
+
     out = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # nanosAsLong read: restore a usable timestamp (microsecond
+            # truncation — all queries derive at >= second granularity)
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
