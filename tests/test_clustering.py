@@ -1,0 +1,121 @@
+"""Clustering vs invariants + the full TICA->KMeans->MSM composition
+(mirrors /root/reference/tests/base/test_sklearn_compat.py:19-30)."""
+
+import numpy as np
+import pytest
+
+from deeptime_spark.clustering import BoxDiscretization, KMeans, MiniBatchKMeans, RegularSpace
+from deeptime_spark.clustering.cluster_model import ClusterModel
+from deeptime_spark.data import trajectory_from_arrays
+from deeptime_spark.markov import MaximumLikelihoodMSM
+
+
+@pytest.fixture(scope="module")
+def blobs(rng):
+    # 3 well-separated gaussian blobs
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.concatenate([rng.normal(size=(400, 2)) * 0.5 + c for c in centers])
+    rng.shuffle(X)
+    return X, centers
+
+
+@pytest.fixture(scope="module")
+def blobs_df(spark, blobs):
+    return trajectory_from_arrays(spark, [blobs[0]])
+
+
+def _assert_centers_match(got, want, atol):
+    # permutation-invariant: every true center has a found center nearby
+    # and vice versa (sorting coordinates is noise-sensitive on ties)
+    for w in want:
+        assert np.linalg.norm(got - w, axis=1).min() < atol
+    for g in got:
+        assert np.linalg.norm(want - g, axis=1).min() < atol
+
+
+def test_kmeans_recovers_blob_centers(spark, blobs, blobs_df):
+    _, true_centers = blobs
+    model = KMeans(n_clusters=3, fixed_seed=17).fit(blobs_df).fetch_model()
+    _assert_centers_match(model.cluster_centers, true_centers, atol=0.3)
+    assert model.inertia > 0
+
+
+def test_cluster_model_assignment_is_nearest(spark, blobs_df):
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    model = ClusterModel(centers)
+    out = model.transform(blobs_df).collect()
+    for r in out[:100]:
+        x = np.array(r["x"])
+        d = np.linalg.norm(centers - x, axis=1)
+        assert r["state"] == int(np.argmin(d))
+
+
+def test_onehot_transform(spark, blobs_df):
+    model = ClusterModel(np.array([[0.0, 0.0], [10.0, 0.0]]))
+    row = model.transform_onehot(blobs_df).select("onehot").first()
+    assert sum(row["onehot"]) == 1.0
+
+
+def test_box_discretization_grid(spark):
+    X = np.array([[0.1, 0.1], [0.9, 0.1], [0.1, 0.9], [0.9, 0.9], [0.5, 0.5]])
+    df = trajectory_from_arrays(spark, [X])
+    model = BoxDiscretization(dim=2, n_boxes=2, v0=[0, 0], v1=[1, 1]).fit(df).fetch_model()
+    rows = {tuple(r["x"]): r["state"] for r in model.transform(df).collect()}
+    # row-major ravel: state = ix * 2 + iy
+    assert rows[(0.1, 0.1)] == 0
+    assert rows[(0.1, 0.9)] == 1
+    assert rows[(0.9, 0.1)] == 2
+    assert rows[(0.9, 0.9)] == 3
+    assert model.n_clusters == 4
+    # centers are bin midpoints
+    np.testing.assert_allclose(model.cluster_centers[0], [0.25, 0.25])
+
+
+def test_box_estimates_bounds_from_data(spark, blobs_df):
+    model = BoxDiscretization(dim=2, n_boxes=5).fit(blobs_df).fetch_model()
+    states = model.transform(blobs_df).select("state").distinct().count()
+    assert 3 <= states <= 25
+
+
+def test_regspace_packing_invariants(spark, blobs_df):
+    dmin = 3.0
+    model = RegularSpace(dmin=dmin, max_centers=100).fit(blobs_df).fetch_model()
+    C = model.cluster_centers
+    # centers pairwise > dmin apart
+    for i in range(len(C)):
+        for j in range(i + 1, len(C)):
+            assert np.linalg.norm(C[i] - C[j]) > dmin
+    # every point within 2*dmin of some center (two-level leader bound)
+    assigned = model.transform(blobs_df).collect()
+    for r in assigned[:200]:
+        x = np.array(r["x"])
+        assert np.linalg.norm(C[r["state"]] - x) <= 2 * dmin
+
+
+def test_minibatch_kmeans_close_to_full(spark, blobs, blobs_df):
+    _, true_centers = blobs
+    model = MiniBatchKMeans(n_clusters=3, batch_fraction=0.5, max_iter=5, fixed_seed=3).fit(blobs_df).fetch_model()
+    _assert_centers_match(model.cluster_centers, true_centers, atol=1.0)
+
+
+def test_full_pipeline_tica_kmeans_msm(spark, rng):
+    """Composition test: 2-state jump process in 2d -> TICA -> KMeans(2) ->
+    MSM recovers the metastable structure (sklearn-compat pipeline shape)."""
+    from deeptime_spark.decomposition import TICA
+
+    T = 20000
+    states = np.zeros(T, dtype=int)
+    for t in range(1, T):
+        states[t] = states[t - 1] if rng.random() > 0.02 else 1 - states[t - 1]
+    X = np.array([[-2.0, 0.0], [2.0, 0.0]])[states] + rng.normal(size=(T, 2)) * 0.3
+    df = trajectory_from_arrays(spark, [X])
+
+    tica_model = TICA(lagtime=5, dim=1).fit(df).fetch_model()
+    proj = tica_model.transform(df, out_col="ic").select("traj_id", "t", "ic")
+    km = KMeans(n_clusters=2, fixed_seed=11, x_col="ic").fit(proj).fetch_model()
+    dtraj = km.transform(proj, x_col="ic")
+    msm = MaximumLikelihoodMSM(reversible=True, lagtime=5).fit(dtraj).fetch_model()
+    # slowest timescale of a 2-state flip process with p=0.02:
+    # lambda_2 = 1 - 2p = 0.96 per step -> t2 = -1/ln(0.96) ~ 24.5 steps
+    t2 = msm.timescales(1)[0]
+    assert 15 < t2 < 40
