@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale document corpora.
+
+The training-data-pipeline surface (BASELINE.json north star): exact
+dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard verification,
+embedding-cosine near-dup. Designed for 100 TB: every stage is either a
+map (signatures, all-JVM expressions) or a shuffle keyed on
+hash/band-buckets whose cardinality we control; candidate verification
+only ever runs inside buckets — never an all-pairs join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deeptime_spark.operators.text import shingles, tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one shuffle on md5(text).
+
+    Returns (text_hash, n_copies, canonical_id=min id, doc_ids) for groups
+    with >1 member. At 100 TB the shuffle moves only (hash, id) pairs —
+    project before grouping so the text never crosses the wire.
+    """
+    hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+    return (
+        hashed.groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group.
+    Window over the hash: one shuffle, no join back."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(text_col: str | Column = "text", n_hashes: int = 64, shingle_k: int = 5) -> Column:
+    """n-permutation MinHash signature as an int array — all JVM.
+
+    h_i(doc) = min over shingles s of murmur3(s, seed=i). Equivalent to the
+    standard MinHash construction with hash-family-by-seed; executes as
+    array_min(transform(...)) inside codegen, no Python, no shuffle.
+    """
+    sh = F.array_distinct(shingles(text_col, shingle_k))
+
+    def hash_with_seed(i: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda makes F.transform
+        # pass the element *index* as the second argument
+        return lambda s: F.hash(s, F.lit(i))
+
+    return F.array(*[F.array_min(F.transform(sh, hash_with_seed(i))) for i in range(n_hashes)])
+
+
+def with_minhash(df: DataFrame, text_col: str = "text", n_hashes: int = 64, shingle_k: int = 5,
+                 out_col: str = "minhash") -> DataFrame:
+    return df.withColumn(out_col, minhash_signature(text_col, n_hashes, shingle_k))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    r = n_hashes/bands rows; docs agreeing on any full band are candidates.
+
+    Plan shape: map (signature) -> explode bands (xbands rows) -> shuffle on
+    (band_idx, band_hash) -> within-bucket pairing. Returns candidate pairs
+    (id_a < id_b) with their estimated signature similarity. A pair
+    agreeing on a band with Jaccard j has match probability 1-(1-j^r)^b —
+    the standard S-curve; tune bands/r for the target threshold.
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    sig = with_minhash(df, text_col, n_hashes, shingle_k).select(id_col, "minhash")
+    banded = sig.select(
+        id_col,
+        "minhash",
+        F.posexplode(
+            F.array(*[F.xxhash64(F.slice("minhash", i * r + 1, r).cast("string")) for i in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1))
+    return pairs.withColumn("est_jaccard", est / F.lit(n_hashes)).drop("mh_a", "mh_b")
+
+
+# ---------------------------------------------------------------- jaccard
+
+def ngram_jaccard(a_text: Column, b_text: Column, n: int = 3) -> Column:
+    """Exact word n-gram Jaccard similarity between two text columns —
+    the verification step after LSH candidate generation. JVM set ops."""
+    def grams(c: Column) -> Column:
+        toks = tokens(c)
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+
+    ga, gb = grams(a_text), grams(b_text)
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(F.array_union(ga, gb))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def verify_candidates_jaccard(
+    candidates: DataFrame, docs: DataFrame, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """Join candidate pairs back to text and keep pairs over the exact
+    n-gram Jaccard threshold. The candidate set is tiny relative to the
+    corpus, so the two joins broadcast the candidate side at scale."""
+    slim = docs.select(F.col(id_col), F.col(text_col))
+    out = (
+        candidates.join(slim.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "_ta"), "id_a")
+        .join(slim.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "_tb"), "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("_ta"), F.col("_tb"), n))
+        .drop("_ta", "_tb")
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(text_col: str | Column = "text", bits: int = 64) -> Column:
+    """SimHash: sign-aggregated token hashes -> single 64-bit value.
+
+    For bit position p, sum +-1 over token hashes' bit p; the sign gives
+    the fingerprint bit. Expressed as JVM aggregates over the token array
+    (bits x size(tokens) bit-tests inside codegen — fine for 64 bits).
+    Near-duplicates differ in few bits (Hamming distance).
+    """
+    toks = tokens(text_col)
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_vote(p: int):
+        # closure factory keeps the merge lambda 2-arg (acc, elem); extra
+        # params would change how F.aggregate binds arguments
+        return lambda acc, h: acc + F.when(F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    bit_exprs = []
+    for p in range(bits):
+        vote = F.aggregate(hashed, F.lit(0).cast("long"), bit_vote(p))
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_exprs.append(F.shiftleft(bit, p))  # 2**63 overflows a long literal; shift instead
+    expr = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        expr = expr + e
+    return expr
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (Spark built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
+    (cheap LSH for small Hamming radii), verify Hamming <= max_hamming
+    within blocks. One shuffle on the prefix."""
+    sigs = df.select(F.col(id_col), simhash(text_col).alias("sim"))
+    blocked = sigs.withColumn("block", F.shiftrightunsigned(F.col("sim"), 64 - prefix_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_distance64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def embedding_near_duplicates(
+    emb: DataFrame, threshold: float = 0.98, id_col: str = "vec_id",
+    vec_col: str = "embedding", n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+
+    Bucket = sign pattern of n_planes random projections (per-row JVM
+    arithmetic); exact cosine verified within buckets. Two docs with cosine
+    >= threshold collide with probability (1 - theta/pi)^n_planes — for
+    tight thresholds the recall is high; increase bands (OR-construction)
+    in a follow-up for guarantees.
+    """
+    import numpy as np
+
+    from deeptime_spark.operators.similarity import cosine_similarity
+
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, d))
+    sign_bits = []
+    for i in range(n_planes):
+        dot = F.lit(0.0)
+        for j in range(d):
+            w = float(planes[i, j])
+            dot = dot + F.col(vec_col)[j] * F.lit(w)
+        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
+    bucket = sign_bits[0]
+    for s in sign_bits[1:]:
+        bucket = bucket + s
+    bucketed = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns.
+
+Training-data-pipeline surface (BASELINE.json north star): brute-force
+cosine top-k as the exact baseline; random-hyperplane LSH bucketing as the
+scale path (IVF-style probing is a documented follow-up). Embeddings are
+``array<float>`` rows; all distance math is JVM (zip_with/aggregate) so the
+scan stays inside codegen — no Python per row.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _literal_array(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Plan: broadcast the (small) query side, compute similarity per
+    (query, corpus) pair map-side, then per-query top-k via window
+    row_number. The only shuffle is the per-query k-selection — keyed on
+    query_id, cardinality = |queries| * |corpus| rows reduced to
+    |queries| * k. For huge corpora this is the scan-bound exact baseline
+    the ANN variants are measured against.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    if metric == "cosine":
+        sim = cosine_similarity(F.col(vec_col), F.col("_qvec"))
+        order = F.desc("similarity")
+    elif metric == "dot":
+        sim = dot(F.col(vec_col), F.col("_qvec"))
+        order = F.desc("similarity")
+    elif metric == "euclidean":
+        diff = F.zip_with(F.col(vec_col), F.col("_qvec"), lambda x, y: (x - y) * (x - y))
+        sim = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+        order = F.asc("similarity")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = corpus.join(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        sim.alias("similarity"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(order, F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def topk_for_vector(
+    corpus: DataFrame, query_vec: Sequence[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", metric: str = "cosine",
+) -> DataFrame:
+    """Single-vector convenience: no join at all — the query is a literal
+    folded into the scan; top-k via global orderBy+limit (Spark executes
+    it as per-partition top-k + driver merge: TakeOrderedAndProject)."""
+    if metric == "cosine":
+        sim = cosine_similarity(F.col(vec_col), _literal_array(query_vec))
+        return corpus.select(F.col(id_col), sim.alias("similarity")).orderBy(
+            F.desc("similarity"), F.col(id_col)
+        ).limit(k)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def random_hyperplane_buckets(
+    emb: DataFrame, n_planes: int = 8, seed: int = 42,
+    vec_col: str = "embedding", out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-pattern LSH bucket id (int in [0, 2^n_planes)) as a column.
+    The projection is unrolled JVM arithmetic over array elements."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, d))
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        proj = F.lit(0.0)
+        for j in range(d):
+            proj = proj + F.col(vec_col)[j] * F.lit(float(planes[i, j]))
+        bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return emb.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Both sides get the same hyperplane buckets (same seed); the join is
+    equi on bucket — at scale this prunes the scan by ~2^n_planes and the
+    bucket key is shuffle-friendly. Recall is traded via n_planes; callers
+    needing guarantees union several plane-sets (OR construction).
+    """
+    cb = random_hyperplane_buckets(corpus, n_planes, seed, vec_col)
+    qb = random_hyperplane_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col)), n_planes, seed, vec_col
+    ).select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"), F.col("bucket"))
+    scored = cb.join(F.broadcast(qb), "bucket").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("similarity"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("similarity"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

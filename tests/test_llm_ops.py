@@ -1,0 +1,165 @@
+"""LLM-data-pipeline operators on the real harness tables
+(documents/embeddings at sf0.001) plus synthetic near-dup fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deeptime_spark.operators import dedup, similarity, text
+from deeptime_spark.operators.multimodal import extract_features, frame_sample_plan, media_from_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different content about spark execution engines and shuffles"),
+        (4, base),  # another exact dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, neardup_docs):
+    groups = dedup.exact_duplicates(neardup_docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_copies"] == 3 and g["canonical_id"] == 0 and g["doc_ids"] == [0, 1, 4]
+
+
+def test_drop_exact_duplicates(spark, neardup_docs):
+    kept = dedup.drop_exact_duplicates(neardup_docs).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [0, 2, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark, neardup_docs):
+    cands = dedup.minhash_lsh_candidates(neardup_docs, n_hashes=64, bands=16)
+    rows = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert (0, 1) in rows and rows[(0, 1)] == 1.0  # identical docs: all minhashes equal
+    assert (0, 2) in rows and rows[(0, 2)] > 0.5  # near dup: high estimated jaccard
+    assert (0, 3) not in rows or rows[(0, 3)] < 0.3
+
+
+def test_jaccard_verification(spark, neardup_docs):
+    cands = dedup.minhash_lsh_candidates(neardup_docs, n_hashes=64, bands=16)
+    verified = dedup.verify_candidates_jaccard(cands, neardup_docs, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark, neardup_docs):
+    pairs = dedup.simhash_near_duplicates(neardup_docs, max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0  # identical -> same simhash
+    assert (0, 2) in got  # near dup within hamming radius
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=8)
+    rows = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, (base / np.linalg.norm(base) + 1e-4).tolist()),  # near-identical
+        (2, rng.normal(size=8).tolist()),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.embedding_near_duplicates(df, threshold=0.99, n_planes=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    corpus = [(r["vec_id"], np.array(r["embedding"])) for r in emb.collect()]
+    qid, qv = corpus[0]
+    queries = spark.createDataFrame(
+        [(int(qid), [float(v) for v in qv])], ["query_id", "embedding"]
+    )
+    got = similarity.brute_force_topk(emb, queries, k=5).orderBy("rank").collect()
+    # numpy oracle
+    sims = [
+        (vid, float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))))
+        for vid, v in corpus
+    ]
+    sims.sort(key=lambda p: (-p[1], p[0]))
+    want = [vid for vid, _ in sims[:5]]
+    assert [r["vec_id"] for r in got] == want
+    assert got[0]["vec_id"] == qid  # self is nearest
+    np.testing.assert_allclose(got[0]["similarity"], 1.0, atol=1e-6)
+
+
+def test_lsh_topk_self_recall(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk(emb, queries, k=3, n_planes=6).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["vec_id"] == qid  # same bucket as itself, sim=1
+
+
+def test_text_stats_on_documents(spark, docs):
+    out = text.text_stats(docs).limit(50).collect()
+    for r in out:
+        assert r["n_tokens"] > 0
+        assert r["n_chars_computed"] == r["n_chars"]  # harness column agrees
+        assert 0.0 <= r["punct_ratio"] < 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_language_detection_known_samples(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was happy with this"),
+        (1, "der hund ist nicht auf der wiese und sie sind mit ihm"),
+        (2, "le chat est dans la maison pour une heure avec des amis"),
+        (3, "el perro es un animal que vive en la casa con nosotros"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.detect_language("text").alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es"}
+
+
+def test_fingerprint_stability_and_similarity(spark, neardup_docs):
+    fp = neardup_docs.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fp}
+    assert by_id[0] == by_id[1]  # identical docs -> identical fingerprint
+    shared = len(set(by_id[0]) & set(by_id[2]))
+    assert shared >= 4  # near-dup shares most bottom-k hashes
+    assert len(set(by_id[0]) & set(by_id[3])) <= 2
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "  hello   world  "), (1, "a b c d")], ["doc_id", "text"])
+    got = df.select("doc_id", text.token_count("text").alias("n"), text.word_token_count("text").alias("w")).collect()
+    by_id = {r["doc_id"]: (r["n"], r["w"]) for r in got}
+    assert by_id[0][0] == 2 and by_id[1][0] == 4
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = media_from_documents(docs.limit(20))
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 20
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload -> same feature across runs
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    for r in feats:
+        assert feats2[r["media_id"]] == r["feature"]
+    plan = frame_sample_plan(media.withColumn("modality", F.lit("video")), every_ms=100)
+    rows = plan.where(F.col("media_id") == feats[0]["media_id"]).collect()
+    assert all(r["frame_ts_ms"] == r["frame_idx"] * 100 for r in rows)
