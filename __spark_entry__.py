@@ -1,38 +1,821 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke at sf0.001.
+``queries()`` — one callable per implemented operator surface
+(SURVEY.md §2 + the LLM-data-pipeline ops); each takes (spark, sf_dir)
+and returns a DataFrame.
+``oracle_sql()`` — DuckDB-ANSI equivalents for every SQL-expressible
+query (hash-based ops and estimator pipelines are rows-only).
+
+Exactness policy for the value-hash compare: every float column either
+(a) passes raw parquet values through untouched, (b) is the result of a
+deterministic IEEE-754 op sequence mirrored verbatim in the oracle SQL
+(int/int division, products of identical doubles), or (c) is an
+integer-scaled quantity (cents / 1e-4 / 1e-6 units summed as BIGINT —
+exact in both engines, no float-summation drift). Aggregate sums of
+doubles are never emitted raw.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- loaders
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table stores TIMESTAMP(NANOS); Spark's reader rejects
+        # that unless nanos are surfaced as long (runtime-settable conf)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV: ns epoch > 2^53 would lose microseconds through fp
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _state_expr():
+    """Deterministic event_type -> dtraj state mapping (alphabetical)."""
+    expr = F.lit(-1)
+    for i, et in enumerate(_EVENT_TYPES):
+        expr = F.when(F.col("event_type") == et, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def _event_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> trajectory schema (traj_id, t, value, vc, state).
+
+    t = dense frame index per user (row_number over event time); vc =
+    value in integer cents (exact in fp64 -> exact in the oracle).
+    """
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").alias("traj_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        F.col("value"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        _state_expr().alias("state"),
+        F.col("ts"),
+    )
+
+
+_STATE_CASE_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{et}' THEN {i}" for i, et in enumerate(_EVENT_TYPES))
+    + " ELSE -1 END"
+)
+
+_TRAJ_CTE = f"""
+traj AS (
+  SELECT user_id AS traj_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         {_STATE_CASE_SQL} AS state,
+         ts
+  FROM events
+)
+"""
+
+_TOKS_CTE = r"""
+base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+)
+"""
+
+
+def _sw_list(lang: str) -> str:
+    from deeptime_spark.operators.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    """(score select-list, argmax CASE) mirroring detect_language's
+    tie-break: dict order wins ties, 'unknown' when all scores are 0."""
+    from deeptime_spark.operators.text import STOPWORDS
+
+    scores = ",\n    ".join(
+        f"len(list_filter(toks, t -> list_contains({_sw_list(lang)}, t))) AS s_{lang}"
+        for lang in STOPWORDS
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in STOPWORDS) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in STOPWORDS)
+        + " ELSE 'unknown' END"
+    )
+    return scores, case
+
+
+# ----------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events -> trajectory -> polynomial features -> TICA ->
+    per-frame projection onto the two slowest collective coordinates.
+    Exercises scan, window lag, the single-pass covariance aggregate,
+    driver-side generalized eig, and the broadcast projection transform.
+    """
+    from deeptime_spark.decomposition.tica import TICA
+
+    traj = _event_traj(spark, "/root/testdata/sf0.001")
+    v = F.col("value") / 100.0
+    feat = traj.select(
+        "traj_id", "t", F.array(v, v * v, v * v * v).alias("x")
+    )
+    model = TICA(lagtime=2, dim=2).fit(feat).fetch_model()
+    out = model.transform(feat, out_col="proj")
+    return out.select(
+        "traj_id",
+        "t",
+        F.col("proj")[0].alias("ic1"),
+        F.col("proj")[1].alias("ic2"),
+    )
+
+
+# ----------------------------------------------------------------- queries
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    from deeptime_spark.operators import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.word_token_count("text").cast("long").alias("n_words"),
+        T.char_count("text").cast("long").alias("n_chars_c"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    from deeptime_spark.operators import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.mean_word_length("text").alias("mean_word_length"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _q_doc_language(spark, sf_dir):
+    from deeptime_spark.operators import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.detect_language("text").alias("lang_detected"))
+
+
+def _q_doc_language_summary(spark, sf_dir):
+    from deeptime_spark.operators import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(T.detect_language("text").alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_doc_hash_groups(spark, sf_dir):
+    from deeptime_spark.operators.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs, min_copies=1).select("text_hash", "n_copies", "canonical_id")
+
+
+def _q_dedup_docs_count(spark, sf_dir):
+    from deeptime_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return drop_exact_duplicates(docs).agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+def _q_doc_jaccard_adjacent(spark, sf_dir):
+    from deeptime_spark.operators.dedup import ngram_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a", "id_b", ngram_jaccard(F.col("text_a"), F.col("text_b"), n=3).alias("jaccard")
+    )
+
+
+def _q_doc_shingle_count(spark, sf_dir):
+    from deeptime_spark.operators.text import shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.array_distinct(shingles("text", 5))).cast("long").alias("n_shingles")
+    )
+
+
+def _q_embedding_norms(spark, sf_dir):
+    from deeptime_spark.operators.similarity import norm
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(norm(F.col("embedding").cast("array<double>")), 6).alias("l2_norm")
+    )
+
+
+def _q_knn_bruteforce(spark, sf_dir):
+    from deeptime_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_embedding_label_stats(spark, sf_dir):
+    from deeptime_spark.operators.similarity import norm
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm(F.col("embedding").cast("array<double>")).alias("l2"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("l2"), 6).alias("avg_norm"))
+    )
+
+
+def _q_label_centroid_norm(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+    )
+    m = ex.groupBy("label", "dim").agg(F.avg("val").alias("mv"))
+    return m.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 6).alias("centroid_norm")
+    )
+
+
+def _q_event_transition_counts(spark, sf_dir):
+    from deeptime_spark.markov.transition_counting import transition_counts_df
+
+    traj = _event_traj(spark, sf_dir)
+    return transition_counts_df(traj, lagtime=1).select(
+        "s_from", "s_to", F.col("n").cast("long").alias("n")
+    )
+
+
+def _q_event_state_histogram(spark, sf_dir):
+    traj = _event_traj(spark, sf_dir)
+    return traj.groupBy("state").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_event_timeshifted(spark, sf_dir):
+    from deeptime_spark.operators.lag import timeshifted
+
+    traj = _event_traj(spark, sf_dir)
+    out = timeshifted(traj, lagtime=2, stride=3, cols=("value",))
+    return out.select("traj_id", "t", "value", "value_lagged")
+
+
+def _q_event_moments(spark, sf_dir):
+    from deeptime_spark.operators.lag import with_lagged
+
+    traj = _event_traj(spark, sf_dir)
+    lagged = with_lagged(traj, 1, cols=("vc",))
+    vc, vcl = F.col("vc"), F.col("vc_lagged")
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(vc).alias("sx_c"),
+        F.sum(vcl).alias("sy_c"),
+        F.sum(vc * vc).alias("sxx_cc"),
+        F.sum(vc * vcl).alias("sxy_cc"),
+        F.sum(vcl * vcl).alias("syy_cc"),
+    )
+
+
+def _q_event_sliding_avg(spark, sf_dir):
+    from deeptime_spark.operators.lag import sliding_window
+
+    traj = _event_traj(spark, sf_dir)
+    win = sliding_window(traj, radius=2, col="vc", out_col="win")
+    return win.select(
+        "traj_id",
+        "t",
+        F.aggregate("win", F.lit(0).cast("long"), lambda acc, v: acc + v).alias("win_cents"),
+        F.size("win").cast("long").alias("win_n"),
+    )
+
+
+def _q_event_sessions(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    is_new = F.when(gap.isNull() | (gap > F.lit(1800 * 1_000_000)), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("_new").cast("long").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _q_event_box(spark, sf_dir):
+    from deeptime_spark.operators.stats import bin_column
+
+    traj = _event_traj(spark, sf_dir)
+    return (
+        traj.select(bin_column(F.col("value"), 0.0, 500.0, 20).alias("box"))
+        .groupBy("box")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_event_histogram2d(spark, sf_dir):
+    from deeptime_spark.operators.stats import histogram2d_df
+
+    ev = _read(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    return histogram2d_df(
+        ev, "value", "hour", bins=(10, 24), x_range=(0.0, 500.0), y_range=(0.0, 24.0)
+    )
+
+
+def _q_event_blocksplit(spark, sf_dir):
+    from deeptime_spark.operators.lag import blocksplit
+
+    traj = _event_traj(spark, sf_dir)
+    return (
+        blocksplit(traj, blocksize=10)
+        .groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
+def _q_distinct_users_by_type(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def _q_q1_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_c"),
+        F.sum(F.round(disc * 10000).cast("long")).alias("sum_disc_e4"),
+        F.sum(F.round(charge * 1000000).cast("long")).alias("sum_charge_e6"),
+    )
+
+
+def _q_q3_top_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_order_priority_count(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _q_nation_order_volume(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_c"),
+    )
+
+
+def _q_brand_volume(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("revenue_c"),
+        )
+    )
+
+
+# ---- hash-based / estimator pipelines (rows-only checks: no ANSI oracle)
+
+
+def _q_minhash_bands(spark, sf_dir):
+    from deeptime_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, n_hashes=32, bands=8).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from deeptime_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=20, prefix_bits=8)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from deeptime_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_near_duplicates(emb, threshold=0.3, n_planes=4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from deeptime_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=5, n_planes=4)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from deeptime_spark.operators.text import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    fp = fingerprint("text", k=5, n=8)
+    return docs.select("doc_id", F.element_at(fp, 1).alias("fp_min"), F.size(fp).cast("long").alias("fp_n"))
+
+
+def _q_tica_events(spark, sf_dir):
+    from deeptime_spark.decomposition.tica import TICA
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v, v * v * v).alias("x"))
+    model = TICA(lagtime=2, dim=2).fit(feat).fetch_model()
+    out = model.transform(feat, out_col="proj")
+    return out.select(
+        "traj_id", "t", F.col("proj")[0].alias("ic1"), F.col("proj")[1].alias("ic2")
+    )
+
+
+def _q_kmeans_embeddings(spark, sf_dir):
+    from deeptime_spark.clustering.kmeans import KMeans
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    model = KMeans(n_clusters=8, fixed_seed=42).fit(emb).fetch_model()
+    return model.transform(emb).select("vec_id", F.col("state").alias("cluster"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # text analysis (operators/text.py)
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_language": _q_doc_language,
+        "doc_language_summary": _q_doc_language_summary,
+        # dedup (operators/dedup.py)
+        "doc_hash_groups": _q_doc_hash_groups,
+        "dedup_docs_count": _q_dedup_docs_count,
+        "doc_jaccard_adjacent": _q_doc_jaccard_adjacent,
+        "doc_shingle_count": _q_doc_shingle_count,
+        "minhash_bands": _q_minhash_bands,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        # similarity search (operators/similarity.py)
+        "embedding_norms": _q_embedding_norms,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "lsh_topk": _q_lsh_topk,
+        "embedding_label_stats": _q_embedding_label_stats,
+        "label_centroid_norm": _q_label_centroid_norm,
+        # lag / window / split (operators/lag.py)
+        "event_timeshifted": _q_event_timeshifted,
+        "event_sliding_avg": _q_event_sliding_avg,
+        "event_blocksplit": _q_event_blocksplit,
+        # moments (operators/moments.py plan shape)
+        "event_moments": _q_event_moments,
+        # markov counting (markov/transition_counting.py)
+        "event_transition_counts": _q_event_transition_counts,
+        "event_state_histogram": _q_event_state_histogram,
+        # stats (operators/stats.py)
+        "event_box": _q_event_box,
+        "event_histogram2d": _q_event_histogram2d,
+        # relational surface (§2.14)
+        "event_sessions": _q_event_sessions,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_top_orders": _q_q3_top_orders,
+        "top_customers": _q_top_customers,
+        "order_priority_count": _q_order_priority_count,
+        "nation_order_volume": _q_nation_order_volume,
+        "brand_volume": _q_brand_volume,
+        # estimator pipelines (rows-only)
+        "tica_events": _q_tica_events,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    scores, case = _lang_scores_sql()
+    en = _sw_list("en")
+    return {
+        "doc_token_stats": r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_words,
+       length(text) AS n_chars_c
+FROM documents
+""",
+        "doc_quality": f"""
+WITH {_TOKS_CTE}, m AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> list_contains({en}, t))) / greatest(len(toks), 1) AS stopword_ratio,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1) AS mean_word_length,
+         len(toks) AS n_tok
+  FROM base
+)
+SELECT doc_id, punct_ratio, stopword_ratio, mean_word_length,
+       (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN punct_ratio < 0.3 THEN 1.0 - punct_ratio / 0.3 ELSE 0.0 END
+        + CASE WHEN mean_word_length >= 2.0 AND mean_word_length <= 12.0 THEN 1.0 ELSE 0.0 END
+        + least(stopword_ratio / 0.2, 1.0)) / 4.0 AS quality
+FROM m
+""",
+        "doc_language": f"""
+WITH {_TOKS_CTE}, s AS (
+  SELECT doc_id,
+    {scores}
+  FROM base
+)
+SELECT doc_id, {case} AS lang_detected FROM s
+""",
+        "doc_language_summary": f"""
+WITH {_TOKS_CTE}, s AS (
+  SELECT doc_id,
+    {scores}
+  FROM base
+)
+SELECT {case} AS lang_detected, count(*) AS n_docs FROM s GROUP BY 1
+""",
+        "doc_hash_groups": """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_docs_count": """
+SELECT count(DISTINCT md5(text)) AS n_unique FROM documents
+""",
+        "doc_jaccard_adjacent": r"""
+WITH b AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                      i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM b
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       len(list_intersect(a.grams, c.grams)) / greatest(len(list_distinct(list_concat(a.grams, c.grams))), 1) AS jaccard
+FROM g a JOIN g c ON c.doc_id = a.doc_id + 1
+""",
+        "doc_shingle_count": r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents
+)
+SELECT doc_id,
+       len(list_distinct(list_transform(generate_series(1, greatest(length(norm) - 4, 1)),
+                                        i -> substr(norm, i, 5)))) AS n_shingles
+FROM n
+""",
+        "embedding_norms": """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+FROM embeddings
+""",
+        "knn_bruteforce": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+""",
+        "embedding_label_stats": """
+WITH n AS (
+  SELECT label, sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2
+  FROM embeddings
+)
+SELECT label, count(*) AS n, round(avg(l2), 6) AS avg_norm FROM n GROUP BY label
+""",
+        "label_centroid_norm": """
+WITH ex AS (
+  SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) d
+), m AS (
+  SELECT label, dim, avg(val) AS mv FROM ex GROUP BY label, dim
+)
+SELECT label, round(sqrt(sum(mv * mv)), 6) AS centroid_norm FROM m GROUP BY label
+""",
+        "event_timeshifted": f"""
+WITH {_TRAJ_CTE}, lagged AS (
+  SELECT traj_id, t, value,
+         lead(value, 2) OVER (PARTITION BY traj_id ORDER BY t) AS value_lagged
+  FROM traj
+)
+SELECT traj_id, t, value, value_lagged FROM lagged
+WHERE value_lagged IS NOT NULL AND t % 3 = 0
+""",
+        "event_sliding_avg": f"""
+WITH {_TRAJ_CTE}
+SELECT traj_id, t,
+       CAST(sum(vc) OVER w AS BIGINT) AS win_cents,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM traj
+WINDOW w AS (PARTITION BY traj_id ORDER BY t ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+""",
+        "event_blocksplit": f"""
+WITH {_TRAJ_CTE}
+SELECT CAST(traj_id AS VARCHAR) || '_' || CAST(CAST(floor(t / 10) AS BIGINT) AS VARCHAR) AS block_id,
+       count(*) AS n_frames
+FROM traj GROUP BY 1
+""",
+        "event_moments": f"""
+WITH {_TRAJ_CTE}, lagged AS (
+  SELECT vc, lead(vc, 1) OVER (PARTITION BY traj_id ORDER BY t) AS vcl FROM traj
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(vc) AS BIGINT) AS sx_c,
+       CAST(sum(vcl) AS BIGINT) AS sy_c,
+       CAST(sum(vc * vc) AS BIGINT) AS sxx_cc,
+       CAST(sum(vc * vcl) AS BIGINT) AS sxy_cc,
+       CAST(sum(vcl * vcl) AS BIGINT) AS syy_cc
+FROM lagged WHERE vcl IS NOT NULL
+""",
+        "event_transition_counts": f"""
+WITH {_TRAJ_CTE}, pairs AS (
+  SELECT state AS s_from, lead(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s_to
+  FROM traj
+)
+SELECT s_from, s_to, count(*) AS n FROM pairs
+WHERE s_to IS NOT NULL AND s_from >= 0 AND s_to >= 0
+GROUP BY s_from, s_to
+""",
+        "event_state_histogram": f"""
+WITH {_TRAJ_CTE}
+SELECT state, count(*) AS n FROM traj GROUP BY state
+""",
+        "event_box": f"""
+WITH {_TRAJ_CTE}
+SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS box,
+       count(*) AS n
+FROM traj GROUP BY 1
+""",
+        "event_histogram2d": """
+SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 0), 9) AS bin_x,
+       least(greatest(CAST(floor((CAST(hour(ts) AS DOUBLE) - 0.0) / 1.0) AS BIGINT), 0), 23) AS bin_y,
+       count(*) AS hist_count
+FROM events GROUP BY 1, 2
+""",
+        "event_sessions": """
+WITH o AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY user_id
+""",
+        "distinct_users_by_type": """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_top_orders": """
+SELECT o_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01'
+GROUP BY o_orderkey
+ORDER BY revenue_e4 DESC, o_orderkey
+LIMIT 10
+""",
+        "top_customers": """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_c DESC, c_custkey
+LIMIT 20
+""",
+        "order_priority_count": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+        "nation_order_volume": """
+SELECT r_name, n_name, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "brand_volume": """
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    }

@@ -113,6 +113,36 @@ class TransitionCountModel(Model):
         return np.array([lookup[s] for s in symbols if s in lookup], dtype=int)
 
 
+def transition_counts_df(
+    df: DataFrame,
+    lagtime: int,
+    count_mode: str = "sliding",
+    state_col: str = "state",
+    traj_col: str = "traj_id",
+    time_col: str = "t",
+) -> DataFrame:
+    """Distributed transition-count DataFrame ``(s_from, s_to, n)``.
+
+    The Spark-side stage of TransitionCountEstimator.fit (which collects
+    this and builds the dense driver matrix): ``lead(state, tau)`` per
+    trajectory then ``groupBy(s_from, s_to)`` — one shuffle, n_states^2
+    keys. Exposed separately so huge state spaces can keep counts
+    distributed and so the harness can verify the counting query itself.
+    """
+    tau = lagtime
+    w = Window.partitionBy(traj_col).orderBy(time_col)
+    pairs = df.withColumn("s_to", F.lead(state_col, tau).over(w)).where(F.col("s_to").isNotNull())
+    if count_mode == "sample":
+        pairs = pairs.where(F.col(time_col) % tau == 0)
+    pairs = pairs.where((F.col(state_col) >= 0) & (F.col("s_to") >= 0))
+    counted = pairs.groupBy(F.col(state_col).alias("s_from"), F.col("s_to")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    if count_mode == "sliding-effective":
+        counted = counted.withColumn("n", F.col("n") / tau)
+    return counted
+
+
 class TransitionCountEstimator(Estimator):
     """ctor mirrors the reference (:423-460): lagtime, count_mode in
     {'sliding', 'sliding-effective', 'sample'}, n_states override, sparse.
@@ -143,13 +173,7 @@ class TransitionCountEstimator(Estimator):
     def fit(self, df: DataFrame) -> "TransitionCountEstimator":
         tau = self.lagtime
         sc = self.state_col
-        w = Window.partitionBy("traj_id").orderBy("t")
-        pairs = df.withColumn("s_to", F.lead(sc, tau).over(w)).where(F.col("s_to").isNotNull())
-        if self.count_mode == "sample":
-            # subsample starts at multiples of tau (reference :428-447)
-            pairs = pairs.where(F.col("t") % tau == 0)
-        pairs = pairs.where((F.col(sc) >= 0) & (F.col("s_to") >= 0))
-        counted = pairs.groupBy(F.col(sc).alias("s_from"), F.col("s_to")).count().collect()
+        counted = transition_counts_df(df, tau, self.count_mode, state_col=sc).collect()
 
         hist = count_states(df, state_col=sc)
         n = self.n_states or max(
@@ -157,11 +181,7 @@ class TransitionCountEstimator(Estimator):
         )
         rows = np.array([r["s_from"] for r in counted], dtype=int)
         cols = np.array([r["s_to"] for r in counted], dtype=int)
-        vals = np.array([r["count"] for r in counted], dtype=np.float64)
-        if self.count_mode == "sliding-effective":
-            # sliding counts overestimate statistical weight by ~tau
-            # (reference :436-441): divide through
-            vals = vals / tau
+        vals = np.array([r["n"] for r in counted], dtype=np.float64)
         C = np.zeros((n, n), dtype=np.float64)
         np.add.at(C, (rows, cols), vals)
         if len(hist) < n:

@@ -10,20 +10,41 @@ only ever runs inside buckets — never an all-pairs join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from deeptime_spark.operators.text import shingles, tokens
 
+# Default cap on LSH bucket size before pair generation. A degenerate
+# bucket (empty strings, boilerplate) would otherwise make the
+# within-bucket self-join O(b^2) — at 100 TB one hot bucket can stall the
+# whole stage. Capping trades recall on pathological buckets (the dropped
+# members are near-identical boilerplate whose representatives still
+# pair) for a hard quadratic bound per bucket.
+DEFAULT_MAX_BUCKET = 256
+
+
+def _cap_buckets(df: DataFrame, bucket_cols: list[str], order_col: str, max_bucket: int) -> DataFrame:
+    """Keep at most ``max_bucket`` members per bucket (deterministic by
+    ``order_col``). One window pass over the already-bucketed rows."""
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col(order_col))
+    return df.withColumn("_bn", F.row_number().over(w)).where(F.col("_bn") <= max_bucket).drop("_bn")
+
 
 # ---------------------------------------------------------------- exact
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_copies: int = 2
+) -> DataFrame:
     """Hash-groupBy exact dedup: one shuffle on md5(text).
 
     Returns (text_hash, n_copies, canonical_id=min id, doc_ids) for groups
-    with >1 member. At 100 TB the shuffle moves only (hash, id) pairs —
-    project before grouping so the text never crosses the wire.
+    with >= ``min_copies`` members (default: actual duplicate groups only;
+    pass 1 to fingerprint every group). At 100 TB the shuffle moves only
+    (hash, id) pairs — project before grouping so the text never crosses
+    the wire.
     """
     hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
     return (
@@ -33,7 +54,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.min(id_col).alias("canonical_id"),
             F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
         )
-        .where(F.col("n_copies") > 1)
+        .where(F.col("n_copies") >= min_copies)
     )
 
 
@@ -77,15 +98,18 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     r = n_hashes/bands rows; docs agreeing on any full band are candidates.
 
     Plan shape: map (signature) -> explode bands (xbands rows) -> shuffle on
-    (band_idx, band_hash) -> within-bucket pairing. Returns candidate pairs
-    (id_a < id_b) with their estimated signature similarity. A pair
-    agreeing on a band with Jaccard j has match probability 1-(1-j^r)^b —
-    the standard S-curve; tune bands/r for the target threshold.
+    (band_idx, band_hash) -> cap bucket size at ``max_bucket`` -> within-
+    bucket pairing. Returns candidate pairs (id_a < id_b) with their
+    estimated signature similarity. A pair agreeing on a band with Jaccard
+    j has match probability 1-(1-j^r)^b — the standard S-curve; tune
+    bands/r for the target threshold. The cap bounds the self-join at
+    O(max_bucket^2) per bucket (see DEFAULT_MAX_BUCKET).
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
@@ -98,6 +122,7 @@ def minhash_lsh_candidates(
             F.array(*[F.xxhash64(F.slice("minhash", i * r + 1, r).cast("string")) for i in range(bands)])
         ).alias("band_idx", "band_hash"),
     )
+    banded = _cap_buckets(banded, ["band_idx", "band_hash"], id_col, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -192,12 +217,16 @@ def hamming_distance64(a: Column, b: Column) -> Column:
 def simhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, prefix_bits: int = 16,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
     (cheap LSH for small Hamming radii), verify Hamming <= max_hamming
-    within blocks. One shuffle on the prefix."""
+    within blocks. One shuffle on the prefix; bucket size capped at
+    ``max_bucket`` to bound the within-block self-join (hot blocks =
+    boilerplate documents)."""
     sigs = df.select(F.col(id_col), simhash(text_col).alias("sim"))
     blocked = sigs.withColumn("block", F.shiftrightunsigned(F.col("sim"), 64 - prefix_bits))
+    blocked = _cap_buckets(blocked, ["block"], id_col, max_bucket)
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -215,34 +244,24 @@ def simhash_near_duplicates(
 def embedding_near_duplicates(
     emb: DataFrame, threshold: float = 0.98, id_col: str = "vec_id",
     vec_col: str = "embedding", n_planes: int = 8, seed: int = 42,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH buckets.
 
-    Bucket = sign pattern of n_planes random projections (per-row JVM
-    arithmetic); exact cosine verified within buckets. Two docs with cosine
-    >= threshold collide with probability (1 - theta/pi)^n_planes — for
-    tight thresholds the recall is high; increase bands (OR-construction)
-    in a follow-up for guarantees.
+    Bucket = sign pattern of n_planes random projections (literal-array
+    dot products via aggregate/zip_with — O(n_planes) expression nodes, so
+    768-d embeddings compile fine); exact cosine verified within buckets.
+    Two docs with cosine >= threshold collide with probability
+    (1 - theta/pi)^n_planes — for tight thresholds the recall is high;
+    increase bands (OR-construction) in a follow-up for guarantees.
+    Buckets capped at ``max_bucket`` to bound the self-join.
     """
-    import numpy as np
+    from deeptime_spark.operators.similarity import cosine_similarity, random_hyperplane_buckets
 
-    from deeptime_spark.operators.similarity import cosine_similarity
-
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    d = int(first["d"])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, d))
-    sign_bits = []
-    for i in range(n_planes):
-        dot = F.lit(0.0)
-        for j in range(d):
-            w = float(planes[i, j])
-            dot = dot + F.col(vec_col)[j] * F.lit(w)
-        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
-    bucket = sign_bits[0]
-    for s in sign_bits[1:]:
-        bucket = bucket + s
-    bucketed = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    bucketed = random_hyperplane_buckets(
+        emb.select(F.col(id_col), F.col(vec_col)), n_planes=n_planes, seed=seed, vec_col=vec_col
+    )
+    bucketed = _cap_buckets(bucketed, ["bucket"], id_col, max_bucket)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

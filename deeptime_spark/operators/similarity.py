@@ -44,11 +44,15 @@ def brute_force_topk(
     """Exact top-k neighbors for each query vector.
 
     Plan: broadcast the (small) query side, compute similarity per
-    (query, corpus) pair map-side, then per-query top-k via window
-    row_number. The only shuffle is the per-query k-selection — keyed on
-    query_id, cardinality = |queries| * |corpus| rows reduced to
-    |queries| * k. For huge corpora this is the scan-bound exact baseline
-    the ANN variants are measured against.
+    (query, corpus) pair map-side, then a TWO-STAGE top-k: stage 1 keeps
+    the per-(query, input-partition) top-k — keyed on
+    (query_id, partition_id), so no single reducer sees more than one
+    partition's scored rows even when there are few queries; stage 2 takes
+    the exact global top-k over the surviving |parts| * k rows per query.
+    This removes the skewed single-key funnel a plain
+    ``row_number over (partition by query_id)`` would create when
+    |queries| is small and the corpus is 100 TB. Exactness is preserved:
+    the global top-k is a subset of the union of per-partition top-ks.
     """
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
@@ -69,10 +73,17 @@ def brute_force_topk(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
         sim.alias("similarity"),
+        F.spark_partition_id().alias("_part"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(order, F.col(id_col))
+    w1 = Window.partitionBy(query_id_col, "_part").orderBy(order, F.col(id_col))
+    survivors = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(order, F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
 
@@ -97,16 +108,19 @@ def random_hyperplane_buckets(
     vec_col: str = "embedding", out_col: str = "bucket",
 ) -> DataFrame:
     """Sign-pattern LSH bucket id (int in [0, 2^n_planes)) as a column.
-    The projection is unrolled JVM arithmetic over array elements."""
+
+    Each projection is ``aggregate(zip_with(x, plane_literal, *), +)`` — a
+    literal-array dot product, O(n_planes) Catalyst nodes instead of the
+    O(n_planes * d) unrolled form, so it compiles fine for 768-d+ real
+    embedding columns.
+    """
     first = emb.select(F.size(vec_col).alias("d")).first()
     d = int(first["d"])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, d))
     bucket = F.lit(0)
     for i in range(n_planes):
-        proj = F.lit(0.0)
-        for j in range(d):
-            proj = proj + F.col(vec_col)[j] * F.lit(float(planes[i, j]))
+        proj = dot(F.col(vec_col).cast("array<double>"), _literal_array(planes[i]))
         bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return emb.withColumn(out_col, bucket)
 

@@ -1,0 +1,127 @@
+"""Statistics operators: 2-d histograms, free-energy landscapes, CIs.
+
+Reference semantics: ``histogram2d_from_xy`` / ``energy2d`` /
+``EnergyLandscape2d`` (/root/reference/src/deeptime/util/stats.py:364-431)
+and ``confidence_interval`` (util/stats.py:10-130).
+
+Spark realization: a 2-d histogram is one ``groupBy(bin_x, bin_y).count()``
+— a single shuffle whose key cardinality is bins_x * bins_y (tiny), with
+map-side partial aggregation; the free-energy transform ``-ln(p)`` is a
+per-group column expression. This is the plan at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bin_column(c: Column, v0: float, v1: float, n_bins: int) -> Column:
+    """Uniform bin index in [0, n_bins): floor((x - v0)/dx), clipped so the
+    right edge lands in the last bin (numpy.histogram2d edge semantics)."""
+    dx = (v1 - v0) / n_bins
+    raw = F.floor((c - F.lit(v0)) / F.lit(dx)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def histogram2d_df(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bins: int | tuple[int, int] = 100,
+    x_range: Optional[tuple[float, float]] = None,
+    y_range: Optional[tuple[float, float]] = None,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Distributed 2-d histogram: (bin_x, bin_y, hist_count).
+
+    Ranges default to the data min/max (one cheap agg job, matching
+    numpy.histogram2d's auto-range in the reference util/stats.py:398).
+    Out-of-range values are clipped into the edge bins. ``bins`` may be a
+    single int or a (bins_x, bins_y) pair.
+    """
+    bins_x, bins_y = bins if isinstance(bins, tuple) else (bins, bins)
+    if x_range is None or y_range is None:
+        r = df.agg(
+            F.min(x_col).alias("x0"), F.max(x_col).alias("x1"),
+            F.min(y_col).alias("y0"), F.max(y_col).alias("y1"),
+        ).first()
+        x_range = x_range or (float(r["x0"]), float(r["x1"]))
+        y_range = y_range or (float(r["y0"]), float(r["y1"]))
+    agg = (
+        F.sum(F.col(weight_col)).alias("hist_count")
+        if weight_col
+        else F.count(F.lit(1)).alias("hist_count")
+    )
+    return (
+        df.select(
+            bin_column(F.col(x_col), x_range[0], x_range[1], bins_x).alias("bin_x"),
+            bin_column(F.col(y_col), y_range[0], y_range[1], bins_y).alias("bin_y"),
+            *( [F.col(weight_col)] if weight_col else [] ),
+        )
+        .groupBy("bin_x", "bin_y")
+        .agg(agg)
+    )
+
+
+def histogram2d(
+    df: DataFrame, x_col: str, y_col: str, bins: int | tuple[int, int] = 100,
+    x_range: Optional[tuple[float, float]] = None,
+    y_range: Optional[tuple[float, float]] = None,
+    weight_col: Optional[str] = None,
+) -> np.ndarray:
+    """Dense (bins, bins) histogram matrix on the driver."""
+    rows = histogram2d_df(df, x_col, y_col, bins, x_range, y_range, weight_col).collect()
+    bins_x, bins_y = bins if isinstance(bins, tuple) else (bins, bins)
+    H = np.zeros((bins_x, bins_y))
+    for r in rows:
+        H[int(r["bin_x"]), int(r["bin_y"])] = float(r["hist_count"])
+    return H
+
+
+def energy2d(
+    df: DataFrame, x_col: str, y_col: str, bins: int | tuple[int, int] = 100, kbt: float = 1.0,
+    x_range: Optional[tuple[float, float]] = None,
+    y_range: Optional[tuple[float, float]] = None,
+    weight_col: Optional[str] = None,
+    shift_energy: bool = True,
+) -> np.ndarray:
+    """Free-energy landscape ``-kbt * ln(p)`` from the 2-d histogram
+    (reference util/stats.py:431-470); empty bins are +inf. ``shift_energy``
+    sets the minimum to zero, as the reference does."""
+    H = histogram2d(df, x_col, y_col, bins, x_range, y_range, weight_col)
+    total = H.sum()
+    with np.errstate(divide="ignore"):
+        E = -kbt * np.log(H / total)
+    if shift_energy and np.isfinite(E).any():
+        E -= E[np.isfinite(E)].min()
+    return E
+
+
+def confidence_interval(samples, conf: float = 0.95) -> tuple:
+    """Empirical two-sided CI of a 1-d sample set
+    (reference util/stats.py:10-130: percentile-based, symmetric tails).
+    Driver-side: posterior sample sets are small by construction."""
+    if not 0.0 < conf < 1.0:
+        raise ValueError(f"confidence must be in (0, 1), got {conf}")
+    arr = np.asarray(samples, dtype=float)
+    lo = 100.0 * (1.0 - conf) / 2.0
+    return (float(np.percentile(arr, lo)), float(np.percentile(arr, 100.0 - lo)))
+
+
+def confidence_interval_df(
+    df: DataFrame, value_col: str, conf: float = 0.95, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Distributed variant: exact percentiles per group via
+    ``percentile`` (Spark's exact percentile aggregate; use
+    ``percentile_approx`` upstream when value cardinality explodes)."""
+    lo = (1.0 - conf) / 2.0
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return g.agg(
+        F.percentile(F.col(value_col), F.lit(lo)).alias("ci_lo"),
+        F.percentile(F.col(value_col), F.lit(1.0 - lo)).alias("ci_hi"),
+        F.mean(F.col(value_col)).alias("ci_mean"),
+    )

@@ -72,9 +72,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanosAsLong read: restore a usable timestamp (microsecond
-            # truncation — all queries derive at >= second granularity)
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # nanosAsLong read: restore a usable timestamp. Integer DIV, not
+            # fp division — ns epoch values (~1.7e18) exceed 2^53, so a
+            # double round-trip would be off by up to ~1 microsecond vs the
+            # oracle's exact ns->us truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
