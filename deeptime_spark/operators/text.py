@@ -108,11 +108,18 @@ def detect_language(text_col: str | Column = "text") -> Column:
 
 def shingles(text_col: str | Column = "text", k: int = 5) -> Column:
     """Character k-gram shingle array over normalized text (whitespace
-    collapsed, lowercased). JVM: transform over an index sequence."""
+    collapsed, lowercased).
+
+    Implemented as ONE codegen regex pass using an overlapping-capture
+    lookahead ``(?=(.{k}))`` — an order of magnitude faster than the
+    equivalent ``transform(sequence(...), substr)``, whose higher-order
+    function is interpreted per element. Texts shorter than k yield the
+    whole text as a single shingle (same as the substr formulation).
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    grams = F.regexp_extract_all(norm, F.lit(f"(?=(.{{{k}}}))"), 1)
+    return F.when(F.length(norm) < k, F.array(norm)).otherwise(grams)
 
 
 def fingerprint(text_col: str | Column = "text", k: int = 5, n: int = 8) -> Column:
