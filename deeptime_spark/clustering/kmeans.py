@@ -90,12 +90,17 @@ class MiniBatchKMeans(KMeans):
         self.batch_fraction = batch_fraction
         self._centers: Optional[np.ndarray] = None
         self._counts: Optional[np.ndarray] = None
+        self._epoch = 0
 
     def partial_fit(self, df: DataFrame) -> "MiniBatchKMeans":
         import pandas as pd
         from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-        batch = df.sample(fraction=min(1.0, self.batch_fraction), seed=self.seed)
+        # fresh Bernoulli sample per call (seed varies by epoch) — a fixed
+        # seed would refit the identical subsample every epoch instead of
+        # streaming new data like the reference minibatch loop
+        self._epoch += 1
+        batch = df.sample(fraction=min(1.0, self.batch_fraction), seed=self.seed + self._epoch)
         if self._centers is None:
             # init from an MLlib fit on the first batch
             KMeans.fit(self, batch)
@@ -145,6 +150,7 @@ class MiniBatchKMeans(KMeans):
 
     def fit(self, df: DataFrame) -> "MiniBatchKMeans":
         self._centers = None
+        self._epoch = 0
         for _ in range(self.max_iter):
             self.partial_fit(df)
         return self

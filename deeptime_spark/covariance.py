@@ -39,17 +39,11 @@ class WhiteningTransform(Transformer):
         self.out_col = out_col
 
     def transform(self, df: DataFrame) -> DataFrame:
-        k, d = self.W.shape
-        x = [F.col(self.x_col)[j] - F.lit(float(self.mu[j])) for j in range(d)]
-        comps = []
-        for i in range(k):
-            expr = F.lit(0.0)
-            for j in range(d):
-                wij = float(self.W[i, j])
-                if wij != 0.0:
-                    expr = expr + F.lit(wij) * x[j]
-            comps.append(expr)
-        return df.withColumn(self.out_col, F.array(*comps))
+        # shared dual-path projection: codegen expressions for small d,
+        # Arrow-batched BLAS for wide feature/embedding columns
+        from deeptime_spark.decomposition.koopman import _project_expr
+
+        return _project_expr(df, self.W, self.mu, self.x_col, self.out_col)
 
 
 class CovarianceModel(Model):
@@ -111,6 +105,11 @@ class Covariance(Estimator):
         super().__init__()
         if (compute_c0t or compute_ctt) and lagtime <= 0:
             raise ValueError("lagged covariances require lagtime > 0")
+        if reversible and not (compute_c0t or compute_ctt):
+            # the reversible estimate symmetrizes instantaneous + lagged
+            # statistics; without a lagged leg it would silently return the
+            # plain c00 (reference couples symmetry to lagged estimation)
+            raise ValueError("reversible=True requires compute_c0t or compute_ctt")
         self.lagtime = lagtime
         self.compute_c00 = compute_c00
         self.compute_c0t = compute_c0t
@@ -196,27 +195,29 @@ class KoopmanWeightingEstimator(Estimator):
             compute_c0t=True,
             compute_ctt=True,
             remove_data_mean=True,
+            bessels_correction=False,  # reference passes bessels off (:642)
             x_col=self.x_col,
         ).fit_fetch(df)
         # Whitened Koopman matrix in the (PC|1) basis, then eigenvector at
         # eigenvalue 1 -> linear weight functional. Algebra follows the
         # published Koopman-reweighting construction (Wu et al. 2017),
-        # cf. reference _compute_u at _covariance.py:699-722.
+        # cf. reference fetch_model/_compute_u at _covariance.py:699-752:
+        # the extended matrix carries the mean-coupling term in its last
+        # ROW (K = vstack(K, (mean_t-mean_0) @ R) then hstack with e_{M+1})
+        # — putting it in the last column instead makes Kext.T block-lower-
+        # triangular, whose eigenvector at 1 is exactly e_N and every
+        # weight degenerates to 1.0.
         R = spd_inv_split(cov.cov_00, epsilon=self.epsilon)  # (d, k)
-        d = cov.cov_00.shape[0]
-        k = R.shape[1]
         K = R.T @ cov.cov_0t @ R  # whitened Koopman (k, k)
-        # extended basis: append constant 1
         N = K.shape[0] + 1
         Kext = np.zeros((N, N))
         Kext[:-1, :-1] = K
-        # mean contribution of the lagged leg in whitened coords
-        Kext[:-1, -1] = R.T @ (cov.mean_t - cov.mean_0)
+        Kext[-1, :-1] = (cov.mean_t - cov.mean_0) @ R
         Kext[-1, -1] = 1.0
         vals, vecs = np.linalg.eig(Kext.T)
         i = int(np.argmin(np.abs(vals - 1.0)))
         u = np.real(vecs[:, i])
-        # normalize: weights sum to N over the data distribution -> E[w]=1
+        # normalize so the empirical mean weight is 1 (reference u /= u[M])
         v = R @ u[:-1]
         const = u[-1] - np.dot(cov.mean_0, v)
         denom = np.dot(cov.mean_0, v) + const
@@ -234,7 +235,16 @@ class KoopmanWeightingModel(Model, Transformer):
         self.out_col = out_col
 
     def transform(self, df: DataFrame) -> DataFrame:
-        expr = F.lit(float(self.const))
-        for j in range(len(self.u)):
-            expr = expr + F.lit(float(self.u[j])) * F.col(self.x_col)[j]
+        d = len(self.u)
+        if d <= 24:
+            expr = F.lit(float(self.const))
+            for j in range(d):
+                expr = expr + F.lit(float(self.u[j])) * F.col(self.x_col)[j]
+        else:
+            # literal-array dot: O(1) expression nodes for wide features
+            from deeptime_spark.operators.similarity import _literal_array, dot
+
+            expr = dot(F.col(self.x_col).cast("array<double>"), _literal_array(self.u)) + F.lit(
+                float(self.const)
+            )
         return df.withColumn(self.out_col, expr)

@@ -13,25 +13,55 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deeptime_spark.base import Model, Transformer
 
 
+PROJECT_EXPR_MAX_DIM = 24  # above this, k*d codegen nodes stop paying off
+
+
 def _project_expr(df: DataFrame, W: np.ndarray, mu: Optional[np.ndarray], x_col: str, out_col: str) -> DataFrame:
-    """out = W (x - mu) as array column; W is (k, d)."""
+    """out = W (x - mu) as array column; W is (k, d).
+
+    Two physical strategies (mirrors operators/moments.py):
+
+    - d <= PROJECT_EXPR_MAX_DIM: k*d literal-product expressions, fully
+      inside whole-stage codegen — zero Python in the hot path.
+    - large d (e.g. 768-d embedding columns): Arrow-batched pandas_udf
+      doing one BLAS gemm per batch with the (k, d) matrix broadcast in
+      the closure — O(k) expression nodes, so Catalyst compiles fine.
+    """
     k, d = W.shape
-    x = [F.col(x_col)[j] - (F.lit(float(mu[j])) if mu is not None else F.lit(0.0)) for j in range(d)]
-    comps = []
-    for i in range(k):
-        expr = F.lit(0.0)
-        for j in range(d):
-            wij = float(W[i, j])
-            if wij != 0.0:
-                expr = expr + F.lit(wij) * x[j]
-        comps.append(expr)
-    return df.withColumn(out_col, F.array(*comps))
+    if d <= PROJECT_EXPR_MAX_DIM:
+        x = [F.col(x_col)[j] - (F.lit(float(mu[j])) if mu is not None else F.lit(0.0)) for j in range(d)]
+        comps = []
+        for i in range(k):
+            expr = F.lit(0.0)
+            for j in range(d):
+                wij = float(W[i, j])
+                if wij != 0.0:
+                    expr = expr + F.lit(wij) * x[j]
+            comps.append(expr)
+        return df.withColumn(out_col, F.array(*comps))
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    Wb = np.ascontiguousarray(W, dtype=np.float64)
+    mub = None if mu is None else np.asarray(mu, dtype=np.float64)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def project(xs: pd.Series) -> pd.Series:
+        X = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        if mub is not None:
+            X = X - mub
+        Y = X @ Wb.T
+        return pd.Series(list(Y))
+
+    return df.withColumn(out_col, project(F.col(x_col)))
 
 
 class TransferOperatorModel(Model, Transformer):

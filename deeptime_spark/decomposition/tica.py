@@ -72,9 +72,13 @@ class TICA(EstimatorTransformer):
             # kinetic distances (_tica.py:104-110)
             proj = R * eigenvalues[None, :]
         elif self.scaling == "commute_map":
-            lam = np.minimum(eigenvalues, 0.999999)
-            regularized = 0.5 * np.sqrt(np.maximum(-self.lagtime / np.log(np.abs(lam)), 0.0))
-            proj = R * regularized[None, :]
+            # reference _tica.py:152-159: regularized timescales damped by
+            # tanh so processes faster than the lagtime are suppressed
+            timescales = 1.0 - self.lagtime / np.log(np.abs(eigenvalues))
+            regularized = 0.5 * timescales * np.maximum(
+                np.tanh(np.pi * ((timescales - self.lagtime) / self.lagtime) + 1), 0
+            )
+            proj = R * np.sqrt(regularized / 2)
         else:
             proj = R
         return CovarianceKoopmanModel(

@@ -67,6 +67,44 @@ def transition_matrix_reversible(
     return T
 
 
+def transition_matrix_reversible_fixed_pi(
+    C: np.ndarray, pi: np.ndarray, maxiter: int = 1_000_000, maxerr: float = 1e-8
+) -> np.ndarray:
+    """Reversible MLE with a fixed stationary vector (Lagrange-multiplier
+    fixed point; Trendelkamp-Schroer et al. 2015). Semantics match the
+    reference ``mle_trev_given_pi`` (markov/tools/estimation/dense/mle.py:38,
+    C++ mle_trev.h:102-183): iterate
+    ``lam_j <- sum_i Csym_ij / (pi_j lam_i / (pi_i lam_j) + 1)`` to
+    convergence, then ``T_ij = Csym_ij / (lam_i + lam_j pi_i / pi_j)`` off-
+    diagonal with the diagonal absorbing the remainder.
+    """
+    C = np.asarray(C, dtype=np.float64)
+    pi = np.asarray(pi, dtype=np.float64)
+    if np.any(pi <= 0):
+        raise ValueError("every element of the stationary vector must be positive")
+    Csym = C + C.T
+    lam = 0.5 * Csym.sum(axis=1)
+    if np.any(lam == 0):
+        raise ValueError("some row and corresponding column of C have zero counts")
+    for _ in range(maxiter):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = (pi[None, :] * lam[:, None]) / (pi[:, None] * lam[None, :]) + 1.0
+            lam_new = np.where(Csym > 0, Csym / denom, 0.0).sum(axis=0)
+        if np.isnan(lam_new).any():
+            raise RuntimeError("Lagrange multiplier update produced NaN")
+        d_sq = float(np.sum((lam_new - lam) ** 2))
+        lam = lam_new
+        if d_sq <= maxerr * maxerr:
+            break
+    with np.errstate(divide="ignore", invalid="ignore"):
+        denomT = lam[:, None] + lam[None, :] * (pi[:, None] / pi[None, :])
+        T = np.where(Csym > 0, Csym / denomT, 0.0)
+    np.fill_diagonal(T, 0.0)
+    norm = T.sum(axis=1)
+    np.fill_diagonal(T, np.where(norm > 1.0, 0.0, 1.0 - norm))
+    return T
+
+
 class MarkovStateModel(Model):
     """Row-stochastic transition matrix + analysis surface
     (reference _markov_state_model.py:28-1290). All queries delegate to the
@@ -216,7 +254,31 @@ class MaximumLikelihoodMSM(Estimator):
     def fit_from_counts(self, counts: TransitionCountModel) -> "MaximumLikelihoodMSM":
         sub = counts.submodel_largest(directed=True)
         C = np.asarray(_densify(sub.count_matrix), dtype=np.float64)
-        if self.reversible:
+        constraint = self.stationary_distribution_constraint
+        if constraint is not None:
+            if not self.reversible:
+                raise ValueError(
+                    "stationary_distribution_constraint requires reversible=True "
+                    "(reference couples the fixed-pi MLE to detailed balance)"
+                )
+            constraint = np.asarray(constraint, dtype=np.float64)
+            if len(constraint) != counts.n_states:
+                raise ValueError(
+                    f"stationary distribution constraint must be defined over the full "
+                    f"set of states ({counts.n_states}), got {len(constraint)}"
+                )
+            # restrict to the active set and renormalize (reference
+            # _maximum_likelihood_msm.py:161-166)
+            pi_sub = constraint[sub.state_symbols]
+            if np.any(pi_sub == 0.0):
+                raise ValueError(
+                    "count matrix contains symbols with zero probability in the "
+                    "stationary distribution constraint"
+                )
+            pi_sub = pi_sub / pi_sub.sum()
+            T = transition_matrix_reversible_fixed_pi(C, pi_sub, maxiter=self.maxiter, maxerr=self.maxerr)
+            pi = pi_sub
+        elif self.reversible:
             T, pi = transition_matrix_reversible(C, maxiter=self.maxiter, maxerr=self.maxerr, return_statdist=True)
         else:
             T = transition_matrix_nonreversible(C)
