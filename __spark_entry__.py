@@ -521,6 +521,17 @@ def _q_tica_events(spark, sf_dir):
     )
 
 
+def _q_hmm_viterbi_events(spark, sf_dir):
+    """2-hidden-state HMM over the 5-symbol event dtraj: distributed
+    Baum-Welch (applyInPandas E-step) then per-trajectory viterbi decode."""
+    from deeptime_spark.hmm import MaximumLikelihoodHMM, init_discrete_metastable_from_data
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    init = init_discrete_metastable_from_data(traj, n_hidden_states=2, lagtime=1)
+    model = MaximumLikelihoodHMM(init, lagtime=1, maxit=5).fit(traj).fetch_model()
+    return model.viterbi_df(traj)
+
+
 def _q_kmeans_embeddings(spark, sf_dir):
     from deeptime_spark.clustering.kmeans import KMeans
 
@@ -577,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # estimator pipelines (rows-only)
         "tica_events": _q_tica_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "hmm_viterbi_events": _q_hmm_viterbi_events,
     }
 
 

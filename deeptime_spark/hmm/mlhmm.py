@@ -1,0 +1,221 @@
+"""Maximum likelihood HMM estimation (distributed Baum-Welch).
+
+Reference: ``MaximumLikelihoodHMM``
+(/root/reference/src/deeptime/markov/hmm/_maximum_likelihood_hmm.py:16-424).
+
+Spark shape (SURVEY.md §2.9): per EM iteration, ONE Spark job runs the
+E-step — a grouped-map Arrow UDF per (lagged/strided) sub-trajectory that
+executes the scaled forward-backward recursion sequentially and emits a
+single sufficient-statistics row (loglik, gamma_0, Baum-Welch counts,
+output-model stats). The driver sums the ~|trajs| rows and performs the
+M-step (reversible MLE reuse + emission refit). Sequences stay distributed;
+only O(n_hidden^2 + stats_dim) floats per trajectory cross the wire.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+from deeptime_spark.base import Estimator
+from deeptime_spark.hmm.hmm_model import HiddenMarkovModel, forward_backward
+from deeptime_spark.markov.msm import (
+    MarkovStateModel,
+    transition_matrix_nonreversible,
+    transition_matrix_reversible,
+    transition_matrix_reversible_fixed_pi,
+)
+from deeptime_spark.markov.transition_counting import TransitionCountModel
+
+
+def lag_observations_df(
+    df: DataFrame, lag: int, stride: int = 1, traj_col: str = "traj_id", time_col: str = "t"
+) -> DataFrame:
+    """Interleaved lagged sub-trajectories (reference ``lag_observations``,
+    markov/_util.py:108-137): trajectory (s0, s1, ...) at lag 3 becomes
+    (s0, s3, ...), (s1, s4, ...), (s2, s5, ...) — sub-sampled at the lag
+    but shifted, so an MLE at lag > 1 discards no data.
+
+    Pure column math: sub_traj = traj_id * lag + (t % lag); new t = t div
+    lag; shifts restricted to multiples of ``stride``; length-1 sub-
+    trajectories are dropped (reference :133). No Python, one window pass
+    for the length filter.
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    shift = F.col(time_col) % lag
+    out = (
+        df.where(shift % stride == 0)
+        .withColumn("_sub", F.col(traj_col) * lag + shift)
+        .withColumn("_subt", (F.col(time_col) - shift) / lag)
+    )
+    counts = out.groupBy("_sub").agg(F.count(F.lit(1)).alias("_len"))
+    out = out.join(F.broadcast(counts.where(F.col("_len") > 1)), "_sub", "inner")
+    return (
+        out.drop(traj_col, time_col, "_len")
+        .withColumnRenamed("_sub", traj_col)
+        .withColumn(time_col, F.col("_subt").cast("long"))
+        .drop("_subt")
+    )
+
+
+class MaximumLikelihoodHMM(Estimator):
+    """ctor mirrors the reference (:78-99): initial_model, lagtime, stride,
+    reversible, stationary, fixed p, accuracy, maxit."""
+
+    def __init__(
+        self,
+        initial_model: HiddenMarkovModel,
+        lagtime: int,
+        stride: Union[int, str] = 1,
+        reversible: bool = True,
+        stationary: bool = False,
+        p: Optional[np.ndarray] = None,
+        accuracy: float = 1e-3,
+        maxit: int = 100,
+        maxit_reversible: int = 100_000,
+        obs_col: str = "state",
+    ):
+        super().__init__()
+        if lagtime <= 0:
+            raise ValueError("lagtime must be positive")
+        self.initial_model = initial_model
+        self.lagtime = lagtime
+        self.stride = 1 if stride == "effective" else int(stride)
+        self.reversible = reversible
+        self.stationary = stationary
+        self.fixed_stationary_distribution = p if stationary else None
+        self.fixed_initial_distribution = p if not stationary else None
+        self.accuracy = accuracy
+        self.maxit = maxit
+        self.maxit_reversible = maxit_reversible
+        self.obs_col = obs_col
+        self.likelihoods_: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------ E-step
+
+    def _estep(self, df: DataFrame, A: np.ndarray, pi: np.ndarray, om) -> dict:
+        """One distributed E-step: per-sub-trajectory forward-backward,
+        driver-side reduction of sufficient statistics."""
+        N = len(pi)
+        obs_col = self.obs_col
+        schema = StructType(
+            [
+                StructField("loglik", DoubleType()),
+                StructField("gamma0", ArrayType(DoubleType())),
+                StructField("counts", ArrayType(DoubleType())),
+                StructField("om_stats", ArrayType(DoubleType())),
+            ]
+        )
+
+        def estep(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("t")
+            obs = pdf[obs_col].to_numpy()
+            pobs = om.to_state_probability_trajectory(obs)
+            loglik, gamma, counts = forward_backward(A, pobs, pi)
+            om_stats = om.collect_stats(obs, gamma)
+            return pd.DataFrame(
+                {
+                    "loglik": [loglik],
+                    "gamma0": [gamma[0].tolist()],
+                    "counts": [counts.ravel().tolist()],
+                    "om_stats": [om_stats.tolist()],
+                }
+            )
+
+        rows = (
+            df.select("traj_id", "t", obs_col)
+            .groupBy("traj_id")
+            .applyInPandas(estep, schema=schema)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("no (sub-)trajectories of length > 1 — lagtime too large?")
+        agg = {
+            "loglik": 0.0,
+            "gamma0": np.zeros(N),
+            "counts": np.zeros((N, N)),
+            "om_stats": np.zeros(om.stats_dim()),
+        }
+        for r in rows:
+            agg["loglik"] += r["loglik"]
+            agg["gamma0"] += np.array(r["gamma0"])
+            agg["counts"] += np.array(r["counts"]).reshape(N, N)
+            agg["om_stats"] += np.array(r["om_stats"])
+        return agg
+
+    # ------------------------------------------------------------ M-step
+
+    def _mstep(self, agg: dict, om) -> tuple[np.ndarray, np.ndarray]:
+        C = agg["counts"]
+        if self.reversible:
+            if self.fixed_stationary_distribution is not None:
+                T = transition_matrix_reversible_fixed_pi(
+                    C, self.fixed_stationary_distribution, maxiter=self.maxit_reversible
+                )
+            else:
+                T = transition_matrix_reversible(C, maxiter=self.maxit_reversible, maxerr=1e-12)
+        else:
+            T = transition_matrix_nonreversible(C)
+        if self.stationary:
+            if self.fixed_stationary_distribution is not None:
+                pi = self.fixed_stationary_distribution
+            else:
+                from deeptime_spark.markov.analysis import stationary_distribution
+
+                pi = stationary_distribution(T)
+        else:
+            if self.fixed_initial_distribution is not None:
+                pi = self.fixed_initial_distribution
+            else:
+                pi = agg["gamma0"] / agg["gamma0"].sum()
+        om.fit_from_stats(agg["om_stats"])
+        return T, pi
+
+    # -------------------------------------------------------------- fit
+
+    def fit(self, df: DataFrame) -> "MaximumLikelihoodHMM":
+        init = self.initial_model
+        A = np.array(init.transition_matrix, dtype=np.float64, copy=True)
+        pi = np.array(init.initial_distribution, dtype=np.float64, copy=True)
+        om = init.output_model.copy()
+
+        lagged = lag_observations_df(df, self.lagtime, self.stride)
+        # the EM loop re-reads the lagged frame every iteration — cache it
+        lagged = lagged.persist()
+        try:
+            likelihoods = []
+            final_counts = None
+            converged = False
+            for it in range(self.maxit):
+                agg = self._estep(lagged, A, pi, om)
+                loglik = agg["loglik"]
+                if likelihoods and (loglik - likelihoods[-1]) < self.accuracy:
+                    converged = True
+                likelihoods.append(loglik)
+                A, pi = self._mstep(agg, om)
+                final_counts = agg["counts"]
+                if converged:
+                    break
+        finally:
+            lagged.unpersist()
+
+        self.likelihoods_ = np.array(likelihoods)
+        count_model = TransitionCountModel(final_counts, lagtime=self.lagtime)
+        transition_model = MarkovStateModel(
+            A, reversible=self.reversible, lagtime=self.lagtime, count_model=count_model
+        )
+        self._model = HiddenMarkovModel(
+            transition_model=transition_model,
+            output_model=om,
+            initial_distribution=pi,
+            likelihoods=self.likelihoods_,
+            initial_count=agg["gamma0"],
+            stride=self.stride,
+        )
+        return self

@@ -1,0 +1,137 @@
+"""HMM suite tests (SURVEY.md §2.9; reference tests/markov/hmm/).
+
+Strategy mirrors the reference: generate data from a KNOWN HMM, fit from a
+perturbed/heuristic init, and require recovery of transition matrix and
+emissions up to hidden-state permutation (test_mlhmm.py style).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deeptime_spark.data.schema import dtraj_from_arrays, trajectory_from_arrays
+from deeptime_spark.hmm import (
+    DiscreteOutputModel,
+    GaussianOutputModel,
+    HiddenMarkovModel,
+    MaximumLikelihoodHMM,
+    forward_backward,
+    init_discrete_metastable_from_data,
+    init_gaussian_from_data,
+    lag_observations_df,
+    viterbi,
+)
+from deeptime_spark.markov.msm import MarkovStateModel
+
+
+def _make_hmm(T, B=None, means=None, sigmas=None, pi=None):
+    tm = MarkovStateModel(np.asarray(T, dtype=float), lagtime=1)
+    if B is not None:
+        om = DiscreteOutputModel(np.asarray(B, dtype=float))
+    else:
+        om = GaussianOutputModel(len(means), means=means, sigmas=sigmas)
+    return HiddenMarkovModel(tm, om, initial_distribution=pi)
+
+
+@pytest.fixture(scope="module")
+def discrete_ground_truth():
+    T = np.array([[0.9, 0.1], [0.1, 0.9]])
+    B = np.array([[0.85, 0.1, 0.05], [0.05, 0.1, 0.85]])
+    return _make_hmm(T, B=B, pi=np.array([0.5, 0.5]))
+
+
+def test_forward_backward_sums_to_one(discrete_ground_truth):
+    hmm = discrete_ground_truth
+    _, obs = hmm.simulate(500, seed=7)
+    pobs = hmm.output_model.to_state_probability_trajectory(obs.astype(int))
+    loglik, gamma, counts = forward_backward(hmm.transition_matrix, pobs, hmm.initial_distribution)
+    assert np.isfinite(loglik) and loglik < 0
+    np.testing.assert_allclose(gamma.sum(axis=1), 1.0, atol=1e-12)
+    # Baum-Welch counts total = T - 1 transitions
+    assert abs(counts.sum() - (len(obs) - 1)) < 1e-8
+
+
+def test_viterbi_recovers_clean_path():
+    # near-deterministic emissions: viterbi must equal the hidden path
+    T = np.array([[0.95, 0.05], [0.05, 0.95]])
+    B = np.array([[0.99, 0.01], [0.01, 0.99]])
+    hmm = _make_hmm(T, B=B, pi=np.array([0.5, 0.5]))
+    hidden, obs = hmm.simulate(1000, seed=3)
+    path = viterbi(T, hmm.output_model.to_state_probability_trajectory(obs.astype(int)),
+                   hmm.initial_distribution)
+    assert np.mean(path == hidden) > 0.98
+
+
+def test_mlhmm_discrete_recovers_parameters(spark, discrete_ground_truth):
+    hmm = discrete_ground_truth
+    rng = np.random.default_rng(11)
+    dtrajs = []
+    for seed in range(8):
+        _, obs = hmm.simulate(2000, seed=100 + seed)
+        dtrajs.append(obs.astype(int))
+    df = dtraj_from_arrays(spark, dtrajs)
+    init = init_discrete_metastable_from_data(df, n_hidden_states=2, lagtime=1)
+    est = MaximumLikelihoodHMM(init, lagtime=1, maxit=50).fit(df)
+    model = est.fetch_model()
+    # likelihood must be monotonically non-decreasing (EM invariant)
+    dl = np.diff(est.likelihoods_)
+    assert np.all(dl > -1e-6)
+    # match up to permutation of hidden states
+    B = model.output_model.output_probabilities
+    perm = [0, 1] if B[0, 0] > B[1, 0] else [1, 0]
+    np.testing.assert_allclose(
+        model.transition_matrix[np.ix_(perm, perm)], hmm.transition_matrix, atol=0.05
+    )
+    np.testing.assert_allclose(B[perm], hmm.output_model.output_probabilities, atol=0.05)
+
+
+def test_mlhmm_gaussian_recovers_means(spark):
+    hmm = _make_hmm(
+        np.array([[0.95, 0.05], [0.05, 0.95]]),
+        means=np.array([-1.0, 1.0]),
+        sigmas=np.array([0.4, 0.4]),
+        pi=np.array([0.5, 0.5]),
+    )
+    trajs = []
+    for seed in range(6):
+        _, obs = hmm.simulate(1500, seed=50 + seed)
+        trajs.append(obs.reshape(-1, 1))
+    df = trajectory_from_arrays(spark, trajs).select(
+        "traj_id", "t", F.col("x")[0].alias("obs")
+    )
+    init = init_gaussian_from_data(df, n_hidden_states=2, obs_col="obs")
+    est = MaximumLikelihoodHMM(init, lagtime=1, maxit=60, obs_col="obs").fit(df)
+    model = est.fetch_model()
+    means = np.sort(model.output_model.means)
+    np.testing.assert_allclose(means, [-1.0, 1.0], atol=0.1)
+    sigmas = model.output_model.sigmas
+    np.testing.assert_allclose(sigmas, [0.4, 0.4], atol=0.1)
+    perm = np.argsort(model.output_model.means)
+    np.testing.assert_allclose(
+        model.transition_matrix[np.ix_(perm, perm)], hmm.transition_matrix, atol=0.06
+    )
+
+
+def test_viterbi_df_and_gamma_df(spark, discrete_ground_truth):
+    hmm = discrete_ground_truth
+    hidden, obs = hmm.simulate(800, seed=21)
+    df = dtraj_from_arrays(spark, [obs.astype(int)])
+    vit = hmm.viterbi_df(df).orderBy("t").collect()
+    path = np.array([r["hidden_state"] for r in vit])
+    assert np.mean(path == hidden) > 0.8
+    gdf = hmm.state_probabilities_df(df).orderBy("t").collect()
+    gam = np.array([r["state_probabilities"] for r in gdf])
+    np.testing.assert_allclose(gam.sum(axis=1), 1.0, atol=1e-10)
+    # gamma argmax should broadly agree with the viterbi path
+    assert np.mean(np.argmax(gam, axis=1) == path) > 0.9
+
+
+def test_lag_observations_df_semantics(spark):
+    # trajectory 0..9 at lag 3 -> (0,3,6,9), (1,4,7), (2,5,8)
+    df = dtraj_from_arrays(spark, [np.arange(10)])
+    lagged = lag_observations_df(df, lag=3)
+    subs = {}
+    for r in lagged.collect():
+        subs.setdefault(r["traj_id"], []).append((r["t"], r["state"]))
+    seqs = sorted(tuple(s for _, s in sorted(v)) for v in subs.values())
+    assert seqs == [(0, 3, 6, 9), (1, 4, 7), (2, 5, 8)]
