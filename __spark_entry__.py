@@ -306,6 +306,17 @@ def _q_event_moments(spark, sf_dir):
     )
 
 
+def _q_event_derivative(spark, sf_dir):
+    """SINDy's FD-derivative window pass over the event value series:
+    2nd-order central in the interior, 2nd-order one-sided at edges."""
+    from deeptime_spark.sindy import with_derivative
+
+    traj = _event_traj(spark, sf_dir)
+    feat = traj.select("traj_id", "t", F.array(F.col("value")).alias("x"))
+    out = with_derivative(feat, dt=1.0)
+    return out.select("traj_id", "t", F.col("x_dot")[0].alias("dvalue"))
+
+
 def _q_event_sliding_avg(spark, sf_dir):
     from deeptime_spark.operators.lag import sliding_window
 
@@ -567,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lag / window / split (operators/lag.py)
         "event_timeshifted": _q_event_timeshifted,
         "event_sliding_avg": _q_event_sliding_avg,
+        "event_derivative": _q_event_derivative,
         "event_blocksplit": _q_event_blocksplit,
         # moments (operators/moments.py plan shape)
         "event_moments": _q_event_moments,
@@ -722,6 +734,27 @@ WITH {_TRAJ_CTE}
 SELECT CAST(traj_id AS VARCHAR) || '_' || CAST(CAST(floor(t / 10) AS BIGINT) AS VARCHAR) AS block_id,
        count(*) AS n_frames
 FROM traj GROUP BY 1
+""",
+        "event_derivative": f"""
+WITH {_TRAJ_CTE}, s AS (
+  SELECT traj_id, t, value,
+         lead(value, 1) OVER w AS xp, lead(value, 2) OVER w AS xp2,
+         lag(value, 1) OVER w AS xm, lag(value, 2) OVER w AS xm2
+  FROM traj
+  WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT traj_id, t,
+       CASE
+         WHEN xm IS NULL AND xp IS NOT NULL AND xp2 IS NOT NULL THEN (-3.0 * value + 4.0 * xp - xp2) / 2.0
+         WHEN xp IS NULL AND xm IS NOT NULL AND xm2 IS NOT NULL THEN (3.0 * value - 4.0 * xm + xm2) / 2.0
+         WHEN xm IS NOT NULL AND xp IS NOT NULL THEN (xp - xm) / 2.0
+       END AS dvalue
+FROM s
+WHERE (CASE
+         WHEN xm IS NULL AND xp IS NOT NULL AND xp2 IS NOT NULL THEN 1
+         WHEN xp IS NULL AND xm IS NOT NULL AND xm2 IS NOT NULL THEN 1
+         WHEN xm IS NOT NULL AND xp IS NOT NULL THEN 1
+       END) = 1
 """,
         "event_moments": f"""
 WITH {_TRAJ_CTE}, lagged AS (

@@ -137,45 +137,52 @@ def compute_moments(
     y_col: Optional[str] = None,
     weight_col: Optional[str] = None,
     d: Optional[int] = None,
+    d_y: Optional[int] = None,
     compute_xx: bool = True,
     compute_yy: bool = True,
     force_arrow: bool = False,
 ) -> MomentsResult:
-    """One Spark job -> MomentsResult. Strategy chosen by feature dim."""
+    """One Spark job -> MomentsResult. Strategy chosen by feature dim.
+
+    ``d_y`` allows a rectangular cross moment (x and y of different widths,
+    e.g. SINDy's Theta'Xdot); it defaults to ``d``.
+    """
     if d is None:
         d = feature_dim(df, x_col)
-    if not force_arrow and d <= EXPR_MAX_DIM:
-        return _moments_expr(df, x_col, y_col, weight_col, d, compute_xx, compute_yy)
-    return _moments_arrow(df, x_col, y_col, weight_col, d, compute_xx, compute_yy)
+    if d_y is None:
+        d_y = feature_dim(df, y_col) if y_col else d
+    if not force_arrow and max(d, d_y) <= EXPR_MAX_DIM:
+        return _moments_expr(df, x_col, y_col, weight_col, d, d_y, compute_xx, compute_yy)
+    return _moments_arrow(df, x_col, y_col, weight_col, d, d_y, compute_xx, compute_yy)
 
 
-def _moments_expr(df, x_col, y_col, weight_col, d, compute_xx, compute_yy) -> MomentsResult:
+def _moments_expr(df, x_col, y_col, weight_col, d, d_y, compute_xx, compute_yy) -> MomentsResult:
     """Codegen path: one global agg of sum-of-product expressions."""
     x = [F.col(x_col)[i] for i in range(d)]
-    y = [F.col(y_col)[i] for i in range(d)] if y_col else None
+    y = [F.col(y_col)[i] for i in range(d_y)] if y_col else None
     w = F.col(weight_col) if weight_col else F.lit(1.0)
 
     aggs = [F.sum(w).alias("w")]
     aggs += [F.sum(w * x[i]).alias(f"sx_{i}") for i in range(d)]
     if y is not None:
-        aggs += [F.sum(w * y[i]).alias(f"sy_{i}") for i in range(d)]
+        aggs += [F.sum(w * y[i]).alias(f"sy_{i}") for i in range(d_y)]
     if compute_xx:
         # symmetric: only upper triangle crosses the shuffle
         aggs += [
             F.sum(w * x[i] * x[j]).alias(f"mxx_{i}_{j}") for i in range(d) for j in range(i, d)
         ]
     if y is not None:
-        aggs += [F.sum(w * x[i] * y[j]).alias(f"mxy_{i}_{j}") for i in range(d) for j in range(d)]
+        aggs += [F.sum(w * x[i] * y[j]).alias(f"mxy_{i}_{j}") for i in range(d) for j in range(d_y)]
         if compute_yy:
             aggs += [
-                F.sum(w * y[i] * y[j]).alias(f"myy_{i}_{j}") for i in range(d) for j in range(i, d)
+                F.sum(w * y[i] * y[j]).alias(f"myy_{i}_{j}") for i in range(d_y) for j in range(i, d_y)
             ]
     row = df.agg(*aggs).first().asDict()
 
-    def sym(prefix):
-        m = np.zeros((d, d))
-        for i in range(d):
-            for j in range(i, d):
+    def sym(prefix, n):
+        m = np.zeros((n, n))
+        for i in range(n):
+            for j in range(i, n):
                 m[i, j] = m[j, i] = row[f"{prefix}_{i}_{j}"]
         return m
 
@@ -183,20 +190,20 @@ def _moments_expr(df, x_col, y_col, weight_col, d, compute_xx, compute_yy) -> Mo
     res = MomentsResult(
         weight_sum=float(row["w"]),
         sx=sx,
-        mxx=sym("mxx") if compute_xx else np.zeros((d, d)),
+        mxx=sym("mxx", d) if compute_xx else np.zeros((d, d)),
     )
     if y is not None:
-        res.sy = np.array([row[f"sy_{i}"] for i in range(d)])
-        mxy = np.zeros((d, d))
+        res.sy = np.array([row[f"sy_{i}"] for i in range(d_y)])
+        mxy = np.zeros((d, d_y))
         for i in range(d):
-            for j in range(d):
+            for j in range(d_y):
                 mxy[i, j] = row[f"mxy_{i}_{j}"]
         res.mxy = mxy
-        res.myy = sym("myy") if compute_yy else None
+        res.myy = sym("myy", d_y) if compute_yy else None
     return res
 
 
-def _moments_arrow(df, x_col, y_col, weight_col, d, compute_xx, compute_yy) -> MomentsResult:
+def _moments_arrow(df, x_col, y_col, weight_col, d, d_y, compute_xx, compute_yy) -> MomentsResult:
     """Arrow path: per-partition BLAS partials, driver-side merge.
 
     Emits ONE row per partition (a few thousand rows even on a 1000-executor
@@ -222,10 +229,10 @@ def _moments_arrow(df, x_col, y_col, weight_col, d, compute_xx, compute_yy) -> M
 
         w_sum = 0.0
         sx = np.zeros(d)
-        sy = np.zeros(d)
+        sy = np.zeros(d_y)
         mxx = np.zeros((d, d))
-        mxy = np.zeros((d, d))
-        myy = np.zeros((d, d))
+        mxy = np.zeros((d, d_y))
+        myy = np.zeros((d_y, d_y))
         seen = False
         for pdf in batches:
             if len(pdf) == 0:
@@ -266,16 +273,16 @@ def _moments_arrow(df, x_col, y_col, weight_col, d, compute_xx, compute_yy) -> M
         raise ValueError("empty DataFrame")
     res = MomentsResult(weight_sum=0.0, sx=np.zeros(d), mxx=np.zeros((d, d)))
     if has_y:
-        res.sy = np.zeros(d)
-        res.mxy = np.zeros((d, d))
-        res.myy = np.zeros((d, d)) if compute_yy else None
+        res.sy = np.zeros(d_y)
+        res.mxy = np.zeros((d, d_y))
+        res.myy = np.zeros((d_y, d_y)) if compute_yy else None
     for p in partials:
         res.weight_sum += p["w"]
         res.sx += np.array(p["sx"])
         res.mxx += np.array(p["mxx"]).reshape(d, d)
         if has_y:
             res.sy += np.array(p["sy"])
-            res.mxy += np.array(p["mxy"]).reshape(d, d)
+            res.mxy += np.array(p["mxy"]).reshape(d, d_y)
             if compute_yy:
-                res.myy += np.array(p["myy"]).reshape(d, d)
+                res.myy += np.array(p["myy"]).reshape(d_y, d_y)
     return res

@@ -1,0 +1,9 @@
+from deeptime_spark.sindy.sindy import (
+    STLSQ,
+    SINDy,
+    SINDyModel,
+    finite_difference_coefficients,
+    with_derivative,
+)
+
+__all__ = ["SINDy", "SINDyModel", "STLSQ", "finite_difference_coefficients", "with_derivative"]

@@ -1,0 +1,100 @@
+"""SINDy tests (reference tests/sindy/test_sindy.py strategy: recover the
+known coefficients of a linear and a cubic 2-d system)."""
+
+import numpy as np
+import pytest
+
+from deeptime_spark.data.schema import trajectory_from_arrays
+from deeptime_spark.sindy import (
+    STLSQ,
+    SINDy,
+    finite_difference_coefficients,
+    with_derivative,
+)
+
+
+def _integrate(rhs, x0, n, dt):
+    xs = np.empty((n + 1, len(x0)))
+    xs[0] = x0
+    for k in range(n):
+        x = xs[k]
+        k1, k2 = rhs(x), rhs(x + 0.5 * dt * rhs(x))
+        k3 = rhs(x + 0.5 * dt * k2)
+        k4 = rhs(x + dt * k3)
+        xs[k + 1] = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+    return xs
+
+
+def test_fd_coefficients_standard_stencils():
+    np.testing.assert_allclose(
+        finite_difference_coefficients(1, np.array([-1, 0, 1])), [-0.5, 0.0, 0.5], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        finite_difference_coefficients(1, np.array([0, 1, 2])), [-1.5, 2.0, -0.5], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        finite_difference_coefficients(2, np.array([-1, 0, 1])), [1.0, -2.0, 1.0], atol=1e-12
+    )
+
+
+def test_with_derivative_quadratic_exact(spark):
+    # x(t) = (t^2, 3t): 2nd-order FD is exact for polynomials of degree 2,
+    # including the one-sided edge stencils
+    t = np.arange(20, dtype=float)
+    traj = np.stack([t**2, 3 * t], axis=1)
+    df = trajectory_from_arrays(spark, [traj])
+    out = with_derivative(df, dt=1.0).orderBy("t").collect()
+    got = np.array([r["x_dot"] for r in out])
+    expected = np.stack([2 * t, np.full_like(t, 3.0)], axis=1)
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+def test_sindy_recovers_linear_system(spark):
+    # x' = -0.1 x + 2 y ; y' = -2 x - 0.1 y (reference test system)
+    A = np.array([[-0.1, 2.0], [-2.0, -0.1]])
+
+    def rhs(x):
+        return A @ x
+
+    dt = 0.01
+    trajs = []
+    for x0 in ([2.0, 0.0], [0.0, 1.5], [1.0, 1.0]):
+        trajs.append(_integrate(rhs, np.array(x0), 1500, dt))
+    df = trajectory_from_arrays(spark, trajs)
+    model = SINDy(optimizer=STLSQ(threshold=0.09, alpha=1e-8)).fit(df, dt=dt).fetch_model()
+    # features: [1, x0, x1, x0^2, x0*x1, x1^2]
+    Xi = model.coefficients
+    expected = np.zeros((2, 6))
+    expected[0, 1], expected[0, 2] = -0.1, 2.0
+    expected[1, 1], expected[1, 2] = -2.0, -0.1
+    np.testing.assert_allclose(Xi, expected, atol=5e-3)
+    assert model.score(with_derivative(df, dt=dt)) > 0.999
+
+
+def test_sindy_with_exact_derivatives_and_simulate(spark):
+    # cubic damped oscillator: x' = -0.1 x^3 + 2 y^3 ; y' = -2 x^3 - 0.1 y^3
+    def rhs(x):
+        return np.array([-0.1 * x[0] ** 3 + 2 * x[1] ** 3, -2 * x[0] ** 3 - 0.1 * x[1] ** 3])
+
+    dt = 0.01
+    xs = _integrate(rhs, np.array([2.0, 0.0]), 3000, dt)
+    xdot = np.array([rhs(x) for x in xs])
+    # provide exact derivatives through a second array column
+    rows = [(0, t, xs[t].tolist(), xdot[t].tolist()) for t in range(len(xs))]
+    df = spark.createDataFrame(rows, ["traj_id", "t", "x", "x_dot"])
+    from deeptime_spark.basis import Monomials
+
+    model = (
+        SINDy(library=Monomials(p=3, d=2), optimizer=STLSQ(threshold=0.05, alpha=1e-10))
+        .fit(df, xdot_col="x_dot")
+        .fetch_model()
+    )
+    names = model.feature_names
+    coef = {n: model.coefficients[:, i] for i, n in enumerate(names)}
+    np.testing.assert_allclose(coef["x0*x0*x0"], [-0.1, -2.0], atol=1e-3)
+    np.testing.assert_allclose(coef["x1*x1*x1"], [2.0, -0.1], atol=1e-3)
+    # simulate from the identified model and compare short-horizon dynamics
+    sim = model.simulate(np.array([2.0, 0.0]), 200, dt=dt)
+    np.testing.assert_allclose(sim, xs[:201], atol=1e-3)
+    eqs = model.equations()
+    assert len(eqs) == 2 and "x0*x0*x0" in eqs[0]
