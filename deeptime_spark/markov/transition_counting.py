@@ -162,7 +162,7 @@ class TransitionCountEstimator(Estimator):
         state_col: str = "state",
     ):
         super().__init__()
-        if count_mode not in ("sliding", "sliding-effective", "sample"):
+        if count_mode not in ("sliding", "sliding-effective", "sample", "effective"):
             raise ValueError(f"unsupported count_mode {count_mode!r}")
         self.lagtime = lagtime
         self.count_mode = count_mode
@@ -173,6 +173,19 @@ class TransitionCountEstimator(Estimator):
     def fit(self, df: DataFrame) -> "TransitionCountEstimator":
         tau = self.lagtime
         sc = self.state_col
+        if self.count_mode == "effective":
+            # statistically uncorrelated counts (reference api.py:154):
+            # indicator-series inefficiencies scale the sliding counts
+            from deeptime_spark.markov.effective_counts import effective_count_matrix
+
+            C = effective_count_matrix(df, tau, n_states=self.n_states, state_col=sc)
+            hist = count_states(df, state_col=sc)
+            if len(hist) < C.shape[0]:
+                hist = np.pad(hist, (0, C.shape[0] - len(hist)))
+            self._model = TransitionCountModel(
+                C, counting_mode="effective", lagtime=tau, state_histogram=hist
+            )
+            return self
         counted = transition_counts_df(df, tau, self.count_mode, state_col=sc).collect()
 
         hist = count_states(df, state_col=sc)
