@@ -178,6 +178,78 @@ def committor(T, A: Sequence[int], B: Sequence[int], forward: bool = True, mu=No
     return q
 
 
+def is_rate_matrix(K, tol: float = 1e-12) -> bool:
+    """Off-diagonal >= 0, rows sum to zero (reference _api.py:85-124)."""
+    Kd = _dense(K)
+    off = Kd - np.diag(np.diag(Kd))
+    return bool(np.all(off >= -tol) and np.all(np.abs(Kd.sum(axis=1)) < tol))
+
+
+def hitting_probability(T, target) -> np.ndarray:
+    """Probability to ever hit ``target`` before getting stuck elsewhere
+    (reference _api.py:605-640, dense _hitting_probability.py:10-48):
+    minimal non-negative solution of h=1 on A, h = sum_j p_ij h_j off A;
+    absorbing non-target states get 0."""
+    P = _dense(T)
+    n = P.shape[0]
+    target = np.atleast_1d(np.asarray(target, dtype=int))
+    nontarget = np.setdiff1d(np.arange(n), target)
+    stable = np.where(np.isclose(np.diag(P), 1.0))[0]
+    origin = np.setdiff1d(nontarget, stable)
+    A = P[np.ix_(origin, origin)] - np.eye(len(origin))
+    b = -P[np.ix_(origin, target)].sum(axis=1)
+    x = np.linalg.solve(A, b) if len(origin) else np.empty(0)
+    h = np.ones(n)
+    h[origin] = x
+    h[target] = 1.0
+    h[np.setdiff1d(stable, target)] = 0.0
+    return h
+
+
+def expected_counts_stationary(T, n_steps: int, mu: Optional[np.ndarray] = None) -> np.ndarray:
+    """E[C(n)] in equilibrium: n * diag(pi) T (reference _api.py:807-863)."""
+    Td = _dense(T)
+    if mu is None:
+        mu = stationary_distribution(Td)
+    return n_steps * (mu[:, None] * Td)
+
+
+def fingerprint(T, obs1: np.ndarray, obs2: Optional[np.ndarray] = None,
+                p0: Optional[np.ndarray] = None, tau: float = 1.0, k: Optional[int] = None):
+    """Timescale/amplitude spectrum (reference _fingerprints.py:92-138):
+    amplitudes gamma_i = <w * obs1, r_i> <l_i, obs2> with w = mu (equilib.)
+    or p0 (relaxation); timescales -tau/ln|lambda_i|."""
+    R, D, L = rdl_decomposition(T, k=k)
+    mu = stationary_distribution(T)
+    vals = np.diagonal(D)
+    ts = np.full(len(vals), np.inf)
+    mag = np.abs(vals)
+    mask = mag < 1.0 - 1e-12
+    with np.errstate(divide="ignore"):
+        ts[mask] = -tau / np.log(mag[mask])
+    obs2 = obs1 if obs2 is None else obs2
+    w = mu if p0 is None else np.asarray(p0, dtype=np.float64)
+    amplitudes = np.real((w * np.asarray(obs1)) @ R) * np.real(L @ np.asarray(obs2))
+    return ts, amplitudes
+
+
+def fingerprint_correlation(T, obs1: np.ndarray, obs2: Optional[np.ndarray] = None,
+                            tau: float = 1.0, k: Optional[int] = None):
+    """Equilibrium correlation fingerprint (reference _api.py:864-970);
+    requires a reversible transition matrix, as the reference does."""
+    if not is_reversible(T):
+        raise ValueError("fingerprint calculation requires a reversible transition matrix")
+    return fingerprint(T, obs1, obs2=obs2, tau=tau, k=k)
+
+
+def fingerprint_relaxation(T, p0: np.ndarray, obs: np.ndarray,
+                           tau: float = 1.0, k: Optional[int] = None):
+    """Relaxation-experiment fingerprint from initial distribution p0
+    (reference _api.py:971-1057): fingerprint of (1, obs) weighted by p0."""
+    one = np.ones(_dense(T).shape[0])
+    return fingerprint(T, one, obs2=obs, p0=p0, tau=tau, k=k)
+
+
 def expectation(T, a: np.ndarray, mu: Optional[np.ndarray] = None) -> float:
     """Stationary expectation sum_i pi_i a_i (reference _api.py:1058)."""
     if mu is None:

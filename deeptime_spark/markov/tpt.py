@@ -51,6 +51,12 @@ class ReactiveFlux(Model):
             acc += f.flat[idx]
         return kept
 
+    def pathways(self, fraction: float = 1.0, maxiter: int = 1000):
+        """Dominant reaction pathway decomposition of the net flux
+        (reference _reactive_flux.py:140-193)."""
+        return pathways(self.net_flux, self.source_states, self.target_states,
+                        fraction=fraction, maxiter=maxiter)
+
     def coarse_grain(self, sets: Sequence[np.ndarray]) -> "ReactiveFlux":
         """Aggregate flux over a state partition (reference :265-330)."""
         k = len(sets)
@@ -73,6 +79,93 @@ class ReactiveFlux(Model):
         tgt = [i for i, s in enumerate(sets) if np.intersect1d(s, self.target_states).size]
         return ReactiveFlux(np.array(src), np.array(tgt), F, net, pi_c, qp, qm,
                             self.total_flux, self.rate, self.mfpt)
+
+
+def _widest_path(F: np.ndarray, source: int, sink: int) -> Optional[list[int]]:
+    """Maximin (widest-bottleneck) path via Dijkstra variant: the path
+    from source to sink maximizing the minimum edge flux — the dominant
+    pathway of the flux network (Metzner et al. 2009, sect. on pathway
+    decomposition; reference flux/pathways.py finds the same bottleneck
+    by edge bisection)."""
+    n = F.shape[0]
+    width = np.full(n, -np.inf)
+    width[source] = np.inf
+    prev = np.full(n, -1, dtype=int)
+    visited = np.zeros(n, dtype=bool)
+    for _ in range(n):
+        u = -1
+        best = -np.inf
+        for v in range(n):
+            if not visited[v] and width[v] > best:
+                best = width[v]
+                u = v
+        if u < 0 or best <= 0:
+            break
+        if u == sink:
+            path = [sink]
+            while path[-1] != source:
+                path.append(int(prev[path[-1]]))
+            return path[::-1]
+        visited[u] = True
+        for v in np.nonzero(F[u] > 0)[0]:
+            w = min(width[u], F[u, v])
+            if w > width[v]:
+                width[v] = w
+                prev[v] = u
+    return None
+
+
+def pathways(F: np.ndarray, A: Sequence[int], B: Sequence[int],
+             fraction: float = 1.0, maxiter: int = 1000, tol: float = 1e-14):
+    """Decompose a net-flux network into dominant reaction pathways
+    (reference flux/pathways.py:221-303): repeatedly extract the widest
+    A->B path, record its capacity (minimum edge flux) and subtract it
+    along the path, until ``fraction`` of the total flux is assembled.
+
+    Returns (paths, capacities), dominant first. Ties between equal-
+    bottleneck paths may resolve differently than the reference's
+    bisection construction (documented deviation; capacities agree).
+    """
+    import warnings
+
+    F = np.array(F, dtype=np.float64, copy=True)
+    np.fill_diagonal(F, 0.0)
+    n = F.shape[0]
+    A = np.atleast_1d(np.asarray(A, dtype=int))
+    B = np.atleast_1d(np.asarray(B, dtype=int))
+    # artificial super-source / super-sink with infinite-capacity edges
+    Fx = np.zeros((n + 2, n + 2))
+    Fx[:n, :n] = F
+    src, snk = n, n + 1
+    total = F[A].sum()
+    # endstate edges carry each state's total out/in flux (reference
+    # add_endstates, pathways.py:150-219) and deplete with the real edges
+    Fx[src, A] = F[A].sum(axis=1)
+    Fx[B, snk] = F[:, B].sum(axis=0)
+    paths, capacities = [], []
+    accumulated = 0.0
+    for _ in range(maxiter):
+        if total <= 0 or accumulated >= fraction * total - tol * total:
+            break
+        p = _widest_path(Fx, src, snk)
+        if p is None:
+            break
+        inner = p[1:-1]
+        cap = min(Fx[p[i], p[i + 1]] for i in range(len(p) - 1))
+        if cap <= tol:
+            break
+        for i in range(len(p) - 1):
+            Fx[p[i], p[i + 1]] -= cap
+        paths.append(np.array(inner))
+        capacities.append(float(cap))
+        accumulated += cap
+    else:
+        warnings.warn(
+            f"pathway decomposition truncated at maxiter={maxiter} with "
+            f"{accumulated / total:.3f} of the total flux assembled",
+            RuntimeWarning,
+        )
+    return paths, capacities
 
 
 def reactive_flux(
