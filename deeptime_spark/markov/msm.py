@@ -290,19 +290,23 @@ class MaximumLikelihoodMSM(Estimator):
 
 
 class BayesianMSM(Estimator):
-    """Posterior ensemble of reversible transition matrices
+    """Posterior ensemble of transition matrices
     (reference _bayesian_msm.py:15-354).
 
-    v1 sampler: per-sample Dirichlet resampling of row counts followed by
-    reversible MLE projection — a standard approximate posterior for MSMs;
-    chains are independent, so samples parallelize trivially (driver loop
-    here; n_samples is small). The reference's exact reversible Gibbs
-    sampler (sampler.h) is a documented round-2 refinement.
+    reversible=True uses the EXACT reversible Gibbs sampler over the
+    symmetric auxiliary matrix (tmatrix_sampling.py; reference sampler.h
+    semantics, ``n_steps`` sweeps between samples, default
+    sqrt(n_states)). reversible=False draws row-wise Dirichlet posteriors
+    (the exact nonreversible conjugate posterior). Counting is the Spark
+    stage; sampling is a sequential driver chain — independent chains
+    parallelize across seeds.
     """
 
-    def __init__(self, n_samples: int = 100, reversible: bool = True, seed: int = 42, count_mode: str = "effective"):
+    def __init__(self, n_samples: int = 100, n_steps: Optional[int] = None,
+                 reversible: bool = True, seed: int = 42, count_mode: str = "effective"):
         super().__init__()
         self.n_samples = n_samples
+        self.n_steps = n_steps
         self.reversible = reversible
         self.seed = seed
         self.count_mode = count_mode
@@ -310,19 +314,25 @@ class BayesianMSM(Estimator):
     def fit(self, counts: TransitionCountModel) -> "BayesianMSM":
         sub = counts.submodel_largest(directed=True)
         C = np.asarray(_densify(sub.count_matrix), dtype=np.float64)
-        rng = np.random.default_rng(self.seed)
         prior_T, prior_pi = transition_matrix_reversible(C, return_statdist=True)
         samples = []
-        for _ in range(self.n_samples):
-            Csample = np.zeros_like(C)
-            for i in range(C.shape[0]):
-                alpha = C[i] + 1e-6
-                Csample[i] = rng.dirichlet(alpha) * C[i].sum()
-            if self.reversible:
-                T = transition_matrix_reversible(Csample, maxiter=10_000, maxerr=1e-6)
-            else:
-                T = transition_matrix_nonreversible(Csample)
-            samples.append(MarkovStateModel(T, reversible=self.reversible, lagtime=sub.lagtime, count_model=sub))
+        if self.reversible:
+            from deeptime_spark.markov.tmatrix_sampling import sample_tmatrix_reversible
+
+            Ts, pis = sample_tmatrix_reversible(
+                C, n_samples=self.n_samples, n_steps=self.n_steps, seed=self.seed,
+                T0=prior_T, return_statdist=True,
+            )
+            for T, pi in zip(Ts, pis):
+                samples.append(
+                    MarkovStateModel(T, stationary_distribution=pi, reversible=True,
+                                     lagtime=sub.lagtime, count_model=sub)
+                )
+        else:
+            rng = np.random.default_rng(self.seed)
+            for _ in range(self.n_samples):
+                T = np.vstack([rng.dirichlet(C[i] + 1.0) for i in range(C.shape[0])])
+                samples.append(MarkovStateModel(T, reversible=False, lagtime=sub.lagtime, count_model=sub))
         self._model = BayesianMSMPosterior(
             prior=MarkovStateModel(prior_T, stationary_distribution=prior_pi, reversible=True, lagtime=sub.lagtime, count_model=sub),
             samples=samples,
