@@ -98,3 +98,52 @@ def test_monomials_feature_names_and_values(spark):
     assert names == ["1", "x0", "x1", "x0*x0", "x0*x1", "x1*x1"]
     row = mon(df, out_col="phi").select("phi").first()
     assert row["phi"] == [1.0, 2.0, 3.0, 4.0, 6.0, 9.0]
+
+
+def test_vamp_score_test_covariances_and_vampe(spark, rng):
+    from deeptime_spark.covariance import Covariance
+    from deeptime_spark.decomposition.vamp import VAMP, vamp_score
+
+    # AR(1) with 2 features; train/test from independent seeds
+    def make_df(seed):
+        rs = np.random.default_rng(seed)
+        trajs = []
+        for _ in range(4):
+            x = np.zeros((800, 2))
+            for t in range(1, 800):
+                x[t] = 0.9 * x[t - 1] + 0.44 * rs.normal(size=2)
+            trajs.append(x)
+        return trajectory_from_arrays(spark, trajs)
+
+    train, test = make_df(1), make_df(2)
+    model = VAMP(lagtime=1).fit(train).fetch_model()
+    self_score = vamp_score(model, r=2)
+    cov_test = Covariance(
+        lagtime=1, compute_c00=True, compute_c0t=True, compute_ctt=True, remove_data_mean=True
+    ).fit_fetch(test)
+    cv_score = vamp_score(model, r=2, covariances_test=cov_test)
+    # same process: cross-validated score close to self score, never above
+    assert cv_score <= self_score + 0.05
+    assert abs(cv_score - self_score) < 0.3
+    # VAMP-E self-score equals 1 + sum sigma^2 for a consistently fitted model
+    e_score = vamp_score(model, r="E")
+    expected = 1.0 + float(np.sum(model.singular_values**2))
+    assert abs(e_score - expected) < 0.05
+
+
+def test_vamp_score_cv_folds(spark, rng):
+    from deeptime_spark.decomposition.vamp import vamp_score_cv
+
+    rs = np.random.default_rng(3)
+    trajs = []
+    for _ in range(6):
+        x = np.zeros((500, 2))
+        for t in range(1, 500):
+            x[t] = 0.8 * x[t - 1] + 0.6 * rs.normal(size=2)
+        trajs.append(x)
+    df = trajectory_from_arrays(spark, trajs)
+    scores = vamp_score_cv(df, lagtime=1, n=4, blocksize=50, random_state=7)
+    assert scores.shape == (4,)
+    assert np.all(np.isfinite(scores))
+    # bounded by the maximal VAMP2 score for rank-2 + constant
+    assert np.all(scores > 1.0) and np.all(scores <= 3.0 + 1e-6)
