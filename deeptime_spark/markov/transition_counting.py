@@ -143,6 +143,30 @@ def transition_counts_df(
     return counted
 
 
+def two_step_counts_df(
+    df: DataFrame,
+    lagtime: int,
+    state_col: str = "state",
+    traj_col: str = "traj_id",
+    time_col: str = "t",
+) -> DataFrame:
+    """Two-step count tensor C2t[s0, s1, s2] at lag tau — the OOM/spectral
+    estimation input (reference markov/msm/_koopman_reweighted_msm_impl.py;
+    SURVEY §2.7 row 70): double-lead window then ONE groupBy over
+    (s0, s1, s2) — n_states^3 keys, still tiny at the MSM layer."""
+    tau = lagtime
+    w = Window.partitionBy(traj_col).orderBy(time_col)
+    pairs = (
+        df.withColumn("s1", F.lead(state_col, tau).over(w))
+        .withColumn("s2", F.lead(state_col, 2 * tau).over(w))
+        .where(F.col("s1").isNotNull() & F.col("s2").isNotNull())
+        .where((F.col(state_col) >= 0) & (F.col("s1") >= 0) & (F.col("s2") >= 0))
+    )
+    return pairs.groupBy(F.col(state_col).alias("s0"), "s1", "s2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 class TransitionCountEstimator(Estimator):
     """ctor mirrors the reference (:423-460): lagtime, count_mode in
     {'sliding', 'sliding-effective', 'sample'}, n_states override, sparse.
