@@ -1,0 +1,7 @@
+from deeptime_spark.streaming.accumulate import (
+    StreamingEstimator,
+    streaming_transition_counts,
+    windowed_event_counts,
+)
+
+__all__ = ["StreamingEstimator", "windowed_event_counts", "streaming_transition_counts"]

@@ -1,0 +1,154 @@
+"""Structured Streaming surface.
+
+deeptime itself is batch-only; its only streaming notion is chunked
+``partial_fit`` ingestion (reference base.py:247-329). That maps exactly
+onto Structured Streaming (SURVEY.md §1.2, §2.14):
+
+- ``StreamingEstimator``: ``foreachBatch`` drives ``partial_fit`` per
+  micro-batch. Every estimator whose sufficient statistics form a monoid
+  (moments/covariance, transition counts, minibatch k-means) accumulates
+  exactly as in batch — same numbers, streaming arrival order.
+- ``windowed_event_counts``: tumbling/sliding event-time windows with a
+  watermark; late frames beyond the watermark are dropped from updates
+  (the late-data policy SURVEY §7.4.8 fixes, since the reference has no
+  counterpart).
+- ``streaming_transition_counts``: custom stateful operator via
+  ``applyInPandasWithState`` — per-trajectory state carries the last
+  (t, state) so dtraj transitions are emitted incrementally across
+  micro-batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+class StreamingEstimator:
+    """Drive any partial_fit-capable estimator from a stream.
+
+    ``start(stream_df)`` attaches a foreachBatch sink that calls
+    ``estimator.partial_fit(batch_df)`` per micro-batch; ``model`` yields
+    the current accumulated model at any time (monoid merge semantics —
+    identical to one batch fit over the concatenation).
+    """
+
+    def __init__(self, estimator):
+        self.estimator = estimator
+        self.query = None
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.estimator.partial_fit(batch_df)
+
+    def start(self, stream_df: DataFrame, trigger_available_now: bool = True, checkpoint: Optional[str] = None):
+        writer = stream_df.writeStream.foreachBatch(self._process_batch).outputMode("update")
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        self.query = writer.start()
+        return self.query
+
+    def await_and_fetch(self, timeout: Optional[float] = None):
+        self.query.awaitTermination(timeout)
+        return self.estimator.fetch_model()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: Optional[str] = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time counts: the streaming
+    analogue of the histogram layer. Late rows beyond the watermark are
+    dropped (documented policy)."""
+    win = (
+        F.window(ts_col, window_duration, slide_duration)
+        if slide_duration
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+_TC_STATE_SCHEMA = StructType(
+    [StructField("last_t", LongType()), StructField("last_state", IntegerType())]
+)
+_TC_OUT_SCHEMA = StructType(
+    [
+        StructField("traj_id", LongType()),
+        StructField("s_from", IntegerType()),
+        StructField("s_to", IntegerType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _transition_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-trajectory stateful kernel: carries the last (t, state) pair
+    across micro-batches and emits lag-1 transition counts for newly
+    arrived, in-order frames."""
+    (traj_id,) = key
+    if state.exists:
+        last_t, last_state = state.get
+    else:
+        last_t, last_state = None, None
+    counts: dict = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values("t")
+        for t, s in zip(pdf["t"].astype("int64"), pdf["state"].astype("int32")):
+            if last_t is not None and t == last_t + 1 and last_state >= 0 and s >= 0:
+                pair = (int(last_state), int(s))
+                counts[pair] = counts.get(pair, 0) + 1
+            last_t, last_state = int(t), int(s)
+    state.update((last_t, last_state))
+    if counts:
+        yield pd.DataFrame(
+            {
+                "traj_id": [int(traj_id)] * len(counts),
+                "s_from": [k[0] for k in counts],
+                "s_to": [k[1] for k in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+
+def streaming_transition_counts(stream_df: DataFrame) -> DataFrame:
+    """Incremental dtraj transition counting as a custom stateful
+    streaming operator (applyInPandasWithState, SURVEY §2.14): emits
+    per-micro-batch (traj_id, s_from, s_to, n) increments; a downstream
+    aggregation (or the driver) folds them into the count matrix."""
+    return (
+        stream_df.groupBy("traj_id")
+        .applyInPandasWithState(
+            _transition_fn,
+            outputStructType=_TC_OUT_SCHEMA,
+            stateStructType=_TC_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

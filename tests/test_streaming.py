@@ -1,0 +1,89 @@
+"""Structured Streaming surface: foreachBatch partial_fit parity,
+watermarked windows, stateful transition counting."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deeptime_spark.covariance import Covariance
+from deeptime_spark.data.schema import trajectory_from_arrays
+from deeptime_spark.streaming import (
+    StreamingEstimator,
+    streaming_transition_counts,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dts-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_chunks(df, path, n_chunks=3):
+    # split a batch frame into parquet files that the file stream ingests
+    # as separate micro-batch-able inputs
+    df.withColumn("_part", F.pmod(F.col("t"), n_chunks)).write.partitionBy("_part").parquet(
+        path + "/data"
+    )
+
+
+def test_streaming_covariance_matches_batch(spark, rng, tmpdir):
+    data = [rng.normal(size=(600, 3)) for _ in range(2)]
+    batch_df = trajectory_from_arrays(spark, data)
+    batch_model = Covariance(lagtime=0).fit_fetch(batch_df)
+
+    batch_df.write.parquet(tmpdir + "/data")
+    stream = spark.readStream.schema(batch_df.schema).parquet(tmpdir + "/data")
+    acc = StreamingEstimator(Covariance(lagtime=0))
+    acc.start(stream, trigger_available_now=True, checkpoint=tmpdir + "/ckpt")
+    model = acc.await_and_fetch(timeout=120)
+    np.testing.assert_allclose(model.cov_00, batch_model.cov_00, rtol=1e-10)
+    np.testing.assert_allclose(model.mean_0, batch_model.mean_0, rtol=1e-10)
+
+
+def test_windowed_event_counts_logic(spark):
+    # batch-mode check of the same plan (window+watermark compile in batch)
+    rows = [
+        (1, "2024-01-01 00:10:00", "a"),
+        (2, "2024-01-01 00:20:00", "a"),
+        (3, "2024-01-01 01:05:00", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts_str", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts_str")
+    )
+    out = windowed_event_counts(df, "1 hour", watermark="1 hour")
+    got = {(str(r["window_start"]), r["event_type"]): r["n"] for r in out.collect()}
+    assert got[("2024-01-01 00:00:00", "a")] == 2
+    assert got[("2024-01-01 01:00:00", "b")] == 1
+
+
+def test_streaming_transition_counts(spark, rng, tmpdir):
+    from deeptime_spark.data.schema import dtraj_from_arrays
+    from deeptime_spark.markov.transition_counting import TransitionCountEstimator
+
+    dtrajs = [rng.integers(0, 3, size=300) for _ in range(2)]
+    batch_df = dtraj_from_arrays(spark, dtrajs)
+    C_batch = TransitionCountEstimator(lagtime=1).fit(batch_df).fetch_model().count_matrix
+
+    batch_df.coalesce(1).write.parquet(tmpdir + "/data")
+    stream = spark.readStream.schema(batch_df.schema).parquet(tmpdir + "/data")
+    out = streaming_transition_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdir + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT s_from, s_to, sum(n) AS n FROM tc_stream GROUP BY 1, 2").collect()
+    C_stream = np.zeros_like(C_batch)
+    for r in rows:
+        C_stream[r["s_from"], r["s_to"]] = r["n"]
+    np.testing.assert_allclose(C_stream, C_batch, atol=1e-9)
