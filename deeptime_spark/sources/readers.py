@@ -1,0 +1,67 @@
+"""Trajectory sources/sinks over Spark's native readers.
+
+The trajectory schema (traj_id, t, x: array<double>) is the engine's
+fundamental abstraction (SURVEY.md §1.1); these helpers normalize the
+common storage layouts into it:
+
+- parquet with a ready array column (zero-copy pass-through),
+- CSV/JSON with wide feature columns f0..fd (packed into the array with
+  one select — Catalyst prunes unused columns at the scan).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _pack(df: DataFrame, feature_cols: Sequence[str], traj_col: str, time_col: str) -> DataFrame:
+    return df.select(
+        F.col(traj_col).cast("long").alias("traj_id"),
+        F.col(time_col).cast("long").alias("t"),
+        F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("x"),
+    )
+
+
+def read_trajectories_parquet(
+    spark: SparkSession, path: str, x_col: str = "x",
+    traj_col: str = "traj_id", time_col: str = "t",
+) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(
+        F.col(traj_col).cast("long").alias("traj_id"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(x_col).cast("array<double>").alias("x"),
+    )
+
+
+def read_trajectories_csv(
+    spark: SparkSession, path: str, feature_cols: Optional[Sequence[str]] = None,
+    traj_col: str = "traj_id", time_col: str = "t", **options,
+) -> DataFrame:
+    df = spark.read.csv(path, header=True, inferSchema=True, **options)
+    if feature_cols is None:
+        feature_cols = [c for c in df.columns if c not in (traj_col, time_col)]
+    return _pack(df, feature_cols, traj_col, time_col)
+
+
+def read_trajectories_json(
+    spark: SparkSession, path: str, feature_cols: Optional[Sequence[str]] = None,
+    traj_col: str = "traj_id", time_col: str = "t", **options,
+) -> DataFrame:
+    df = spark.read.json(path, **options)
+    if feature_cols is None:
+        feature_cols = [c for c in df.columns if c not in (traj_col, time_col)]
+    return _pack(df, feature_cols, traj_col, time_col)
+
+
+def write_trajectories_parquet(df: DataFrame, path: str, partition_by_traj: bool = True) -> None:
+    """Sink: partitioning by traj_id co-locates each trajectory so every
+    downstream per-trajectory window runs shuffle-free after a bucketed
+    read — the layout you want at 100 TB."""
+    writer = df.write.mode("overwrite")
+    if partition_by_traj:
+        writer = writer.partitionBy("traj_id")
+    writer.parquet(path)
