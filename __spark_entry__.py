@@ -532,6 +532,62 @@ def _q_tica_events(spark, sf_dir):
     )
 
 
+def _q_event_two_step_counts(spark, sf_dir):
+    from deeptime_spark.markov.transition_counting import two_step_counts_df
+
+    traj = _event_traj(spark, sf_dir)
+    return two_step_counts_df(traj, lagtime=1).select(
+        "s0", "s1", "s2", F.col("n").cast("long").alias("n")
+    )
+
+
+def _q_event_weighted_counts(spark, sf_dir):
+    """Girsanov-reweighted transition counts with a value-derived path
+    weight (log-window-sum + exp + weighted groupBy)."""
+    from deeptime_spark.markov.counting_extras import girsanov_reweighted_counts_df
+
+    traj = _event_traj(spark, sf_dir).withColumn(
+        "weight", F.lit(1.0) + F.col("value") / 1000.0
+    )
+    out = girsanov_reweighted_counts_df(traj, lagtime=2)
+    return out.select("s_from", "s_to", F.round("n", 6).alias("n"))
+
+
+def _q_embedding_whiten(spark, sf_dir):
+    """64-d whitening: exercises BOTH Arrow paths (mapInPandas moments
+    aggregation at d>24 and the Arrow BLAS projection)."""
+    from deeptime_spark.covariance import Covariance
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cov = Covariance(lagtime=0).fit_fetch(emb)
+    out = cov.whiten().transform(emb)
+    return out.select("vec_id", F.col("y")[0].alias("w0"), F.col("y")[1].alias("w1"))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing over documents-as-binary-payloads: Arrow-batched
+    decode/feature-extract (deterministic fake — container has no codecs)."""
+    from deeptime_spark.operators.multimodal import extract_features, media_from_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    out = extract_features(media, dim=8)
+    return out.select("media_id", F.size("feature").cast("long").alias("feat_dim"))
+
+
+def _q_dedup_verified_pairs(spark, sf_dir):
+    """Full near-dup pipeline: MinHash LSH candidates -> exact n-gram
+    Jaccard verification inside the candidate set only."""
+    from deeptime_spark.operators.dedup import minhash_lsh_candidates, verify_candidates_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8)
+    out = verify_candidates_jaccard(cands, docs, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_hmm_viterbi_events(spark, sf_dir):
     """2-hidden-state HMM over the 5-symbol event dtraj: distributed
     Baum-Welch (applyInPandas E-step) then per-trajectory viterbi decode."""
@@ -582,9 +638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_blocksplit": _q_event_blocksplit,
         # moments (operators/moments.py plan shape)
         "event_moments": _q_event_moments,
-        # markov counting (markov/transition_counting.py)
+        # markov counting (markov/transition_counting.py, counting_extras.py)
         "event_transition_counts": _q_event_transition_counts,
         "event_state_histogram": _q_event_state_histogram,
+        "event_two_step_counts": _q_event_two_step_counts,
+        "event_weighted_counts": _q_event_weighted_counts,
         # stats (operators/stats.py)
         "event_box": _q_event_box,
         "event_histogram2d": _q_event_histogram2d,
@@ -601,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tica_events": _q_tica_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
+        "embedding_whiten": _q_embedding_whiten,
+        "multimodal_features": _q_multimodal_features,
+        "dedup_verified_pairs": _q_dedup_verified_pairs,
     }
 
 
@@ -780,6 +841,31 @@ GROUP BY s_from, s_to
         "event_state_histogram": f"""
 WITH {_TRAJ_CTE}
 SELECT state, count(*) AS n FROM traj GROUP BY state
+""",
+        "event_two_step_counts": f"""
+WITH {_TRAJ_CTE}, steps AS (
+  SELECT state AS s0,
+         lead(state, 1) OVER w AS s1,
+         lead(state, 2) OVER w AS s2
+  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT s0, s1, s2, count(*) AS n FROM steps
+WHERE s1 IS NOT NULL AND s2 IS NOT NULL AND s0 >= 0 AND s1 >= 0 AND s2 >= 0
+GROUP BY s0, s1, s2
+""",
+        "event_weighted_counts": f"""
+WITH {_TRAJ_CTE}, wtraj AS (
+  SELECT traj_id, t, state, 1.0 + value / 1000.0 AS weight FROM traj
+), pairs AS (
+  SELECT state AS s_from,
+         lead(state, 2) OVER w AS s_to,
+         exp(sum(ln(weight)) OVER (PARTITION BY traj_id ORDER BY t
+                                   ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)) AS pw
+  FROM wtraj WINDOW w AS (PARTITION BY traj_id ORDER BY t)
+)
+SELECT s_from, s_to, round(sum(pw), 6) AS n FROM pairs
+WHERE s_to IS NOT NULL AND s_from >= 0 AND s_to >= 0
+GROUP BY s_from, s_to
 """,
         "event_box": f"""
 WITH {_TRAJ_CTE}

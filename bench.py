@@ -42,9 +42,14 @@ HEADLINE = [
     "event_transition_counts",
     "event_sessions",
     "event_histogram2d",
+    "event_two_step_counts",
+    "event_weighted_counts",
+    "dedup_verified_pairs",
     # estimator pipelines
     "tica_events",
     "kmeans_embeddings",
+    "embedding_whiten",
+    "hmm_viterbi_events",
 ]
 
 

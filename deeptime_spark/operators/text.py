@@ -122,6 +122,22 @@ def shingles(text_col: str | Column = "text", k: int = 5) -> Column:
     return F.when(F.length(norm) < k, F.array(norm)).otherwise(grams)
 
 
+def word_ngrams(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram array via ONE codegen regex pass with an
+    overlapping-capture lookahead (same trick as ``shingles`` — the
+    token-slice formulation pays n interpreted HOF passes). Texts with
+    fewer than n tokens yield the whole normalized text as a single gram
+    (matching the slice formulation's edge behavior)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    # (?<!\S) anchors gram starts at word boundaries — without it the
+    # lookahead also fires mid-word on every character position
+    pattern = r"(?<!\S)(?=(" + r"\S+ " * (n - 1) + r"\S+))"
+    grams = F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
+    n_tok = F.size(F.split(norm, " "))
+    return F.when(n_tok < n, F.array(norm)).otherwise(grams)
+
+
 def fingerprint(text_col: str | Column = "text", k: int = 5, n: int = 8) -> Column:
     """Bottom-n sketch of shingle hashes — a deterministic document
     fingerprint (winnowing-style content signature): the n smallest
