@@ -32,12 +32,18 @@ def _pairwise_sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
 
 
 class ClusterModel(Model, Transformer):
-    """Cluster centers + metric; ``transform`` adds a ``state`` column."""
+    """Cluster centers + metric; ``transform`` adds a ``state`` column.
+
+    ``metric`` is any name in the clustering MetricRegistry
+    (metrics.py — euclidean/manhattan/chebyshev/cosine built in, numpy
+    plugins registrable); the registry replaces the reference's C-plugin
+    API (documented deviation)."""
 
     def __init__(self, cluster_centers: np.ndarray, metric: str = "euclidean", converged: bool = True):
-        if metric not in ("euclidean",):
-            raise ValueError(f"unsupported metric {metric!r} (euclidean only in v1; "
-                             "reference MetricRegistry C-plugins are a documented deviation)")
+        from deeptime_spark.clustering.metrics import metrics
+
+        if metric not in metrics:
+            raise ValueError(f"unsupported metric {metric!r}; available: {metrics.available}")
         self.cluster_centers = np.asarray(cluster_centers, dtype=np.float64)
         self.metric = metric
         self.converged = converged
@@ -47,13 +53,19 @@ class ClusterModel(Model, Transformer):
         return self.cluster_centers.shape[0]
 
     def transform(self, df: DataFrame, x_col: str = "x", out_col: str = "state") -> DataFrame:
+        from deeptime_spark.clustering.metrics import metrics
+
         centers = self.cluster_centers
+        if self.metric == "euclidean":
+            pairwise = _pairwise_sq_dists  # argmin-equivalent, no sqrt
+        else:
+            pairwise = metrics[self.metric]
 
         @F.pandas_udf(IntegerType())
         def assign(xs: pd.Series) -> pd.Series:
             X = np.stack(xs.to_numpy())
-            d2 = _pairwise_sq_dists(X, centers)
-            return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+            d = pairwise(X, centers)
+            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
         return df.withColumn(out_col, assign(F.col(x_col)))
 

@@ -119,3 +119,42 @@ def test_full_pipeline_tica_kmeans_msm(spark, rng):
     # lambda_2 = 1 - 2p = 0.96 per step -> t2 = -1/ln(0.96) ~ 24.5 steps
     t2 = msm.timescales(1)[0]
     assert 15 < t2 < 40
+
+
+def test_metric_registry_assignment(spark):
+    from deeptime_spark.clustering.cluster_model import ClusterModel
+    from deeptime_spark.clustering.metrics import metrics, minkowski
+
+    rng = np.random.default_rng(8)
+    centers = rng.normal(size=(4, 3)) + 1.0
+    X = rng.normal(size=(40, 3))
+    df = spark.createDataFrame([(i, x.tolist()) for i, x in enumerate(X)], ["i", "x"])
+
+    def expected(metric_fn):
+        return np.argmin(metric_fn(X, centers), axis=1)
+
+    cases = {
+        "euclidean": lambda A, C: np.linalg.norm(A[:, None] - C[None], axis=-1),
+        "manhattan": lambda A, C: np.abs(A[:, None] - C[None]).sum(-1),
+        "chebyshev": lambda A, C: np.abs(A[:, None] - C[None]).max(-1),
+        "cosine": lambda A, C: 1.0
+        - (A @ C.T)
+        / (np.linalg.norm(A, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)[None]),
+    }
+    for metric, fn in cases.items():
+        got = {
+            r["i"]: r["state"]
+            for r in ClusterModel(centers, metric=metric).transform(df).collect()
+        }
+        np.testing.assert_array_equal(
+            [got[i] for i in range(len(X))], expected(fn), err_msg=metric
+        )
+    # user-registered plugin metric
+    metrics.register("mink3", minkowski(3.0))
+    got = {
+        r["i"]: r["state"] for r in ClusterModel(centers, metric="mink3").transform(df).collect()
+    }
+    exp = np.argmin(np.power(np.abs(X[:, None] - centers[None]) ** 3, 1).sum(-1), axis=1)
+    np.testing.assert_array_equal([got[i] for i in range(len(X))], exp)
+    with pytest.raises(ValueError, match="unsupported metric"):
+        ClusterModel(centers, metric="nope")
