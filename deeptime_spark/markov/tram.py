@@ -1,0 +1,276 @@
+"""TRAM — transition-based reweighting analysis method.
+
+Reference: ``TRAM``/``TRAMDataset``/``TRAMModel``
+(/root/reference/src/deeptime/markov/msm/tram/_tram.py:49-267,
+_tram_dataset.py:90-579, _tram_model.py:11-318; C++ update equations in
+tram.h:316-470; Wu et al., "Multiensemble Markov models of molecular
+thermodynamics and kinetics", PNAS 113 (2016) E3221 — the self-consistent
+equations implemented here are the published ones).
+
+Spark/driver split (SURVEY.md §7.4.5): Spark computes the per-ensemble
+transition counts, state counts, and collects the per-state bias-energy
+sample blocks; the self-consistent iteration runs on the driver in
+vectorized log-space numpy. This is the documented scale-limited v1 path —
+the per-sample logsumexp updates are one grouped aggregation per iteration
+and can move onto Spark (logsumexp aggregate) when sample sets outgrow the
+driver.
+
+Data model: DataFrame (therm_state, traj_id, t, state, bias: array<double>
+of length n_therm_states) — bias[k] is the configuration's bias energy
+evaluated in ensemble k (units of kT).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deeptime_spark.base import Estimator, Model
+
+
+def _logsumexp(a: np.ndarray, axis=None) -> np.ndarray:
+    amax = np.max(a, axis=axis, keepdims=True)
+    amax = np.where(np.isfinite(amax), amax, 0.0)
+    out = np.log(np.sum(np.exp(a - amax), axis=axis)) + np.squeeze(amax, axis=axis)
+    return out
+
+
+def _logaddexp(a, b):
+    return np.logaddexp(a, b)
+
+
+class TRAMModel(Model):
+    """TRAM result (reference _tram_model.py:11-318): biased conformation
+    energies f_i^k, therm-state energies f^k, unbiased Markov state
+    energies f_i, and per-ensemble transition matrices."""
+
+    def __init__(self, biased_conf_energies, lagrangian_mult_log, modified_state_counts_log,
+                 therm_state_energies, markov_state_energies, transition_matrices, lagtime=1):
+        self.biased_conf_energies = biased_conf_energies
+        self.lagrangian_mult_log = lagrangian_mult_log
+        self.modified_state_counts_log = modified_state_counts_log
+        self.therm_state_energies = therm_state_energies
+        self.markov_state_energies = markov_state_energies
+        self.transition_matrices = transition_matrices
+        self.lagtime = lagtime
+
+    @property
+    def n_therm_states(self) -> int:
+        return self.biased_conf_energies.shape[0]
+
+    @property
+    def n_markov_states(self) -> int:
+        return self.biased_conf_energies.shape[1]
+
+    @property
+    def stationary_distribution(self) -> np.ndarray:
+        """Unbiased stationary vector pi_i = exp(-f_i)."""
+        p = np.exp(-self.markov_state_energies)
+        return p / p.sum()
+
+    def msm(self, therm_state: int):
+        from deeptime_spark.markov.msm import MarkovStateModel
+
+        return MarkovStateModel(self.transition_matrices[therm_state], lagtime=self.lagtime)
+
+
+class TRAM(Estimator):
+    """ctor mirrors the reference (_tram.py:49-130): lagtime, maxiter,
+    maxerr, track_log_likelihoods, callback_interval (progress omitted)."""
+
+    def __init__(self, lagtime: int = 1, count_mode: str = "sliding", maxiter: int = 1000,
+                 maxerr: float = 1e-8, state_col: str = "state", therm_col: str = "therm_state",
+                 bias_col: str = "bias"):
+        super().__init__()
+        if count_mode != "sliding":
+            raise ValueError("v1 supports count_mode='sliding'")
+        self.lagtime = lagtime
+        self.maxiter = maxiter
+        self.maxerr = maxerr
+        self.state_col = state_col
+        self.therm_col = therm_col
+        self.bias_col = bias_col
+
+    # ------------------------------------------------------- Spark stages
+
+    def _collect_inputs(self, df: DataFrame):
+        sc, tc, bc = self.state_col, self.therm_col, self.bias_col
+        w = Window.partitionBy(tc, "traj_id").orderBy("t")
+        pairs = (
+            df.withColumn("_s_to", F.lead(sc, self.lagtime).over(w))
+            .where(F.col("_s_to").isNotNull() & (F.col(sc) >= 0) & (F.col("_s_to") >= 0))
+            .groupBy(F.col(tc).alias("k"), F.col(sc).alias("i"), F.col("_s_to").alias("j"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        scounts = (
+            df.where(F.col(sc) >= 0)
+            .groupBy(F.col(tc).alias("k"), F.col(sc).alias("i"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        samples = df.where(F.col(sc) >= 0).select(F.col(sc).alias("i"), F.col(bc)).collect()
+        K = max(r["k"] for r in scounts) + 1
+        N = max(r["i"] for r in scounts) + 1
+        C = np.zeros((K, N, N))
+        for r in pairs:
+            C[r["k"], r["i"], r["j"]] = r["n"]
+        state_counts = np.zeros((K, N))
+        for r in scounts:
+            state_counts[r["k"], r["i"]] = r["n"]
+        bias_by_state = [[] for _ in range(N)]
+        for r in samples:
+            bias_by_state[r["i"]].append(r[bc])
+        bias_by_state = [np.array(b) if b else np.zeros((0, K)) for b in bias_by_state]
+        return C, state_counts, bias_by_state
+
+    # ------------------------------------------------------ driver updates
+
+    @staticmethod
+    def _update_lagrangian_mult(C, state_counts, f, log_v):
+        """tram.h:323-369: new log nu_i^k = logsumexp_j log(C+C^T)_ij -
+        log(1 + exp(log nu_j - f_i - log nu_i + f_j)); diagonal keeps
+        log(C_ii)."""
+        K, N, _ = C.shape
+        new_log_v = np.full((K, N), -np.inf)
+        for k in range(K):
+            Csym = C[k] + C[k].T
+            with np.errstate(divide="ignore"):
+                diag_term = np.log(np.diag(C[k]))
+            expo = (log_v[k][None, :] - f[k][:, None]) - (log_v[k][:, None] - f[k][None, :])
+            divisor = _logaddexp(expo, 0.0)
+            with np.errstate(divide="ignore"):
+                terms = np.where(Csym > 0, np.log(np.maximum(Csym, 1e-300)) - divisor, -np.inf)
+            np.fill_diagonal(terms, diag_term)
+            has = state_counts[k] > 0
+            new_log_v[k, has] = _logsumexp(terms[has], axis=1)
+        return new_log_v
+
+    @staticmethod
+    def _update_state_counts(C, state_counts, f, log_v):
+        """tram.h:407-470: modified state counts log R_i^k."""
+        K, N, _ = C.shape
+        mod = np.full((K, N), -np.inf)
+        for k in range(K):
+            Csym = C[k] + C[k].T
+            with np.errstate(divide="ignore"):
+                diag_term = np.log(np.diag(C[k])) + f[k]
+            divisor = _logaddexp(
+                log_v[k][None, :] - f[k][:, None], log_v[k][:, None] - f[k][None, :]
+            )
+            with np.errstate(divide="ignore"):
+                terms = np.where(
+                    Csym > 0,
+                    np.log(np.maximum(Csym, 1e-300)) + log_v[k][None, :] - divisor,
+                    -np.inf,
+                )
+            np.fill_diagonal(terms, diag_term)
+            in_counts = C[k].sum(axis=0)
+            NC = state_counts[k] - in_counts
+            with np.errstate(divide="ignore"):
+                extra = np.where(NC > 0, np.log(np.maximum(NC, 1e-300)) + f[k], -np.inf)
+            has = state_counts[k] > 0
+            mod[k, has] = _logaddexp(_logsumexp(terms[has], axis=1), extra[has])
+        return mod
+
+    @staticmethod
+    def _update_biased_conf_energies(bias_by_state, mod):
+        """tram.h:371-405: f_i^k = -logsumexp_x -(divisor_x + b_x^k) with
+        divisor_x = logsumexp_k(log R_i^k - b_x^k); vectorized per Markov
+        state over its sample block."""
+        K, N = mod.shape
+        f_new = np.full((K, N), np.inf)
+        for i in range(N):
+            B = bias_by_state[i]  # (n_i, K)
+            if len(B) == 0:
+                continue
+            with np.errstate(invalid="ignore"):
+                divisor = _logsumexp(mod[:, i][None, :] - B, axis=1)  # (n_i,)
+            # f[k, i] = -logsumexp_x (-(divisor_x + B[x, k]))
+            f_new[:, i] = -_logsumexp(-(divisor[:, None] + B), axis=0)
+        return f_new
+
+    @staticmethod
+    def _transition_matrices(C, f, log_v):
+        """tram.h computeTransitionMatrices."""
+        K, N, _ = C.shape
+        T = np.zeros((K, N, N))
+        for k in range(K):
+            Csym = C[k] + C[k].T
+            divisor = _logaddexp(
+                log_v[k][None, :] - f[k][:, None], log_v[k][:, None] - f[k][None, :]
+            )
+            with np.errstate(invalid="ignore", over="ignore"):
+                Tk = np.where(Csym > 0, Csym * np.exp(-(f[k][None, :] + divisor)), 0.0)
+            np.fill_diagonal(Tk, np.where(np.diag(Csym) > 0, 0.5 * np.diag(Csym) * np.exp(-log_v[k]), 0.0))
+            rowsums = Tk.sum(axis=1) - np.diag(Tk)
+            scratch = rowsums + np.diag(Tk)
+            max_sum = scratch.max() if scratch.max() > 0 else 1.0
+            Tk = Tk / max_sum
+            np.fill_diagonal(Tk, (np.diag(Tk) * max_sum + max_sum - scratch) / max_sum)
+            T[k] = Tk
+        return T
+
+    # --------------------------------------------------------------- fit
+
+    def fit(self, df: DataFrame) -> "TRAM":
+        C, state_counts, bias_by_state = self._collect_inputs(df)
+        K, N = state_counts.shape
+        f = np.zeros((K, N))
+        with np.errstate(divide="ignore"):
+            log_v = np.log(np.maximum(0.5 * (C + C.transpose(0, 2, 1)).sum(axis=2), 1e-300))
+        log_v[state_counts == 0] = -np.inf
+        therm_energies = -_logsumexp(-f, axis=1)
+        stat_vectors = np.exp(therm_energies[:, None] - f)
+        mod = self._update_state_counts(C, state_counts, f, log_v)
+        increments = []
+        for it in range(self.maxiter):
+            log_v = self._update_lagrangian_mult(C, state_counts, f, log_v)
+            mod = self._update_state_counts(C, state_counts, f, log_v)
+            f = self._update_biased_conf_energies(bias_by_state, mod)
+            # energy shift to prevent drift (tram.h shiftEnergies...)
+            shift = np.min(f[np.isfinite(f)])
+            f -= shift
+            new_therm = -_logsumexp(-f, axis=1)
+            new_stat = np.exp(new_therm[:, None] - f)
+            err = max(
+                float(np.max(np.abs(new_therm - therm_energies))),
+                float(np.max(np.abs(new_stat - stat_vectors))),
+            )
+            therm_energies, stat_vectors = new_therm, new_stat
+            increments.append(err)
+            if err < self.maxerr:
+                break
+        # final energies + normalization (tram.h:486-576)
+        markov_energies = self._markov_state_energies(bias_by_state, mod, N)
+        f0 = -_logsumexp(-markov_energies)
+        markov_energies -= f0
+        f -= f0
+        therm_energies = -_logsumexp(-f, axis=1)
+        mod = self._update_state_counts(C, state_counts, f, log_v)
+        T = self._transition_matrices(C, f, log_v)
+        self._model = TRAMModel(
+            biased_conf_energies=f,
+            lagrangian_mult_log=log_v,
+            modified_state_counts_log=mod,
+            therm_state_energies=therm_energies,
+            markov_state_energies=markov_energies,
+            transition_matrices=T,
+            lagtime=self.lagtime,
+        )
+        return self
+
+    @staticmethod
+    def _markov_state_energies(bias_by_state, mod, N):
+        """tram.h updateMarkovStateEnergies: f_i = -logsumexp_x -divisor_x."""
+        out = np.full(N, np.inf)
+        for i in range(N):
+            B = bias_by_state[i]
+            if len(B) == 0:
+                continue
+            divisor = _logsumexp(mod[:, i][None, :] - B, axis=1)
+            out[i] = -_logsumexp(-divisor)
+        return out
