@@ -171,6 +171,30 @@ class Covariance(Estimator):
         return self._model
 
 
+def covar(df: DataFrame, remove_mean: bool = True, bessels_correction: bool = True,
+          x_col: str = "x") -> np.ndarray:
+    """One-shot instantaneous covariance (reference covar convenience,
+    covariance/util/_moments.py:985)."""
+    model = Covariance(
+        lagtime=0, compute_c00=True, remove_data_mean=remove_mean,
+        bessels_correction=bessels_correction, x_col=x_col,
+    ).fit_fetch(df)
+    return model.cov_00
+
+
+def covars(df: DataFrame, lagtime: int, remove_mean: bool = True,
+           bessels_correction: bool = True, symmetrize: bool = False,
+           x_col: str = "x"):
+    """One-shot (C00, C0t) pair at a lag (reference covars convenience,
+    _moments.py:1034). One Spark pass."""
+    model = Covariance(
+        lagtime=lagtime, compute_c00=True, compute_c0t=True, compute_ctt=symmetrize,
+        remove_data_mean=remove_mean, bessels_correction=bessels_correction,
+        reversible=symmetrize, x_col=x_col,
+    ).fit_fetch(df)
+    return model.cov_00, model.cov_0t
+
+
 class KoopmanWeightingEstimator(Estimator):
     """Koopman reweighting (reference: _covariance.py:526-767).
 

@@ -138,6 +138,48 @@ class CovarianceKoopmanModel(TransferOperatorModel):
         self.scaling = scaling
         self.epsilon = epsilon
 
+    def expectation(self, observables: np.ndarray, statistics: Optional[np.ndarray] = None,
+                    lag_multiple: int = 1, observables_mean_free: bool = False,
+                    statistics_mean_free: bool = False) -> np.ndarray:
+        """Future expectation / time-lagged covariance prediction at a
+        multiple of the estimation lagtime (reference _koopman.py:489-611):
+        E[g]_{rho_n} = q^T P^{n-1} e_1 with P built from the singular triple
+        and the test covariances; cov[g, f; n tau] = q^T P^{n-1} Sigma r.
+        Integer ``lag_multiple`` only (fractional powers need scipy)."""
+        if lag_multiple <= 0:
+            raise ValueError("lag_multiple must be positive")
+        observables = np.atleast_2d(np.asarray(observables, dtype=np.float64))
+        if observables.shape[0] == 1:
+            observables = observables.T
+        dim = self.output_dimension
+        S = np.diag(np.concatenate(([1.0], self.singular_values[:dim])))
+        U = self.U[:, :dim]
+        V = self.V[:, :dim]
+        m_0, m_t = self.mean_0, self.mean_t
+        cov_00, cov_tt = self.cov.cov_00, self.cov.cov_tt
+        if lag_multiple == 1:
+            P = S
+        else:
+            p = np.zeros((dim + 1, dim + 1))
+            p[0, 0] = 1.0
+            p[1:, 0] = U.T @ (m_t - m_0)
+            p[1:, 1:] = U.T @ cov_tt @ V
+            P = np.linalg.matrix_power(S @ p, lag_multiple - 1) @ S
+        Q = np.zeros((observables.shape[1], dim + 1))
+        if not observables_mean_free:
+            Q[:, 0] = observables.T @ m_t
+        Q[:, 1:] = observables.T @ cov_tt @ V
+        if statistics is not None:
+            statistics = np.atleast_2d(np.asarray(statistics, dtype=np.float64))
+            if statistics.shape[0] == 1:
+                statistics = statistics.T
+            R = np.zeros((statistics.shape[1], dim + 1))
+            if not statistics_mean_free:
+                R[:, 0] = statistics.T @ m_0
+            R[:, 1:] = statistics.T @ cov_00 @ U
+            return Q @ P @ R.T
+        return (Q @ P)[:, 0]
+
     @property
     def timescales(self) -> np.ndarray:
         """-tau / ln|sigma| with infinite timescale for sigma >= 1

@@ -1,0 +1,61 @@
+"""covar/covars conveniences, logsumexp aggregates, Koopman expectation."""
+
+import numpy as np
+
+from deeptime_spark.data.schema import trajectory_from_arrays
+
+
+def test_covar_covars_conveniences(spark, rng):
+    from deeptime_spark.covariance import covar, covars
+
+    data = [rng.normal(size=(800, 3)) for _ in range(2)]
+    df = trajectory_from_arrays(spark, data)
+    C = covar(df)
+    X = np.concatenate(data)
+    np.testing.assert_allclose(C, np.cov(X.T, ddof=1), rtol=1e-9)
+    c00, c0t = covars(df, lagtime=2)
+    assert c00.shape == (3, 3) and c0t.shape == (3, 3)
+    # instantaneous part of the lagged pass matches within pair-truncation
+    np.testing.assert_allclose(c00, C, atol=0.05)
+
+
+def test_logsumexp_aggregates(spark, rng):
+    from deeptime_spark.operators.aggregates import grouped_logsumexp, logsumexp
+
+    vals = rng.normal(loc=0, scale=50, size=500)  # big spread: naive exp overflows
+    groups = rng.integers(0, 3, size=500)
+    df = spark.createDataFrame(
+        [(int(g), float(v)) for g, v in zip(groups, vals)], ["g", "v"]
+    )
+    got = {r["g"]: r["logsumexp"] for r in grouped_logsumexp(df, "v", ["g"]).collect()}
+    for g in range(3):
+        x = vals[groups == g]
+        m = x.max()
+        expected = m + np.log(np.sum(np.exp(x - m)))
+        assert abs(got[g] - expected) < 1e-9
+    m = vals.max()
+    assert abs(logsumexp(df, "v") - (m + np.log(np.sum(np.exp(vals - m))))) < 1e-9
+
+
+def test_koopman_expectation_lag_multiple(spark, rng):
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    # AR(1): observable expectation relaxes toward the stationary mean
+    trajs = []
+    for _ in range(4):
+        x = np.zeros((2000, 2)) + 3.0  # start away from equilibrium mean 0
+        for t in range(1, 2000):
+            x[t] = 0.9 * x[t - 1] + 0.44 * rng.normal(size=2)
+        trajs.append(x)
+    df = trajectory_from_arrays(spark, trajs)
+    model = VAMP(lagtime=1).fit(df).fetch_model()
+    obs = np.array([[1.0], [0.0]])  # first coordinate
+    e1 = model.expectation(obs, lag_multiple=1)
+    e5 = model.expectation(obs, lag_multiple=5)
+    assert np.isfinite(e1).all() and np.isfinite(e5).all()
+    # covariance prediction at lag multiples decays for a mixing process
+    cov1 = model.expectation(obs, statistics=obs, lag_multiple=1, observables_mean_free=True,
+                             statistics_mean_free=True)
+    cov8 = model.expectation(obs, statistics=obs, lag_multiple=8, observables_mean_free=True,
+                             statistics_mean_free=True)
+    assert abs(cov8[0, 0]) < abs(cov1[0, 0])
