@@ -21,3 +21,7 @@ __all__ = [
     "init_gaussian_from_data",
     "random_guess",
 ]
+
+from deeptime_spark.hmm.bayesian_hmm import BayesianHMM, BayesianHMMPosterior, ffbs_sample_path
+
+__all__ += ["BayesianHMM", "BayesianHMMPosterior", "ffbs_sample_path"]

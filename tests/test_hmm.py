@@ -135,3 +135,33 @@ def test_lag_observations_df_semantics(spark):
         subs.setdefault(r["traj_id"], []).append((r["t"], r["state"]))
     seqs = sorted(tuple(s for _, s in sorted(v)) for v in subs.values())
     assert seqs == [(0, 3, 6, 9), (1, 4, 7), (2, 5, 8)]
+
+
+def test_bayesian_hmm_posterior(spark, discrete_ground_truth):
+    from deeptime_spark.hmm import BayesianHMM, MaximumLikelihoodHMM, init_discrete_metastable_from_data
+
+    hmm = discrete_ground_truth
+    dtrajs = []
+    for seed in range(4):
+        _, obs = hmm.simulate(1500, seed=200 + seed)
+        dtrajs.append(obs.astype(int))
+    df = dtraj_from_arrays(spark, dtrajs)
+    init = init_discrete_metastable_from_data(df, n_hidden_states=2, lagtime=1)
+    mlhmm = MaximumLikelihoodHMM(init, lagtime=1, maxit=30).fit(df).fetch_model()
+    posterior = BayesianHMM(mlhmm, n_samples=15, seed=5).fit(df).fetch_model()
+    assert len(posterior.samples) == 15
+    stats = posterior.gather_stats("transition_matrix")
+    B = posterior.samples[0].output_model.output_probabilities
+    perm = [0, 1] if B[0, 0] > B[1, 0] else [1, 0]
+    # posterior mean of T near the ground truth (up to permutation)
+    np.testing.assert_allclose(
+        stats["mean"][np.ix_(perm, perm)], hmm.transition_matrix, atol=0.08
+    )
+    # nontrivial posterior spread with CI covering the truth
+    assert np.all(stats["std"] > 0)
+    T_true = hmm.transition_matrix
+    assert np.all(stats["L"][np.ix_(perm, perm)] <= T_true + 0.05)
+    assert np.all(T_true - 0.05 <= stats["R"][np.ix_(perm, perm)])
+    # every sample is a valid stochastic matrix
+    for s in posterior.samples:
+        np.testing.assert_allclose(s.transition_matrix.sum(axis=1), 1.0, atol=1e-8)
