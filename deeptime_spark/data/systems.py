@@ -38,13 +38,14 @@ class System:
     (data/_systems.py:8-287)."""
 
     def __init__(self, f: Callable, dim: int, sigma: Optional[np.ndarray], h: float, n_steps: int,
-                 energy: Optional[Callable] = None):
+                 energy: Optional[Callable] = None, time_dependent: bool = False):
         self.f = f
         self.dim = dim
         self.sigma = None if sigma is None else np.atleast_2d(np.asarray(sigma, dtype=np.float64))
         self.h = float(h)
         self.n_steps = int(n_steps)
         self._energy = energy
+        self.time_dependent = time_dependent
 
     @property
     def has_potential_function(self) -> bool:
@@ -55,20 +56,28 @@ class System:
             raise ValueError("system has no potential function")
         return np.apply_along_axis(self._energy, -1, np.atleast_2d(np.asarray(x, dtype=np.float64)))
 
-    def _step_block(self, x: np.ndarray, rng: Optional[np.random.Generator]) -> np.ndarray:
+    def _step_block(self, x: np.ndarray, rng: Optional[np.random.Generator], t0: float) -> np.ndarray:
         """n_steps integrator sub-steps from state x (one recorded frame)."""
         h = self.h
+        if self.time_dependent:
+            f = self.f
+        else:
+            def f(t, y):
+                return self.f(y)
+        t = t0
         if self.sigma is None:
             for _ in range(self.n_steps):
-                k1 = self.f(x)
-                k2 = self.f(x + 0.5 * h * k1)
-                k3 = self.f(x + 0.5 * h * k2)
-                k4 = self.f(x + h * k3)
+                k1 = f(t, x)
+                k2 = f(t + 0.5 * h, x + 0.5 * h * k1)
+                k3 = f(t + 0.5 * h, x + 0.5 * h * k2)
+                k4 = f(t + h, x + h * k3)
                 x = x + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+                t += h
         else:
             sqh = np.sqrt(h)
             for _ in range(self.n_steps):
-                x = x + h * self.f(x) + sqh * (self.sigma @ rng.normal(size=self.dim))
+                x = x + h * f(t, x) + sqh * (self.sigma @ rng.normal(size=self.dim))
+                t += h
         return x
 
     def trajectory(self, x0, length: int, seed: int = 42) -> np.ndarray:
@@ -78,7 +87,7 @@ class System:
         out = np.empty((length, self.dim))
         out[0] = x
         for t in range(1, length):
-            x = self._step_block(x, rng)
+            x = self._step_block(x, rng, t0=(t - 1) * self.h * self.n_steps)
             out[t] = x
         return out
 
@@ -323,6 +332,62 @@ def thomas_attractor(b: float = 0.208186, h: float = 1e-2, n_steps: int = 100) -
         sigma=None,
         h=h,
         n_steps=n_steps,
+    )
+
+
+def bickley_jet(h: float = 1e-2, n_steps: int = 10) -> System:
+    """Bickley jet — idealized quasi-periodic zonal flow (reference
+    systems.h:135-180; Rypina et al. 2007): particles advect in the
+    time-dependent stream function with U0=5.4138, L0=1.77, r0=6.371,
+    three Rossby-wave perturbations. Positions are taken modulo the
+    [0, 20] x-period downstream, matching the periodic boundary."""
+    U0, L0, r0 = 5.4138, 1.77, 6.371
+    eps = np.array([0.075, 0.15, 0.3])
+    c = U0 * np.array([0.1446, 0.205, 0.461])
+    k = np.array([2.0, 4.0, 6.0]) / r0
+
+    def f(t, xv):
+        x = np.mod(xv[0], 20.0)
+        y = xv[1]
+        phase = np.exp(-1j * k * c * t) * np.exp(1j * k * x)
+        fc = np.sum(eps * phase)
+        df_dx = np.sum(eps * phase * 1j * k)
+        sech_y = 1.0 / np.cosh(y / L0)
+        s2 = sech_y * sech_y
+        return np.array(
+            [
+                U0 * s2 + 2.0 * U0 * np.tanh(y / L0) * s2 * fc.real,
+                U0 * L0 * s2 * df_dx.real,
+            ]
+        )
+
+    return System(f=f, dim=2, sigma=None, h=h, n_steps=n_steps, time_dependent=True)
+
+
+def time_dependent_quintuple_well(h: float = 1e-5, n_steps: int = 10000, beta: float = 5.0) -> System:
+    """Rotating five-well SDE (reference systems.h:415-456): wells orbit
+    with period 2 in a breathing ring potential; diffusion sqrt(2/beta)."""
+    s = 5.0
+
+    def f(t, xvec):
+        x, y = xvec[0], xvec[1]
+        r2 = x * x + y * y
+        r = np.sqrt(r2)
+        ang = np.arctan2(y, x)
+        common = -np.sin(2 * np.pi * t) + 2 * r - 3
+        fx = (s * y * np.sin(0.5 * np.pi * t - s * ang) - 10.0 * x * r * common) / r2
+        fy = -(s * x * np.sin(0.5 * np.pi * t - s * ang) + 10.0 * y * r * common) / r2
+        return np.array([fx, fy])
+
+    def energy(x, t=0.0):
+        term1 = np.cos(s * np.arctan2(x[1], x[0]) - 0.5 * np.pi * t)
+        term2 = np.sqrt(x[0] ** 2 + x[1] ** 2) - 1.5 - 0.5 * np.sin(2 * np.pi * t)
+        return term1 + 10 * term2 * term2
+
+    sig = np.sqrt(2.0 / beta)
+    return System(
+        f=f, dim=2, sigma=np.diag([sig, sig]), h=h, n_steps=n_steps,
+        energy=energy, time_dependent=True,
     )
 
 

@@ -137,3 +137,28 @@ def test_drunkards_walk_absorbing_and_barriers():
     # walk ends at an absorbing state or ran its course
     if len(path) < 500:
         assert end in ((0, 0), (7, 7))
+
+
+def test_bickley_jet_bounded_meander():
+    from deeptime_spark.data.systems import bickley_jet
+
+    sys = bickley_jet(h=1e-2, n_steps=10)
+    traj = sys.trajectory([0.0, 0.5], 300, seed=1)
+    # the flow keeps meridional excursions within the jet domain scale
+    assert np.all(np.abs(traj[:, 1]) < 4.0)
+    # deterministic flow: same result regardless of seed
+    traj2 = sys.trajectory([0.0, 0.5], 300, seed=99)
+    np.testing.assert_allclose(traj, traj2, atol=1e-12)
+    # zonal advection moves particles downstream
+    assert traj[-1, 0] > traj[0, 0] + 1.0
+
+
+def test_time_dependent_quintuple_well_stays_on_ring():
+    from deeptime_spark.data.systems import time_dependent_quintuple_well
+
+    sys = time_dependent_quintuple_well(h=1e-5, n_steps=500)
+    traj = sys.trajectory([1.5, 0.0], 300, seed=4)
+    r = np.linalg.norm(traj, axis=1)
+    # breathing ring keeps the particle near radius ~1.5 +- 0.5
+    assert np.all((r > 0.5) & (r < 2.8))
+    assert sys.has_potential_function
