@@ -86,6 +86,53 @@ def swissroll_model(n_samples: int, seed: Optional[int] = None):
     return dtraj, traj
 
 
+class DoubleWellDiscrete:
+    """Discretized 1-d double-well trajectory (reference
+    data/_datasets.py:14-28, _double_well.py): the bundled dataset is a
+    100k-step dtraj of a double-well diffusion discretized into 100 uniform
+    bins. The reference ships a fixed .npz; here the trajectory is
+    REGENERATED deterministically from the double-well SDE + box
+    discretization (documented deviation: statistically equivalent, not the
+    identical byte stream)."""
+
+    def __init__(self, n_steps: int = 100_000, seed: int = 42, n_bins: int = 100):
+        from deeptime_spark.data.systems import System
+
+        self.n_bins = n_bins
+        # classic 1-d double well dV/dx with V = (x^2-1)^2, kT tuned so
+        # both wells are visited within 100k steps
+        sys = System(
+            f=lambda x: np.array([-4.0 * x[0] ** 3 + 4.0 * x[0]]),
+            dim=1,
+            sigma=[[0.9]],
+            h=1e-2,
+            n_steps=10,
+            energy=lambda x: (x[0] ** 2 - 1.0) ** 2,
+        )
+        traj = sys.trajectory([1.0], n_steps, seed=seed)[:, 0]
+        lo, hi = -1.8, 1.8
+        bins = np.clip(((traj - lo) / (hi - lo) * n_bins).astype(int), 0, n_bins - 1)
+        self.trajectory = traj
+        self.dtraj = bins
+
+    @property
+    def dtraj_n6good(self) -> np.ndarray:
+        """6-state coarse version (reference exposes coarse groupings)."""
+        return (self.dtraj * 6) // self.n_bins
+
+    def analytic_msm(self, lagtime: int = 1) -> MarkovStateModel:
+        """MSM estimated from the generated trajectory at the given lag."""
+        from deeptime_spark.markov.msm import transition_matrix_reversible
+
+        n = self.n_bins
+        C = np.zeros((n, n))
+        np.add.at(C, (self.dtraj[:-lagtime], self.dtraj[lagtime:]), 1.0)
+        keep = C.sum(axis=1) > 0
+        idx = np.where(keep)[0]
+        T = transition_matrix_reversible(C[np.ix_(idx, idx)] + 1e-8)
+        return MarkovStateModel(T, lagtime=lagtime)
+
+
 class DrunkardsWalk:
     """2-d gridworld random walk with absorbing home/bar states
     (reference _drunkards_walk_simulator.py:11-406): uniform jumps within

@@ -162,3 +162,17 @@ def test_time_dependent_quintuple_well_stays_on_ring():
     # breathing ring keeps the particle near radius ~1.5 +- 0.5
     assert np.all((r > 0.5) & (r < 2.8))
     assert sys.has_potential_function
+
+
+def test_double_well_discrete():
+    from deeptime_spark.data.datasets import DoubleWellDiscrete
+
+    dw = DoubleWellDiscrete(n_steps=20000, seed=3)
+    assert dw.dtraj.shape == (20000,)
+    assert 0 <= dw.dtraj.min() and dw.dtraj.max() < 100
+    # both wells visited: bins populated on both sides of the barrier
+    assert (dw.dtraj < 40).sum() > 1000 and (dw.dtraj > 60).sum() > 1000
+    assert dw.dtraj_n6good.max() <= 5
+    msm = dw.analytic_msm(lagtime=5)
+    # slowest timescale = barrier crossing, much longer than the lag
+    assert msm.timescales(1)[0] > 50
