@@ -595,7 +595,7 @@ def _q_hmm_viterbi_events(spark, sf_dir):
 
     traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
     init = init_discrete_metastable_from_data(traj, n_hidden_states=2, lagtime=1)
-    model = MaximumLikelihoodHMM(init, lagtime=1, maxit=5).fit(traj).fetch_model()
+    model = MaximumLikelihoodHMM(init, lagtime=1, maxit=3).fit(traj).fetch_model()
     return model.viterbi_df(traj)
 
 

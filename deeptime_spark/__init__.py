@@ -17,6 +17,49 @@ Reference parity documented per-module via ``/root/reference`` file:line
 citations in docstrings.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from deeptime_spark.base import Estimator, Model, Transformer  # noqa: F401
+from deeptime_spark.covariance import Covariance, CovarianceModel, covar, covars  # noqa: F401
+from deeptime_spark.decomposition.dmd import DMD, EDMD  # noqa: F401
+from deeptime_spark.decomposition.tica import TICA  # noqa: F401
+from deeptime_spark.decomposition.vamp import (  # noqa: F401
+    VAMP,
+    vamp_score,
+    vamp_score_cv,
+    vamp_score_data,
+)
+from deeptime_spark.kernels import (  # noqa: F401
+    GaussianKernel,
+    GeneralizedGaussianKernel,
+    LaplacianKernel,
+    PolynomialKernel,
+)
+from deeptime_spark.markov import analysis  # noqa: F401
+from deeptime_spark.markov.amm import AugmentedMSM, AugmentedMSMEstimator  # noqa: F401
+from deeptime_spark.markov.effective_counts import (  # noqa: F401
+    effective_count_matrix,
+    statistical_inefficiency,
+)
+from deeptime_spark.markov.msm import (  # noqa: F401
+    BayesianMSM,
+    MarkovStateModel,
+    MaximumLikelihoodMSM,
+)
+from deeptime_spark.markov.oom import OOMReweightedMSM  # noqa: F401
+from deeptime_spark.markov.pcca import PCCAModel, pcca  # noqa: F401
+from deeptime_spark.markov.rate_matrix import rate_matrix  # noqa: F401
+from deeptime_spark.markov.tpt import ReactiveFlux, pathways, reactive_flux  # noqa: F401
+from deeptime_spark.markov.tram import TRAM, TRAMModel  # noqa: F401
+from deeptime_spark.markov.transition_counting import (  # noqa: F401
+    TransitionCountEstimator,
+    TransitionCountModel,
+    count_states,
+)
+from deeptime_spark.validation import (  # noqa: F401
+    ChapmanKolmogorovTest,
+    ImpliedTimescales,
+    ck_test,
+    implied_timescales,
+    implied_timescales_from_dtrajs,
+)
