@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -109,20 +110,36 @@ def random_hyperplane_buckets(
 ) -> DataFrame:
     """Sign-pattern LSH bucket id (int in [0, 2^n_planes)) as a column.
 
-    Each projection is ``aggregate(zip_with(x, plane_literal, *), +)`` — a
-    literal-array dot product, O(n_planes) Catalyst nodes instead of the
-    O(n_planes * d) unrolled form, so it compiles fine for 768-d+ real
-    embedding columns.
+    Narrow vectors use ``aggregate(zip_with(x, plane_literal, *), +)``
+    literal-array dots (O(n_planes) Catalyst nodes); wide embeddings go
+    through an Arrow pandas_udf doing ONE sign(X @ planes^T) BLAS gemm per
+    batch — Spark's higher-order functions are interpreted per element, so
+    64-d+ columns are ~10x faster on the BLAS path with identical buckets.
     """
     first = emb.select(F.size(vec_col).alias("d")).first()
     d = int(first["d"])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, d))
-    bucket = F.lit(0)
-    for i in range(n_planes):
-        proj = dot(F.col(vec_col).cast("array<double>"), _literal_array(planes[i]))
-        bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
-    return emb.withColumn(out_col, bucket)
+    if d <= 24:
+        bucket = F.lit(0)
+        for i in range(n_planes):
+            proj = dot(F.col(vec_col).cast("array<double>"), _literal_array(planes[i]))
+            bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        return emb.withColumn(out_col, bucket)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    planes_T = np.ascontiguousarray(planes.T)
+    powers = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(IntegerType())
+    def bucket_of(xs: pd.Series) -> pd.Series:
+        X = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        signs = (X @ planes_T) >= 0
+        return pd.Series((signs @ powers).astype(np.int32))
+
+    return emb.withColumn(out_col, bucket_of(F.col(vec_col)))
 
 
 def lsh_topk(
