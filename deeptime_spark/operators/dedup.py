@@ -10,6 +10,8 @@ only ever runs inside buckets — never an all-pairs join.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -313,19 +315,37 @@ def embedding_near_duplicates(
     increase bands (OR-construction) in a follow-up for guarantees.
     Buckets capped at ``max_bucket`` to bound the self-join.
     """
-    from deeptime_spark.operators.similarity import cosine_similarity, random_hyperplane_buckets
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from deeptime_spark.operators.similarity import random_hyperplane_buckets
 
     bucketed = random_hyperplane_buckets(
         emb.select(F.col(id_col), F.col(vec_col)), n_planes=n_planes, seed=seed, vec_col=vec_col
     )
     bucketed = _cap_buckets(bucketed, ["bucket"], id_col, max_bucket)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    # within-bucket verification as ONE normalized gemm per bucket group
+    # (grouped-map Arrow UDF): with capped buckets each group is at most
+    # max_bucket x d, the cosine matrix is a single BLAS call, and only
+    # over-threshold pairs are emitted — no quadratic pair materialization
+    # and no per-pair interpreted expressions.
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
+
+    def verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.clip(norms, 1e-300, None)
+        S = Xn @ Xn.T
+        iu = np.triu_indices(len(ids), 1)
+        mask = S[iu] >= threshold
+        ia, ib = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[iu][mask]})
+
+    return bucketed.groupBy("bucket").applyInPandas(verify, schema=schema)
