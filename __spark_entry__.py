@@ -511,6 +511,19 @@ def _q_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    from deeptime_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from deeptime_spark.operators.text import fingerprint
 
@@ -629,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "knn_bruteforce": _q_knn_bruteforce,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_label_stats": _q_embedding_label_stats,
         "label_centroid_norm": _q_label_centroid_norm,
         # lag / window / split (operators/lag.py)

@@ -35,6 +35,7 @@ HEADLINE = [
     # similarity
     "knn_bruteforce",
     "lsh_topk",
+    "ivf_topk",
     # lag / window / markov / stats
     "event_timeshifted",
     "event_sliding_avg",

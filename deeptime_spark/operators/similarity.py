@@ -142,6 +142,62 @@ def random_hyperplane_buckets(
     return emb.withColumn(out_col, bucket_of(F.col(vec_col)))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``n_lists`` cells; each query scans only
+    its ``n_probe`` nearest cells.
+
+    Plan shape at scale: one MLlib k-means|| fit, one broadcast argmin
+    assignment (map-only), then an equi-join on cell id between corpus and
+    the exploded (query, probe-cell) table — pruning the scan by
+    ~n_lists/n_probe with a shuffle-friendly join key, followed by the
+    salted two-stage top-k. Higher recall than sign-LSH at the same
+    pruning factor because cells adapt to the data distribution.
+    """
+    from deeptime_spark.clustering.kmeans import KMeans
+
+    km = (
+        KMeans(n_clusters=n_lists, fixed_seed=seed, x_col=vec_col)
+        .fit(corpus.select(F.col(vec_col)))
+        .fetch_model()
+    )
+    centers = km.cluster_centers
+    assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
+    # probe cells per query: n_probe nearest centers (driver-side for the
+    # broadcast-sized query set; centers are tiny)
+    qrows = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["_qvec"], dtype=np.float64)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probe_rows.append((r["_qid"], [float(v) for v in qv], int(cell)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["_qid", "_qvec", "_cell"])
+    scored = assigned.join(F.broadcast(probes), "_cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("_qvec")).alias("similarity"),
+        F.spark_partition_id().alias("_part"),
+    )
+    w1 = Window.partitionBy(query_id_col, "_part").orderBy(F.desc("similarity"), F.col(id_col))
+    survivors = (
+        scored.withColumn("_rn", F.row_number().over(w1)).where(F.col("_rn") <= k).drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("similarity"), F.col(id_col))
+    return survivors.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

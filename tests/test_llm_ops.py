@@ -163,3 +163,29 @@ def test_multimodal_plumbing(spark, docs):
     plan = frame_sample_plan(media.withColumn("modality", F.lit("video")), every_ms=100)
     rows = plan.where(F.col("media_id") == feats[0]["media_id"]).collect()
     assert all(r["frame_ts_ms"] == r["frame_idx"] * 100 for r in rows)
+
+
+def test_ivf_topk_recall(spark, rng):
+    from deeptime_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    # clustered corpus so IVF cells are meaningful
+    centers = rng.normal(size=(8, 16)) * 3
+    X = np.vstack([c + 0.3 * rng.normal(size=(40, 16)) for c in centers])
+    corpus = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(i, X[i * 40].tolist()) for i in range(4)], ["query_id", "embedding"]
+    )
+    exact = brute_force_topk(corpus, queries, k=5)
+    approx = ivf_topk(corpus, queries, k=5, n_lists=8, n_probe=2, seed=3)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for r in approx.collect():
+        total += 1
+        if r["vec_id"] in exact_sets[r["query_id"]]:
+            hits += 1
+    assert total == 4 * 5
+    assert hits / total >= 0.8  # high recall when probing the right cells
