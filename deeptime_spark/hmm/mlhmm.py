@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 from deeptime_spark.base import Estimator
-from deeptime_spark.hmm.hmm_model import HiddenMarkovModel, forward_backward
+from deeptime_spark.hmm.hmm_model import HiddenMarkovModel
 from deeptime_spark.markov.msm import (
     MarkovStateModel,
     transition_matrix_nonreversible,
@@ -100,8 +100,12 @@ class MaximumLikelihoodHMM(Estimator):
     # ------------------------------------------------------------ E-step
 
     def _estep(self, df: DataFrame, A: np.ndarray, pi: np.ndarray, om) -> dict:
-        """One distributed E-step: per-sub-trajectory forward-backward,
-        driver-side reduction of sufficient statistics."""
+        """One distributed E-step: partition-batched forward-backward
+        (mapInPandas over trajectory-partitioned input — one vectorized
+        recursion per partition, one sufficient-statistics row out),
+        driver-side reduction of the ~n_partitions stat rows."""
+        from deeptime_spark.hmm.hmm_model import _partition_groups, forward_backward_batch
+
         N = len(pi)
         obs_col = self.obs_col
         schema = StructType(
@@ -113,27 +117,25 @@ class MaximumLikelihoodHMM(Estimator):
             ]
         )
 
-        def estep(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("t")
-            obs = pdf[obs_col].to_numpy()
-            pobs = om.to_state_probability_trajectory(obs)
-            loglik, gamma, counts = forward_backward(A, pobs, pi)
-            om_stats = om.collect_stats(obs, gamma)
-            return pd.DataFrame(
+        def estep(batches):
+            groups = _partition_groups(batches, obs_col)
+            if not groups:
+                return
+            pobs_list = [om.to_state_probability_trajectory(o) for _, _, o in groups]
+            loglik, gamma0, counts, gammas = forward_backward_batch(A, pobs_list, pi)
+            om_stats = np.zeros(om.stats_dim())
+            for (_, _, obs), gamma in zip(groups, gammas):
+                om_stats += om.collect_stats(obs, gamma)
+            yield pd.DataFrame(
                 {
                     "loglik": [loglik],
-                    "gamma0": [gamma[0].tolist()],
+                    "gamma0": [gamma0.tolist()],
                     "counts": [counts.ravel().tolist()],
                     "om_stats": [om_stats.tolist()],
                 }
             )
 
-        rows = (
-            df.select("traj_id", "t", obs_col)
-            .groupBy("traj_id")
-            .applyInPandas(estep, schema=schema)
-            .collect()
-        )
+        rows = df.mapInPandas(estep, schema=schema).collect()
         if not rows:
             raise ValueError("no (sub-)trajectories of length > 1 — lagtime too large?")
         agg = {
@@ -186,8 +188,10 @@ class MaximumLikelihoodHMM(Estimator):
         om = init.output_model.copy()
 
         lagged = lag_observations_df(df, self.lagtime, self.stride)
-        # the EM loop re-reads the lagged frame every iteration — cache it
-        lagged = lagged.persist()
+        # the EM loop re-reads the lagged frame every iteration: persist it
+        # ALREADY co-located by trajectory, so each E-step's mapInPandas
+        # reads cached partitions with zero per-iteration shuffle
+        lagged = lagged.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
         try:
             likelihoods = []
             final_counts = None

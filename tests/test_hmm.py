@@ -165,3 +165,34 @@ def test_bayesian_hmm_posterior(spark, discrete_ground_truth):
     # every sample is a valid stochastic matrix
     for s in posterior.samples:
         np.testing.assert_allclose(s.transition_matrix.sum(axis=1), 1.0, atol=1e-8)
+
+
+def test_batched_kernels_match_single(discrete_ground_truth):
+    from deeptime_spark.hmm.hmm_model import (
+        forward_backward,
+        forward_backward_batch,
+        viterbi,
+        viterbi_batch,
+    )
+
+    hmm = discrete_ground_truth
+    A, pi, om = hmm.transition_matrix, hmm.initial_distribution, hmm.output_model
+    rng = np.random.default_rng(7)
+    obs_list = [rng.integers(0, om.n_observable_states, size=n) for n in (83, 7, 151, 2)]
+    pobs_list = [om.to_state_probability_trajectory(o) for o in obs_list]
+    # batched sufficient statistics == sum of per-trajectory results
+    ll_b, g0_b, c_b, gammas_b = forward_backward_batch(A, pobs_list, pi)
+    ll_s, g0_s, c_s = 0.0, np.zeros(len(pi)), np.zeros_like(A)
+    for pobs, gam_b in zip(pobs_list, gammas_b):
+        ll, gamma, counts = forward_backward(A, pobs, pi)
+        ll_s += ll
+        g0_s += gamma[0]
+        c_s += counts
+        np.testing.assert_allclose(gam_b, gamma, atol=1e-10)
+    assert abs(ll_b - ll_s) < 1e-8
+    np.testing.assert_allclose(g0_b, g0_s, atol=1e-10)
+    np.testing.assert_allclose(c_b, c_s, atol=1e-10)
+    # batched viterbi == per-trajectory viterbi
+    paths_b = viterbi_batch(A, pobs_list, pi)
+    for pobs, p_b in zip(pobs_list, paths_b):
+        np.testing.assert_array_equal(p_b, viterbi(A, pobs, pi))
