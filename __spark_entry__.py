@@ -472,6 +472,151 @@ def _q_brand_volume(spark, sf_dir):
 # ---- hash-based / estimator pipelines (rows-only checks: no ANSI oracle)
 
 
+def _q_q5_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join, dims broadcast, revenue in exact
+    integer cents x discount-percent units."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum(rev).alias("revenue_c2")
+    )
+
+
+def _q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + pushed-down filters + one agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(rev).alias("revenue_c2"))
+    )
+
+
+def _q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue by customer, top 20."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(rev).alias("revenue_c2"))
+        .orderBy(F.desc("revenue_c2"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_event_confidence_interval(spark, sf_dir):
+    """Empirical 95% CI of the (cents-scaled) event value per event type:
+    exact distributed percentiles (operators/stats.py)."""
+    from deeptime_spark.operators.stats import confidence_interval_df
+
+    traj = _event_traj(spark, sf_dir).withColumn("event_type", F.col("state"))
+    out = confidence_interval_df(traj, "vc", conf=0.95, group_cols=("event_type",))
+    return out.select(
+        F.col("event_type").cast("long").alias("state"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+        F.round("ci_mean", 6).alias("ci_mean"),
+    )
+
+
+def _event_msm(spark, sf_dir, lagtime=1):
+    from deeptime_spark.markov.msm import MaximumLikelihoodMSM
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    return (
+        MaximumLikelihoodMSM(reversible=True, lagtime=lagtime).fit(traj).fetch_model()
+    )
+
+
+def _q_msm_pi_events(spark, sf_dir):
+    """Reversible MSM on the event dtraj: stationary distribution + MFPT
+    to state 0 per state (distributed counting -> driver spectral math)."""
+    msm = _event_msm(spark, sf_dir)
+    from deeptime_spark.markov.analysis import mfpt
+
+    P = msm.transition_matrix
+    pi = msm.stationary_distribution
+    m = mfpt(P, target=0)
+    rows = [(int(i), float(pi[i]), float(m[i])) for i in range(len(pi))]
+    return spark.createDataFrame(rows, "state long, pi double, mfpt0 double")
+
+
+def _q_msm_its_events(spark, sf_dir):
+    """Implied-timescales curve: concurrent per-lag counting jobs ->
+    driver eigenvalues (validation.py)."""
+    from deeptime_spark.validation import implied_timescales_from_dtrajs
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    its = implied_timescales_from_dtrajs(traj, lagtimes=[1, 2, 3], n_its=3)
+    rows = [
+        (int(tau), int(k), float(its.timescales_for_process(k)[i]))
+        for i, tau in enumerate(its.lagtimes)
+        for k in range(its.max_n_processes)
+    ]
+    return spark.createDataFrame(rows, "lagtime long, process long, its double")
+
+
+def _q_msm_ck_events(spark, sf_dir):
+    """Chapman-Kolmogorov test, 2 metastable sets, lags {1,2,3}."""
+    from deeptime_spark.validation import ck_test, fit_msms_at_lags
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    models = fit_msms_at_lags(traj, lagtimes=[1, 2, 3])
+    ck = ck_test(models, n_metastable_sets=2)
+    rows = [
+        (int(tau), int(i), int(j), float(ck.predictions[li][i, j]), float(ck.estimates[li][i, j]))
+        for li, tau in enumerate(ck.lagtimes)
+        for i in range(2)
+        for j in range(2)
+    ]
+    return spark.createDataFrame(
+        rows, "lagtime long, set_i long, set_j long, predicted double, estimated double"
+    )
+
+
+def _q_pcca_events(spark, sf_dir):
+    """PCCA+ memberships of the lag-1 event MSM (2 metastable sets)."""
+    import numpy as np
+
+    msm = _event_msm(spark, sf_dir)
+    pcca = msm.pcca(2)
+    m = np.asarray(pcca.memberships)
+    rows = [(int(i), float(m[i, 0]), float(m[i, 1])) for i in range(m.shape[0])]
+    return spark.createDataFrame(rows, "state long, m0 double, m1 double")
+
+
 def _q_minhash_bands(spark, sf_dir):
     from deeptime_spark.operators.dedup import minhash_lsh_candidates
 
@@ -669,6 +814,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_count": _q_order_priority_count,
         "nation_order_volume": _q_nation_order_volume,
         "brand_volume": _q_brand_volume,
+        "q5_supplier_volume": _q_q5_supplier_volume,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q10_returned_items": _q_q10_returned_items,
+        # statistics (operators/stats.py)
+        "event_confidence_interval": _q_event_confidence_interval,
+        # MSM estimation + analysis + validation pipelines (rows-only)
+        "msm_pi_events": _q_msm_pi_events,
+        "msm_its_events": _q_msm_its_events,
+        "msm_ck_events": _q_msm_ck_events,
+        "pcca_events": _q_pcca_events,
         # estimator pipelines (rows-only)
         "tica_events": _q_tica_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -962,5 +1117,52 @@ SELECT p_brand, count(*) AS n_items,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+""",
+        "q5_supplier_volume": """
+SELECT n_name, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY n_name
+""",
+        "q6_forecast_revenue": """
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c2
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue_c2 DESC, c_custkey
+LIMIT 20
+""",
+        "event_confidence_interval": f"""
+WITH {_TRAJ_CTE}
+SELECT state,
+       round(quantile_cont(vc, 0.025), 6) AS ci_lo,
+       round(quantile_cont(vc, 0.975), 6) AS ci_hi,
+       round(avg(vc), 6) AS ci_mean
+FROM traj
+GROUP BY state
 """,
     }

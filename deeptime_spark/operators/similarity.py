@@ -149,6 +149,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    quantizer_iters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -167,7 +168,7 @@ def ivf_topk(
     from deeptime_spark.clustering.kmeans import KMeans
 
     km = (
-        KMeans(n_clusters=n_lists, fixed_seed=seed, x_col=vec_col)
+        KMeans(n_clusters=n_lists, max_iter=quantizer_iters, fixed_seed=seed, x_col=vec_col)
         .fit(corpus.select(F.col(vec_col)))
         .fetch_model()
     )
