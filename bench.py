@@ -22,6 +22,9 @@ HEADLINE = [
     # relational surface
     "q1_pricing_summary",
     "q3_top_orders",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "nation_order_volume",
     "brand_volume",
     # text / dedup

@@ -56,6 +56,47 @@ def ffbs_sample_path(A: np.ndarray, pobs: np.ndarray, pi: np.ndarray, rng) -> np
     return path
 
 
+def _sample_rows(w: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Vectorized categorical draw per row: invert the (unnormalized) CDF
+    at u * total — no division, zero-total rows resolve to index 0."""
+    cdf = np.cumsum(w, axis=1)
+    idx = (u[:, None] * cdf[:, -1:] > cdf).sum(axis=1)
+    return np.minimum(idx, w.shape[1] - 1)
+
+
+def ffbs_sample_path_batch(A: np.ndarray, pobs_list: list, pi: np.ndarray, seeds: list) -> list:
+    """Batched FFBS: vectorized forward filter across the trajectory batch,
+    then one backward-sampling time loop drawing all trajectories' states
+    per step (inverse-CDF with per-trajectory pre-generated uniforms, so
+    each trajectory's draw stream stays a deterministic function of its own
+    seed). Same padding scheme as ``forward_backward_batch``; terminal
+    states are propagated through padded frames."""
+    from deeptime_spark.hmm.hmm_model import _pad_pobs
+
+    pobs, lengths = _pad_pobs(pobs_list)
+    B, T, N = pobs.shape
+    alpha = np.empty((B, T, N))
+    a = pi[None, :] * pobs[:, 0]
+    alpha[:, 0] = a / np.maximum(a.sum(axis=1, keepdims=True), 1e-300)
+    for t in range(1, T):
+        a = (alpha[:, t - 1] @ A) * pobs[:, t]
+        alpha[:, t] = a / np.maximum(a.sum(axis=1, keepdims=True), 1e-300)
+    u = np.zeros((B, T))
+    for b, seed in enumerate(seeds):
+        u[b, : lengths[b]] = np.random.default_rng(seed).random(lengths[b])
+    rows = np.arange(B)
+    path = np.empty((B, T), dtype=np.int64)
+    path[:, T - 1] = _sample_rows(alpha[rows, lengths - 1], u[rows, lengths - 1])
+    for t in range(T - 2, -1, -1):
+        nxt = path[:, t + 1]
+        w = alpha[:, t] * A[:, nxt].T
+        bad = w.sum(axis=1) <= 0
+        if bad.any():
+            w[bad] = alpha[bad, t]
+        path[:, t] = np.where(t >= lengths - 1, nxt, _sample_rows(w, u[:, t]))
+    return [path[b, : lengths[b]] for b in range(B)]
+
+
 class BayesianHMMPosterior(Model):
     """prior + samples with gather_stats (reference base.py:175-238)."""
 
@@ -95,49 +136,52 @@ class BayesianHMM(Estimator):
         self.obs_col = obs_col
 
     def _sweep_stats(self, df: DataFrame, A, pi, om, sweep_seed: int) -> dict:
-        """One distributed FFBS sweep -> reduced sufficient statistics."""
+        """One distributed FFBS sweep -> reduced sufficient statistics
+        (partition-batched mapInPandas; one stats row per partition)."""
+        from deeptime_spark.hmm.hmm_model import _partition_groups
+
         N = len(pi)
         obs_col = self.obs_col
         schema = StructType(
             [
                 StructField("counts", ArrayType(DoubleType())),
-                StructField("init_state", LongType()),
+                StructField("init_counts", ArrayType(DoubleType())),
                 StructField("om_stats", ArrayType(DoubleType())),
             ]
         )
 
-        def sweep(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            rng = np.random.default_rng(sweep_seed * 100003 + int(key[0]))
-            pdf = pdf.sort_values("t")
-            obs = pdf[obs_col].to_numpy()
-            pobs = om.to_state_probability_trajectory(obs)
-            path = ffbs_sample_path(A, pobs, pi, rng)
+        def sweep(batches):
+            groups = _partition_groups(batches, obs_col)
+            if not groups:
+                return
+            pobs_list = [om.to_state_probability_trajectory(o) for _, _, o in groups]
+            seeds = [sweep_seed * 100003 + int(tid) for tid, _, _ in groups]
+            paths = ffbs_sample_path_batch(A, pobs_list, pi, seeds)
             counts = np.zeros((N, N))
-            np.add.at(counts, (path[:-1], path[1:]), 1.0)
-            # emission stats from the SAMPLED path (hard assignment)
-            gamma_hard = np.zeros((len(path), N))
-            gamma_hard[np.arange(len(path)), path] = 1.0
-            om_stats = om.collect_stats(obs, gamma_hard)
-            return pd.DataFrame(
+            init_counts = np.zeros(N)
+            om_stats = np.zeros(om.stats_dim())
+            for (_, _, obs), path in zip(groups, paths):
+                np.add.at(counts, (path[:-1], path[1:]), 1.0)
+                init_counts[path[0]] += 1.0
+                # emission stats from the SAMPLED path (hard assignment)
+                gamma_hard = np.zeros((len(path), N))
+                gamma_hard[np.arange(len(path)), path] = 1.0
+                om_stats += om.collect_stats(obs, gamma_hard)
+            yield pd.DataFrame(
                 {
                     "counts": [counts.ravel().tolist()],
-                    "init_state": [int(path[0])],
+                    "init_counts": [init_counts.tolist()],
                     "om_stats": [om_stats.tolist()],
                 }
             )
 
-        rows = (
-            df.select("traj_id", "t", obs_col)
-            .groupBy("traj_id")
-            .applyInPandas(sweep, schema=schema)
-            .collect()
-        )
+        rows = df.mapInPandas(sweep, schema=schema).collect()
         C = np.zeros((N, N))
         init_counts = np.zeros(N)
         om_stats = np.zeros(om.stats_dim())
         for r in rows:
             C += np.array(r["counts"]).reshape(N, N)
-            init_counts[r["init_state"]] += 1
+            init_counts += np.array(r["init_counts"])
             om_stats += np.array(r["om_stats"])
         return {"C": C, "init": init_counts, "om_stats": om_stats}
 
@@ -148,7 +192,9 @@ class BayesianHMM(Estimator):
         A = np.array(init.transition_matrix, copy=True)
         pi = np.array(init.initial_distribution, copy=True)
         om = init.output_model.copy()
-        df = df.persist()
+        # persist co-located by trajectory: every sweep's mapInPandas then
+        # reads cached partitions with no per-sweep shuffle
+        df = df.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
         try:
             samples = []
             for sweep in range(self.n_samples * self.stride):
