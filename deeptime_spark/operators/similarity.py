@@ -150,6 +150,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     quantizer_iters: int = 8,
+    quantizer_sample: int = 65536,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -158,21 +159,38 @@ def ivf_topk(
     partitions the corpus into ``n_lists`` cells; each query scans only
     its ``n_probe`` nearest cells.
 
-    Plan shape at scale: one MLlib k-means|| fit, one broadcast argmin
-    assignment (map-only), then an equi-join on cell id between corpus and
-    the exploded (query, probe-cell) table — pruning the scan by
-    ~n_lists/n_probe with a shuffle-friendly join key, followed by the
-    salted two-stage top-k. Higher recall than sign-LSH at the same
-    pruning factor because cells adapt to the data distribution.
+    Plan shape at scale: the coarse quantizer is trained driver-side on a
+    bounded sample (one takeSample job — the quantizer needs coarse
+    density, not every vector), assignment is a broadcast argmin map, then
+    an equi-join on cell id between corpus and the exploded (query,
+    probe-cell) table — pruning the scan by ~n_lists/n_probe with a
+    shuffle-friendly join key, followed by the salted two-stage top-k.
+    Higher recall than sign-LSH at the same pruning factor because cells
+    adapt to the data distribution.
     """
-    from deeptime_spark.clustering.kmeans import KMeans
+    from deeptime_spark.clustering.cluster_model import ClusterModel, _pairwise_sq_dists
 
-    km = (
-        KMeans(n_clusters=n_lists, max_iter=quantizer_iters, fixed_seed=seed, x_col=vec_col)
-        .fit(corpus.select(F.col(vec_col)))
-        .fetch_model()
+    # coarse quantizer trained on a bounded sample (standard IVF practice:
+    # the quantizer needs the coarse density, not every vector) — one
+    # count + one Arrow-path sampled collect + driver Lloyd, instead of a
+    # full distributed k-means
+    cnt = corpus.count()
+    frac = min(1.0, 1.2 * quantizer_sample / max(cnt, 1))
+    sample_df = corpus.select(vec_col)
+    if frac < 1.0:
+        sample_df = sample_df.sample(fraction=frac, seed=seed)
+    sample = np.asarray(
+        [r[0] for r in sample_df.limit(quantizer_sample).collect()], dtype=np.float64
     )
-    centers = km.cluster_centers
+    rng = np.random.default_rng(seed)
+    centers = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(quantizer_iters):
+        assign = _pairwise_sq_dists(sample, centers).argmin(axis=1)
+        for c in range(len(centers)):
+            mask = assign == c
+            if mask.any():
+                centers[c] = sample[mask].mean(axis=0)
+    km = ClusterModel(centers)
     assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
     # probe cells per query: n_probe nearest centers (driver-side for the
     # broadcast-sized query set; centers are tiny)
