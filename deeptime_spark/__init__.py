@@ -48,6 +48,7 @@ from deeptime_spark.markov.msm import (  # noqa: F401
 )
 from deeptime_spark.markov.oom import OOMReweightedMSM  # noqa: F401
 from deeptime_spark.markov.pcca import PCCAModel, pcca  # noqa: F401
+from deeptime_spark.callbacks import ProgressCallback, supports_progress_interface  # noqa: F401
 from deeptime_spark.markov.rate_matrix import rate_matrix  # noqa: F401
 from deeptime_spark.markov.tpt import ReactiveFlux, pathways, reactive_flux  # noqa: F401
 from deeptime_spark.markov.tram import TRAM, TRAMModel  # noqa: F401

@@ -185,7 +185,9 @@ class BayesianHMM(Estimator):
             om_stats += np.array(r["om_stats"])
         return {"C": C, "init": init_counts, "om_stats": om_stats}
 
-    def fit(self, df: DataFrame) -> "BayesianHMM":
+    def fit(self, df: DataFrame, progress=None) -> "BayesianHMM":
+        from deeptime_spark.callbacks import ProgressCallback
+
         rng = np.random.default_rng(self.seed)
         init = self.initial_hmm
         N = init.n_hidden_states
@@ -197,29 +199,32 @@ class BayesianHMM(Estimator):
         df = df.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
         try:
             samples = []
-            for sweep in range(self.n_samples * self.stride):
-                stats = self._sweep_stats(df, A, pi, om, sweep_seed=self.seed + sweep)
-                # (b) initial distribution ~ Dirichlet(prior + init counts)
-                pi = rng.dirichlet(stats["init"] + self.initial_distribution_prior + 1e-3)
-                # (c) transition matrix given sampled-path counts
-                Cp = stats["C"] + self.transition_matrix_prior
-                if self.reversible:
-                    A = sample_tmatrix_reversible(
-                        Cp, n_samples=1, n_steps=1, seed=self.seed + 7919 * sweep, T0=A
-                    )[0]
-                else:
-                    A = np.vstack([rng.dirichlet(Cp[i] + 1.0) for i in range(N)])
-                # (d) emission parameters from conjugate conditionals
-                om = self._sample_output_model(om, stats["om_stats"], rng)
-                if sweep % self.stride == self.stride - 1:
-                    samples.append(
-                        HiddenMarkovModel(
-                            MarkovStateModel(A.copy(), reversible=self.reversible,
-                                             lagtime=init.transition_model.lagtime),
-                            om.copy(),
-                            initial_distribution=pi.copy(),
+            cb_ctx = ProgressCallback(progress, desc="gibbs", total=self.n_samples * self.stride)
+            with cb_ctx as cb:
+                for sweep in range(self.n_samples * self.stride):
+                    cb()
+                    stats = self._sweep_stats(df, A, pi, om, sweep_seed=self.seed + sweep)
+                    # (b) initial distribution ~ Dirichlet(prior + init counts)
+                    pi = rng.dirichlet(stats["init"] + self.initial_distribution_prior + 1e-3)
+                    # (c) transition matrix given sampled-path counts
+                    Cp = stats["C"] + self.transition_matrix_prior
+                    if self.reversible:
+                        A = sample_tmatrix_reversible(
+                            Cp, n_samples=1, n_steps=1, seed=self.seed + 7919 * sweep, T0=A
+                        )[0]
+                    else:
+                        A = np.vstack([rng.dirichlet(Cp[i] + 1.0) for i in range(N)])
+                    # (d) emission parameters from conjugate conditionals
+                    om = self._sample_output_model(om, stats["om_stats"], rng)
+                    if sweep % self.stride == self.stride - 1:
+                        samples.append(
+                            HiddenMarkovModel(
+                                MarkovStateModel(A.copy(), reversible=self.reversible,
+                                                 lagtime=init.transition_model.lagtime),
+                                om.copy(),
+                                initial_distribution=pi.copy(),
+                            )
                         )
-                    )
         finally:
             df.unpersist()
         self._model = BayesianHMMPosterior(prior=init, samples=samples)

@@ -181,7 +181,9 @@ class MaximumLikelihoodHMM(Estimator):
 
     # -------------------------------------------------------------- fit
 
-    def fit(self, df: DataFrame) -> "MaximumLikelihoodHMM":
+    def fit(self, df: DataFrame, progress=None) -> "MaximumLikelihoodHMM":
+        from deeptime_spark.callbacks import ProgressCallback
+
         init = self.initial_model
         A = np.array(init.transition_matrix, dtype=np.float64, copy=True)
         pi = np.array(init.initial_distribution, dtype=np.float64, copy=True)
@@ -196,16 +198,18 @@ class MaximumLikelihoodHMM(Estimator):
             likelihoods = []
             final_counts = None
             converged = False
-            for it in range(self.maxit):
-                agg = self._estep(lagged, A, pi, om)
-                loglik = agg["loglik"]
-                if likelihoods and (loglik - likelihoods[-1]) < self.accuracy:
-                    converged = True
-                likelihoods.append(loglik)
-                A, pi = self._mstep(agg, om)
-                final_counts = agg["counts"]
-                if converged:
-                    break
+            with ProgressCallback(progress, desc="baum-welch", total=self.maxit) as cb:
+                for it in range(self.maxit):
+                    agg = self._estep(lagged, A, pi, om)
+                    loglik = agg["loglik"]
+                    if likelihoods and (loglik - likelihoods[-1]) < self.accuracy:
+                        converged = True
+                    likelihoods.append(loglik)
+                    A, pi = self._mstep(agg, om)
+                    final_counts = agg["counts"]
+                    cb()
+                    if converged:
+                        break
         finally:
             lagged.unpersist()
 

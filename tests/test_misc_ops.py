@@ -59,3 +59,64 @@ def test_koopman_expectation_lag_multiple(spark, rng):
     cov8 = model.expectation(obs, statistics=obs, lag_multiple=8, observables_mean_free=True,
                              statistics_mean_free=True)
     assert abs(cov8[0, 0]) < abs(cov1[0, 0])
+
+
+def test_progress_callback_interface():
+    from deeptime_spark.callbacks import ProgressCallback, supports_progress_interface
+
+    ticks = []
+
+    class Bar:
+        def __init__(self, total=None):
+            self.total = total
+            self.n = 0
+
+        def update(self, inc=1):
+            self.n += inc
+            ticks.append(inc)
+
+        def set_description(self, v):
+            self.desc = v
+
+        def close(self):
+            self.closed = True
+
+    with ProgressCallback(Bar, desc="work", total=3) as cb:
+        assert supports_progress_interface(cb.progress_bar)
+        cb()
+        cb(2)
+    assert ticks == [1, 2]
+    assert cb.progress_bar.closed
+    assert cb.progress_bar.desc == "work"
+
+
+def test_progress_callback_in_hmm_fit(spark):
+    import numpy as np
+
+    from deeptime_spark.data.schema import dtraj_from_arrays
+    from deeptime_spark.hmm import MaximumLikelihoodHMM, init_discrete_metastable_from_data
+
+    rng = np.random.default_rng(5)
+    dtrajs = [rng.integers(0, 3, size=200) for _ in range(3)]
+    df = dtraj_from_arrays(spark, dtrajs)
+    init = init_discrete_metastable_from_data(df, n_hidden_states=2, lagtime=1)
+
+    seen = []
+
+    class Bar:
+        def __init__(self, total=None):
+            self.total = total
+            self.n = 0
+
+        def update(self, inc=1):
+            self.n += inc
+            seen.append(self.n)
+
+        def set_description(self, v):
+            pass
+
+        def close(self):
+            pass
+
+    MaximumLikelihoodHMM(init, lagtime=1, maxit=2).fit(df, progress=Bar)
+    assert seen == [1, 2]
