@@ -630,7 +630,7 @@ def _q_simhash_pairs(spark, sf_dir):
     from deeptime_spark.operators.dedup import simhash_near_duplicates
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=20, prefix_bits=8)
+    return simhash_near_duplicates(docs, max_hamming=8)
 
 
 def _q_embedding_near_dup(spark, sf_dir):

@@ -275,20 +275,48 @@ def simhash_signatures_df(
 
 def simhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3, prefix_bits: int = 16,
+    max_hamming: int = 3, n_blocks: int | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
-    (cheap LSH for small Hamming radii), verify Hamming <= max_hamming
-    within blocks. One shuffle on the prefix; bucket size capped at
-    ``max_bucket`` to bound the within-block self-join (hot blocks =
-    boilerplate documents)."""
+    """Near-dup pairs by SimHash with pigeonhole banding: the 64 bits are
+    split into ``n_blocks`` contiguous bands (default ``max_hamming + 1``)
+    and docs are bucketed on each (band_index, band_value). Any pair with
+    Hamming distance <= n_blocks - 1 must agree on at least one full band,
+    so the default gives GUARANTEED recall at radius ``max_hamming``
+    (Gong et al. pigeonhole blocking, as in Google's simhash dedup).
+    Exact Hamming verification runs only inside buckets; one shuffle on
+    the band key; bucket size capped at ``max_bucket`` to bound the
+    self-join against hot bands (boilerplate documents).
+    """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    n_blocks = max(2, min(int(n_blocks), 16))
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     sigs = simhash_signatures_df(df, text_col, id_col)
-    blocked = sigs.withColumn("block", F.shiftrightunsigned(F.col("sim"), 64 - prefix_bits))
-    blocked = _cap_buckets(blocked, ["block"], id_col, max_bucket)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("sim"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    blocked = sigs.select(id_col, "sim", F.explode(bands).alias("b")).select(
+        id_col, "sim", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    blocked = _cap_buckets(blocked, ["band", "val"], id_col, max_bucket)
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -296,6 +324,8 @@ def simhash_near_duplicates(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    # a pair can collide in several bands: keep one row per pair
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------- embeddings
