@@ -617,6 +617,145 @@ def _q_pcca_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, m0 double, m1 double")
 
 
+def _q_bayes_msm_events(spark, sf_dir):
+    """BayesianMSM posterior over the event dtraj: per-entry posterior
+    mean + 95% CI of the transition matrix (exact reversible Gibbs)."""
+    from deeptime_spark.markov.msm import BayesianMSM
+    from deeptime_spark.markov.transition_counting import TransitionCountEstimator
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    counts = TransitionCountEstimator(lagtime=1, count_mode="sliding").fit(traj).fetch_model()
+    post = BayesianMSM(n_samples=20, seed=42).fit(counts).fetch_model()
+    stats = post.gather_stats("transition_matrix")
+    mean, lo, hi = stats["mean"], stats["L"], stats["R"]
+    n = mean.shape[0]
+    rows = [
+        (int(i), int(j), float(mean[i, j]), float(lo[i, j]), float(hi[i, j]))
+        for i in range(n)
+        for j in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "s_from long, s_to long, p_mean double, p_lo double, p_hi double"
+    )
+
+
+def _q_tpt_events(spark, sf_dir):
+    """Transition-path theory 0 -> 4 on the event MSM: committors and
+    net flux per edge."""
+    msm = _event_msm(spark, sf_dir)
+    flux = msm.reactive_flux([0], [4])
+    n = len(flux.forward_committor)
+    rows = [
+        (
+            int(i),
+            int(j),
+            float(flux.forward_committor[i]),
+            float(flux.backward_committor[i]),
+            float(flux.net_flux[i, j]),
+        )
+        for i in range(n)
+        for j in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "s_from long, s_to long, qplus double, qminus double, net_flux double"
+    )
+
+
+def _q_vamp_events(spark, sf_dir):
+    """VAMP singular values of the event-value feature trajectory."""
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v, v * v * v).alias("x"))
+    model = VAMP(lagtime=2).fit(feat).fetch_model()
+    sv = model.singular_values
+    return spark.createDataFrame(
+        [(int(i), float(sv[i])) for i in range(len(sv))], "idx long, sv double"
+    )
+
+
+def _q_dmd_events(spark, sf_dir):
+    """DMD eigenvalues of the event-value feature trajectory."""
+    import numpy as np
+
+    from deeptime_spark.decomposition.dmd import DMD
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v).alias("x"))
+    model = DMD(lagtime=1).fit(feat).fetch_model()
+    ev = np.sort_complex(model.eigenvalues)
+    return spark.createDataFrame(
+        [(int(i), float(ev[i].real), float(ev[i].imag)) for i in range(len(ev))],
+        "idx long, ev_re double, ev_im double",
+    )
+
+
+def _q_effective_counts_events(spark, sf_dir):
+    """Statistically-uncorrelated effective count matrix (autocorrelation
+    inefficiency scaling) on the event dtraj."""
+    from deeptime_spark.markov.effective_counts import effective_count_matrix
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    C = effective_count_matrix(traj, lag=1)
+    rows = [
+        (int(i), int(j), float(C[i, j])) for i in range(C.shape[0]) for j in range(C.shape[1])
+    ]
+    return spark.createDataFrame(rows, "s_from long, s_to long, n_eff double")
+
+
+def _q_koopman_weights_events(spark, sf_dir):
+    """Koopman equilibrium reweighting: per-frame weights over the event
+    feature trajectory (covariance pass + one select)."""
+    from deeptime_spark.covariance import KoopmanWeightingEstimator
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v).alias("x"))
+    model = KoopmanWeightingEstimator(lagtime=2).fit(feat).fetch_model()
+    out = model.transform(feat)
+    return out.select("traj_id", "t", F.round("weight", 6).alias("weight"))
+
+
+def _q_regspace_events(spark, sf_dir):
+    """Regular-space clustering of the scaled event value: assignment
+    histogram per center."""
+    from deeptime_spark.clustering.regspace import RegularSpace
+
+    traj = _event_traj(spark, sf_dir)
+    feat = traj.select(F.array(F.col("value") / 100.0).alias("x"))
+    model = RegularSpace(dmin=1.0, max_centers=100).fit(feat).fetch_model()
+    return (
+        model.transform(feat)
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("state").cast("long").alias("state"), "n")
+    )
+
+
+def _q_kernel_gram_events(spark, sf_dir):
+    """Gaussian-kernel landmark Gram block over embeddings (landmarks =
+    3 lowest vec_ids, broadcast as literals; map-only)."""
+    import numpy as np
+
+    from deeptime_spark.kernels import GaussianKernel
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    lm = np.asarray(
+        [r["x"] for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()]
+    )
+    out = GaussianKernel(sigma=4.0).gram_df(emb, lm)
+    return out.select(
+        "vec_id",
+        F.round(F.col("k")[0], 6).alias("k0"),
+        F.round(F.col("k")[1], 6).alias("k1"),
+        F.round(F.col("k")[2], 6).alias("k2"),
+    )
+
+
 def _q_minhash_bands(spark, sf_dir):
     from deeptime_spark.operators.dedup import minhash_lsh_candidates
 
@@ -824,6 +963,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_its_events": _q_msm_its_events,
         "msm_ck_events": _q_msm_ck_events,
         "pcca_events": _q_pcca_events,
+        "bayes_msm_events": _q_bayes_msm_events,
+        "tpt_events": _q_tpt_events,
+        "effective_counts_events": _q_effective_counts_events,
+        # decomposition / covariance pipelines (rows-only)
+        "vamp_events": _q_vamp_events,
+        "dmd_events": _q_dmd_events,
+        "koopman_weights_events": _q_koopman_weights_events,
+        # clustering / kernels
+        "regspace_events": _q_regspace_events,
+        "kernel_gram_events": _q_kernel_gram_events,
         # estimator pipelines (rows-only)
         "tica_events": _q_tica_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -1164,5 +1313,28 @@ SELECT state,
        round(avg(vc), 6) AS ci_mean
 FROM traj
 GROUP BY state
+""",
+        # Gaussian kernel k(x, l) = exp(-||x-l||^2 / (2 sigma^2)), sigma=4:
+        # per-row deterministic fp ops (same left-to-right element sum as
+        # the Spark aggregate expression) — bit-exact across engines
+        "kernel_gram_events": """
+WITH l0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id=0),
+     l1 AS (SELECT embedding AS v FROM embeddings WHERE vec_id=1),
+     l2 AS (SELECT embedding AS v FROM embeddings WHERE vec_id=2)
+SELECT vec_id, round(exp(-d0/32.0), 6) AS k0, round(exp(-d1/32.0), 6) AS k1,
+       round(exp(-d2/32.0), 6) AS k2
+FROM (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding)+1), i ->
+      (CAST(e.embedding[i] AS DOUBLE) - CAST(l0.v[i] AS DOUBLE))
+      * (CAST(e.embedding[i] AS DOUBLE) - CAST(l0.v[i] AS DOUBLE)))) AS d0,
+    list_sum(list_transform(range(1, len(e.embedding)+1), i ->
+      (CAST(e.embedding[i] AS DOUBLE) - CAST(l1.v[i] AS DOUBLE))
+      * (CAST(e.embedding[i] AS DOUBLE) - CAST(l1.v[i] AS DOUBLE)))) AS d1,
+    list_sum(list_transform(range(1, len(e.embedding)+1), i ->
+      (CAST(e.embedding[i] AS DOUBLE) - CAST(l2.v[i] AS DOUBLE))
+      * (CAST(e.embedding[i] AS DOUBLE) - CAST(l2.v[i] AS DOUBLE)))) AS d2
+  FROM embeddings e, l0, l1, l2
+)
 """,
     }
