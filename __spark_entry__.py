@@ -53,16 +53,29 @@ def _event_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = dense frame index per user (row_number over event time); vc =
     value in integer cents (exact in fp64 -> exact in the oracle).
+
+    The rename to traj_id happens BEFORE the window so the window's hash
+    partitioning carries the traj_id attribute itself — downstream
+    windows/aggregations on traj_id then reuse this exchange instead of
+    re-shuffling (Catalyst cannot see through an alias applied after the
+    partitioning is fixed).
     """
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    ev = _read(spark, sf_dir, "events").select(
         F.col("user_id").alias("traj_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("t"),
         F.col("value"),
         F.round(F.col("value") * 100).cast("long").alias("vc"),
         _state_expr().alias("state"),
         F.col("ts"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("traj_id").orderBy("ts", "event_id")
+    return ev.select(
+        "traj_id",
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        "value",
+        "vc",
+        "state",
+        "ts",
     )
 
 

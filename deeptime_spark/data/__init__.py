@@ -2,6 +2,7 @@ from deeptime_spark.data.schema import (  # noqa: F401
     trajectory_from_arrays,
     dtraj_from_arrays,
     trajectory_from_events,
+    to_dataset,
     TRAJECTORY_SCHEMA,
     DTRAJ_SCHEMA,
 )

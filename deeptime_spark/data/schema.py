@@ -97,13 +97,67 @@ def trajectory_from_events(events: DataFrame) -> DataFrame:
     ``traj_id := user_id``, ``t := row_number() over (partition by user_id
     order by ts, event_id) - 1``, ``x := [value]`` (FIXTURES.md F5).
     event_id is the tiebreaker making the ordering total and deterministic.
+    The rename happens BEFORE the window so downstream traj_id
+    windows/aggregations reuse this exchange (an alias applied after the
+    window hides the co-partitioning from Catalyst).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    ev = events.select(
         F.col("user_id").cast("long").alias("traj_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("t"),
         F.array(F.col("value").cast("double")).alias("x"),
+        "ts",
+        "event_id",
     )
+    w = Window.partitionBy("traj_id").orderBy("ts", "event_id")
+    return ev.select(
+        "traj_id",
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        "x",
+    )
+
+
+def to_dataset(data, lagtime: int | None = None, spark: SparkSession | None = None) -> DataFrame:
+    """Universal input adapter (reference ``to_dataset``,
+    util/data.py: dispatches tuples, ndarrays, lists, datasets).
+
+    - ``(X, Y)`` tuple of equal-length arrays -> pre-paired frame with
+      ``x`` / ``x_lagged`` columns (the reference's TimeLaggedDataset).
+    - DataFrame -> passed through (lagged when ``lagtime`` given).
+    - ndarray or list of ndarrays -> trajectory frame via
+      ``trajectory_from_arrays`` (lagged when ``lagtime`` given).
+    """
+    if isinstance(data, tuple) and len(data) == 2 and not isinstance(data[0], DataFrame):
+        X, Y = (np.asarray(a, dtype=np.float64) for a in data)
+        if len(X) != len(Y):
+            raise ValueError(f"length mismatch: {len(X)} vs {len(Y)}")
+        if lagtime is not None:
+            raise ValueError("lagtime cannot be combined with a pre-paired (X, Y) tuple")
+        import pandas as pd
+
+        X = X[:, None] if X.ndim == 1 else X
+        Y = Y[:, None] if Y.ndim == 1 else Y
+        spark = spark or SparkSession.getActiveSession()
+        pdf = pd.DataFrame(
+            {
+                "traj_id": np.zeros(len(X), dtype=np.int64),
+                "t": np.arange(len(X), dtype=np.int64),
+                "x": list(X),
+                "x_lagged": list(Y),
+            }
+        )
+        schema = StructType(
+            TRAJECTORY_SCHEMA.fields + [StructField("x_lagged", ArrayType(DoubleType(), False), False)]
+        )
+        return spark.createDataFrame(pdf, schema)
+    if isinstance(data, DataFrame):
+        df = data
+    else:
+        spark = spark or SparkSession.getActiveSession()
+        df = trajectory_from_arrays(spark, data)
+    if lagtime is not None:
+        from deeptime_spark.operators.lag import with_lagged
+
+        df = with_lagged(df, lagtime, cols=("x",))
+    return df
 
 
 def collect_trajectories(df: DataFrame) -> list[np.ndarray]:

@@ -71,3 +71,28 @@ def test_cvsplit_whole_trajectories(spark, small_df):
     # each trajectory maps to exactly one fold
     assert len(rows) == 2
     assert all(r["fold"] in (0, 1) for r in rows)
+
+
+def test_to_dataset_dispatch(spark):
+    import numpy as np
+
+    from deeptime_spark.data import to_dataset
+
+    rng = np.random.default_rng(3)
+    # list of trajectories + lagtime -> lagged pairs
+    trajs = [rng.normal(size=(20, 2)), rng.normal(size=(11, 2))]
+    df = to_dataset(trajs, lagtime=2, spark=spark)
+    assert set(df.columns) >= {"traj_id", "t", "x", "x_lagged"}
+    assert df.count() == (20 - 2) + (11 - 2)
+    # pre-paired (X, Y) tuple
+    X, Y = rng.normal(size=(9, 3)), rng.normal(size=(9, 3))
+    pair = to_dataset((X, Y), spark=spark)
+    rows = pair.orderBy("t").collect()
+    np.testing.assert_allclose(np.array([r["x"] for r in rows]), X)
+    np.testing.assert_allclose(np.array([r["x_lagged"] for r in rows]), Y)
+    # DataFrame passes through
+    assert to_dataset(df) is df
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        to_dataset((X, Y[:5]), spark=spark)

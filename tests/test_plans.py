@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the 100 TB design claims, checked in CI.
+
+Each test pins a property the operators claim in their docstrings —
+predicate pushdown reaching the parquet scan, broadcast joins for dim
+tables, map-only transforms with zero shuffles, JVM-only text paths with
+no Python evaluation — so a regression that silently de-optimizes a plan
+(e.g. a cast blocking pushdown, a join flipping to sort-merge) fails
+loudly instead of just getting slower.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    import re
+
+    # detail headers "(3) Exchange" — one per exchange, tree lines excluded
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = plan_of(entrymod._q_q6_forecast_revenue(spark, SF))
+    assert "PushedFilters" in plan
+    # shipdate range + discount bounds + quantity reach the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_scan_prunes_columns(spark):
+    plan = plan_of(entrymod._q_q6_forecast_revenue(spark, SF))
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read and "l_discount" in read
+    # untouched wide columns must not be read
+    assert "l_returnflag" not in read and "l_partkey" not in read
+
+
+def test_q3_q5_broadcast_dims(spark):
+    for q in (entrymod._q_q3_top_orders, entrymod._q_q5_supplier_volume):
+        plan = plan_of(q(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_text_stats_no_python_eval(spark):
+    plan = plan_of(entrymod._q_doc_token_stats(spark, SF))
+    assert "EvalPython" not in plan  # neither BatchEvalPython nor ArrowEvalPython
+    assert "codegen id" in plan  # whole-stage codegen spans the projection
+
+
+def test_doc_quality_no_python_eval(spark):
+    plan = plan_of(entrymod._q_doc_quality(spark, SF))
+    assert "EvalPython" not in plan
+
+
+def test_event_moments_single_shuffle(spark):
+    # partial map-side aggregation -> one exchange -> final aggregate
+    plan = plan_of(entrymod._q_event_moments(spark, SF))
+    assert n_exchanges(plan) == 2, plan
+
+
+def test_transition_counts_bounded_shuffles(spark):
+    # one shuffle for the per-trajectory window, one for the (s_from, s_to)
+    # aggregation — lagtime must not add passes
+    plan = plan_of(entrymod._q_event_transition_counts(spark, SF))
+    assert n_exchanges(plan) <= 2, plan
+
+
+def test_cluster_transform_map_only(spark):
+    from deeptime_spark.clustering.cluster_model import ClusterModel
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    model = ClusterModel(np.zeros((4, 64)) + np.arange(4)[:, None])
+    plan = plan_of(model.transform(emb))
+    assert "Exchange" not in plan, plan  # broadcast argmin: no shuffle
+
+
+def test_kernel_gram_map_only(spark):
+    import numpy as np
+
+    from deeptime_spark.kernels import GaussianKernel
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    plan = plan_of(GaussianKernel(2.0).gram_df(emb, np.ones((3, 64))))
+    assert "Exchange" not in plan and "EvalPython" not in plan
