@@ -630,6 +630,31 @@ def _q_pcca_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, m0 double, m1 double")
 
 
+def _q_tram_events(spark, sf_dir):
+    """TRAM over two synthetic thermodynamic ensembles built from the
+    event dtraj (ensemble = traj parity, bias = scaled value): Spark
+    counting per ensemble, driver self-consistent iteration. Returns the
+    biased conformation energies f_i^k."""
+    from deeptime_spark.markov.tram import TRAM
+
+    traj = _event_traj(spark, sf_dir)
+    df = traj.select(
+        "traj_id",
+        "t",
+        "state",
+        (F.col("traj_id") % 2).cast("int").alias("therm_state"),
+        F.array(F.lit(0.0), F.col("value") / 5000.0).alias("bias"),
+    )
+    model = TRAM(lagtime=1, maxiter=200).fit(df).fetch_model()
+    fki = model.biased_conf_energies
+    rows = [
+        (int(k), int(i), float(fki[k, i]))
+        for k in range(fki.shape[0])
+        for i in range(fki.shape[1])
+    ]
+    return spark.createDataFrame(rows, "therm_state long, state long, f double")
+
+
 def _q_bayes_msm_events(spark, sf_dir):
     """BayesianMSM posterior over the event dtraj: per-entry posterior
     mean + 95% CI of the transition matrix (exact reversible Gibbs)."""
@@ -979,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bayes_msm_events": _q_bayes_msm_events,
         "tpt_events": _q_tpt_events,
         "effective_counts_events": _q_effective_counts_events,
+        "tram_events": _q_tram_events,
         # decomposition / covariance pipelines (rows-only)
         "vamp_events": _q_vamp_events,
         "dmd_events": _q_dmd_events,
