@@ -35,6 +35,44 @@ def _cap_buckets(df: DataFrame, bucket_cols: list[str], order_col: str, max_buck
     return df.withColumn("_bn", F.row_number().over(w)).where(F.col("_bn") <= max_bucket).drop("_bn")
 
 
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    max_bucket: int | None,
+) -> DataFrame:
+    """Within-bucket candidate pairs WITHOUT a self-join.
+
+    A self-join of the signature pipeline computes the scan + signature
+    aggregation twice (Catalyst does not reuse the exchange across the
+    join's aliased sides). Instead, ONE shuffle on the bucket key serves
+    both the size cap (streaming row_number window — spills safely on a
+    degenerate hot bucket) and a collect_list bounded by that cap; the
+    (i, j) pairs are then expanded map-side from each bucket's member
+    array. Member structs sort by id, so id_a < id_b by construction.
+    """
+    capped = _cap_buckets(df, bucket_cols, id_col, max_bucket)
+    member = F.struct(F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in payload_cols])
+    grouped = capped.groupBy(*bucket_cols).agg(F.sort_array(F.collect_list(member)).alias("_m"))
+    m = F.col("_m")
+    n = F.size(m)
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.slice(m, i + 2, n),
+                lambda y: F.struct(F.element_at(m, i + 1).alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = grouped.where(n >= 2).select(F.explode(pair_expr).alias("_p"))
+    sel = [F.col("_p.a.id").alias("id_a"), F.col("_p.b.id").alias("id_b")]
+    for c in payload_cols:
+        sel += [F.col(f"_p.a.{c}").alias(f"{c}_a"), F.col(f"_p.b.{c}").alias(f"{c}_b")]
+    return pairs.select(*sel)
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_duplicates(
@@ -147,25 +185,13 @@ def minhash_lsh_candidates(
             F.array(*[F.xxhash64(F.slice("minhash", i * r + 1, r).cast("string")) for i in range(bands)])
         ).alias("band_idx", "band_hash"),
     )
-    banded = _cap_buckets(banded, ["band_idx", "band_hash"], id_col, max_bucket)
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _bucket_pairs(
+        banded, ["band_idx", "band_hash"], id_col, ["minhash"], max_bucket
+    ).dropDuplicates(["id_a", "id_b"])
+    est = F.size(
+        F.filter(F.zip_with("minhash_a", "minhash_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
     )
-    est = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1))
-    return pairs.withColumn("est_jaccard", est / F.lit(n_hashes)).drop("mh_a", "mh_b")
+    return pairs.withColumn("est_jaccard", est / F.lit(n_hashes)).drop("minhash_a", "minhash_b")
 
 
 # ---------------------------------------------------------------- jaccard
@@ -308,22 +334,11 @@ def simhash_near_duplicates(
     blocked = sigs.select(id_col, "sim", F.explode(bands).alias("b")).select(
         id_col, "sim", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
-    blocked = _cap_buckets(blocked, ["band", "val"], id_col, max_bucket)
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming_distance64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-    )
+    pairs = _bucket_pairs(blocked, ["band", "val"], id_col, ["sim"], max_bucket).select(
+        "id_a",
+        "id_b",
+        hamming_distance64(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
     # a pair can collide in several bands: keep one row per pair
     return pairs.dropDuplicates(["id_a", "id_b"])
 
