@@ -196,3 +196,37 @@ def test_batched_kernels_match_single(discrete_ground_truth):
     paths_b = viterbi_batch(A, pobs_list, pi)
     for pobs, p_b in zip(pobs_list, paths_b):
         np.testing.assert_array_equal(p_b, viterbi(A, pobs, pi))
+
+
+def test_batched_kernels_property(discrete_ground_truth):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deeptime_spark.hmm.hmm_model import (
+        forward_backward,
+        forward_backward_batch,
+        viterbi,
+        viterbi_batch,
+    )
+
+    hmm = discrete_ground_truth
+    A, pi, om = hmm.transition_matrix, hmm.initial_distribution, hmm.output_model
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6),
+           st.integers(min_value=0, max_value=2**31 - 1))
+    def check(lengths, seed):
+        rng = np.random.default_rng(seed)
+        obs_list = [rng.integers(0, om.n_observable_states, size=n) for n in lengths]
+        pobs_list = [om.to_state_probability_trajectory(o) for o in obs_list]
+        ll_b, g0_b, c_b, gammas_b = forward_backward_batch(A, pobs_list, pi)
+        ll_s = 0.0
+        for pobs, gam_b in zip(pobs_list, gammas_b):
+            ll, gamma, _ = forward_backward(A, pobs, pi)
+            ll_s += ll
+            np.testing.assert_allclose(gam_b, gamma, atol=1e-9)
+        assert abs(ll_b - ll_s) < 1e-7
+        for pobs, p_b in zip(pobs_list, viterbi_batch(A, pobs_list, pi)):
+            np.testing.assert_array_equal(p_b, viterbi(A, pobs, pi))
+
+    check()
