@@ -51,7 +51,12 @@ from deeptime_spark.markov.pcca import PCCAModel, pcca  # noqa: F401
 from deeptime_spark.callbacks import ProgressCallback, supports_progress_interface  # noqa: F401
 from deeptime_spark.markov.rate_matrix import rate_matrix  # noqa: F401
 from deeptime_spark.markov.tpt import ReactiveFlux, pathways, reactive_flux  # noqa: F401
-from deeptime_spark.markov.tram import TRAM, TRAMModel  # noqa: F401
+from deeptime_spark.markov.tram import (  # noqa: F401
+    TRAM,
+    TRAMModel,
+    restrict_connected,
+    tram_dataset_df,
+)
 from deeptime_spark.markov.transition_counting import (  # noqa: F401
     TransitionCountEstimator,
     TransitionCountModel,

@@ -42,6 +42,75 @@ def _logaddexp(a, b):
     return np.logaddexp(a, b)
 
 
+def tram_dataset_df(
+    spark,
+    dtrajs,
+    bias_matrices,
+    ttrajs=None,
+) -> DataFrame:
+    """Organize (dtrajs, bias_matrices[, ttrajs]) into the TRAM frame
+    (reference ``TRAMDataset`` layout, _tram_dataset.py:90-200: without
+    ttrajs, trajectory index == thermodynamic state).
+
+    ``bias_matrices[i][n, k]`` = bias energy of sample (i, n) evaluated in
+    ensemble k; lands in the ``bias`` array column.
+    """
+    import pandas as pd
+
+    frames = []
+    for i, (dtraj, bias) in enumerate(zip(dtrajs, bias_matrices)):
+        dtraj = np.asarray(dtraj)
+        bias = np.asarray(bias, dtype=np.float64)
+        if len(dtraj) != len(bias):
+            raise ValueError(f"trajectory {i}: dtraj length {len(dtraj)} != bias rows {len(bias)}")
+        therm = np.full(len(dtraj), i) if ttrajs is None else np.asarray(ttrajs[i])
+        frames.append(
+            pd.DataFrame(
+                {
+                    "traj_id": np.full(len(dtraj), i, dtype=np.int64),
+                    "t": np.arange(len(dtraj), dtype=np.int64),
+                    "state": dtraj.astype(np.int32),
+                    "therm_state": therm.astype(np.int32),
+                    "bias": list(bias),
+                }
+            )
+        )
+    return spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        "traj_id long, t long, state int, therm_state int, bias array<double>",
+    )
+
+
+def restrict_connected(df: DataFrame, lagtime: int = 1, state_col: str = "state",
+                       therm_col: str = "therm_state") -> DataFrame:
+    """Restrict to the largest connected Markov-state set under the summed
+    count matrix (reference TRAMDataset.restrict_to_largest_connectivity,
+    connectivity='summed_count_matrix'): transition counts are summed over
+    ensembles, states outside the largest SCC are marked -1 (TRAM's
+    estimator drops them). post_hoc_RE / BAR_variance overlap modes are a
+    documented v1 gap."""
+    from deeptime_spark.numeric.graph import connected_components
+
+    w = Window.partitionBy(therm_col, "traj_id").orderBy("t")
+    pairs = (
+        df.withColumn("_s_to", F.lead(state_col, lagtime).over(w))
+        .where(F.col("_s_to").isNotNull() & (F.col(state_col) >= 0) & (F.col("_s_to") >= 0))
+        .groupBy(F.col(state_col).alias("i"), F.col("_s_to").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = max(max(r["i"], r["j"]) for r in pairs) + 1
+    C = np.zeros((n, n))
+    for r in pairs:
+        C[r["i"], r["j"]] = r["n"]
+    keep = max(connected_components(C > 0, directed=True), key=len)
+    keep_lit = F.array(*[F.lit(int(s)) for s in sorted(keep)])
+    return df.withColumn(
+        state_col,
+        F.when(F.array_contains(keep_lit, F.col(state_col)), F.col(state_col)).otherwise(F.lit(-1)),
+    )
+
+
 class TRAMModel(Model):
     """TRAM result (reference _tram_model.py:11-318): biased conformation
     energies f_i^k, therm-state energies f^k, unbiased Markov state

@@ -63,3 +63,26 @@ def test_tram_transition_matrices(spark, tram_df):
     # per-ensemble MSM accessor composes with the analysis layer
     msm0 = model.msm(0)
     np.testing.assert_allclose(msm0.stationary_distribution, pi0, atol=0.04)
+
+
+def test_tram_dataset_df_and_connectivity(spark):
+    import numpy as np
+
+    from deeptime_spark.markov.tram import restrict_connected, tram_dataset_df
+
+    rng = np.random.default_rng(11)
+    # two ensembles; state 3 appears only as an isolated self-loop island
+    d0 = rng.integers(0, 3, size=200)
+    d1 = rng.integers(0, 3, size=200)
+    d1[195:200] = 3  # trailing block: entries into 3 but no exit -> not in SCC
+    bias0 = np.zeros((200, 2))
+    bias1 = np.column_stack([np.zeros(200), rng.random(200)])
+    df = tram_dataset_df(spark, [d0, d1], [bias0, bias1])
+    assert df.count() == 400
+    assert dict(df.dtypes)["bias"] == "array<double>"
+    # without ttrajs the ensemble is the trajectory index
+    assert df.where((F.col("traj_id") == 1) & (F.col("therm_state") != 1)).count() == 0
+    restricted = restrict_connected(df, lagtime=1)
+    kept = {r["state"] for r in restricted.select("state").distinct().collect()}
+    assert 3 not in kept and -1 in kept
+    assert {0, 1, 2} <= kept
