@@ -934,6 +934,31 @@ def _q_hmm_viterbi_events(spark, sf_dir):
     return model.viterbi_df(traj)
 
 
+def _q_bayes_hmm_events(spark, sf_dir):
+    """Bayesian HMM posterior (batched-FFBS Gibbs) over the event dtraj:
+    posterior mean + 95% CI of the hidden transition matrix."""
+    from deeptime_spark.hmm import (
+        BayesianHMM,
+        MaximumLikelihoodHMM,
+        init_discrete_metastable_from_data,
+    )
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    init = init_discrete_metastable_from_data(traj, n_hidden_states=2, lagtime=1)
+    prior = MaximumLikelihoodHMM(init, lagtime=1, maxit=2).fit(traj).fetch_model()
+    post = BayesianHMM(prior, n_samples=10, seed=42).fit(traj).fetch_model()
+    stats = post.gather_stats("transition_matrix")
+    mean, lo, hi = stats["mean"], stats["L"], stats["R"]
+    rows = [
+        (int(i), int(j), float(mean[i, j]), float(lo[i, j]), float(hi[i, j]))
+        for i in range(2)
+        for j in range(2)
+    ]
+    return spark.createDataFrame(
+        rows, "h_from long, h_to long, p_mean double, p_lo double, p_hi double"
+    )
+
+
 def _q_kmeans_embeddings(spark, sf_dir):
     from deeptime_spark.clustering.kmeans import KMeans
 
@@ -1016,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tica_events": _q_tica_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
+        "bayes_hmm_events": _q_bayes_hmm_events,
         "embedding_whiten": _q_embedding_whiten,
         "multimodal_features": _q_multimodal_features,
         "dedup_verified_pairs": _q_dedup_verified_pairs,

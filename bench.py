@@ -48,6 +48,8 @@ HEADLINE = [
     "event_histogram2d",
     "event_two_step_counts",
     "event_weighted_counts",
+    "event_confidence_interval",
+    "kernel_gram_events",
     "dedup_verified_pairs",
     # estimator pipelines
     "tica_events",
