@@ -816,7 +816,7 @@ def _q_embedding_near_dup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    out = embedding_near_duplicates(emb, threshold=0.3, n_planes=4)
+    out = embedding_near_duplicates(emb, threshold=0.3, n_planes=4, n_tables=4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

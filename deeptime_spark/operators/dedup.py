@@ -348,26 +348,37 @@ def simhash_near_duplicates(
 def embedding_near_duplicates(
     emb: DataFrame, threshold: float = 0.98, id_col: str = "vec_id",
     vec_col: str = "embedding", n_planes: int = 8, seed: int = 42,
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    n_tables: int = 1, max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH buckets.
 
     Bucket = sign pattern of n_planes random projections (literal-array
-    dot products via aggregate/zip_with — O(n_planes) expression nodes, so
-    768-d embeddings compile fine); exact cosine verified within buckets.
-    Two docs with cosine >= threshold collide with probability
-    (1 - theta/pi)^n_planes — for tight thresholds the recall is high;
-    increase bands (OR-construction) in a follow-up for guarantees.
-    Buckets capped at ``max_bucket`` to bound the self-join.
+    dots narrow / one BLAS gemm wide); exact cosine verified within
+    buckets. A pair at angle theta collides in one table with probability
+    (1 - theta/pi)^n_planes; ``n_tables > 1`` is the OR-construction —
+    candidates collide in ANY of the independent tables, lifting recall to
+    1 - (1 - p^n_planes)^n_tables at n_tables x the bucketing cost.
+    Buckets capped at ``max_bucket`` to bound the per-bucket work.
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     from deeptime_spark.operators.similarity import random_hyperplane_buckets
 
     bucketed = random_hyperplane_buckets(
-        emb.select(F.col(id_col), F.col(vec_col)), n_planes=n_planes, seed=seed, vec_col=vec_col
+        emb.select(F.col(id_col), F.col(vec_col)),
+        n_planes=n_planes,
+        seed=seed,
+        vec_col=vec_col,
+        n_tables=n_tables,
     )
-    bucketed = _cap_buckets(bucketed, ["bucket"], id_col, max_bucket)
+    if n_tables > 1:
+        bucketed = bucketed.select(
+            id_col, vec_col, F.posexplode("bucket").alias("_table", "bucket")
+        )
+        bucket_cols = ["_table", "bucket"]
+    else:
+        bucket_cols = ["bucket"]
+    bucketed = _cap_buckets(bucketed, bucket_cols, id_col, max_bucket)
     # within-bucket verification as ONE normalized gemm per bucket group
     # (grouped-map Arrow UDF): with capped buckets each group is at most
     # max_bucket x d, the cosine matrix is a single BLAS call, and only
@@ -393,4 +404,8 @@ def embedding_near_duplicates(
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[iu][mask]})
 
-    return bucketed.groupBy("bucket").applyInPandas(verify, schema=schema)
+    out = bucketed.groupBy(*bucket_cols).applyInPandas(verify, schema=schema)
+    if n_tables > 1:
+        # the same pair can surface from several tables
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out

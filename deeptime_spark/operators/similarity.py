@@ -106,40 +106,65 @@ def topk_for_vector(
 
 def random_hyperplane_buckets(
     emb: DataFrame, n_planes: int = 8, seed: int = 42,
-    vec_col: str = "embedding", out_col: str = "bucket",
+    vec_col: str = "embedding", out_col: str = "bucket", n_tables: int = 1,
 ) -> DataFrame:
-    """Sign-pattern LSH bucket id (int in [0, 2^n_planes)) as a column.
+    """Sign-pattern LSH bucket id(s) as a column.
+
+    With ``n_tables == 1`` adds one int bucket in [0, 2^n_planes); with
+    more, an array of per-table buckets (independent hyperplane sets — the
+    OR-construction: a pair colliding in ANY table becomes a candidate,
+    recall 1 - (1 - p^n_planes)^n_tables for match probability
+    p = 1 - theta/pi).
 
     Narrow vectors use ``aggregate(zip_with(x, plane_literal, *), +)``
-    literal-array dots (O(n_planes) Catalyst nodes); wide embeddings go
-    through an Arrow pandas_udf doing ONE sign(X @ planes^T) BLAS gemm per
-    batch — Spark's higher-order functions are interpreted per element, so
-    64-d+ columns are ~10x faster on the BLAS path with identical buckets.
+    literal-array dots (O(n_planes x n_tables) Catalyst nodes); wide
+    embeddings go through an Arrow pandas_udf doing ONE
+    sign(X @ planes^T) BLAS gemm per batch for ALL tables — Spark's
+    higher-order functions are interpreted per element, so 64-d+ columns
+    are ~10x faster on the BLAS path with identical buckets.
     """
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    d = int(first["d"])
+    first = emb.select(F.size(vec_col)).first()
+    d = int(first[0])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, d))
+    planes = rng.normal(size=(n_tables * n_planes, d))
     if d <= 24:
-        bucket = F.lit(0)
-        for i in range(n_planes):
-            proj = dot(F.col(vec_col).cast("array<double>"), _literal_array(planes[i]))
-            bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        return emb.withColumn(out_col, bucket)
+        buckets = []
+        for t in range(n_tables):
+            bucket = F.lit(0)
+            for i in range(n_planes):
+                proj = dot(
+                    F.col(vec_col).cast("array<double>"),
+                    _literal_array(planes[t * n_planes + i]),
+                )
+                bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+            buckets.append(bucket)
+        col = buckets[0] if n_tables == 1 else F.array(*buckets)
+        return emb.withColumn(out_col, col)
 
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import ArrayType, IntegerType
 
     planes_T = np.ascontiguousarray(planes.T)
     powers = (2 ** np.arange(n_planes)).astype(np.int64)
 
-    @pandas_udf(IntegerType())
-    def bucket_of(xs: pd.Series) -> pd.Series:
-        X = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
-        signs = (X @ planes_T) >= 0
-        return pd.Series((signs @ powers).astype(np.int32))
+    if n_tables == 1:
 
-    return emb.withColumn(out_col, bucket_of(F.col(vec_col)))
+        @pandas_udf(IntegerType())
+        def bucket_of(xs: pd.Series) -> pd.Series:
+            X = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+            signs = (X @ planes_T) >= 0
+            return pd.Series((signs @ powers).astype(np.int32))
+
+        return emb.withColumn(out_col, bucket_of(F.col(vec_col)))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def buckets_of(xs: pd.Series) -> pd.Series:
+        X = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        signs = (X @ planes_T).reshape(len(X), n_tables, n_planes) >= 0
+        ids = (signs @ powers).astype(np.int32)
+        return pd.Series(list(ids))
+
+    return emb.withColumn(out_col, buckets_of(F.col(vec_col)))
 
 
 def ivf_topk(

@@ -189,3 +189,34 @@ def test_ivf_topk_recall(spark, rng):
             hits += 1
     assert total == 4 * 5
     assert hits / total >= 0.8  # high recall when probing the right cells
+
+
+def test_embedding_near_dup_multitable_recall(spark, rng):
+    from deeptime_spark.operators import dedup
+
+    # pairs of near-identical vectors; single-table recall at low n_planes
+    # misses some, OR-construction across 6 tables should find them all
+    base = rng.normal(size=(60, 16))
+    # ~0.04 rad apart: one 8-plane table misses ~10% of pairs, 6 tables ~0%
+    X = np.vstack([base, base + 0.04 * rng.normal(size=(60, 16))])
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)], ["vec_id", "embedding"]
+    )
+    cos = np.einsum("ij,ij->i", base, X[60:]) / (
+        np.linalg.norm(base, axis=1) * np.linalg.norm(X[60:], axis=1)
+    )
+    expected = {(i, i + 60) for i in range(60) if cos[i] >= 0.998}
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates(
+            df, threshold=0.998, n_planes=8, n_tables=6, seed=1
+        ).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates(
+            df, threshold=0.998, n_planes=8, n_tables=1, seed=1
+        ).collect()
+    }
+    assert expected <= multi  # OR-construction finds every true pair
+    assert len(single & expected) < len(expected)  # single table provably misses some here
