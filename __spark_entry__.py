@@ -846,6 +846,37 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics: distinct tokens, total tokens, and
+    singleton count — explode + two aggregations, the scale shape for
+    tokenizer/vocab audits over a training corpus."""
+    from deeptime_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    per_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return per_tok.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("singletons"),
+    )
+
+
+def _q_top_tokens(spark, sf_dir):
+    """Heavy hitters: 20 most frequent tokens (partial-agg counts, then a
+    driver-sized ordered limit)."""
+    from deeptime_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    return (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("tok"))
+        .limit(20)
+    )
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from deeptime_spark.operators.text import fingerprint
 
@@ -981,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_docs_count": _q_dedup_docs_count,
         "doc_jaccard_adjacent": _q_doc_jaccard_adjacent,
         "doc_shingle_count": _q_doc_shingle_count,
+        "vocab_stats": _q_vocab_stats,
+        "top_tokens": _q_top_tokens,
         "minhash_bands": _q_minhash_bands,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1378,6 +1411,28 @@ SELECT state,
        round(avg(vc), 6) AS ci_mean
 FROM traj
 GROUP BY state
+""",
+        "vocab_stats": r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), per_tok AS (
+  SELECT tok, count(*) AS n FROM tok GROUP BY tok
+)
+SELECT count(*) AS vocab_size,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons
+FROM per_tok
+""",
+        "top_tokens": r"""
+SELECT tok, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
 """,
         # Gaussian kernel k(x, l) = exp(-||x-l||^2 / (2 sigma^2)), sigma=4:
         # per-row deterministic fp ops (same left-to-right element sum as
