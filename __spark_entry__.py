@@ -730,6 +730,27 @@ def _q_dmd_events(spark, sf_dir):
     )
 
 
+def _q_kedmd_events(spark, sf_dir):
+    """Kernel EDMD eigenvalues (Gaussian kernel, sampled landmark Gram)
+    on the event-value feature trajectory."""
+    import numpy as np
+
+    from deeptime_spark.decomposition.kernel_methods import KernelEDMD
+    from deeptime_spark.kernels import GaussianKernel
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v).alias("x"))
+    model = KernelEDMD(GaussianKernel(1.0), epsilon=1e-6, n_eigs=3, max_samples=500).fit(
+        feat, lagtime=2
+    ).fetch_model()
+    ev = np.sort_complex(model.eigenvalues)
+    return spark.createDataFrame(
+        [(int(i), float(ev[i].real), float(ev[i].imag)) for i in range(len(ev))],
+        "idx long, ev_re double, ev_im double",
+    )
+
+
 def _q_effective_counts_events(spark, sf_dir):
     """Statistically-uncorrelated effective count matrix (autocorrelation
     inefficiency scaling) on the event dtraj."""
@@ -1066,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decomposition / covariance pipelines (rows-only)
         "vamp_events": _q_vamp_events,
         "dmd_events": _q_dmd_events,
+        "kedmd_events": _q_kedmd_events,
         "koopman_weights_events": _q_koopman_weights_events,
         # clustering / kernels
         "regspace_events": _q_regspace_events,
