@@ -850,7 +850,7 @@ def _q_lsh_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries, k=5, n_planes=4)
+    out = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=4)
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 

@@ -248,6 +248,7 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -256,14 +257,26 @@ def lsh_topk(
 
     Both sides get the same hyperplane buckets (same seed); the join is
     equi on bucket — at scale this prunes the scan by ~2^n_planes and the
-    bucket key is shuffle-friendly. Recall is traded via n_planes; callers
-    needing guarantees union several plane-sets (OR construction).
+    bucket key is shuffle-friendly. ``n_tables > 1`` unions candidates
+    from independent plane-sets (OR construction) for higher recall at
+    n_tables x the bucketing cost.
     """
-    cb = random_hyperplane_buckets(corpus, n_planes, seed, vec_col)
+    cb = random_hyperplane_buckets(corpus, n_planes, seed, vec_col, n_tables=n_tables)
     qb = random_hyperplane_buckets(
-        queries.select(F.col(query_id_col), F.col(vec_col)), n_planes, seed, vec_col
+        queries.select(F.col(query_id_col), F.col(vec_col)), n_planes, seed, vec_col,
+        n_tables=n_tables,
     ).select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"), F.col("bucket"))
-    scored = cb.join(F.broadcast(qb), "bucket").select(
+    if n_tables > 1:
+        cb = cb.select(id_col, vec_col, F.posexplode("bucket").alias("_tbl", "bucket"))
+        qb = qb.select("_qid", "_qvec", F.posexplode("bucket").alias("_tbl", "bucket"))
+        keys = ["_tbl", "bucket"]
+    else:
+        keys = ["bucket"]
+    cands = cb.join(F.broadcast(qb), keys)
+    if n_tables > 1:
+        # the same (query, vector) pair can collide in several tables
+        cands = cands.dropDuplicates(["_qid", id_col])
+    scored = cands.select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
         cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("similarity"),

@@ -220,3 +220,29 @@ def test_embedding_near_dup_multitable_recall(spark, rng):
     }
     assert expected <= multi  # OR-construction finds every true pair
     assert len(single & expected) < len(expected)  # single table provably misses some here
+
+
+def test_lsh_topk_multitable_recall(spark, rng):
+    from deeptime_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    X = rng.normal(size=(300, 16))
+    corpus = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(5)], ["query_id", "embedding"]
+    )
+    exact = {}
+    for r in brute_force_topk(corpus, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(nt):
+        hits = total = 0
+        for r in lsh_topk(corpus, queries, k=5, n_planes=6, n_tables=nt, seed=2).collect():
+            total += 1
+            hits += r["vec_id"] in exact[r["query_id"]]
+        return hits / 25
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 >= 0.6  # OR-construction recovers most true neighbors
