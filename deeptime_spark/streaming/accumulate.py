@@ -108,6 +108,31 @@ _TC_OUT_SCHEMA = StructType(
 )
 
 
+def streaming_drop_exact_duplicates(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each content
+    hash across micro-batches.
+
+    With an event-time column, uses ``dropDuplicatesWithinWatermark`` so
+    the dedup state is bounded (hashes older than the watermark age out —
+    the only viable policy for an unbounded corpus stream). Without one,
+    falls back to global ``dropDuplicates`` (state grows with distinct
+    content; fine for bounded backfills).
+    """
+    hashed = stream_df.withColumn("_h", F.xxhash64(F.col(text_col)))
+    if ts_col is not None:
+        return (
+            hashed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_h"])
+            .drop("_h")
+        )
+    return hashed.dropDuplicates(["_h"]).drop("_h")
+
+
 def _transition_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     """Per-trajectory stateful kernel: carries the last (t, state) pair
     across micro-batches and emits lag-1 transition counts for newly

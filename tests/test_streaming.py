@@ -87,3 +87,26 @@ def test_streaming_transition_counts(spark, rng, tmpdir):
     for r in rows:
         C_stream[r["s_from"], r["s_to"]] = r["n"]
     np.testing.assert_allclose(C_stream, C_batch, atol=1e-9)
+
+
+def test_streaming_drop_exact_duplicates(spark, tmpdir):
+    from deeptime_spark.streaming import streaming_drop_exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma"), (2, "alpha beta"), (3, "delta"), (4, "gamma")],
+        ["doc_id", "text"],
+    )
+    docs.write.parquet(tmpdir + "/docs")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(tmpdir + "/docs")
+    deduped = streaming_drop_exact_duplicates(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT text FROM dedup_out").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha beta", "delta", "gamma"]
