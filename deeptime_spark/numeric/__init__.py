@@ -1,3 +1,4 @@
+from deeptime_spark.numeric.kahan import kdot, ksum  # noqa: F401
 from deeptime_spark.numeric.eigen import (  # noqa: F401
     sort_eigs,
     spd_eig,

@@ -120,3 +120,16 @@ def test_progress_callback_in_hmm_fit(spark):
 
     MaximumLikelihoodHMM(init, lagtime=1, maxit=2).fit(df, progress=Bar)
     assert seen == [1, 2]
+
+
+def test_kahan_sum_and_dot():
+    import numpy as np
+
+    from deeptime_spark.numeric.kahan import kdot, ksum
+
+    # pathological cancellation: naive fp sum loses the small term
+    arr = np.array([1e16, 1.0, -1e16, 1.0])
+    assert ksum(arr) == 2.0
+    rng = np.random.default_rng(4)
+    A, B = rng.normal(size=(3, 5)), rng.normal(size=(5, 2))
+    np.testing.assert_allclose(kdot(A, B), A @ B, rtol=1e-12)
