@@ -210,15 +210,35 @@ class TransitionCountEstimator(Estimator):
                 C, counting_mode="effective", lagtime=tau, state_histogram=hist
             )
             return self
-        counted = transition_counts_df(df, tau, self.count_mode, state_col=sc).collect()
-
-        hist = count_states(df, state_col=sc)
+        # ONE Spark job for transitions AND the state histogram: frames
+        # whose lagged partner is invalid (trajectory tail, negative
+        # state, off-stride in 'sample' mode) aggregate under s_to=NULL —
+        # they contribute to the histogram only. Saves the second full
+        # scan the reference pays via a separate count_states pass.
+        w = Window.partitionBy("traj_id").orderBy("t")
+        valid = F.col("_lead").isNotNull() & (F.col("_lead") >= 0)
+        if self.count_mode == "sample":
+            valid = valid & (F.col("t") % tau == 0)
+        fused = (
+            df.withColumn("_lead", F.lead(sc, tau).over(w))  # lead BEFORE the
+            .where(F.col(sc) >= 0)  # negative-state filter: -1 frames still occupy time slots
+            .withColumn("_s_to", F.when(valid, F.col("_lead")))
+            .groupBy(F.col(sc).alias("s_from"), F.col("_s_to").alias("s_to"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        scale = 1.0 / tau if self.count_mode == "sliding-effective" else 1.0
+        counted = [r for r in fused if r["s_to"] is not None]
+        hist_n = max((r["s_from"] for r in fused), default=-1) + 1
+        hist = np.zeros(hist_n, dtype=np.int64)
+        for r in fused:
+            hist[r["s_from"]] += r["n"]
         n = self.n_states or max(
             len(hist), (max((max(r["s_from"], r["s_to"]) for r in counted), default=-1) + 1)
         )
         rows = np.array([r["s_from"] for r in counted], dtype=int)
         cols = np.array([r["s_to"] for r in counted], dtype=int)
-        vals = np.array([r["n"] for r in counted], dtype=np.float64)
+        vals = np.array([r["n"] for r in counted], dtype=np.float64) * scale
         C = np.zeros((n, n), dtype=np.float64)
         np.add.at(C, (rows, cols), vals)
         if len(hist) < n:
