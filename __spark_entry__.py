@@ -619,6 +619,33 @@ def _q_msm_ck_events(spark, sf_dir):
     )
 
 
+def _q_msm_longtail_events(spark, sf_dir):
+    """MSM analysis long tail on the event MSM: hitting probability of
+    state 4, correlation-fingerprint amplitudes for the value observable,
+    and per-state expected counts after 10 steps from uniform start."""
+    import numpy as np
+
+    from deeptime_spark.markov.analysis import (
+        expected_counts,
+        fingerprint_correlation,
+        hitting_probability,
+    )
+
+    msm = _event_msm(spark, sf_dir)
+    P = msm.transition_matrix
+    n = P.shape[0]
+    h = hitting_probability(P, [4])
+    obs = np.arange(n, dtype=np.float64)
+    ts, amp = fingerprint_correlation(P, obs)
+    ec = expected_counts(P, np.full(n, 1.0 / n), 10).sum(axis=1)
+    rows = [
+        (int(i), float(h[i]), float(amp[i]), float(ec[i])) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "state long, hitting_p4 double, fp_amplitude double, expected_out_counts double"
+    )
+
+
 def _q_pcca_events(spark, sf_dir):
     """PCCA+ memberships of the lag-1 event MSM (2 metastable sets)."""
     import numpy as np
@@ -1080,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_its_events": _q_msm_its_events,
         "msm_ck_events": _q_msm_ck_events,
         "pcca_events": _q_pcca_events,
+        "msm_longtail_events": _q_msm_longtail_events,
         "bayes_msm_events": _q_bayes_msm_events,
         "tpt_events": _q_tpt_events,
         "effective_counts_events": _q_effective_counts_events,
