@@ -59,18 +59,24 @@ class KMeans(Estimator):
         from pyspark.ml.clustering import KMeans as MLKMeans
         from pyspark.ml.functions import array_to_vector
 
-        vec = df.select(array_to_vector(F.col(self.x_col)).alias("features"))
-        init_mode = "k-means||" if self.init_strategy == "kmeans++" else "random"
-        km = MLKMeans(
-            k=self.n_clusters,
-            maxIter=self.max_iter,
-            tol=self.tolerance,
-            initMode=init_mode,
-            seed=self.seed,
-        )
-        fitted = km.fit(vec)
-        centers = np.array([np.asarray(c) for c in fitted.clusterCenters()])
-        inertia = float(fitted.summary.trainingCost)
+        # persist the assembled vectors: k-means|| init + every Lloyd
+        # iteration re-reads the input (MLlib no longer auto-caches), so an
+        # uncached source pays the scan + conversion ~2(init)+maxIter times
+        vec = df.select(array_to_vector(F.col(self.x_col)).alias("features")).persist()
+        try:
+            init_mode = "k-means||" if self.init_strategy == "kmeans++" else "random"
+            km = MLKMeans(
+                k=self.n_clusters,
+                maxIter=self.max_iter,
+                tol=self.tolerance,
+                initMode=init_mode,
+                seed=self.seed,
+            )
+            fitted = km.fit(vec)
+            centers = np.array([np.asarray(c) for c in fitted.clusterCenters()])
+            inertia = float(fitted.summary.trainingCost)
+        finally:
+            vec.unpersist()
         self._model = KMeansModel(centers, inertia=inertia, converged=True)
         return self
 
