@@ -8,12 +8,14 @@ thermodynamics and kinetics", PNAS 113 (2016) E3221 — the self-consistent
 equations implemented here are the published ones).
 
 Spark/driver split (SURVEY.md §7.4.5): Spark computes the per-ensemble
-transition counts, state counts, and collects the per-state bias-energy
-sample blocks; the self-consistent iteration runs on the driver in
-vectorized log-space numpy. This is the documented scale-limited v1 path —
-the per-sample logsumexp updates are one grouped aggregation per iteration
-and can move onto Spark (logsumexp aggregate) when sample sets outgrow the
-driver.
+transition counts and state counts; the self-consistent iteration runs on
+the driver in vectorized log-space numpy. Per-sample bias energies live in
+one of two stores (``bias_store``): ``driver`` collects the per-state
+blocks (fastest below ~2M samples), ``spark`` keeps them distributed,
+partitioned by Markov state and persisted — each iteration's f-update is
+then ONE shuffle-free mapInPandas fold returning an (N, K+1) table, so
+sample volume never touches the driver (the 100 TB path). ``auto`` picks
+by sample count. Both paths are numerically identical (pinned by test).
 
 Data model: DataFrame (therm_state, traj_id, t, state, bias: array<double>
 of length n_therm_states) — bias[k] is the configuration's bias energy
@@ -111,6 +113,59 @@ def restrict_connected(df: DataFrame, lagtime: int = 1, state_col: str = "state"
     )
 
 
+class _SparkBiasStore:
+    """Bias-energy samples kept DISTRIBUTED, co-located by Markov state.
+
+    The TRAM self-consistent iteration touches per-sample data only
+    through two state-grouped log-space folds (f_i^k and the unbiased
+    markov energies). Persisting the samples pre-partitioned by state
+    makes each iteration ONE shuffle-free mapInPandas job emitting an
+    (N, K+1) result — the 100 TB path: samples never reach the driver.
+    """
+
+    def __init__(self, df: DataFrame, state_col: str, bias_col: str, K: int, N: int):
+        self.K, self.N = K, N
+        self.df = (
+            df.where(F.col(state_col) >= 0)
+            .select(F.col(state_col).alias("_i"), F.col(bias_col).alias("_b"))
+            .repartition("_i")
+            .persist()
+        )
+
+    def fold(self, mod: np.ndarray):
+        """Returns (f_new (K, N), markov_energies (N,)) — tram.h:371-405
+        and updateMarkovStateEnergies, computed per partition."""
+        import pandas as pd  # noqa: F811
+
+        K, N = self.K, self.N
+
+        def upd(batches):
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            out_i, out_f, out_m = [], [], []
+            for i, grp in pdf.groupby("_i"):
+                B = np.stack(grp["_b"].to_numpy()).astype(np.float64)  # (n_i, K)
+                with np.errstate(invalid="ignore"):
+                    divisor = _logsumexp(mod[:, int(i)][None, :] - B, axis=1)
+                out_i.append(int(i))
+                out_f.append((-_logsumexp(-(divisor[:, None] + B), axis=0)).tolist())
+                out_m.append(float(-_logsumexp(-divisor)))
+            yield pd.DataFrame({"i": out_i, "f": out_f, "m": out_m})
+
+        rows = self.df.mapInPandas(upd, schema="i integer, f array<double>, m double").collect()
+        f_new = np.full((K, N), np.inf)
+        markov = np.full(N, np.inf)
+        for r in rows:
+            f_new[:, r["i"]] = r["f"]
+            markov[r["i"]] = r["m"]
+        return f_new, markov
+
+    def unpersist(self):
+        self.df.unpersist()
+
+
 class TRAMModel(Model):
     """TRAM result (reference _tram_model.py:11-318): biased conformation
     energies f_i^k, therm-state energies f^k, unbiased Markov state
@@ -150,23 +205,29 @@ class TRAM(Estimator):
     """ctor mirrors the reference (_tram.py:49-130): lagtime, maxiter,
     maxerr, track_log_likelihoods, callback_interval (progress omitted)."""
 
+    #: sample sets below this stay driver-side ('auto' mode)
+    DRIVER_SAMPLE_LIMIT = 2_000_000
+
     def __init__(self, lagtime: int = 1, count_mode: str = "sliding", maxiter: int = 1000,
                  maxerr: float = 1e-8, state_col: str = "state", therm_col: str = "therm_state",
-                 bias_col: str = "bias"):
+                 bias_col: str = "bias", bias_store: str = "auto"):
         super().__init__()
         if count_mode != "sliding":
             raise ValueError("v1 supports count_mode='sliding'")
+        if bias_store not in ("auto", "driver", "spark"):
+            raise ValueError(f"bias_store must be auto/driver/spark, got {bias_store!r}")
         self.lagtime = lagtime
         self.maxiter = maxiter
         self.maxerr = maxerr
         self.state_col = state_col
         self.therm_col = therm_col
         self.bias_col = bias_col
+        self.bias_store = bias_store
 
     # ------------------------------------------------------- Spark stages
 
-    def _collect_inputs(self, df: DataFrame):
-        sc, tc, bc = self.state_col, self.therm_col, self.bias_col
+    def _collect_counts(self, df: DataFrame):
+        sc, tc = self.state_col, self.therm_col
         w = Window.partitionBy(tc, "traj_id").orderBy("t")
         pairs = (
             df.withColumn("_s_to", F.lead(sc, self.lagtime).over(w))
@@ -181,7 +242,6 @@ class TRAM(Estimator):
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        samples = df.where(F.col(sc) >= 0).select(F.col(sc).alias("i"), F.col(bc)).collect()
         K = max(r["k"] for r in scounts) + 1
         N = max(r["i"] for r in scounts) + 1
         C = np.zeros((K, N, N))
@@ -190,11 +250,15 @@ class TRAM(Estimator):
         state_counts = np.zeros((K, N))
         for r in scounts:
             state_counts[r["k"], r["i"]] = r["n"]
+        return C, state_counts
+
+    def _collect_bias(self, df: DataFrame, K: int, N: int):
+        sc, bc = self.state_col, self.bias_col
+        samples = df.where(F.col(sc) >= 0).select(F.col(sc).alias("i"), F.col(bc)).collect()
         bias_by_state = [[] for _ in range(N)]
         for r in samples:
             bias_by_state[r["i"]].append(r[bc])
-        bias_by_state = [np.array(b) if b else np.zeros((0, K)) for b in bias_by_state]
-        return C, state_counts, bias_by_state
+        return [np.array(b) if b else np.zeros((0, K)) for b in bias_by_state]
 
     # ------------------------------------------------------ driver updates
 
@@ -286,8 +350,18 @@ class TRAM(Estimator):
     # --------------------------------------------------------------- fit
 
     def fit(self, df: DataFrame) -> "TRAM":
-        C, state_counts, bias_by_state = self._collect_inputs(df)
+        C, state_counts = self._collect_counts(df)
         K, N = state_counts.shape
+        use_spark = self.bias_store == "spark" or (
+            self.bias_store == "auto"
+            and int(state_counts.sum()) > self.DRIVER_SAMPLE_LIMIT
+        )
+        store = None
+        if use_spark:
+            store = _SparkBiasStore(df, self.state_col, self.bias_col, K, N)
+            bias_by_state = None
+        else:
+            bias_by_state = self._collect_bias(df, K, N)
         f = np.zeros((K, N))
         with np.errstate(divide="ignore"):
             log_v = np.log(np.maximum(0.5 * (C + C.transpose(0, 2, 1)).sum(axis=2), 1e-300))
@@ -296,25 +370,39 @@ class TRAM(Estimator):
         stat_vectors = np.exp(therm_energies[:, None] - f)
         mod = self._update_state_counts(C, state_counts, f, log_v)
         increments = []
-        for it in range(self.maxiter):
-            log_v = self._update_lagrangian_mult(C, state_counts, f, log_v)
-            mod = self._update_state_counts(C, state_counts, f, log_v)
-            f = self._update_biased_conf_energies(bias_by_state, mod)
-            # energy shift to prevent drift (tram.h shiftEnergies...)
-            shift = np.min(f[np.isfinite(f)])
-            f -= shift
-            new_therm = -_logsumexp(-f, axis=1)
-            new_stat = np.exp(new_therm[:, None] - f)
-            err = max(
-                float(np.max(np.abs(new_therm - therm_energies))),
-                float(np.max(np.abs(new_stat - stat_vectors))),
-            )
-            therm_energies, stat_vectors = new_therm, new_stat
-            increments.append(err)
-            if err < self.maxerr:
-                break
-        # final energies + normalization (tram.h:486-576)
-        markov_energies = self._markov_state_energies(bias_by_state, mod, N)
+        markov_energies = np.full(N, np.inf)
+        try:
+            for it in range(self.maxiter):
+                log_v = self._update_lagrangian_mult(C, state_counts, f, log_v)
+                mod = self._update_state_counts(C, state_counts, f, log_v)
+                if store is not None:
+                    f, markov_energies = store.fold(mod)
+                else:
+                    f = self._update_biased_conf_energies(bias_by_state, mod)
+                # energy shift to prevent drift (tram.h shiftEnergies...)
+                # NB: markov_energies stay unshifted — the driver path
+                # derives them from the final mod without the loop shift,
+                # and the final f0 normalization cancels any constant
+                shift = np.min(f[np.isfinite(f)])
+                f -= shift
+                new_therm = -_logsumexp(-f, axis=1)
+                new_stat = np.exp(new_therm[:, None] - f)
+                err = max(
+                    float(np.max(np.abs(new_therm - therm_energies))),
+                    float(np.max(np.abs(new_stat - stat_vectors))),
+                )
+                therm_energies, stat_vectors = new_therm, new_stat
+                increments.append(err)
+                if err < self.maxerr:
+                    break
+            # final energies + normalization (tram.h:486-576)
+            if store is None:
+                markov_energies = self._markov_state_energies(bias_by_state, mod, N)
+            elif not increments:
+                _, markov_energies = store.fold(mod)
+        finally:
+            if store is not None:
+                store.unpersist()
         f0 = -_logsumexp(-markov_energies)
         markov_energies -= f0
         f -= f0

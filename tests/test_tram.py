@@ -86,3 +86,25 @@ def test_tram_dataset_df_and_connectivity(spark):
     kept = {r["state"] for r in restricted.select("state").distinct().collect()}
     assert 3 not in kept and -1 in kept
     assert {0, 1, 2} <= kept
+
+
+def test_tram_spark_bias_store_matches_driver(spark, tram_df):
+    import numpy as np
+
+    from deeptime_spark.markov.tram import TRAM
+
+    df = tram_df[0]
+    m_driver = TRAM(lagtime=1, maxiter=60, bias_store="driver").fit(df).fetch_model()
+    m_spark = TRAM(lagtime=1, maxiter=60, bias_store="spark").fit(df).fetch_model()
+    np.testing.assert_allclose(
+        m_spark.biased_conf_energies, m_driver.biased_conf_energies, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        m_spark.markov_state_energies, m_driver.markov_state_energies, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        m_spark.therm_state_energies, m_driver.therm_state_energies, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        m_spark.transition_matrices, m_driver.transition_matrices, atol=1e-10
+    )
