@@ -43,18 +43,49 @@ def _leader_scan(X: np.ndarray, dmin: float, max_centers: int, centers: list) ->
 
 
 class RegularSpace(Estimator):
-    """ctor mirrors reference (:14-80): dmin, max_centers."""
+    """ctor mirrors reference (:14-80): dmin, max_centers.
 
-    def __init__(self, dmin: float, max_centers: int = 500, x_col: str = "x"):
+    ``exact=True`` reproduces the reference's strictly order-dependent
+    center set by streaming frames through the driver in (traj_id, t)
+    order — partition-at-a-time via toLocalIterator, never a full collect.
+    Exact center identity is inherently sequential; use it when center
+    reproducibility against the reference matters more than throughput.
+    The default two-level mode is the distributed path (packing invariant
+    preserved, centers order-dependent-but-different).
+    """
+
+    def __init__(self, dmin: float, max_centers: int = 500, x_col: str = "x", exact: bool = False):
         super().__init__()
         if dmin <= 0:
             raise ValueError("dmin must be positive")
         self.dmin = dmin
         self.max_centers = max_centers
         self.x_col = x_col
+        self.exact = exact
+
+    def _fit_exact(self, df: DataFrame) -> None:
+        order = [c for c in ("traj_id", "t") if c in df.columns]
+        src = df.orderBy(*order) if order else df
+        centers: list = []
+        for row in src.select(self.x_col).toLocalIterator(prefetchPartitions=True):
+            if len(centers) >= self.max_centers:
+                break
+            _leader_scan(
+                np.asarray(row[self.x_col], dtype=np.float64)[None, :],
+                self.dmin,
+                self.max_centers,
+                centers,
+            )
+        if not centers:
+            raise ValueError("no data")
+        self._model = ClusterModel(np.asarray(centers), converged=True)
 
     def fit(self, df: DataFrame) -> "RegularSpace":
         import pandas as pd
+
+        if self.exact:
+            self._fit_exact(df)
+            return self
 
         dmin, max_centers, x_col = self.dmin, self.max_centers, self.x_col
         schema = StructType([StructField("center", ArrayType(DoubleType()))])

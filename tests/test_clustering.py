@@ -158,3 +158,15 @@ def test_metric_registry_assignment(spark):
     np.testing.assert_array_equal([got[i] for i in range(len(X))], exp)
     with pytest.raises(ValueError, match="unsupported metric"):
         ClusterModel(centers, metric="nope")
+
+
+def test_regspace_exact_matches_sequential_reference(spark, rng):
+    from deeptime_spark.clustering.regspace import RegularSpace, _leader_scan
+
+    X = rng.normal(size=(400, 2)) * 3
+    df = trajectory_from_arrays(spark, [X])
+    model = RegularSpace(dmin=1.5, max_centers=50, exact=True).fit(df).fetch_model()
+    # reference semantics: sequential leader scan over frames in order
+    expected: list = []
+    _leader_scan(X, 1.5, 50, expected)
+    np.testing.assert_allclose(model.cluster_centers, np.asarray(expected))
