@@ -49,7 +49,11 @@ from deeptime_spark.markov.msm import (  # noqa: F401
 from deeptime_spark.markov.oom import OOMReweightedMSM  # noqa: F401
 from deeptime_spark.markov.pcca import PCCAModel, pcca  # noqa: F401
 from deeptime_spark.callbacks import ProgressCallback, supports_progress_interface  # noqa: F401
-from deeptime_spark.markov.rate_matrix import rate_matrix  # noqa: F401
+from deeptime_spark.markov.rate_matrix import (  # noqa: F401
+    estimate_rate_matrix,
+    estimate_rate_matrix_kl,
+    rate_matrix,
+)
 from deeptime_spark.markov.tpt import ReactiveFlux, pathways, reactive_flux  # noqa: F401
 from deeptime_spark.markov.tram import (  # noqa: F401
     TRAM,

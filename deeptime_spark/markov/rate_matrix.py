@@ -1,12 +1,12 @@
-"""Continuous-time rate-matrix estimation from transition matrices.
+"""Continuous-time rate-matrix estimation.
 
 Reference: ``rate_matrix`` (/root/reference/src/deeptime/markov/tools/
 estimation/api.py:1239-1338, dense impl estimation/dense/ratematrix.py):
-methods 'pseudo' (pseudo-generator) and 'truncated_log' (truncated matrix
-logarithm, Davies 2010) are implemented here; the KL/CVE likelihood
-optimizers are scipy-dependent and out of scope (documented — this
-environment has no scipy, and both reduce to small dense optimizations a
-user can run offline on the collected count matrix).
+'pseudo' (pseudo-generator), 'truncated_log' (truncated matrix logarithm,
+Davies 2010), and 'KL' (Kalbfleisch-Lawless 1985 likelihood maximization,
+ratematrix.py:361-492 — objective/gradient reimplemented in numpy with a
+projected Barzilai-Borwein optimizer replacing scipy's L-BFGS-B). 'CVE'
+(Crommelin-Vanden-Eijnden) remains a documented gap.
 
 Driver-side numpy: rate matrices live at the (n, n) model layer.
 """
@@ -62,6 +62,140 @@ def rate_matrix(T: np.ndarray, dt: float = 1.0, method: str = "truncated_log") -
             f"use 'pseudo' or 'truncated_log')"
         )
     return _fix_generator(K)
+
+
+def _exprel(x: np.ndarray) -> np.ndarray:
+    """(e^x - 1)/x with the x -> 0 limit (scipy.special.exprel)."""
+    out = np.ones_like(x)
+    nz = np.abs(x) > 1e-12
+    out[nz] = np.expm1(x[nz]) / x[nz]
+    return out
+
+
+def _getV(lam: np.ndarray, tau: float) -> np.ndarray:
+    """Divided differences of exp for the Frechet derivative of expm
+    (reference ratematrix.py:33-46)."""
+    n = len(lam)
+    V = np.zeros((n, n))
+    ones = np.ones((n, n))
+    delta = tau * (lam - lam[:, None])
+    positive = delta >= 0
+    negative = delta < 0
+    a1 = tau * np.exp(tau * lam)[:, None] * ones
+    V[negative] = a1[negative] * _exprel(delta)[negative]
+    a2 = tau * np.exp(tau * lam)[None, :] * ones
+    V[positive] = a2[positive] * _exprel(-delta)[positive]
+    return V
+
+
+def _reversible_eigen(K: np.ndarray, pi: np.ndarray):
+    """Real eigendecomposition of a pi-reversible generator via the
+    symmetrized similarity transform (reference ratematrix.py:49-64)."""
+    sqrt_pi = np.sqrt(pi)
+    Ksym = sqrt_pi[:, None] * K / sqrt_pi
+    lam, B = np.linalg.eigh(0.5 * (Ksym + Ksym.T))
+    A = B / sqrt_pi[:, None]
+    Ainv = B.T * sqrt_pi
+    return lam, A, Ainv
+
+
+def _projected_bb_minimize(fg, x0: np.ndarray, lb: np.ndarray, maxiter: int = 2000,
+                           gtol: float = 1e-9):
+    """Projected-gradient minimization with Barzilai-Borwein steps and
+    backtracking — the scipy-free stand-in for L-BFGS-B with lower
+    bounds (adequate for the small smooth rate-matrix objectives)."""
+    x = np.maximum(np.asarray(x0, dtype=np.float64), lb)
+    f, g = fg(x)
+    step = 1.0 / max(float(np.abs(g).max()), 1.0)
+    for _ in range(maxiter):
+        x_new = np.maximum(x - step * g, lb)
+        f_new, g_new = fg(x_new)
+        bt = 0
+        while f_new > f and bt < 40:
+            step *= 0.5
+            x_new = np.maximum(x - step * g, lb)
+            f_new, g_new = fg(x_new)
+            bt += 1
+        s = x_new - x
+        if float(np.abs(s).max()) < 1e-16:
+            break
+        y = g_new - g
+        sy = float(s @ y)
+        step = float(s @ s) / sy if sy > 1e-300 else min(step * 2.0, 1e6)
+        step = float(np.clip(step, 1e-14, 1e8))
+        x, f, g = x_new, f_new, g_new
+        proj_grad = x - np.maximum(x - g, lb)
+        if float(np.abs(proj_grad).max()) < gtol:
+            break
+    return x, f
+
+
+def estimate_rate_matrix_kl(
+    C: np.ndarray,
+    dt: float = 1.0,
+    pi: Optional[np.ndarray] = None,
+    K0: Optional[np.ndarray] = None,
+    maxiter: int = 2000,
+) -> np.ndarray:
+    """Kalbfleisch-Lawless reversible MLE: maximize
+    sum_ij C_ij log(expm(K dt))_ij over pi-reversible generators
+    (reference ratematrix.py:361-492; parameterization x_p = pi_i K_ij
+    over the i<j pairs so reversibility is structural).
+    """
+    from deeptime_spark.markov.analysis import stationary_distribution
+    from deeptime_spark.markov.msm import transition_matrix_reversible
+
+    C = np.asarray(C, dtype=np.float64)
+    n = C.shape[0]
+    if pi is None or K0 is None:
+        T_rev = transition_matrix_reversible(C)
+        if pi is None:
+            pi = stationary_distribution(T_rev)
+        if K0 is None:
+            K0 = _fix_generator((T_rev - np.eye(n)) / dt)
+    pi = np.asarray(pi, dtype=np.float64)
+    I, J = np.triu_indices(n, 1)
+    zero = (C == 0) & (C.T == 0)
+
+    def fg(x: np.ndarray):
+        K = np.zeros((n, n))
+        K[I, J] = x / pi[I]
+        K[J, I] = x / pi[J]
+        np.fill_diagonal(K, -K.sum(axis=1))
+        lam, A, Ainv = _reversible_eigen(K, pi)
+        T = (A * np.exp(dt * lam)[None, :]) @ Ainv
+        T[zero] = 1.0
+        T = np.where((C > 0) & (T < 1e-20), 1e-20, T)
+        f = float(np.sum(C * np.log(np.maximum(T, 1e-300))))
+        V = _getV(lam, dt)
+        M = (Ainv @ np.ascontiguousarray(C.T / T.T) @ A) * V.T
+        H = A @ M @ Ainv
+        grad = (
+            H[J, I] / pi[I] + H[I, J] / pi[J] - H[I, I] / pi[I] - H[J, J] / pi[J]
+        )
+        return -f, -grad
+
+    x0 = np.maximum(pi[I] * K0[I, J], 0.0)
+    x, _ = _projected_bb_minimize(fg, x0, np.zeros_like(x0), maxiter=maxiter)
+    K = np.zeros((n, n))
+    K[I, J] = x / pi[I]
+    K[J, I] = x / pi[J]
+    np.fill_diagonal(K, -K.sum(axis=1))
+    return K
+
+
+def estimate_rate_matrix(C: np.ndarray, dt: float = 1.0, method: str = "KL",
+                         pi: Optional[np.ndarray] = None, K0: Optional[np.ndarray] = None,
+                         maxiter: int = 2000) -> np.ndarray:
+    """Reference ``estimate_rate_matrix`` API surface (api.py:1239-1338)
+    from a count matrix: reversible MLE transition matrix feeds 'pseudo' /
+    'truncated_log'; 'KL' runs the likelihood optimizer."""
+    from deeptime_spark.markov.msm import transition_matrix_reversible
+
+    if method == "KL":
+        return estimate_rate_matrix_kl(C, dt=dt, pi=pi, K0=K0, maxiter=maxiter)
+    T = transition_matrix_reversible(np.asarray(C, dtype=np.float64))
+    return rate_matrix(T, dt=dt, method=method)
 
 
 def expm(K: np.ndarray, t: float = 1.0) -> np.ndarray:

@@ -72,3 +72,37 @@ def test_stationary_distribution_disconnected():
     pi = stationary_distribution_disconnected(P, C)
     np.testing.assert_allclose(pi.sum(), 1.0, atol=1e-12)
     np.testing.assert_allclose(pi[:2].sum(), 60 / 80, atol=1e-8)
+
+
+def test_kl_rate_matrix_recovers_generator():
+    import numpy as np
+
+    from deeptime_spark.markov.analysis import stationary_distribution
+    from deeptime_spark.markov.rate_matrix import (
+        estimate_rate_matrix,
+        estimate_rate_matrix_kl,
+        expm,
+    )
+
+    # reversible 3-state generator
+    K_true = np.array([[-1.2, 0.9, 0.3], [0.6, -1.0, 0.4], [0.1, 0.2, -0.3]])
+    pi = stationary_distribution(expm(K_true, 10.0))  # stationary of the chain
+    # enforce exact detailed balance of the fixture
+    F_sym = 0.5 * (pi[:, None] * K_true + (pi[:, None] * K_true).T)
+    K_true = F_sym / pi[:, None]
+    np.fill_diagonal(K_true, 0.0)
+    np.fill_diagonal(K_true, -K_true.sum(axis=1))
+    dt = 0.25
+    T = expm(K_true, dt)
+    # equilibrium count matrix at large sample size
+    C = np.round(2_000_000 * pi[:, None] * T)
+    K_est = estimate_rate_matrix_kl(C, dt=dt)
+    np.testing.assert_allclose(K_est, K_true, rtol=5e-2, atol=5e-3)
+    # likelihood of the KL estimate beats the pseudo-generator start
+    K_pseudo = estimate_rate_matrix(C, dt=dt, method="pseudo")
+
+    def loglik(K):
+        Tk = expm(K, dt)
+        return float(np.sum(C * np.log(np.maximum(Tk, 1e-300))))
+
+    assert loglik(K_est) >= loglik(K_pseudo) - 1e-6
