@@ -51,6 +51,7 @@ from deeptime_spark.markov.pcca import PCCAModel, pcca  # noqa: F401
 from deeptime_spark.callbacks import ProgressCallback, supports_progress_interface  # noqa: F401
 from deeptime_spark.markov.rate_matrix import (  # noqa: F401
     estimate_rate_matrix,
+    estimate_rate_matrix_cve,
     estimate_rate_matrix_kl,
     rate_matrix,
 )

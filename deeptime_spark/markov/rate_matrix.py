@@ -5,8 +5,8 @@ estimation/api.py:1239-1338, dense impl estimation/dense/ratematrix.py):
 'pseudo' (pseudo-generator), 'truncated_log' (truncated matrix logarithm,
 Davies 2010), and 'KL' (Kalbfleisch-Lawless 1985 likelihood maximization,
 ratematrix.py:361-492 — objective/gradient reimplemented in numpy with a
-projected Barzilai-Borwein optimizer replacing scipy's L-BFGS-B). 'CVE'
-(Crommelin-Vanden-Eijnden) remains a documented gap.
+projected Barzilai-Borwein optimizer replacing scipy's L-BFGS-B), and
+'CVE' (Crommelin-Vanden-Eijnden spectral matching, ratematrix.py:239-357).
 
 Driver-side numpy: rate matrices live at the (n, n) model layer.
 """
@@ -184,6 +184,56 @@ def estimate_rate_matrix_kl(
     return K
 
 
+def estimate_rate_matrix_cve(
+    C: np.ndarray,
+    dt: float = 1.0,
+    pi: Optional[np.ndarray] = None,
+    K0: Optional[np.ndarray] = None,
+    maxiter: int = 2000,
+) -> np.ndarray:
+    """Crommelin-Vanden-Eijnden estimator: minimize the spectrally-weighted
+    distance || Uinv K U - L ||^2_c with U, Lambda from the reversible MLE
+    transition matrix and L = diag(log|Lambda|)/dt (reference
+    ratematrix.py:239-357)."""
+    from deeptime_spark.markov.analysis import stationary_distribution
+    from deeptime_spark.markov.msm import transition_matrix_reversible
+
+    C = np.asarray(C, dtype=np.float64)
+    n = C.shape[0]
+    T_rev = transition_matrix_reversible(C)
+    if pi is None:
+        pi = stationary_distribution(T_rev)
+    pi = np.asarray(pi, dtype=np.float64)
+    if K0 is None:
+        K0 = _fix_generator((T_rev - np.eye(n)) / dt)
+    evals, U, Uinv = _reversible_eigen(T_rev, pi)
+    if not np.all(np.abs(evals) > 0.0):
+        raise ValueError("T has eigenvalues exactly zero — CVE cannot proceed")
+    c = np.abs(evals)
+    L = np.diag(np.log(np.abs(evals)) / dt)
+    I, J = np.triu_indices(n, 1)
+
+    def fg(x: np.ndarray):
+        K = np.zeros((n, n))
+        K[I, J] = x / pi[I]
+        K[J, I] = x / pi[J]
+        np.fill_diagonal(K, -K.sum(axis=1))
+        delta = Uinv @ K @ U - L
+        f = float(c @ (delta * delta) @ c)
+        X = 2.0 * c[:, None] * delta * c
+        Y = (U @ X.T @ Uinv).T
+        grad = Y[I, J] / pi[I] + Y[J, I] / pi[J] - Y[I, I] / pi[I] - Y[J, J] / pi[J]
+        return f, grad
+
+    x0 = np.maximum(pi[I] * K0[I, J], 0.0)
+    x, _ = _projected_bb_minimize(fg, x0, np.zeros_like(x0), maxiter=maxiter)
+    K = np.zeros((n, n))
+    K[I, J] = x / pi[I]
+    K[J, I] = x / pi[J]
+    np.fill_diagonal(K, -K.sum(axis=1))
+    return K
+
+
 def estimate_rate_matrix(C: np.ndarray, dt: float = 1.0, method: str = "KL",
                          pi: Optional[np.ndarray] = None, K0: Optional[np.ndarray] = None,
                          maxiter: int = 2000) -> np.ndarray:
@@ -194,6 +244,8 @@ def estimate_rate_matrix(C: np.ndarray, dt: float = 1.0, method: str = "KL",
 
     if method == "KL":
         return estimate_rate_matrix_kl(C, dt=dt, pi=pi, K0=K0, maxiter=maxiter)
+    if method == "CVE":
+        return estimate_rate_matrix_cve(C, dt=dt, pi=pi, K0=K0, maxiter=maxiter)
     T = transition_matrix_reversible(np.asarray(C, dtype=np.float64))
     return rate_matrix(T, dt=dt, method=method)
 

@@ -106,3 +106,22 @@ def test_kl_rate_matrix_recovers_generator():
         return float(np.sum(C * np.log(np.maximum(Tk, 1e-300))))
 
     assert loglik(K_est) >= loglik(K_pseudo) - 1e-6
+
+
+def test_cve_rate_matrix_recovers_generator():
+    import numpy as np
+
+    from deeptime_spark.markov.analysis import stationary_distribution
+    from deeptime_spark.markov.rate_matrix import estimate_rate_matrix, expm
+
+    K_true = np.array([[-1.2, 0.9, 0.3], [0.6, -1.0, 0.4], [0.1, 0.2, -0.3]])
+    pi = stationary_distribution(expm(K_true, 10.0))
+    F_sym = 0.5 * (pi[:, None] * K_true + (pi[:, None] * K_true).T)
+    K_true = F_sym / pi[:, None]
+    np.fill_diagonal(K_true, 0.0)
+    np.fill_diagonal(K_true, -K_true.sum(axis=1))
+    dt = 0.25
+    T = expm(K_true, dt)
+    C = np.round(2_000_000 * pi[:, None] * T)
+    K_est = estimate_rate_matrix(C, dt=dt, method="CVE")
+    np.testing.assert_allclose(K_est, K_true, rtol=5e-2, atol=5e-3)
