@@ -57,9 +57,10 @@ def rate_matrix(T: np.ndarray, dt: float = 1.0, method: str = "truncated_log") -
     elif method == "truncated_log":
         K = _matrix_log(T) / dt
     else:
-        raise NotImplementedError(
-            f"method {method!r} not available (KL/CVE optimizers require scipy; "
-            f"use 'pseudo' or 'truncated_log')"
+        raise ValueError(
+            f"method {method!r} not available here — rate_matrix(T) supports "
+            f"'pseudo'/'truncated_log'; use estimate_rate_matrix(C, method='KL'|'CVE') "
+            f"for the likelihood/spectral optimizers (they need the count matrix)"
         )
     return _fix_generator(K)
 
