@@ -246,3 +246,38 @@ def test_lsh_topk_multitable_recall(spark, rng):
     r1, r8 = recall(1), recall(8)
     assert r8 >= r1
     assert r8 >= 0.6  # OR-construction recovers most true neighbors
+
+
+def test_bucket_pairs_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deeptime_spark.operators.dedup import _bucket_pairs
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 99), st.integers(0, 3)),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(2, 5),
+    )
+    def check(rows, cap):
+        df = spark.createDataFrame(rows, ["doc_id", "bucket"])
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in _bucket_pairs(df, ["bucket"], "doc_id", [], cap).collect()
+        }
+        # naive reference: cap per bucket by ascending id, then all pairs
+        by_bucket = {}
+        for i, b in rows:
+            by_bucket.setdefault(b, []).append(i)
+        expected = set()
+        for ids in by_bucket.values():
+            kept = sorted(ids)[:cap]
+            expected |= {(a, b) for a in kept for b in kept if a < b}
+        assert got == expected
+
+    check()
