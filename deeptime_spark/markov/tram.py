@@ -83,29 +83,105 @@ def tram_dataset_df(
     )
 
 
+def _post_hoc_re_overlap(BK: np.ndarray, BL: np.ndarray, k: int, l: int, factor: float) -> bool:
+    """Replica-exchange overlap test (reference connected_set.h:64-84):
+    average hypothetical RE-swap acceptance between the two sample sets."""
+    n, m = len(BK), len(BL)
+    delta = (BK[:, k] - BK[:, l])[:, None] + (BL[:, l] - BL[:, k])[None, :]
+    n_avg = float(np.minimum(np.exp(delta), 1.0).sum()) / (n * m)
+    return (n + m) * n_avg * factor >= 1.0
+
+
+def _bar_variance_overlap(BK: np.ndarray, BL: np.ndarray, k: int, l: int, factor: float) -> bool:
+    """BAR-variance overlap test (reference connected_set.h:87-131)."""
+    n, m = len(BK), len(BL)
+    db_IJ = BK[:, l] - BK[:, k]
+    db_JI = BL[:, k] - BL[:, l]
+    du = np.concatenate([db_IJ, -db_JI])
+
+    def _lse(x):
+        mx = x.max()
+        return mx + np.log(np.exp(x - mx).sum())
+
+    df_est = _lse(np.minimum(0.0, db_JI)) - _lse(np.minimum(0.0, db_IJ))
+    b = float(np.sum(1.0 / (2.0 + 2.0 * np.cosh(df_est - du - np.log(n / m)))))
+    return (1.0 / b - (n + m) / float(n * m)) < factor
+
+
 def restrict_connected(df: DataFrame, lagtime: int = 1, state_col: str = "state",
-                       therm_col: str = "therm_state") -> DataFrame:
-    """Restrict to the largest connected Markov-state set under the summed
-    count matrix (reference TRAMDataset.restrict_to_largest_connectivity,
-    connectivity='summed_count_matrix'): transition counts are summed over
-    ensembles, states outside the largest SCC are marked -1 (TRAM's
-    estimator drops them). post_hoc_RE / BAR_variance overlap modes are a
-    documented v1 gap."""
+                       therm_col: str = "therm_state", bias_col: str = "bias",
+                       connectivity: str = "summed_count_matrix",
+                       connectivity_factor: float = 1.0,
+                       max_samples_per_state: int = 10_000) -> DataFrame:
+    """Restrict to the largest connected Markov-state set (reference
+    TRAMDataset.restrict_to_largest_connected_set, _tram_dataset.py:277-471).
+
+    - 'summed_count_matrix': transition counts summed over ensembles,
+      largest directed SCC kept.
+    - 'post_hoc_RE' / 'BAR_variance': a (therm k, markov i) node connects
+      to (l, i) when the two ensembles' sample sets in state i pass the
+      replica-exchange / BAR-variance overlap test (per-sample bias
+      energies, capped at ``max_samples_per_state`` per (i, k) block),
+      plus intra-ensemble transition edges; largest UNDIRECTED component
+      kept. States outside the set are marked -1 (TRAM drops them).
+    """
     from deeptime_spark.numeric.graph import connected_components
 
+    if connectivity not in ("summed_count_matrix", "post_hoc_RE", "BAR_variance"):
+        raise ValueError(f"unknown connectivity {connectivity!r}")
+
     w = Window.partitionBy(therm_col, "traj_id").orderBy("t")
-    pairs = (
+    pair_rows = (
         df.withColumn("_s_to", F.lead(state_col, lagtime).over(w))
         .where(F.col("_s_to").isNotNull() & (F.col(state_col) >= 0) & (F.col("_s_to") >= 0))
-        .groupBy(F.col(state_col).alias("i"), F.col("_s_to").alias("j"))
+        .groupBy(F.col(therm_col).alias("k"), F.col(state_col).alias("i"), F.col("_s_to").alias("j"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    n = max(max(r["i"], r["j"]) for r in pairs) + 1
-    C = np.zeros((n, n))
-    for r in pairs:
-        C[r["i"], r["j"]] = r["n"]
-    keep = max(connected_components(C > 0, directed=True), key=len)
+    n = max(max(r["i"], r["j"]) for r in pair_rows) + 1
+
+    if connectivity == "summed_count_matrix":
+        C = np.zeros((n, n))
+        for r in pair_rows:
+            C[r["i"], r["j"]] += r["n"]
+        keep = max(connected_components(C > 0, directed=True), key=len)
+    else:
+        K = max(r["k"] for r in pair_rows) + 1
+        # capped per-(markov, therm) bias sample blocks, deterministic order
+        ws = Window.partitionBy(state_col, therm_col).orderBy("traj_id", "t")
+        srows = (
+            df.where(F.col(state_col) >= 0)
+            .withColumn("_rn", F.row_number().over(ws))
+            .where(F.col("_rn") <= max_samples_per_state)
+            .select(F.col(state_col).alias("i"), F.col(therm_col).alias("k"), F.col(bias_col))
+            .collect()
+        )
+        blocks: dict = {}
+        for r in srows:
+            blocks.setdefault((r["i"], r["k"]), []).append(r[bias_col])
+        test = _post_hoc_re_overlap if connectivity == "post_hoc_RE" else _bar_variance_overlap
+        adj = np.zeros((K * n, K * n), dtype=bool)
+        # thermodynamic overlap edges: (k, i) -- (l, i)
+        for i in range(n):
+            for k in range(K):
+                BK = blocks.get((i, k))
+                if BK is None:
+                    continue
+                BK = np.asarray(BK)
+                for l in range(k + 1, K):
+                    BL = blocks.get((i, l))
+                    if BL is None:
+                        continue
+                    if test(BK, np.asarray(BL), k, l, connectivity_factor):
+                        a, b = k * n + i, l * n + i
+                        adj[a, b] = adj[b, a] = True
+        # intra-ensemble transition edges: (k, i) -- (k, j)
+        for r in pair_rows:
+            a, b = r["k"] * n + r["i"], r["k"] * n + r["j"]
+            adj[a, b] = adj[b, a] = True
+        comp = max(connected_components(adj, directed=False), key=len)
+        keep = sorted({int(node) % n for node in comp})
+
     keep_lit = F.array(*[F.lit(int(s)) for s in sorted(keep)])
     return df.withColumn(
         state_col,

@@ -108,3 +108,28 @@ def test_tram_spark_bias_store_matches_driver(spark, tram_df):
     np.testing.assert_allclose(
         m_spark.transition_matrices, m_driver.transition_matrices, atol=1e-10
     )
+
+
+def test_restrict_connected_post_hoc_re(spark):
+    import numpy as np
+
+    from deeptime_spark.markov.tram import restrict_connected, tram_dataset_df
+
+    rng = np.random.default_rng(21)
+    # two ensembles over states {0,1}; ensemble 1 also visits state 2 with
+    # ENORMOUS bias difference -> no thermodynamic overlap for state 2
+    d0 = rng.integers(0, 2, size=300)
+    d1 = rng.integers(0, 2, size=300)
+    d1[200:300] = 2  # state 2 only in ensemble 1, trailing block
+    bias0 = np.zeros((300, 2))
+    bias1 = np.column_stack([np.zeros(300), 0.1 * rng.random(300)])
+    df = tram_dataset_df(spark, [d0, d1], [bias0, bias1])
+    # overlapping ensembles: everything stays connected through states 0/1;
+    # state 2 connects via intra-ensemble transitions of ensemble 1
+    out = restrict_connected(df, connectivity="post_hoc_RE")
+    kept = {r["state"] for r in out.select("state").distinct().collect()}
+    assert {0, 1, 2} <= kept
+    # BAR variance mode also runs and keeps the overlapping core
+    out2 = restrict_connected(df, connectivity="BAR_variance", connectivity_factor=10.0)
+    kept2 = {r["state"] for r in out2.select("state").distinct().collect()}
+    assert {0, 1} <= kept2
