@@ -485,6 +485,45 @@ def _q_brand_volume(spark, sf_dir):
 # ---- hash-based / estimator pipelines (rows-only checks: no ANSI oracle)
 
 
+def _q_event_order_asof(spark, sf_dir):
+    """Backward as-of join: each event aligned with the user's latest
+    order at-or-before the event time (union + last-over-window — one
+    shuffle, no range probing). Right side pre-deduplicated per
+    (user, date) so the 'latest' pick is well-defined."""
+    from deeptime_spark.operators.lag import asof_join
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("order_c"))
+    )
+    out = asof_join(ev, orders, on="ts", by="user_id", right_cols=["order_c"])
+    return out.select("user_id", "event_id", F.col("order_c_asof").alias("last_order_c"))
+
+
+def _q_event_rollup(spark, sf_dir):
+    """ROLLUP aggregation: (state, day-of-week) hierarchy with subtotal
+    and grand-total rows."""
+    traj = _event_traj(spark, sf_dir)
+    return (
+        traj.withColumn("dow", F.dayofweek("ts"))
+        .rollup("state", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sum_vc"))
+    )
+
+
+def _q_purchase_not_error_users(spark, sf_dir):
+    """Set operation: (user, week) pairs with a purchase but no error
+    that week (EXCEPT)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "week", F.to_date(F.date_trunc("week", F.col("ts")))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "week").distinct()
+    err = ev.where(F.col("event_type") == "error").select("user_id", "week").distinct()
+    return purch.exceptAll(err).distinct()
+
+
 def _q_q5_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: 6-table join, dims broadcast, revenue in exact
     integer cents x discount-percent units."""
@@ -1091,6 +1130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational surface (§2.14)
         "event_sessions": _q_event_sessions,
         "distinct_users_by_type": _q_distinct_users_by_type,
+        "event_order_asof": _q_event_order_asof,
+        "event_rollup": _q_event_rollup,
+        "purchase_not_error_users": _q_purchase_not_error_users,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
         "top_customers": _q_top_customers,
@@ -1414,6 +1456,30 @@ SELECT p_brand, count(*) AS n_items,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+""",
+        "event_order_asof": """
+WITH ord AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ts,
+         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS order_c
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.user_id, e.event_id, o.order_c AS last_order_c
+FROM events e ASOF LEFT JOIN ord o
+  ON e.user_id = o.user_id AND e.ts >= o.ts
+""",
+        "event_rollup": f"""
+WITH {_TRAJ_CTE}
+SELECT state, dayofweek(ts) + 1 AS dow, count(*) AS n,
+       CAST(sum(vc) AS BIGINT) AS sum_vc
+FROM traj
+GROUP BY ROLLUP(state, dayofweek(ts) + 1)
+""",
+        "purchase_not_error_users": """
+SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+FROM events WHERE event_type = 'error'
 """,
         "q5_supplier_volume": """
 SELECT n_name, count(*) AS n_items,

@@ -152,3 +152,39 @@ def cvsplit(
     *list*), preserving temporal correlation structure within folds.
     """
     return df.withColumn(out_col, F.pmod(F.hash(F.col(traj_col), F.lit(seed)), F.lit(n_folds)))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "t",
+    by: Sequence[str] | str = (),
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the value of the LATEST
+    right row with ``right.on <= left.on`` within the same ``by`` key(s)
+    (the time-alignment specialization of the lag join, SURVEY.md §2.14).
+
+    Plan shape at scale: tag sides, union by name, ONE shuffle on the key
+    for a last(ignorenulls) window — no per-row range probing, no join
+    explosion on hot keys; all carried columns share a single Window
+    operator. Right rows sort before left rows at equal timestamps, so
+    equality is included (standard backward-asof semantics).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(by) | {on}]
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        *by, F.col(on), *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    ).withColumn("_side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).drop("_side")

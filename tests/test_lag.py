@@ -96,3 +96,24 @@ def test_to_dataset_dispatch(spark):
 
     with _pytest.raises(ValueError):
         to_dataset((X, Y[:5]), spark=spark)
+
+
+def test_asof_join_backward_semantics(spark):
+    from deeptime_spark.operators.lag import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 2, "c"), (2, 7, "d")],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 5, 50.0), (1, 9, 90.0), (2, 8, 80.0)],
+        ["k", "t", "v"],
+    )
+    out = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(left, right, on="t", by="k", right_cols=["v"]).collect()
+    }
+    assert out[(1, 2)] is None  # nothing at or before t=2
+    assert out[(1, 5)] == 50.0  # equality included
+    assert out[(1, 10)] == 90.0  # latest at-or-before
+    assert out[(2, 7)] is None  # right row is later
