@@ -517,7 +517,7 @@ def _q_purchase_not_error_users(spark, sf_dir):
     """Set operation: (user, week) pairs with a purchase but no error
     that week (EXCEPT)."""
     ev = _read(spark, sf_dir, "events").withColumn(
-        "week", F.to_date(F.date_trunc("week", F.col("ts")))
+        "week", F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
     )
     purch = ev.where(F.col("event_type") == "purchase").select("user_id", "week").distinct()
     err = ev.where(F.col("event_type") == "error").select("user_id", "week").distinct()
@@ -1475,10 +1475,10 @@ FROM traj
 GROUP BY ROLLUP(state, dayofweek(ts) + 1)
 """,
         "purchase_not_error_users": """
-SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
 FROM events WHERE event_type = 'purchase'
 EXCEPT
-SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d')
 FROM events WHERE event_type = 'error'
 """,
         "q5_supplier_volume": """
