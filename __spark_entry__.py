@@ -1088,46 +1088,79 @@ def _q_kmeans_embeddings(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness pass records queries in
+    # declaration order (r02 recorded exactly the first 50).  The estimator
+    # pipelines that had no driver evidence in r02 are therefore declared
+    # FIRST; the TPC-H/relational queries (40 green rows across two rounds)
+    # come last.
     return {
-        # text analysis (operators/text.py)
+        # --- estimator pipelines unverified in r02: declared first ---
+        "tram_events": _q_tram_events,
+        "vamp_events": _q_vamp_events,
+        "dmd_events": _q_dmd_events,
+        "kedmd_events": _q_kedmd_events,
+        "bayes_msm_events": _q_bayes_msm_events,
+        "bayes_hmm_events": _q_bayes_hmm_events,
+        "tpt_events": _q_tpt_events,
+        "effective_counts_events": _q_effective_counts_events,
+        "koopman_weights_events": _q_koopman_weights_events,
+        "regspace_events": _q_regspace_events,
+        "msm_longtail_events": _q_msm_longtail_events,
+        "multimodal_features": _q_multimodal_features,
+        "kernel_gram_events": _q_kernel_gram_events,
+        "tica_events": _q_tica_events,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "hmm_viterbi_events": _q_hmm_viterbi_events,
+        "embedding_whiten": _q_embedding_whiten,
+        "dedup_verified_pairs": _q_dedup_verified_pairs,
+        # --- streaming batch-equivalence harness ---
+        "streaming_dedup_replay": _q_streaming_dedup_replay,
+        # --- MSM pipelines that ran rows-only in r02 ---
+        "msm_pi_events": _q_msm_pi_events,
+        "msm_its_events": _q_msm_its_events,
+        "msm_ck_events": _q_msm_ck_events,
+        "pcca_events": _q_pcca_events,
+        # --- LLM-data-pipeline rows-only queries ---
+        "minhash_bands": _q_minhash_bands,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        # --- text analysis (operators/text.py) ---
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
         "doc_language": _q_doc_language,
         "doc_language_summary": _q_doc_language_summary,
-        # dedup (operators/dedup.py)
+        # --- dedup (operators/dedup.py) ---
         "doc_hash_groups": _q_doc_hash_groups,
         "dedup_docs_count": _q_dedup_docs_count,
         "doc_jaccard_adjacent": _q_doc_jaccard_adjacent,
         "doc_shingle_count": _q_doc_shingle_count,
         "vocab_stats": _q_vocab_stats,
         "top_tokens": _q_top_tokens,
-        "minhash_bands": _q_minhash_bands,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "doc_fingerprint": _q_doc_fingerprint,
-        # similarity search (operators/similarity.py)
+        # --- similarity search (operators/similarity.py) ---
         "embedding_norms": _q_embedding_norms,
         "knn_bruteforce": _q_knn_bruteforce,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
         "embedding_label_stats": _q_embedding_label_stats,
         "label_centroid_norm": _q_label_centroid_norm,
-        # lag / window / split (operators/lag.py)
+        # --- lag / window / split (operators/lag.py) ---
         "event_timeshifted": _q_event_timeshifted,
         "event_sliding_avg": _q_event_sliding_avg,
         "event_derivative": _q_event_derivative,
         "event_blocksplit": _q_event_blocksplit,
-        # moments (operators/moments.py plan shape)
+        # --- moments (operators/moments.py plan shape) ---
         "event_moments": _q_event_moments,
-        # markov counting (markov/transition_counting.py, counting_extras.py)
+        # --- markov counting ---
         "event_transition_counts": _q_event_transition_counts,
         "event_state_histogram": _q_event_state_histogram,
         "event_two_step_counts": _q_event_two_step_counts,
         "event_weighted_counts": _q_event_weighted_counts,
-        # stats (operators/stats.py)
+        # --- stats (operators/stats.py) ---
         "event_box": _q_event_box,
         "event_histogram2d": _q_event_histogram2d,
-        # relational surface (§2.14)
+        "event_confidence_interval": _q_event_confidence_interval,
+        # --- relational surface (§2.14) ---
         "event_sessions": _q_event_sessions,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "event_order_asof": _q_event_order_asof,
@@ -1142,34 +1175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_supplier_volume": _q_q5_supplier_volume,
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q10_returned_items": _q_q10_returned_items,
-        # statistics (operators/stats.py)
-        "event_confidence_interval": _q_event_confidence_interval,
-        # MSM estimation + analysis + validation pipelines (rows-only)
-        "msm_pi_events": _q_msm_pi_events,
-        "msm_its_events": _q_msm_its_events,
-        "msm_ck_events": _q_msm_ck_events,
-        "pcca_events": _q_pcca_events,
-        "msm_longtail_events": _q_msm_longtail_events,
-        "bayes_msm_events": _q_bayes_msm_events,
-        "tpt_events": _q_tpt_events,
-        "effective_counts_events": _q_effective_counts_events,
-        "tram_events": _q_tram_events,
-        # decomposition / covariance pipelines (rows-only)
-        "vamp_events": _q_vamp_events,
-        "dmd_events": _q_dmd_events,
-        "kedmd_events": _q_kedmd_events,
-        "koopman_weights_events": _q_koopman_weights_events,
-        # clustering / kernels
-        "regspace_events": _q_regspace_events,
-        "kernel_gram_events": _q_kernel_gram_events,
-        # estimator pipelines (rows-only)
-        "tica_events": _q_tica_events,
-        "kmeans_embeddings": _q_kmeans_embeddings,
-        "hmm_viterbi_events": _q_hmm_viterbi_events,
-        "bayes_hmm_events": _q_bayes_hmm_events,
-        "embedding_whiten": _q_embedding_whiten,
-        "multimodal_features": _q_multimodal_features,
-        "dedup_verified_pairs": _q_dedup_verified_pairs,
     }
 
 
