@@ -71,12 +71,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     out = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanosAsLong read: restore a usable timestamp. Integer DIV, not
-            # fp division — ns epoch values (~1.7e18) exceed 2^53, so a
-            # double round-trip would be off by up to ~1 microsecond vs the
-            # oracle's exact ns->us truncation.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                # nanosAsLong read: restore a usable timestamp. Integer DIV,
+                # not fp division — ns epoch values (~1.7e18) exceed 2^53, so
+                # a double round-trip would be off by up to ~1 microsecond vs
+                # the oracle's exact ns->us truncation.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                # timestamp[us] with no tz metadata reads as TIMESTAMP_NTZ;
+                # session tz is UTC, so the cast is a pure type change (same
+                # micros) and restores unix_micros()/window() compatibility.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
