@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1028,14 +1029,35 @@ def _q_embedding_whiten(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing over documents-as-binary-payloads: Arrow-batched
-    decode/feature-extract (deterministic fake — container has no codecs)."""
-    from deeptime_spark.operators.multimodal import extract_features, media_from_documents
+    """Multimodal decode over REAL binary payloads: each document fabricates
+    a deterministic PCM16 sine WAV (frequency keyed on doc_id), which the
+    Arrow-batched kernel decodes with the pure-Python WAV path — no fake.
+    Output marks the real-audio path (path_marker=1.0) and physically
+    meaningful features (RMS ~ amplitude/sqrt(2), zero-crossing rate ~
+    2f/rate)."""
+    from pyspark.sql.types import BinaryType
+
+    from deeptime_spark.operators.multimodal import extract_features, synth_wav
+
+    @F.pandas_udf(BinaryType())
+    def wav_of(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda i: synth_wav(100.0 + (int(i) % 20) * 10.0))
 
     docs = _read(spark, sf_dir, "documents")
-    media = media_from_documents(docs)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        wav_of(F.col("doc_id")).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
     out = extract_features(media, dim=8)
-    return out.select("media_id", F.size("feature").cast("long").alias("feat_dim"))
+    return out.select(
+        "media_id",
+        F.size("feature").cast("long").alias("feat_dim"),
+        F.round(F.element_at("feature", 1), 6).alias("path_marker"),
+        F.round(F.element_at("feature", 5), 6).alias("rms"),
+        F.round(F.element_at("feature", 6), 6).alias("zcr"),
+    )
 
 
 def _q_dedup_verified_pairs(spark, sf_dir):

@@ -197,9 +197,17 @@ class CovarianceKoopmanModel(TransferOperatorModel):
         return np.cumsum(sq) / np.sum(sq)
 
     def score(self, r: float = 2.0) -> float:
-        """VAMP-r score of the fitted model: 1 + sum(sigma^r)
-        (published VAMP theory; reference _koopman.py:434-487 /
-        _score.py:13-118 for the general cross-validated form)."""
-        if r == np.inf or (isinstance(r, str) and r == "E"):
-            raise NotImplementedError("VAMP-E scoring requires test covariances; see vamp_score")
+        """VAMP-r score of the fitted model: 1 + sum(sigma^r); VAMP-E
+        (r='E' or inf) is evaluated from the model's OWN covariances, as
+        the reference does when no test model is supplied
+        (_score.py:13-118 / _koopman.py:434-487)."""
+        if r == np.inf or (isinstance(r, str) and r.upper().replace("VAMP", "") == "E"):
+            if self.cov is None:
+                raise ValueError(
+                    "VAMP-E scoring needs the fitted covariances; this model was "
+                    "built without a CovarianceModel"
+                )
+            from deeptime_spark.decomposition.vamp import vamp_score
+
+            return vamp_score(self, "E")
         return 1.0 + float(np.sum(np.abs(self.singular_values) ** r))

@@ -76,7 +76,8 @@ def _bucket_pairs(
 # ---------------------------------------------------------------- exact
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_copies: int = 2
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_copies: int = 2,
+    max_group_ids: int = 32,
 ) -> DataFrame:
     """Hash-groupBy exact dedup: one shuffle on md5(text).
 
@@ -85,15 +86,23 @@ def exact_duplicates(
     pass 1 to fingerprint every group). At 100 TB the shuffle moves only
     (hash, id) pairs — project before grouping so the text never crosses
     the wire.
+
+    ``doc_ids`` keeps at most ``max_group_ids`` members (the lowest ids) —
+    at web scale the degenerate group (empty string, boilerplate page) has
+    millions of members, and an unbounded collect_list would hand one
+    reducer an arbitrarily large row. ``n_copies`` stays the exact count.
+    Pass ``max_group_ids=0`` to drop the id list entirely (cheapest: no
+    collect_list in the aggregate at all).
     """
     hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+    aggs = [F.count("*").alias("n_copies"), F.min(id_col).alias("canonical_id")]
+    if max_group_ids > 0:
+        aggs.append(
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_group_ids).alias("doc_ids")
+        )
     return (
         hashed.groupBy("text_hash")
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.min(id_col).alias("canonical_id"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+        .agg(*aggs)
         .where(F.col("n_copies") >= min_copies)
     )
 

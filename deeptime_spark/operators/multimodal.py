@@ -2,11 +2,20 @@
 
 Training-data-pipeline surface (BASELINE.json north star): media as opaque
 ``binary`` columns with typed metadata structs; decode / feature-extract /
-resize / frame-sample as Arrow-batched ``mapInPandas`` stages. The codec
-libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the decode
-kernels are STUBBED behind ``DETERMINISTIC_FAKE`` (a seeded hash-derived
-payload) or raise NotImplementedError — the Spark-side contract (schema,
-batch shape, partitioning) is real and tested.
+resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
+
+Decode paths, in priority order inside the Arrow kernel:
+
+1. REAL pure-Python decoders for container-friendly formats — WAV PCM
+   (stdlib ``wave``), PPM P6, and uncompressed 24-bit BMP — producing
+   actual sample/pixel arrays and physically meaningful features (RMS,
+   zero-crossing rate, channel means, luma gradient energy, ...).
+2. ``DETERMINISTIC_FAKE`` fallback for formats needing codec libraries
+   (JPEG/MP3/H.264 — PIL/ffmpeg are NOT in this container): a seeded
+   hash-derived vector, or NotImplementedError when the flag is off.
+
+The Spark-side contract (schema, batch shape, partitioning, payload
+dropped immediately after decode) is identical on both paths.
 """
 
 from __future__ import annotations
@@ -48,12 +57,12 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-DETERMINISTIC_FAKE = True  # container has no codecs; see module docstring
+DETERMINISTIC_FAKE = True  # fallback for codec-needing formats; see docstring
 _FEATURE_DIM = 16
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real decode+featurize kernel: a seeded
+    """Deterministic stand-in for a codec-needing decode kernel: a seeded
     RNG keyed on an md5 of the payload (process-salt-free, stable across
     runs and executors — unlike builtin hash())."""
     import hashlib
@@ -62,13 +71,178 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=dim)
 
 
+# ------------------------------------------------------- real decoders
+# Pure-Python/numpy, no codec libraries: WAV PCM, PPM P6, 24-bit BMP.
+
+def decode_wav(payload: bytes):
+    """WAV PCM -> (samples float64 in [-1, 1] shaped (n, channels), rate).
+
+    stdlib ``wave`` handles the RIFF chunking; sample decode is a numpy
+    frombuffer (8-bit unsigned / 16- or 32-bit signed little-endian PCM).
+    """
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    return x.reshape(-1, n_channels), rate
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM binary (P6, maxval <= 255) -> uint8 array (h, w, 3)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # '#' comments allowed between tokens; pixel data starts after the
+    # single whitespace byte following maxval
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB, bottom-up) -> uint8 (h, w, 3) RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundary
+    rows = []
+    for r in range(abs(h)):
+        off = data_offset + r * row_bytes
+        rows.append(np.frombuffer(payload, np.uint8, count=w * 3, offset=off).reshape(w, 3))
+    img = np.stack(rows[::-1] if h > 0 else rows)  # positive h = bottom-up
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
+def _audio_features(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """Physically meaningful, deterministic audio features (first slot = 1.0
+    marks the real-audio path)."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if n > 1 else 0.0
+    q = np.percentile(mono, [25, 50, 75]) if n else np.zeros(3)
+    feats = [
+        1.0,
+        float(samples.shape[1]),
+        rate / 1e4,
+        n / max(rate, 1),
+        float(np.sqrt(np.mean(mono**2))) if n else 0.0,  # RMS
+        zc,  # zero-crossing rate
+        float(mono.mean()) if n else 0.0,
+        float(mono.std()) if n else 0.0,
+        float(np.abs(mono).max()) if n else 0.0,
+        float(q[0]),
+        float(q[1]),
+        float(q[2]),
+    ]
+    return np.asarray((feats + [0.0] * dim)[:dim])
+
+
+def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Channel statistics + luma gradient energy (first slot = 2.0 marks
+    the real-image path)."""
+    h, w = img.shape[:2]
+    fimg = img.astype(np.float64) / 255.0
+    luma = fimg @ np.array([0.299, 0.587, 0.114])
+    grad = float(np.mean(np.abs(np.diff(luma, axis=1)))) if w > 1 else 0.0
+    feats = [
+        2.0,
+        w / 100.0,
+        h / 100.0,
+        *[float(m) for m in fimg.mean(axis=(0, 1))],
+        *[float(s) for s in fimg.std(axis=(0, 1))],
+        float(luma.mean()),
+        float(luma.std()),
+        grad,
+    ]
+    return np.asarray((feats + [0.0] * dim)[:dim])
+
+
+def decode_features(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray:
+    """Sniff the payload magic and run the matching REAL decoder; fall back
+    to the deterministic fake (or raise) for codec-needing formats."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _audio_features(*decode_wav(payload), dim=dim)
+        if payload[:2] == b"P6":
+            return _image_features(decode_ppm(payload), dim=dim)
+        if payload[:2] == b"BM":
+            return _image_features(decode_bmp(payload), dim=dim)
+    except Exception:  # malformed container-format payload (wave.Error,
+        pass  # struct.error, truncated buffers, ...): treat as opaque below
+    if not DETERMINISTIC_FAKE:
+        raise NotImplementedError("codec libraries unavailable in this container")
+    return _fake_decode(payload, dim)
+
+
+# ------------------------------------------------ synthetic binary fixtures
+
+def synth_wav(freq_hz: float, duration_s: float = 0.25, rate: int = 8000,
+              amplitude: float = 0.5) -> bytes:
+    """Deterministic PCM16 mono sine-wave WAV (pure stdlib+numpy): the
+    binary fixture generator for tests and the harness query."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * duration_s)) / rate
+    x = (amplitude * np.sin(2 * np.pi * freq_hz * t) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def synth_ppm(width: int, height: int, seed: int) -> bytes:
+    """Deterministic random-pixel P6 PPM fixture."""
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (width, height) + pix.tobytes()
+
+
 def extract_features(media: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
     """media rows -> (media_id, feature array<double>).
 
     Real pipeline shape: Arrow batches through mapInPandas, one output row
     per input row, payload column dropped immediately after the UDF so the
-    (large) binaries never travel further than the decode stage. Swap
-    ``_fake_decode`` for a PIL/ffmpeg kernel in a codec-enabled image.
+    (large) binaries never travel further than the decode stage. WAV/PPM/BMP
+    payloads decode for REAL (see ``decode_features``); codec-needing
+    formats fall back to the deterministic fake kernel.
     """
 
     def decode(batches: Iterator) -> Iterator:
@@ -77,10 +251,8 @@ def extract_features(media: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            if not DETERMINISTIC_FAKE:
-                raise NotImplementedError("codec libraries unavailable in this container")
             feats = [
-                _fake_decode(bytes(p) if p is not None else b"", dim).tolist()
+                decode_features(bytes(p) if p is not None else b"", dim).tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})

@@ -107,6 +107,7 @@ def topk_for_vector(
 def random_hyperplane_buckets(
     emb: DataFrame, n_planes: int = 8, seed: int = 42,
     vec_col: str = "embedding", out_col: str = "bucket", n_tables: int = 1,
+    d: int | None = None,
 ) -> DataFrame:
     """Sign-pattern LSH bucket id(s) as a column.
 
@@ -123,8 +124,11 @@ def random_hyperplane_buckets(
     higher-order functions are interpreted per element, so 64-d+ columns
     are ~10x faster on the BLAS path with identical buckets.
     """
-    first = emb.select(F.size(vec_col)).first()
-    d = int(first[0])
+    if d is None:
+        # dimension probe: one single-row job. Callers that know the
+        # embedding dimension should pass ``d`` to skip it.
+        first = emb.select(F.size(vec_col)).first()
+        d = int(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables * n_planes, d))
     if d <= 24:
@@ -176,6 +180,7 @@ def ivf_topk(
     seed: int = 42,
     quantizer_iters: int = 8,
     quantizer_sample: int = 65536,
+    quantizer_sample_fraction: float = 0.1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -196,17 +201,23 @@ def ivf_topk(
     from deeptime_spark.clustering.cluster_model import ClusterModel, _pairwise_sq_dists
 
     # coarse quantizer trained on a bounded sample (standard IVF practice:
-    # the quantizer needs the coarse density, not every vector) — one
-    # count + one Arrow-path sampled collect + driver Lloyd, instead of a
-    # full distributed k-means
-    cnt = corpus.count()
-    frac = min(1.0, 1.2 * quantizer_sample / max(cnt, 1))
-    sample_df = corpus.select(vec_col)
-    if frac < 1.0:
-        sample_df = sample_df.sample(fraction=frac, seed=seed)
+    # the quantizer needs the coarse density, not every vector). No exact
+    # corpus-size pass: sample(fraction) + limit lets
+    # CollectLimit execute partitions incrementally (scaleUpFactor), so
+    # only ~quantizer_sample/fraction rows' worth of partitions are read
+    # — not the whole corpus, and not an extra full scan just to compute
+    # an exact fraction.
+    sample_df = corpus.select(vec_col).sample(fraction=quantizer_sample_fraction, seed=seed)
     sample = np.asarray(
         [r[0] for r in sample_df.limit(quantizer_sample).collect()], dtype=np.float64
     )
+    if len(sample) < max(n_lists, 2):
+        # tiny corpus (or fraction too small): bounded re-read without
+        # sampling — limit pushdown keeps this to the first partitions
+        sample = np.asarray(
+            [r[0] for r in corpus.select(vec_col).limit(quantizer_sample).collect()],
+            dtype=np.float64,
+        )
     rng = np.random.default_rng(seed)
     centers = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
     for _ in range(quantizer_iters):
@@ -261,10 +272,13 @@ def lsh_topk(
     from independent plane-sets (OR construction) for higher recall at
     n_tables x the bucketing cost.
     """
-    cb = random_hyperplane_buckets(corpus, n_planes, seed, vec_col, n_tables=n_tables)
+    # probe the dimension on the (broadcast-small) query side once, so
+    # the corpus-side bucketing launches no probe job against the big table
+    d = int(queries.select(F.size(vec_col)).first()[0])
+    cb = random_hyperplane_buckets(corpus, n_planes, seed, vec_col, n_tables=n_tables, d=d)
     qb = random_hyperplane_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col)), n_planes, seed, vec_col,
-        n_tables=n_tables,
+        n_tables=n_tables, d=d,
     ).select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"), F.col("bucket"))
     if n_tables > 1:
         cb = cb.select(id_col, vec_col, F.posexplode("bucket").alias("_tbl", "bucket"))

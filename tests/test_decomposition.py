@@ -129,6 +129,10 @@ def test_vamp_score_test_covariances_and_vampe(spark, rng):
     e_score = vamp_score(model, r="E")
     expected = 1.0 + float(np.sum(model.singular_values**2))
     assert abs(e_score - expected) < 0.05
+    # model.score('E') is the same evaluation from the model's own
+    # covariances (reference parity: no test model required)
+    assert model.score("E") == pytest.approx(e_score)
+    assert model.score(np.inf) == pytest.approx(e_score)
 
 
 def test_vamp_score_cv_folds(spark, rng):

@@ -281,3 +281,103 @@ def test_bucket_pairs_property(spark):
         assert got == expected
 
     check()
+
+
+def test_exact_duplicates_bounded_group_payload(spark):
+    # degenerate web-scale group: 10^4 identical docs must NOT produce an
+    # unbounded id list on one reducer row — n_copies stays exact, the id
+    # list is capped at max_group_ids (lowest ids kept)
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate page").alias("text")
+    )
+    g = dedup.exact_duplicates(df, max_group_ids=32).collect()
+    assert len(g) == 1
+    assert g[0]["n_copies"] == 10_000
+    assert g[0]["canonical_id"] == 0
+    assert g[0]["doc_ids"] == list(range(32))
+    # max_group_ids=0 drops the list column (no collect_list in the agg)
+    g0 = dedup.exact_duplicates(df, max_group_ids=0)
+    assert "doc_ids" not in g0.columns
+    assert g0.collect()[0]["n_copies"] == 10_000
+
+
+def test_ivf_topk_no_corpus_count(spark, emb):
+    # regression pin: the quantizer must not spend a full corpus scan on
+    # an exact count just to size its sample (fraction+limit instead)
+    import inspect
+
+    src = inspect.getsource(similarity.ivf_topk)
+    assert "corpus.count()" not in src
+    queries = emb.where(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    out = similarity.ivf_topk(
+        emb, queries, k=5, n_lists=4, n_probe=2, quantizer_sample=256
+    )
+    got = out.groupBy("query_id").count().collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(r["count"] == 5 for r in got)
+
+
+def test_hyperplane_buckets_dim_param_identical(spark, emb):
+    # passing the known dimension skips the probe job and must yield
+    # byte-identical buckets
+    probed = similarity.random_hyperplane_buckets(emb, n_planes=6).select("vec_id", "bucket")
+    given = similarity.random_hyperplane_buckets(emb, n_planes=6, d=64).select("vec_id", "bucket")
+    assert probed.exceptAll(given).count() == 0 and given.exceptAll(probed).count() == 0
+
+
+def test_wav_decode_real():
+    from deeptime_spark.operators import multimodal as mm
+
+    payload = mm.synth_wav(440.0, duration_s=0.5, rate=8000, amplitude=0.5)
+    samples, rate = mm.decode_wav(payload)
+    assert rate == 8000 and samples.shape == (4000, 1)
+    # RMS of a 0.5-amplitude sine ~ 0.5/sqrt(2); zcr ~ 2*440/8000
+    feats = mm.decode_features(payload, dim=16)
+    assert feats[0] == 1.0  # real-audio path marker
+    assert abs(feats[4] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(feats[5] - 2 * 440 / 8000) < 0.01
+    assert abs(feats[3] - 0.5) < 1e-9  # duration
+
+
+def test_ppm_bmp_decode_real():
+    import struct
+
+    from deeptime_spark.operators import multimodal as mm
+
+    img = np.zeros((3, 2, 3), dtype=np.uint8)
+    img[..., 0] = 255  # pure red
+    ppm = b"P6\n# comment\n2 3\n255\n" + img.tobytes()
+    out = mm.decode_ppm(ppm)
+    assert out.shape == (3, 2, 3) and (out == img).all()
+    feats = mm.decode_features(ppm, dim=16)
+    assert feats[0] == 2.0  # real-image path marker
+    assert abs(feats[3] - 1.0) < 1e-12 and feats[4] == 0.0  # mean_r, mean_g
+
+    # minimal 24-bit BMP, bottom-up, 2x2: rows padded to 4 bytes
+    w, h = 2, 2
+    row = bytes([255, 0, 0] * w) + b"\x00\x00"  # BGR blue... actually [B,G,R]
+    pix = row * h
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0))
+    bmp = header + pix
+    out = mm.decode_bmp(bmp)
+    assert out.shape == (2, 2, 3)
+    assert (out[:, :, 2] == 255).all() and (out[:, :, 0] == 0).all()  # B=255 -> RGB blue
+
+
+def test_extract_features_real_wav_in_spark(spark):
+    from pyspark.sql.types import BinaryType
+
+    from deeptime_spark.operators import multimodal as mm
+
+    rows = [(i, mm.synth_wav(100.0 + 10 * i)) for i in range(8)]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_features(media, dim=8).collect()}
+    assert len(feats) == 8
+    for i, f in feats.items():
+        assert f[0] == 1.0  # every payload took the REAL wav path
+        assert abs(f[5] - 2 * (100.0 + 10 * i) / 8000) < 0.01  # zcr tracks freq
+    # malformed/unknown payloads fall back to the deterministic fake
+    junk = spark.createDataFrame([(99, b"\x00\x01not-a-format")], ["media_id", "payload"])
+    f99 = mm.extract_features(junk, dim=8).collect()[0]["feature"]
+    assert f99[0] != 1.0 and f99[0] != 2.0
