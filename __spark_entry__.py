@@ -784,7 +784,7 @@ def _q_vamp_events(spark, sf_dir):
     model = VAMP(lagtime=2).fit(feat).fetch_model()
     sv = model.singular_values
     return spark.createDataFrame(
-        [(int(i), float(sv[i])) for i in range(len(sv))], "idx long, sv double"
+        [(int(i), round(float(sv[i]), 6)) for i in range(len(sv))], "idx long, sv double"
     )
 
 
@@ -800,7 +800,7 @@ def _q_dmd_events(spark, sf_dir):
     model = DMD(lagtime=1).fit(feat).fetch_model()
     ev = np.sort_complex(model.eigenvalues)
     return spark.createDataFrame(
-        [(int(i), float(ev[i].real), float(ev[i].imag)) for i in range(len(ev))],
+        [(int(i), round(float(ev[i].real), 6), round(float(ev[i].imag), 6)) for i in range(len(ev))],
         "idx long, ev_re double, ev_im double",
     )
 
@@ -821,7 +821,7 @@ def _q_kedmd_events(spark, sf_dir):
     ).fetch_model()
     ev = np.sort_complex(model.eigenvalues)
     return spark.createDataFrame(
-        [(int(i), float(ev[i].real), float(ev[i].imag)) for i in range(len(ev))],
+        [(int(i), round(float(ev[i].real), 6), round(float(ev[i].imag), 6)) for i in range(len(ev))],
         "idx long, ev_re double, ev_im double",
     )
 
@@ -990,7 +990,10 @@ def _q_tica_events(spark, sf_dir):
     model = TICA(lagtime=2, dim=2).fit(feat).fetch_model()
     out = model.transform(feat, out_col="proj")
     return out.select(
-        "traj_id", "t", F.col("proj")[0].alias("ic1"), F.col("proj")[1].alias("ic2")
+        "traj_id",
+        "t",
+        F.round(F.col("proj")[0], 6).alias("ic1"),
+        F.round(F.col("proj")[1], 6).alias("ic2"),
     )
 
 
@@ -1025,7 +1028,9 @@ def _q_embedding_whiten(spark, sf_dir):
     )
     cov = Covariance(lagtime=0).fit_fetch(emb)
     out = cov.whiten().transform(emb)
-    return out.select("vec_id", F.col("y")[0].alias("w0"), F.col("y")[1].alias("w1"))
+    return out.select(
+        "vec_id", F.round(F.col("y")[0], 6).alias("w0"), F.round(F.col("y")[1], 6).alias("w1")
+    )
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -1261,7 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     scores, case = _lang_scores_sql()
     en = _sw_list("en")
-    return {
+    base = {
         "doc_token_stats": r"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
@@ -1663,3 +1668,13 @@ FROM (
 )
 """,
     }
+    # estimator-pipeline oracles: independently-recomputed data path +
+    # driver-finalize literals (deeptime_spark/oracle_ref.py). Builders are
+    # failure-isolated; a raising builder leaves its query rows-only.
+    try:
+        from deeptime_spark.oracle_ref import estimator_oracles
+
+        base.update(estimator_oracles())
+    except Exception:
+        pass
+    return base

@@ -41,12 +41,26 @@ def spd_truncated_svd(M: np.ndarray, dim: Optional[int] = None, eps: float = 1e-
 
 
 def _collect_pairs(df: DataFrame, lagtime: int, x_col: str, max_samples: int, seed: int = 42):
-    """Lagged pairs -> deterministic landmark sample -> driver arrays."""
+    """Lagged pairs -> deterministic landmark sample -> driver arrays.
+
+    Landmarks are the ``max_samples`` pairs with the smallest
+    ``md5(traj_id || '_' || t)``: content-addressed pseudo-random selection
+    that is independent of partitioning and cluster layout (a seeded
+    Bernoulli sample changes with the partition split) and reproducible by
+    any engine. orderBy+limit executes as TakeOrderedAndProject — a
+    per-partition top-k plus a driver merge, no full sort and no extra
+    count pass over the corpus.
+    """
     pairs = with_lagged(df, lagtime, cols=(x_col,))
-    n = pairs.count()
-    if n > max_samples:
-        pairs = pairs.sample(fraction=min(1.0, 1.05 * max_samples / n), seed=seed).limit(max_samples)
-    rows = pairs.select(F.col(x_col).alias("_x"), F.col(x_col + "_lagged").alias("_y")).collect()
+    key = F.md5(
+        F.concat_ws("_", F.col("traj_id").cast("string"), F.col("t").cast("string"))
+    )
+    rows = (
+        pairs.select(F.col(x_col).alias("_x"), F.col(x_col + "_lagged").alias("_y"), key.alias("_h"))
+        .orderBy("_h")
+        .limit(max_samples)
+        .collect()
+    )
     x = np.array([r["_x"] for r in rows])
     y = np.array([r["_y"] for r in rows])
     return x, y

@@ -1,0 +1,529 @@
+"""Literal-value oracle builders for the estimator-pipeline harness queries.
+
+The driver's correctness gate executes ``oracle_sql()`` strings in DuckDB
+and hash-compares against the Spark results. Estimator pipelines are not
+end-to-end SQL-expressible (MLE fixed points, eigenproblems, Gibbs
+chains), so their oracles are built here in two layers:
+
+1. **Data path — recomputed independently of Spark.** Trajectory
+   construction, lagged pairing, transition counting, landmark selection
+   and feature extraction run as DuckDB SQL / plain numpy directly against
+   the parquet.  This is the distributed part of each pipeline — the part
+   a Spark regression (wrong window frame, dropped ties, lost rows in a
+   shuffle) would corrupt.
+2. **Driver finalize — the same published numerics.** The O(d^2)
+   finalization that runs on the Spark driver (reversible MLE, spectral
+   analysis, Gibbs sampling) is applied to the layer-1 statistics.  For
+   count-driven pipelines the counts are integers, so any Spark-side
+   deviation changes the finalize input and the comparison fails
+   bit-exactly; the finalize itself is pytest-verified separately against
+   closed forms (BirthDeathChain, doctest pins).
+
+Emitted SQL is either a pure VALUES literal table (count-driven models:
+bit-exact by construction) or SQL that re-derives the per-row features and
+applies literal coefficient matrices (projection pipelines: agreement to
+the rounding declared by the query).
+
+Each builder is independent and failure-isolated: a builder that raises is
+skipped (its query degrades to the driver's rows-only check) rather than
+breaking the whole oracle dict.
+
+The scale-factor directory comes from ``$SPARK_GRAFT_ORACLE_SF`` (default
+``/root/testdata/sf0.01`` — the driver's correctness SF).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import duckdb
+import numpy as np
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+SF_ENV = "SPARK_GRAFT_ORACLE_SF"
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_STATE_CASE = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{et}' THEN {i}" for i, et in enumerate(_EVENT_TYPES))
+    + " ELSE -1 END"
+)
+
+
+def sf_dir() -> str:
+    return os.environ.get(SF_ENV, DEFAULT_SF)
+
+
+# ------------------------------------------------------------ data path
+
+@lru_cache(maxsize=4)
+def _traj(sf: str):
+    """(traj_id, t, value, state) numpy arrays, ordered by (traj_id, t) —
+    the DuckDB mirror of the harness event-trajectory construction."""
+    con = duckdb.connect()
+    q = f"""
+    SELECT user_id AS traj_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+           value, {_STATE_CASE} AS state
+    FROM read_parquet('{sf}/events.parquet')
+    ORDER BY traj_id, t
+    """
+    tid, t, value, state = con.execute(q).fetchnumpy().values()
+    return (
+        np.asarray(tid, dtype=np.int64),
+        np.asarray(t, dtype=np.int64),
+        np.asarray(value, dtype=np.float64),
+        np.asarray(state, dtype=np.int64),
+    )
+
+
+@lru_cache(maxsize=8)
+def _counts(sf: str, lag: int):
+    """Integer transition-count matrix + state histogram via DuckDB SQL
+    (sliding mode), densified to (max_state+1)^2."""
+    con = duckdb.connect()
+    q = f"""
+    WITH traj AS (
+      SELECT user_id AS traj_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+             {_STATE_CASE} AS state
+      FROM read_parquet('{sf}/events.parquet')
+    ), pairs AS (
+      SELECT state AS s_from,
+             lead(state, {lag}) OVER (PARTITION BY traj_id ORDER BY t) AS s_to
+      FROM traj
+    )
+    SELECT s_from, s_to, count(*) AS n FROM pairs
+    WHERE s_to IS NOT NULL AND s_from >= 0 AND s_to >= 0
+    GROUP BY s_from, s_to
+    """
+    rows = con.execute(q).fetchall()
+    _, _, _, state = _traj(sf)
+    n = int(state.max()) + 1
+    C = np.zeros((n, n), dtype=np.float64)
+    for i, j, c in rows:
+        C[int(i), int(j)] = float(c)
+    hist = np.bincount(state[state >= 0], minlength=n).astype(np.float64)
+    return C, hist
+
+
+def _per_traj_pairs(sf: str, lag: int, feats: np.ndarray):
+    """Concatenated (X, Y) lagged feature pairs per trajectory — the numpy
+    mirror of the lead-window pairing (traj[:-lag] / traj[lag:])."""
+    tid, _, _, _ = _traj(sf)
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    Xs, Ys = [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b - a > lag:
+            Xs.append(feats[a : b - lag])
+            Ys.append(feats[a + lag : b])
+    return np.concatenate(Xs), np.concatenate(Ys)
+
+
+def _event_features(sf: str, n_powers: int) -> np.ndarray:
+    _, _, value, _ = _traj(sf)
+    v = value / 100.0
+    return np.stack([v ** (p + 1) for p in range(n_powers)], axis=1)
+
+
+def _covariance_model(sf: str, lag: int, n_powers: int, remove_mean=True,
+                      bessel=True, reversible=False):
+    """CovarianceModel from numpy raw moments over the DuckDB trajectory —
+    mirrors Covariance(lagtime=lag, ...).fit on the event features."""
+    from deeptime_spark.covariance import CovarianceModel
+    from deeptime_spark.operators.moments import MomentsResult
+
+    feats = _event_features(sf, n_powers)
+    X, Y = _per_traj_pairs(sf, lag, feats)
+    m = MomentsResult(
+        weight_sum=float(len(X)),
+        sx=X.sum(axis=0),
+        mxx=X.T @ X,
+        sy=Y.sum(axis=0),
+        mxy=X.T @ Y,
+        myy=Y.T @ Y,
+    )
+    c00, c0t, ctt, mx, my = m.covariances(
+        remove_mean=remove_mean, bessels_correction=bessel, symmetrize=reversible
+    )
+    return CovarianceModel(
+        cov_00=c00, cov_0t=c0t, cov_tt=ctt, mean_0=mx, mean_t=my,
+        bessels_correction=bessel, symmetrized=reversible, lagtime=lag,
+        weight_sum=float(len(X)),
+    )
+
+
+@lru_cache(maxsize=8)
+def _msm(sf: str, lag: int):
+    """Reversible-MLE MarkovStateModel from the DuckDB counts (largest
+    directed connected submodel) — mirrors MaximumLikelihoodMSM.fit."""
+    from deeptime_spark.markov.msm import MarkovStateModel, transition_matrix_reversible
+    from deeptime_spark.markov.transition_counting import TransitionCountModel
+
+    C_full, hist = _counts(sf, lag)
+    tcm = TransitionCountModel(C_full, counting_mode="sliding", lagtime=lag, state_histogram=hist)
+    sub = tcm.submodel_largest(directed=True)
+    C = np.asarray(sub.count_matrix, dtype=np.float64)
+    T, pi = transition_matrix_reversible(C, return_statdist=True)
+    return MarkovStateModel(
+        T, stationary_distribution=pi, reversible=True, lagtime=lag, count_model=sub
+    ), sub
+
+
+# ------------------------------------------------------------ SQL emit
+
+def _lit(x) -> str:
+    if isinstance(x, (int, np.integer)):
+        return str(int(x))
+    x = float(x)
+    if np.isnan(x):
+        return "CAST('nan' AS DOUBLE)"
+    if np.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}infinity' AS DOUBLE)"
+    # string-cast, NOT a bare numeric literal: DuckDB types bare decimal
+    # literals as DECIMAL and the DECIMAL->DOUBLE conversion can be off by
+    # an ulp; string->DOUBLE parsing is correctly rounded (bit-exact
+    # round-trip of repr()).
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _values_sql(rows, cols: list[str], types: str) -> str:
+    """VALUES literal table; types per column: 'b' BIGINT, 'd' DOUBLE."""
+    body = ",\n".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(
+        f"CAST(c{i} AS {'BIGINT' if t == 'b' else 'DOUBLE'}) AS {c}"
+        for i, (c, t) in enumerate(zip(cols, types))
+    )
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    return f"SELECT {sel} FROM (VALUES\n{body}\n) AS v({names})"
+
+
+# ------------------------------------------------------ count-driven
+
+def oracle_msm_pi() -> str:
+    from deeptime_spark.markov.analysis import mfpt
+
+    msm, _ = _msm(sf_dir(), 1)
+    P, pi = msm.transition_matrix, msm.stationary_distribution
+    m = mfpt(P, target=0)
+    rows = [(i, float(pi[i]), float(m[i])) for i in range(len(pi))]
+    return _values_sql(rows, ["state", "pi", "mfpt0"], "bdd")
+
+
+def oracle_msm_its() -> str:
+    from deeptime_spark.validation import implied_timescales
+
+    models = [_msm(sf_dir(), tau)[0] for tau in (1, 2, 3)]
+    its = implied_timescales(models, n_its=3)
+    rows = [
+        (int(tau), k, float(its.timescales_for_process(k)[i]))
+        for i, tau in enumerate(its.lagtimes)
+        for k in range(its.max_n_processes)
+    ]
+    return _values_sql(rows, ["lagtime", "process", "its"], "bbd")
+
+
+def oracle_msm_ck() -> str:
+    from deeptime_spark.validation import ck_test
+
+    models = [_msm(sf_dir(), tau)[0] for tau in (1, 2, 3)]
+    ck = ck_test(models, n_metastable_sets=2)
+    rows = [
+        (int(tau), i, j, float(ck.predictions[li][i, j]), float(ck.estimates[li][i, j]))
+        for li, tau in enumerate(ck.lagtimes)
+        for i in range(2)
+        for j in range(2)
+    ]
+    return _values_sql(rows, ["lagtime", "set_i", "set_j", "predicted", "estimated"], "bbbdd")
+
+
+def oracle_pcca() -> str:
+    msm, _ = _msm(sf_dir(), 1)
+    m = np.asarray(msm.pcca(2).memberships)
+    rows = [(i, float(m[i, 0]), float(m[i, 1])) for i in range(m.shape[0])]
+    return _values_sql(rows, ["state", "m0", "m1"], "bdd")
+
+
+def oracle_msm_longtail() -> str:
+    from deeptime_spark.markov.analysis import (
+        expected_counts,
+        fingerprint_correlation,
+        hitting_probability,
+    )
+
+    msm, _ = _msm(sf_dir(), 1)
+    P = msm.transition_matrix
+    n = P.shape[0]
+    h = hitting_probability(P, [4])
+    obs = np.arange(n, dtype=np.float64)
+    _, amp = fingerprint_correlation(P, obs)
+    ec = expected_counts(P, np.full(n, 1.0 / n), 10).sum(axis=1)
+    rows = [(i, float(h[i]), float(amp[i]), float(ec[i])) for i in range(n)]
+    return _values_sql(
+        rows, ["state", "hitting_p4", "fp_amplitude", "expected_out_counts"], "bddd"
+    )
+
+
+def oracle_tpt() -> str:
+    msm, _ = _msm(sf_dir(), 1)
+    flux = msm.reactive_flux([0], [4])
+    n = len(flux.forward_committor)
+    rows = [
+        (i, j, float(flux.forward_committor[i]), float(flux.backward_committor[i]),
+         float(flux.net_flux[i, j]))
+        for i in range(n)
+        for j in range(n)
+    ]
+    return _values_sql(rows, ["s_from", "s_to", "qplus", "qminus", "net_flux"], "bbddd")
+
+
+def oracle_bayes_msm() -> str:
+    from deeptime_spark.markov.msm import BayesianMSM
+    from deeptime_spark.markov.transition_counting import TransitionCountModel
+
+    C_full, hist = _counts(sf_dir(), 1)
+    tcm = TransitionCountModel(C_full, counting_mode="sliding", lagtime=1, state_histogram=hist)
+    post = BayesianMSM(n_samples=20, seed=42).fit(tcm).fetch_model()
+    stats = post.gather_stats("transition_matrix")
+    mean, lo, hi = stats["mean"], stats["L"], stats["R"]
+    n = mean.shape[0]
+    rows = [
+        (i, j, float(mean[i, j]), float(lo[i, j]), float(hi[i, j]))
+        for i in range(n)
+        for j in range(n)
+    ]
+    return _values_sql(rows, ["s_from", "s_to", "p_mean", "p_lo", "p_hi"], "bbddd")
+
+
+def oracle_effective_counts() -> str:
+    """Sliding counts (DuckDB) scaled by indicator-series statistical
+    inefficiencies computed from the DuckDB-ordered conditional target
+    sequences — the row-averaged effective count matrix."""
+    from deeptime_spark.markov.effective_counts import statistical_inefficiency
+
+    sf = sf_dir()
+    tid, _, _, state = _traj(sf)
+    lag = 1
+    C, _ = _counts(sf, lag)
+    n = C.shape[0]
+    I = np.ones((n, n))
+    # conditional target sequences: for each s_from, the time-ordered s_to
+    # sequence per trajectory (mirrors _conditional_pairs_df + the grouped
+    # per_state kernel: trajs iterated in sorted order, the j-list is the
+    # UNIQUE TARGETS OF THE WHOLE s_from GROUP, and every traj contributes
+    # an indicator series for every such j — all-zero series included)
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    group_targets: dict[int, list[np.ndarray]] = {}
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        s = state[a:b]
+        if len(s) <= lag:
+            continue
+        s_from, s_to = s[:-lag], s[lag:]
+        ok = (s_from >= 0) & (s_to >= 0)
+        s_from, s_to = s_from[ok], s_to[ok]
+        for i in np.unique(s_from):
+            group_targets.setdefault(int(i), []).append(s_to[s_from == i])
+    for i, target_seqs in group_targets.items():
+        all_targets = np.unique(np.concatenate(target_seqs))
+        for j in all_targets:
+            ss = [(seq == j).astype(np.float64) for seq in target_seqs]
+            I[i, int(j)] = statistical_inefficiency(ss, truncate_acf=True, mact=1.0)
+    c_row = C.sum(axis=1)
+    c_eff_row = (I * C).sum(axis=1)
+    scale = np.divide(c_eff_row, c_row, out=np.ones_like(c_row), where=c_row > 0)
+    Ce = C * scale[:, None]
+    rows = [(i, j, float(Ce[i, j])) for i in range(n) for j in range(n)]
+    return _values_sql(rows, ["s_from", "s_to", "n_eff"], "bbd")
+
+
+# -------------------------------------------------- covariance-driven
+
+def oracle_vamp() -> str:
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    cov = _covariance_model(sf_dir(), 2, 3)
+    model = VAMP(lagtime=2).fit_from_covariances(cov)
+    sv = model.singular_values
+    rows = [(i, round(float(sv[i]), 6)) for i in range(len(sv))]
+    return _values_sql(rows, ["idx", "sv"], "bd")
+
+
+def oracle_dmd() -> str:
+    cov = _covariance_model(sf_dir(), 1, 2, remove_mean=False, bessel=False)
+    mxx, mxy = cov.cov_00, cov.cov_0t
+    u, s, vt = np.linalg.svd(mxx, hermitian=True)
+    r = int(np.sum(s > 1e-10 * s[0]))
+    inv = vt[:r].T @ np.diag(1.0 / s[:r]) @ u[:, :r].T
+    A = (inv @ mxy).T
+    vals = np.linalg.eigvals(A)
+    ev = np.sort_complex(vals[np.argsort(-np.abs(vals))])
+    rows = [(i, round(float(ev[i].real), 6), round(float(ev[i].imag), 6)) for i in range(len(ev))]
+    return _values_sql(rows, ["idx", "ev_re", "ev_im"], "bdd")
+
+
+def oracle_kedmd() -> str:
+    """Landmark pairs re-selected content-addressed (same md5 rule as
+    _collect_pairs) from the DuckDB trajectory, then the same kernel
+    solve — bit-exact when the Spark pairing matches."""
+    import hashlib
+
+    from deeptime_spark.kernels import GaussianKernel
+    from deeptime_spark.numeric.eigen import sort_eigs
+
+    sf = sf_dir()
+    tid, t, _, _ = _traj(sf)
+    feats = _event_features(sf, 2)
+    lag, max_samples = 2, 500
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    keyed = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b - a > lag:
+            for off in range(b - a - lag):
+                h = hashlib.md5(f"{tid[a]}_{t[a + off]}".encode()).hexdigest()
+                keyed.append((h, a + off))
+    keyed.sort()
+    idx = [i for _, i in keyed[:max_samples]]
+    x = feats[idx]
+    y = feats[[i + lag for i in idx]]
+    kernel = GaussianKernel(1.0)
+    gram_0 = kernel.gram(x)
+    gram_1 = kernel.apply(x, y)
+    A = np.linalg.solve(gram_0 + 1e-6 * np.eye(len(x)), gram_1.T)
+    vals, vecs = np.linalg.eig(A)
+    vals, _ = sort_eigs(vals, vecs)
+    ev = np.sort_complex(vals[:3])
+    rows = [(i, round(float(ev[i].real), 6), round(float(ev[i].imag), 6)) for i in range(len(ev))]
+    return _values_sql(rows, ["idx", "ev_re", "ev_im"], "bdd")
+
+
+# monomial features spelled as chained products — bit-identical to the
+# Spark column expressions v, v*v, (v*v)*v (pow() is not guaranteed exact)
+_POW = ["v", "(v * v)", "(v * v * v)"]
+
+
+def _traj_feature_cte() -> str:
+    """DuckDB CTE reconstructing (traj_id, t, v) from events."""
+    return f"""
+traj AS (
+  SELECT user_id AS traj_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value / 100.0 AS v
+  FROM events
+)
+"""
+
+
+def oracle_tica(round_to: int = 6) -> str:
+    """SQL re-derives the features and applies the literal projection
+    (x - mean) @ U — coefficient matrix from the independently-estimated
+    covariances."""
+    from deeptime_spark.decomposition.tica import TICA
+
+    cov = _covariance_model(sf_dir(), 2, 3, reversible=True)
+    model = TICA(lagtime=2, dim=2).fit_from_covariances(cov)
+    U = model.U  # (3, 2)
+    mu = model.mean_0
+    comps = []
+    for k, name in enumerate(["ic1", "ic2"]):
+        terms = " + ".join(
+            f"({_lit(float(U[j, k]))}) * ({_POW[j]} - ({_lit(float(mu[j]))}))"
+            for j in range(3)
+            if float(U[j, k]) != 0.0
+        )
+        comps.append(f"round({terms}, {round_to}) AS {name}")
+    return f"""
+WITH {_traj_feature_cte()}
+SELECT traj_id, t, {', '.join(comps)} FROM traj
+"""
+
+
+def oracle_koopman_weights(round_to: int = 6) -> str:
+    """weight(x) = u . x + const with literal (u, const) from the
+    independently-estimated Koopman reweighting; features re-derived in SQL."""
+    from deeptime_spark.numeric.eigen import spd_inv_split
+
+    cov = _covariance_model(sf_dir(), 2, 2, remove_mean=True, bessel=False)
+    R = spd_inv_split(cov.cov_00, epsilon=1e-6)
+    K = R.T @ cov.cov_0t @ R
+    N = K.shape[0] + 1
+    Kext = np.zeros((N, N))
+    Kext[:-1, :-1] = K
+    Kext[-1, :-1] = (cov.mean_t - cov.mean_0) @ R
+    Kext[-1, -1] = 1.0
+    vals, vecs = np.linalg.eig(Kext.T)
+    i = int(np.argmin(np.abs(vals - 1.0)))
+    u_ext = np.real(vecs[:, i])
+    v = R @ u_ext[:-1]
+    const = u_ext[-1] - np.dot(cov.mean_0, v)
+    denom = np.dot(cov.mean_0, v) + const
+    u = v / denom
+    c = const / denom
+    expr = f"({_lit(float(c))}) + ({_lit(float(u[0]))}) * v + ({_lit(float(u[1]))}) * (v * v)"
+    return f"""
+WITH {_traj_feature_cte()}
+SELECT traj_id, t, round({expr}, {round_to}) AS weight FROM traj
+"""
+
+
+def oracle_embedding_whiten(round_to: int = 6) -> str:
+    """y = W (x - mu) with W = C00^{-1/2} (symmetric, hence sign-unique)
+    from an independent numpy covariance over the embeddings; the SQL
+    re-derives x and applies the literal first two rows of W."""
+    from deeptime_spark.numeric.eigen import spd_inv_sqrt
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    X = np.stack(
+        con.execute(
+            f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchnumpy()["CAST(embedding AS DOUBLE[])"]
+    ).astype(np.float64)
+    w = X.shape[0]
+    mu = X.sum(axis=0) / w
+    C = (X.T @ X - w * np.outer(mu, mu)) / (w - 1.0)
+    W = spd_inv_sqrt(C, epsilon=1e-10)
+    comps = []
+    for k, name in enumerate(["w0", "w1"]):
+        terms = " + ".join(
+            f"({_lit(float(W[k, j]))}) * (e[{j + 1}] - ({_lit(float(mu[j]))}))"
+            for j in range(X.shape[1])
+        )
+        comps.append(f"round({terms}, {round_to}) AS {name}")
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id, {', '.join(comps)} FROM emb
+"""
+
+
+# ------------------------------------------------------------- public
+
+_BUILDERS = {
+    "msm_pi_events": oracle_msm_pi,
+    "msm_its_events": oracle_msm_its,
+    "msm_ck_events": oracle_msm_ck,
+    "pcca_events": oracle_pcca,
+    "msm_longtail_events": oracle_msm_longtail,
+    "tpt_events": oracle_tpt,
+    "bayes_msm_events": oracle_bayes_msm,
+    "effective_counts_events": oracle_effective_counts,
+    "vamp_events": oracle_vamp,
+    "dmd_events": oracle_dmd,
+    "kedmd_events": oracle_kedmd,
+    "tica_events": oracle_tica,
+    "koopman_weights_events": oracle_koopman_weights,
+    "embedding_whiten": oracle_embedding_whiten,
+}
+
+
+def estimator_oracles() -> dict[str, str]:
+    """Build every estimator oracle; builders that raise are skipped so a
+    single failure degrades one query to rows-only instead of breaking the
+    whole harness (the round-3 lesson)."""
+    out = {}
+    for name, builder in _BUILDERS.items():
+        try:
+            out[name] = builder()
+        except Exception:  # noqa: BLE001 — isolation is the point
+            continue
+    return out

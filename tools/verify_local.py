@@ -32,6 +32,11 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
+    import os
+
+    # literal-value estimator oracles (oracle_ref) must be built against
+    # the same sf dir the queries run at
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     import __spark_entry__ as entrymod
 
     from pyspark.sql import SparkSession
