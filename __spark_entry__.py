@@ -1078,13 +1078,26 @@ def _q_dedup_verified_pairs(spark, sf_dir):
 
 def _q_hmm_viterbi_events(spark, sf_dir):
     """2-hidden-state HMM over the 5-symbol event dtraj: distributed
-    Baum-Welch (applyInPandas E-step) then per-trajectory viterbi decode."""
+    Baum-Welch (applyInPandas E-step) then per-trajectory viterbi decode.
+    The trajectory is persisted pre-partitioned by traj_id ONCE and shared
+    by init counting, every EM iteration and the viterbi pass — no
+    re-derivation of the event window per stage."""
     from deeptime_spark.hmm import MaximumLikelihoodHMM, init_discrete_metastable_from_data
 
-    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
-    init = init_discrete_metastable_from_data(traj, n_hidden_states=2, lagtime=1)
-    model = MaximumLikelihoodHMM(init, lagtime=1, maxit=3).fit(traj).fetch_model()
-    return model.viterbi_df(traj)
+    traj = (
+        _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+        .repartition("traj_id").persist()
+    )
+    try:
+        init = init_discrete_metastable_from_data(
+            traj, n_hidden_states=2, lagtime=1, n_observation_states=5
+        )
+        model = MaximumLikelihoodHMM(init, lagtime=1, maxit=3).fit(traj).fetch_model()
+        out = model.viterbi_df(traj)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        traj.unpersist()
+    return out
 
 
 def _q_bayes_hmm_events(spark, sf_dir):
@@ -1096,10 +1109,16 @@ def _q_bayes_hmm_events(spark, sf_dir):
         init_discrete_metastable_from_data,
     )
 
-    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
-    init = init_discrete_metastable_from_data(traj, n_hidden_states=2, lagtime=1)
+    traj = (
+        _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+        .repartition("traj_id").persist()
+    )
+    init = init_discrete_metastable_from_data(
+        traj, n_hidden_states=2, lagtime=1, n_observation_states=5
+    )
     prior = MaximumLikelihoodHMM(init, lagtime=1, maxit=2).fit(traj).fetch_model()
     post = BayesianHMM(prior, n_samples=10, seed=42).fit(traj).fetch_model()
+    traj.unpersist()
     stats = post.gather_stats("transition_matrix")
     mean, lo, hi = stats["mean"], stats["L"], stats["R"]
     rows = [
@@ -1174,10 +1193,13 @@ def _q_streaming_dedup_replay(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records queries in
-    # declaration order (r02 recorded exactly the first 50).  The estimator
-    # pipelines that had no driver evidence in r02 are therefore declared
-    # FIRST; the TPC-H/relational queries (40 green rows across two rounds)
-    # come last.
+    # declaration order (r02 recorded exactly the first 50 of 68). Slots
+    # 1-23: every query with no prior driver evidence (estimator pipelines,
+    # streaming replay, MSM pipelines — most now oracle-backed via
+    # oracle_ref). Slots 24-50: oracle-backed operator/relational queries.
+    # Past 50: relational queries green in r02 and rows-only LSH/ANN
+    # pipelines that ran in r02 — rotated back in next round if the window
+    # persists (see COVERAGE.md).
     return {
         # --- estimator pipelines unverified in r02: declared first ---
         "tram_events": _q_tram_events,
@@ -1205,13 +1227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_its_events": _q_msm_its_events,
         "msm_ck_events": _q_msm_ck_events,
         "pcca_events": _q_pcca_events,
-        # --- LLM-data-pipeline rows-only queries ---
-        "minhash_bands": _q_minhash_bands,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
         # --- text analysis (operators/text.py) ---
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -1245,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_box": _q_event_box,
         "event_histogram2d": _q_event_histogram2d,
         "event_confidence_interval": _q_event_confidence_interval,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
         # --- relational surface (§2.14) ---
         "event_sessions": _q_event_sessions,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -1258,8 +1274,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_volume": _q_nation_order_volume,
         "brand_volume": _q_brand_volume,
         "q5_supplier_volume": _q_q5_supplier_volume,
-        "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q10_returned_items": _q_q10_returned_items,
+        # --- LLM-data-pipeline rows-only queries ---
+        "minhash_bands": _q_minhash_bands,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
     }
 
 

@@ -74,10 +74,16 @@ def init_discrete_metastable_from_msm(
 
 
 def init_discrete_metastable_from_data(
-    df: DataFrame, n_hidden_states: int, lagtime: int, obs_col: str = "state", reversible: bool = True
+    df: DataFrame, n_hidden_states: int, lagtime: int, obs_col: str = "state",
+    reversible: bool = True, n_observation_states: Optional[int] = None,
 ) -> HiddenMarkovModel:
     """Fit an observable-space MSM on Spark (counting job) then coarse-grain
-    (reference metastable_from_data, :274-401, mode='largest-regularized')."""
+    (reference metastable_from_data, :274-401, mode='largest-regularized').
+
+    Pass ``n_observation_states`` when the observable alphabet size is
+    known: it skips a full max-aggregation pass over the trajectory (one
+    extra scan that matters when the input is not persisted).
+    """
     from deeptime_spark.markov.msm import MaximumLikelihoodMSM
 
     msm = (
@@ -91,8 +97,11 @@ def init_discrete_metastable_from_data(
     if msm.count_model is not None:
         symbols = msm.count_model.state_symbols
         n_full = int(symbols.max()) + 1
-        obs_max = df.agg(F.max(obs_col).alias("m")).first()["m"]
-        n_full = max(n_full, int(obs_max) + 1)
+        if n_observation_states is not None:
+            n_full = max(n_full, int(n_observation_states))
+        else:
+            obs_max = df.agg(F.max(obs_col).alias("m")).first()["m"]
+            n_full = max(n_full, int(obs_max) + 1)
         B_sub = init.output_model.output_probabilities
         B = np.full((n_hidden_states, n_full), 1e-12)
         B[:, symbols] = B_sub
