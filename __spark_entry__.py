@@ -1088,16 +1088,14 @@ def _q_hmm_viterbi_events(spark, sf_dir):
         _event_traj(spark, sf_dir).select("traj_id", "t", "state")
         .repartition("traj_id").persist()
     )
-    try:
-        init = init_discrete_metastable_from_data(
-            traj, n_hidden_states=2, lagtime=1, n_observation_states=5
-        )
-        model = MaximumLikelihoodHMM(init, lagtime=1, maxit=3).fit(traj).fetch_model()
-        out = model.viterbi_df(traj)
-        out = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        traj.unpersist()
-    return out
+    init = init_discrete_metastable_from_data(
+        traj, n_hidden_states=2, lagtime=1, n_observation_states=5
+    )
+    model = MaximumLikelihoodHMM(init, lagtime=1, maxit=3).fit(traj).fetch_model()
+    # the returned plan reads the cached trajectory; the cache is left for
+    # LRU eviction because the caller still has to execute the plan (an
+    # eager collect+recreate here costs far more than the cached partitions)
+    return model.viterbi_df(traj)
 
 
 def _q_bayes_hmm_events(spark, sf_dir):

@@ -180,7 +180,6 @@ def ivf_topk(
     seed: int = 42,
     quantizer_iters: int = 8,
     quantizer_sample: int = 65536,
-    quantizer_sample_fraction: float = 0.1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -201,23 +200,24 @@ def ivf_topk(
     from deeptime_spark.clustering.cluster_model import ClusterModel, _pairwise_sq_dists
 
     # coarse quantizer trained on a bounded sample (standard IVF practice:
-    # the quantizer needs the coarse density, not every vector). No exact
-    # corpus-size pass: sample(fraction) + limit lets
-    # CollectLimit execute partitions incrementally (scaleUpFactor), so
-    # only ~quantizer_sample/fraction rows' worth of partitions are read
-    # — not the whole corpus, and not an extra full scan just to compute
-    # an exact fraction.
-    sample_df = corpus.select(vec_col).sample(fraction=quantizer_sample_fraction, seed=seed)
+    # the quantizer needs the coarse density, not every vector). The
+    # sample is CONTENT-ADDRESSED — the quantizer_sample rows with the
+    # smallest md5(id) — so it is pseudo-random yet independent of
+    # partitioning and cluster layout (a seeded Bernoulli sample changes
+    # with the partition split) and reproducible by any engine. No exact
+    # corpus-size pass; orderBy+limit runs as TakeOrderedAndProject (a
+    # per-partition top-k heap + driver merge, no full sort).
+    key = F.md5(F.col(id_col).cast("string"))
     sample = np.asarray(
-        [r[0] for r in sample_df.limit(quantizer_sample).collect()], dtype=np.float64
+        [
+            r[0]
+            for r in corpus.select(F.col(vec_col), key.alias("_h"))
+            .orderBy("_h")
+            .limit(quantizer_sample)
+            .collect()
+        ],
+        dtype=np.float64,
     )
-    if len(sample) < max(n_lists, 2):
-        # tiny corpus (or fraction too small): bounded re-read without
-        # sampling — limit pushdown keeps this to the first partitions
-        sample = np.asarray(
-            [r[0] for r in corpus.select(vec_col).limit(quantizer_sample).collect()],
-            dtype=np.float64,
-        )
     rng = np.random.default_rng(seed)
     centers = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
     for _ in range(quantizer_iters):

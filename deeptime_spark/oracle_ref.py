@@ -527,3 +527,340 @@ def estimator_oracles() -> dict[str, str]:
         except Exception:  # noqa: BLE001 — isolation is the point
             continue
     return out
+
+
+# ----------------------------------------------- LLM-op oracles
+# These re-derive the LSH / fingerprint bucketing decisions with the
+# engine-independent Spark-hash replicas (spark_hashes.py) and plain
+# Python/numpy text processing — nothing below touches Spark.
+
+import re as _re
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _spark_round(x: float, scale: int = 6) -> float:
+    """Mirror of Spark's F.round: HALF_UP on the shortest decimal repr
+    (BigDecimal.valueOf semantics). Python's round() is HALF_EVEN and
+    disagrees on exact .5 boundaries (e.g. k/128 at 7 decimals)."""
+    return float(Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+@lru_cache(maxsize=4)
+def _docs(sf: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    return [(int(i), t) for i, t in rows]
+
+
+def _norm_text(t: str) -> str:
+    """Mirror of regexp_replace(trim(lower(c)), '\\s+', ' '): lowercase,
+    strip 0x20 only (Spark trim), collapse Java-\\s runs to one space."""
+    return _WS.sub(" ", t.lower().strip(" "))
+
+
+def _shingle_set(norm: str, k: int = 5) -> list[str]:
+    if len(norm) < k:
+        return [norm]
+    return list({norm[i : i + k] for i in range(len(norm) - k + 1)})
+
+
+def _tokens_py(t: str) -> list[str]:
+    """Mirror of F.split(trim(lower(c)), '\\s+') with limit -1 (leading
+    AND trailing empty tokens kept, like Spark)."""
+    return _WS.split(t.lower().strip(" "))
+
+
+def _word_ngram_set(t: str, n: int = 3) -> set[str]:
+    norm = _norm_text(t)
+    toks = norm.split(" ") if norm else [""]
+    if len(toks) < n:
+        return {norm}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _shingle_hashes(shingles: list[str], k: int = 5) -> np.ndarray:
+    """murmur3(seed 42) of each shingle — vectorized for the fixed-length
+    ASCII fast path, scalar fallback otherwise."""
+    from deeptime_spark.spark_hashes import murmur3_32, murmur3_32_fixed
+
+    enc = [s.encode() for s in shingles]
+    if enc and all(len(b) == k for b in enc):
+        arr = np.frombuffer(b"".join(enc), dtype=np.uint8).reshape(len(enc), k)
+        return murmur3_32_fixed(arr, 42)
+    return np.array([murmur3_32(b, 42) for b in enc], dtype=np.int32)
+
+
+@lru_cache(maxsize=4)
+def _minhash_sigs(sf: str, n_hashes: int = 32, shingle_k: int = 5):
+    """(doc_id -> int32 signature array) mirroring minhash_signatures_df:
+    sig[i] = min over distinct shingles of hash(shingle, lit(i))."""
+    from deeptime_spark.spark_hashes import murmur3_int32_vec
+
+    sigs = {}
+    for doc_id, text in _docs(sf):
+        sh = _shingle_set(_norm_text(text), shingle_k)
+        inner = _shingle_hashes(sh, shingle_k)
+        sig = np.empty(n_hashes, dtype=np.int64)
+        for i in range(n_hashes):
+            sig[i] = int(murmur3_int32_vec(i, inner).min())
+        sigs[doc_id] = sig
+    return sigs
+
+
+def _bucket_pairs_py(buckets: dict, max_bucket: int = 256):
+    """Mirror of _cap_buckets + _bucket_pairs: members sorted by id,
+    truncated to the max_bucket lowest ids, all (i < j) pairs."""
+    seen = set()
+    for members in buckets.values():
+        ids = sorted(set(members))[:max_bucket]
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                seen.add((ids[a], ids[b]))
+    return seen
+
+
+def _minhash_candidates(sf: str, n_hashes: int = 32, bands: int = 8):
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sigs = _minhash_sigs(sf, n_hashes)
+    r = n_hashes // bands
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            block = sig[b * r : (b + 1) * r]
+            key_str = "[" + ", ".join(str(int(v)) for v in block) + "]"
+            buckets.setdefault((b, xxhash64(key_str.encode())), []).append(doc_id)
+    return _bucket_pairs_py(buckets), sigs
+
+
+def oracle_minhash_bands() -> str:
+    pairs, sigs = _minhash_candidates(sf_dir())
+    rows = []
+    for a, b in sorted(pairs):
+        est = float(np.sum(sigs[a] == sigs[b])) / 32.0
+        rows.append((a, b, _spark_round(est, 6)))
+    return _values_sql(rows, ["id_a", "id_b", "est_jaccard"], "bbd")
+
+
+def oracle_dedup_verified_pairs() -> str:
+    sf = sf_dir()
+    pairs, _ = _minhash_candidates(sf)
+    grams = {i: _word_ngram_set(t) for i, t in _docs(sf)}
+    rows = []
+    for a, b in sorted(pairs):
+        ga, gb = grams[a], grams[b]
+        j = len(ga & gb) / max(len(ga | gb), 1)
+        if j >= 0.2:
+            rows.append((a, b, _spark_round(j, 6)))
+    return _values_sql(rows, ["id_a", "id_b", "jaccard"], "bbd")
+
+
+def oracle_doc_fingerprint() -> str:
+    from deeptime_spark.spark_hashes import xxhash64
+
+    rows = []
+    for doc_id, text in _docs(sf_dir()):
+        sh = _shingle_set(_norm_text(text))
+        hashes = sorted({xxhash64(s.encode()) for s in sh})
+        fp = hashes[:8]
+        rows.append((doc_id, fp[0], len(fp)))
+    return _values_sql(rows, ["doc_id", "fp_min", "fp_n"], "bbb")
+
+
+def oracle_simhash_pairs() -> str:
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sf = sf_dir()
+    max_hamming, n_blocks, bits = 8, 9, 64
+    sims = {}
+    for doc_id, text in _docs(sf):
+        hs = np.array([xxhash64(t.encode()) for t in _tokens_py(text)], dtype=np.int64)
+        hu = hs.view(np.uint64)
+        sim = 0
+        n = len(hu)
+        for p in range(bits):
+            ones = int(((hu >> np.uint64(p)) & np.uint64(1)).sum())
+            if 2 * ones - n > 0:
+                sim |= 1 << p
+        # Spark's long wraps: bit 63 makes the signature negative
+        sims[doc_id] = sim - (1 << 64) if sim >= (1 << 63) else sim
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    buckets: dict = {}
+    for doc_id, sim in sims.items():
+        u = sim & 0xFFFFFFFFFFFFFFFF
+        for i in range(n_blocks):
+            buckets.setdefault((i, (u >> offsets[i]) & ((1 << widths[i]) - 1)), []).append(doc_id)
+    rows = []
+    for a, b in sorted(_bucket_pairs_py(buckets)):
+        ham = bin((sims[a] ^ sims[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if ham <= max_hamming:
+            rows.append((a, b, ham))
+    return _values_sql(rows, ["id_a", "id_b", "hamming"], "bbb")
+
+
+@lru_cache(maxsize=4)
+def _embeddings(sf: str) -> np.ndarray:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _hyperplane_buckets(X: np.ndarray, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    """(n, n_tables) int bucket ids — mirror of the wide-path pandas UDF:
+    one sign(X @ planes^T) gemm, powers-of-two packing."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables * n_planes, X.shape[1]))
+    powers = (2 ** np.arange(n_planes)).astype(np.int64)
+    signs = (X @ np.ascontiguousarray(planes.T)).reshape(len(X), n_tables, n_planes) >= 0
+    return (signs @ powers).astype(np.int32)
+
+
+def oracle_embedding_near_dup() -> str:
+    sf = sf_dir()
+    X = _embeddings(sf)
+    ids = np.arange(len(X))
+    bucket_ids = _hyperplane_buckets(X, n_planes=4, n_tables=4)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.clip(norms, 1e-300, None)
+    buckets: dict = {}
+    for i in ids:
+        for t in range(4):
+            buckets.setdefault((t, int(bucket_ids[i, t])), []).append(int(i))
+    seen = {}
+    for (t, bkt), members in buckets.items():
+        mem = sorted(members)[:256]
+        for ai in range(len(mem)):
+            for bi in range(ai + 1, len(mem)):
+                a, b = mem[ai], mem[bi]
+                if (a, b) in seen:
+                    continue
+                c = float(Xn[a] @ Xn[b])
+                if c >= 0.3:
+                    seen[(a, b)] = c
+    rows = [(a, b, _spark_round(c, 6)) for (a, b), c in sorted(seen.items())]
+    return _values_sql(rows, ["id_a", "id_b", "cosine"], "bbd")
+
+
+def _fold_dot(x: np.ndarray, y: np.ndarray) -> float:
+    """Left-to-right fold — bit-exact mirror of the JVM
+    aggregate(zip_with(a, b, *), +) expression."""
+    acc = 0.0
+    for j in range(len(x)):
+        acc = acc + float(x[j]) * float(y[j])
+    return acc
+
+
+def _fold_norm(x: np.ndarray) -> float:
+    acc = 0.0
+    for j in range(len(x)):
+        acc = acc + float(x[j]) * float(x[j])
+    import math
+
+    return math.sqrt(acc)
+
+
+def oracle_lsh_topk() -> str:
+    sf = sf_dir()
+    X = _embeddings(sf)
+    bucket_ids = _hyperplane_buckets(X, n_planes=4, n_tables=4)
+    q_ids = [i for i in range(len(X)) if i < 5]
+    cands: dict[int, set[int]] = {q: set() for q in q_ids}
+    for t in range(4):
+        table: dict = {}
+        for i in range(len(X)):
+            table.setdefault(int(bucket_ids[i, t]), []).append(i)
+        for q in q_ids:
+            for i in table.get(int(bucket_ids[q, t]), []):
+                cands[q].add(i)
+    rows = []
+    for q in q_ids:
+        scored = []
+        nq = _fold_norm(X[q])
+        for i in sorted(cands[q]):
+            sim = _fold_dot(X[i], X[q]) / (_fold_norm(X[i]) * nq)
+            scored.append((-sim, i))
+        scored.sort()
+        for rank, (_, i) in enumerate(scored[:5], start=1):
+            rows.append((q, i, rank))
+    return _values_sql(rows, ["query_id", "vec_id", "rank"], "bbb")
+
+
+_BUILDERS.update(
+    {
+        "minhash_bands": oracle_minhash_bands,
+        "dedup_verified_pairs": oracle_dedup_verified_pairs,
+        "doc_fingerprint": oracle_doc_fingerprint,
+        "simhash_pairs": oracle_simhash_pairs,
+        "embedding_near_dup": oracle_embedding_near_dup,
+        "lsh_topk": oracle_lsh_topk,
+    }
+)
+
+
+def oracle_multimodal_features() -> str:
+    """The WAV synth + decode kernel is pure deterministic Python
+    (stdlib wave + numpy); re-running it per doc_id outside Spark yields
+    bit-exact features. What the comparison verifies: the Arrow batch
+    plumbing (payload round-trip, one output row per input, doc_id
+    alignment) and the parquet-sourced id set."""
+    from deeptime_spark.operators.multimodal import decode_features, synth_wav
+
+    rows = []
+    for doc_id, _ in _docs(sf_dir()):
+        f = decode_features(synth_wav(100.0 + (doc_id % 20) * 10.0), dim=8)
+        rows.append(
+            (doc_id, 8, _spark_round(f[0], 6), _spark_round(f[4], 6), _spark_round(f[5], 6))
+        )
+    return _values_sql(rows, ["media_id", "feat_dim", "path_marker", "rms", "zcr"], "bbddd")
+
+
+_BUILDERS["multimodal_features"] = oracle_multimodal_features
+
+
+def oracle_ivf_topk() -> str:
+    """Full IVF mirror: content-addressed quantizer sample (smallest
+    md5(vec_id) — the engine-independent selection ivf_topk uses), driver
+    Lloyd, cell assignment, probe pruning, fold-exact cosine top-k."""
+    import hashlib
+
+    from deeptime_spark.clustering.cluster_model import _pairwise_sq_dists
+
+    sf = sf_dir()
+    X = _embeddings(sf)
+    n_lists, n_probe, k, iters, seed = 16, 4, 5, 8, 42
+    keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(len(X)))
+    sample = X[[i for _, i in keyed[:65536]]]
+    rng = np.random.default_rng(seed)
+    centers = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = _pairwise_sq_dists(sample, centers).argmin(axis=1)
+        for c in range(len(centers)):
+            mask = assign == c
+            if mask.any():
+                centers[c] = sample[mask].mean(axis=0)
+    cells = _pairwise_sq_dists(X, centers).argmin(axis=1)
+    rows = []
+    for q in range(5):
+        d2 = ((centers - X[q]) ** 2).sum(axis=1)
+        probe = set(int(c) for c in np.argsort(d2)[:n_probe])
+        nq = _fold_norm(X[q])
+        scored = []
+        for i in range(len(X)):
+            if int(cells[i]) in probe:
+                sim = _fold_dot(X[i], X[q]) / (_fold_norm(X[i]) * nq)
+                scored.append((-sim, i))
+        scored.sort()
+        for rank, (_, i) in enumerate(scored[:k], start=1):
+            rows.append((q, i, rank))
+    return _values_sql(rows, ["query_id", "vec_id", "rank"], "bbb")
+
+
+_BUILDERS["ivf_topk"] = oracle_ivf_topk
