@@ -1225,6 +1225,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_its_events": _q_msm_its_events,
         "msm_ck_events": _q_msm_ck_events,
         "pcca_events": _q_pcca_events,
+        # --- LSH/ANN pipelines (newly oracle-backed via spark_hashes) ---
+        "minhash_bands": _q_minhash_bands,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         # --- text analysis (operators/text.py) ---
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -1267,19 +1274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_not_error_users": _q_purchase_not_error_users,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
+        "q10_returned_items": _q_q10_returned_items,
         "top_customers": _q_top_customers,
         "order_priority_count": _q_order_priority_count,
         "nation_order_volume": _q_nation_order_volume,
         "brand_volume": _q_brand_volume,
         "q5_supplier_volume": _q_q5_supplier_volume,
-        "q10_returned_items": _q_q10_returned_items,
-        # --- LLM-data-pipeline rows-only queries ---
-        "minhash_bands": _q_minhash_bands,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
     }
 
 
