@@ -1189,6 +1189,51 @@ def _q_streaming_dedup_replay(spark, sf_dir):
     )
 
 
+def _q_streaming_transition_counts(spark, sf_dir):
+    """Custom stateful streaming operator under the correctness gate:
+    replay the event trajectory as micro-batches through the
+    applyInPandasWithState transition counter and fold the per-batch
+    increments — batch-equivalent to the one-shot lag-1 sliding counts
+    (files are written traj-holistic so each trajectory arrives in order
+    within one batch, matching the operator's in-order contract)."""
+    import tempfile
+    import uuid
+
+    from deeptime_spark.streaming.accumulate import streaming_transition_counts
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    src_dir = tempfile.mkdtemp(prefix="stc_src_")
+    traj.repartition(4, "traj_id").write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_transition_counts(stream)
+    sink = "stc_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stc_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = (
+        spark.table(sink)
+        .groupBy("s_from", "s_to")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        [(int(r["s_from"]), int(r["s_to"]), int(r["n"])) for r in rows],
+        "s_from long, s_to long, n long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records queries in
     # declaration order (r02 recorded exactly the first 50 of 68). Slots
@@ -1220,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verified_pairs": _q_dedup_verified_pairs,
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
+        "streaming_transition_counts": _q_streaming_transition_counts,
         # --- MSM pipelines that ran rows-only in r02 ---
         "msm_pi_events": _q_msm_pi_events,
         "msm_its_events": _q_msm_its_events,
@@ -1459,6 +1505,16 @@ WITH {_TRAJ_CTE}, pairs AS (
 SELECT s_from, s_to, count(*) AS n FROM pairs
 WHERE s_to IS NOT NULL AND s_from >= 0 AND s_to >= 0
 GROUP BY s_from, s_to
+""",
+        "streaming_transition_counts": f"""
+WITH {_TRAJ_CTE}, pairs AS (
+  SELECT state AS s_from, lead(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s_to
+  FROM traj
+)
+SELECT CAST(s_from AS BIGINT) AS s_from, CAST(s_to AS BIGINT) AS s_to, count(*) AS n
+FROM pairs
+WHERE s_to IS NOT NULL AND s_from >= 0 AND s_to >= 0
+GROUP BY 1, 2
 """,
         "event_state_histogram": f"""
 WITH {_TRAJ_CTE}

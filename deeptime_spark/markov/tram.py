@@ -329,8 +329,17 @@ class TRAM(Estimator):
         return C, state_counts
 
     def _collect_bias(self, df: DataFrame, K: int, N: int):
+        # deterministic (state, traj, t) order: the per-state logsumexp
+        # blocks then sum in a reproducible order, making the whole driver
+        # iteration replayable by an external oracle (and stable across
+        # partition layouts)
         sc, bc = self.state_col, self.bias_col
-        samples = df.where(F.col(sc) >= 0).select(F.col(sc).alias("i"), F.col(bc)).collect()
+        samples = (
+            df.where(F.col(sc) >= 0)
+            .select(F.col(sc).alias("i"), F.col("traj_id"), F.col("t"), F.col(bc))
+            .orderBy("i", "traj_id", "t")
+            .collect()
+        )
         bias_by_state = [[] for _ in range(N)]
         for r in samples:
             bias_by_state[r["i"]].append(r[bc])
@@ -438,6 +447,14 @@ class TRAM(Estimator):
             bias_by_state = None
         else:
             bias_by_state = self._collect_bias(df, K, N)
+        self._model = self.fit_arrays(C, state_counts, bias_by_state, store)
+        return self
+
+    def fit_arrays(self, C, state_counts, bias_by_state=None, store=None) -> "TRAMModel":
+        """Driver-side self-consistent iteration on already-collected
+        statistics (the Spark-free core of ``fit`` — also the hook the
+        correctness oracle replays with independently-derived counts/bias)."""
+        K, N = state_counts.shape
         f = np.zeros((K, N))
         with np.errstate(divide="ignore"):
             log_v = np.log(np.maximum(0.5 * (C + C.transpose(0, 2, 1)).sum(axis=2), 1e-300))
@@ -485,7 +502,7 @@ class TRAM(Estimator):
         therm_energies = -_logsumexp(-f, axis=1)
         mod = self._update_state_counts(C, state_counts, f, log_v)
         T = self._transition_matrices(C, f, log_v)
-        self._model = TRAMModel(
+        return TRAMModel(
             biased_conf_energies=f,
             lagrangian_mult_log=log_v,
             modified_state_counts_log=mod,
@@ -494,7 +511,6 @@ class TRAM(Estimator):
             transition_matrices=T,
             lagtime=self.lagtime,
         )
-        return self
 
     @staticmethod
     def _markov_state_energies(bias_by_state, mod, N):

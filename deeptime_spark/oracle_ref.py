@@ -864,3 +864,50 @@ def oracle_ivf_topk() -> str:
 
 
 _BUILDERS["ivf_topk"] = oracle_ivf_topk
+
+
+def oracle_tram() -> str:
+    """TRAM mirror: per-ensemble counts, state counts and the
+    (state, traj, t)-ordered bias blocks are re-derived from the parquet
+    (therm_state = traj_id % 2, bias = [0, value/5000]), then the same
+    driver self-consistent iteration (TRAM.fit_arrays) runs on them —
+    bit-exact when the Spark counting and collection order match."""
+    from deeptime_spark.markov.tram import TRAM
+
+    sf = sf_dir()
+    tid, _, value, state = _traj(sf)
+    therm = (tid % 2).astype(np.int64)
+    ok = state >= 0
+    K = int(therm.max()) + 1
+    N = int(state.max()) + 1
+    # lag-1 transition counts per ensemble (therm is traj-constant, so
+    # per-(therm, traj) windows == per-traj windows)
+    C = np.zeros((K, N, N))
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        k = int(therm[a])
+        s = state[a:b]
+        for sf_, st_ in zip(s[:-1], s[1:]):
+            if sf_ >= 0 and st_ >= 0:
+                C[k, sf_, st_] += 1
+    state_counts = np.zeros((K, N))
+    for k in range(K):
+        mask = ok & (therm == k)
+        state_counts[k] = np.bincount(state[mask], minlength=N)
+    # bias blocks ordered by (state, traj_id, t) — the order _collect_bias pins
+    bias_by_state = []
+    order = np.arange(len(tid))[ok]
+    for i in range(N):
+        sel = order[state[ok] == i]  # already (traj_id, t)-sorted
+        B = np.zeros((len(sel), K))
+        B[:, 1] = value[sel] / 5000.0
+        bias_by_state.append(B)
+    model = TRAM(lagtime=1, maxiter=200).fit_arrays(C, state_counts, bias_by_state)
+    fki = model.biased_conf_energies
+    rows = [
+        (k, i, float(fki[k, i])) for k in range(fki.shape[0]) for i in range(fki.shape[1])
+    ]
+    return _values_sql(rows, ["therm_state", "state", "f"], "bbd")
+
+
+_BUILDERS["tram_events"] = oracle_tram
