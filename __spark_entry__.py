@@ -903,7 +903,8 @@ def _q_simhash_pairs(spark, sf_dir):
     from deeptime_spark.operators.dedup import simhash_near_duplicates
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=8)
+    out = simhash_near_duplicates(docs, max_hamming=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_embedding_near_dup(spark, sf_dir):

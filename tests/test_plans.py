@@ -101,3 +101,24 @@ def test_kernel_gram_map_only(spark):
     )
     plan = plan_of(GaussianKernel(2.0).gram_df(emb, np.ones((3, 64))))
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_lsh_pipelines_bounded_shuffles(spark):
+    # explode -> partial-agg signature (1) -> band bucket window (2) ->
+    # bucket collect (3); banding must not add passes beyond three
+    for q in (entrymod._q_minhash_bands, entrymod._q_simhash_pairs):
+        plan = plan_of(q(spark, SF))
+        assert n_exchanges(plan) <= 3, plan[:1500]
+        assert "EvalPython" not in plan
+
+
+def test_ivf_quantizer_sample_no_global_sort(spark):
+    # the content-addressed quantizer sample must run as a per-partition
+    # top-k (TakeOrderedAndProject), not a full Sort + Limit
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    key = F.md5(F.col("vec_id").cast("string"))
+    sampled = emb.select(F.col("embedding"), key.alias("_h")).orderBy("_h").limit(256)
+    plan = plan_of(sampled)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
