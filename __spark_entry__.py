@@ -1092,11 +1092,18 @@ def _q_hmm_viterbi_events(spark, sf_dir):
     init = init_discrete_metastable_from_data(
         traj, n_hidden_states=2, lagtime=1, n_observation_states=5
     )
-    model = MaximumLikelihoodHMM(init, lagtime=1, maxit=3).fit(traj).fetch_model()
+    model = (
+        MaximumLikelihoodHMM(init, lagtime=1, maxit=3, per_traj_stats=True)
+        .fit(traj)
+        .fetch_model()
+    )
     # the returned plan reads the cached trajectory; the cache is left for
     # LRU eviction because the caller still has to execute the plan (an
     # eager collect+recreate here costs far more than the cached partitions)
-    return model.viterbi_df(traj)
+    out = model.viterbi_df(traj)
+    return out.select(
+        "traj_id", "t", F.col("hidden_state").cast("long").alias("hidden_state")
+    )
 
 
 def _q_bayes_hmm_events(spark, sf_dir):
@@ -1115,7 +1122,11 @@ def _q_bayes_hmm_events(spark, sf_dir):
     init = init_discrete_metastable_from_data(
         traj, n_hidden_states=2, lagtime=1, n_observation_states=5
     )
-    prior = MaximumLikelihoodHMM(init, lagtime=1, maxit=2).fit(traj).fetch_model()
+    prior = (
+        MaximumLikelihoodHMM(init, lagtime=1, maxit=2, per_traj_stats=True)
+        .fit(traj)
+        .fetch_model()
+    )
     post = BayesianHMM(prior, n_samples=10, seed=42).fit(traj).fetch_model()
     traj.unpersist()
     stats = post.gather_stats("transition_matrix")

@@ -186,6 +186,23 @@ class BayesianHMM(Estimator):
         return {"C": C, "init": init_counts, "om_stats": om_stats}
 
     def fit(self, df: DataFrame, progress=None) -> "BayesianHMM":
+        # persist co-located by trajectory: every sweep's mapInPandas then
+        # reads cached partitions with no per-sweep shuffle
+        df = df.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
+        try:
+            self._model = self.fit_with_sweeper(
+                lambda A, pi, om, seed: self._sweep_stats(df, A, pi, om, seed), progress
+            )
+        finally:
+            df.unpersist()
+        return self
+
+    def fit_with_sweeper(self, sweep_fn, progress=None) -> "BayesianHMMPosterior":
+        """Gibbs chain over pluggable sweep statistics (the Spark-free
+        driver core of ``fit``; the correctness oracle replays it with a
+        numpy sweeper over independently-derived trajectories — valid
+        because every sweep statistic is an integer count, so the
+        reduction is exact and layout-independent)."""
         from deeptime_spark.callbacks import ProgressCallback
 
         rng = np.random.default_rng(self.seed)
@@ -194,41 +211,34 @@ class BayesianHMM(Estimator):
         A = np.array(init.transition_matrix, copy=True)
         pi = np.array(init.initial_distribution, copy=True)
         om = init.output_model.copy()
-        # persist co-located by trajectory: every sweep's mapInPandas then
-        # reads cached partitions with no per-sweep shuffle
-        df = df.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
-        try:
-            samples = []
-            cb_ctx = ProgressCallback(progress, desc="gibbs", total=self.n_samples * self.stride)
-            with cb_ctx as cb:
-                for sweep in range(self.n_samples * self.stride):
-                    cb()
-                    stats = self._sweep_stats(df, A, pi, om, sweep_seed=self.seed + sweep)
-                    # (b) initial distribution ~ Dirichlet(prior + init counts)
-                    pi = rng.dirichlet(stats["init"] + self.initial_distribution_prior + 1e-3)
-                    # (c) transition matrix given sampled-path counts
-                    Cp = stats["C"] + self.transition_matrix_prior
-                    if self.reversible:
-                        A = sample_tmatrix_reversible(
-                            Cp, n_samples=1, n_steps=1, seed=self.seed + 7919 * sweep, T0=A
-                        )[0]
-                    else:
-                        A = np.vstack([rng.dirichlet(Cp[i] + 1.0) for i in range(N)])
-                    # (d) emission parameters from conjugate conditionals
-                    om = self._sample_output_model(om, stats["om_stats"], rng)
-                    if sweep % self.stride == self.stride - 1:
-                        samples.append(
-                            HiddenMarkovModel(
-                                MarkovStateModel(A.copy(), reversible=self.reversible,
-                                                 lagtime=init.transition_model.lagtime),
-                                om.copy(),
-                                initial_distribution=pi.copy(),
-                            )
+        samples = []
+        cb_ctx = ProgressCallback(progress, desc="gibbs", total=self.n_samples * self.stride)
+        with cb_ctx as cb:
+            for sweep in range(self.n_samples * self.stride):
+                cb()
+                stats = sweep_fn(A, pi, om, self.seed + sweep)
+                # (b) initial distribution ~ Dirichlet(prior + init counts)
+                pi = rng.dirichlet(stats["init"] + self.initial_distribution_prior + 1e-3)
+                # (c) transition matrix given sampled-path counts
+                Cp = stats["C"] + self.transition_matrix_prior
+                if self.reversible:
+                    A = sample_tmatrix_reversible(
+                        Cp, n_samples=1, n_steps=1, seed=self.seed + 7919 * sweep, T0=A
+                    )[0]
+                else:
+                    A = np.vstack([rng.dirichlet(Cp[i] + 1.0) for i in range(N)])
+                # (d) emission parameters from conjugate conditionals
+                om = self._sample_output_model(om, stats["om_stats"], rng)
+                if sweep % self.stride == self.stride - 1:
+                    samples.append(
+                        HiddenMarkovModel(
+                            MarkovStateModel(A.copy(), reversible=self.reversible,
+                                             lagtime=init.transition_model.lagtime),
+                            om.copy(),
+                            initial_distribution=pi.copy(),
                         )
-        finally:
-            df.unpersist()
-        self._model = BayesianHMMPosterior(prior=init, samples=samples)
-        return self
+                    )
+        return BayesianHMMPosterior(prior=init, samples=samples)
 
     @staticmethod
     def _sample_output_model(om, om_stats: np.ndarray, rng):

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 from deeptime_spark.base import Estimator
 from deeptime_spark.hmm.hmm_model import HiddenMarkovModel
@@ -80,6 +80,7 @@ class MaximumLikelihoodHMM(Estimator):
         maxit: int = 100,
         maxit_reversible: int = 100_000,
         obs_col: str = "state",
+        per_traj_stats: bool = False,
     ):
         super().__init__()
         if lagtime <= 0:
@@ -95,6 +96,12 @@ class MaximumLikelihoodHMM(Estimator):
         self.maxit = maxit
         self.maxit_reversible = maxit_reversible
         self.obs_col = obs_col
+        # per_traj_stats: emit one sufficient-statistics row PER TRAJECTORY
+        # (instead of per partition) and reduce them in sorted traj order —
+        # the result is then independent of the partition layout and
+        # replayable bit-exactly by an external oracle. Default stays
+        # partition-batched (fewer rows, vectorized batch recursion).
+        self.per_traj_stats = per_traj_stats
         self.likelihoods_: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------ E-step
@@ -108,8 +115,10 @@ class MaximumLikelihoodHMM(Estimator):
 
         N = len(pi)
         obs_col = self.obs_col
+        per_traj = self.per_traj_stats
         schema = StructType(
             [
+                StructField("traj_id", LongType()),
                 StructField("loglik", DoubleType()),
                 StructField("gamma0", ArrayType(DoubleType())),
                 StructField("counts", ArrayType(DoubleType())),
@@ -121,6 +130,22 @@ class MaximumLikelihoodHMM(Estimator):
             groups = _partition_groups(batches, obs_col)
             if not groups:
                 return
+            if per_traj:
+                # one row per trajectory: single-lane recursion keeps each
+                # trajectory's statistics separate for the sorted reduce
+                for tid, _, obs in groups:
+                    pobs = om.to_state_probability_trajectory(obs)
+                    loglik, gamma0, counts, gammas = forward_backward_batch(A, [pobs], pi)
+                    yield pd.DataFrame(
+                        {
+                            "traj_id": [int(tid)],
+                            "loglik": [loglik],
+                            "gamma0": [gamma0.tolist()],
+                            "counts": [counts.ravel().tolist()],
+                            "om_stats": [om.collect_stats(obs, gammas[0]).tolist()],
+                        }
+                    )
+                return
             pobs_list = [om.to_state_probability_trajectory(o) for _, _, o in groups]
             loglik, gamma0, counts, gammas = forward_backward_batch(A, pobs_list, pi)
             om_stats = np.zeros(om.stats_dim())
@@ -128,6 +153,7 @@ class MaximumLikelihoodHMM(Estimator):
                 om_stats += om.collect_stats(obs, gamma)
             yield pd.DataFrame(
                 {
+                    "traj_id": [-1],
                     "loglik": [loglik],
                     "gamma0": [gamma0.tolist()],
                     "counts": [counts.ravel().tolist()],
@@ -138,6 +164,8 @@ class MaximumLikelihoodHMM(Estimator):
         rows = df.mapInPandas(estep, schema=schema).collect()
         if not rows:
             raise ValueError("no (sub-)trajectories of length > 1 — lagtime too large?")
+        if per_traj:
+            rows = sorted(rows, key=lambda r: r["traj_id"])
         agg = {
             "loglik": 0.0,
             "gamma0": np.zeros(N),

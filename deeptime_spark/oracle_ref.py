@@ -911,3 +911,183 @@ def oracle_tram() -> str:
 
 
 _BUILDERS["tram_events"] = oracle_tram
+
+
+def oracle_hmm_viterbi() -> str:
+    """HMM mirror: the query runs Baum-Welch in per-trajectory-stats mode
+    (one sufficient-statistics row per trajectory, reduced in sorted traj
+    order), which makes the whole EM + viterbi pipeline independent of the
+    partition layout and replayable here — init MSM from DuckDB counts,
+    the same per-trajectory forward-backward and M-step, the same decode
+    kernel, all in sorted trajectory order. Bit-exact."""
+    from deeptime_spark.hmm.hmm_model import forward_backward_batch, viterbi_batch
+    from deeptime_spark.hmm.init import init_discrete_metastable_from_msm
+    from deeptime_spark.hmm.mlhmm import MaximumLikelihoodHMM
+    from deeptime_spark.hmm.output_models import DiscreteOutputModel
+    from deeptime_spark.hmm.hmm_model import HiddenMarkovModel
+
+    sf = sf_dir()
+    tid, t_arr, _, state = _traj(sf)
+    msm, _ = _msm(sf, 1)
+    init = init_discrete_metastable_from_msm(msm, 2)
+    # lift emissions to the full observed symbol space (mirror of
+    # init_discrete_metastable_from_data's n_observation_states path)
+    symbols = msm.count_model.state_symbols
+    n_full = max(int(symbols.max()) + 1, 5)
+    B_sub = init.output_model.output_probabilities
+    B = np.full((2, n_full), 1e-12)
+    B[:, symbols] = B_sub
+    B = B / B.sum(axis=1, keepdims=True)
+    init = HiddenMarkovModel(
+        transition_model=init.transition_model,
+        output_model=DiscreteOutputModel(B),
+        initial_distribution=init.initial_distribution,
+    )
+    A = np.array(init.transition_matrix, dtype=np.float64, copy=True)
+    pi = np.array(init.initial_distribution, dtype=np.float64, copy=True)
+    om = init.output_model.copy()
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    trajs = [
+        (int(tid[a]), t_arr[a:b], state[a:b]) for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    em_trajs = [(i, ts, obs) for i, ts, obs in trajs if len(obs) > 1]  # lag-1 drop
+    est = MaximumLikelihoodHMM(init, lagtime=1, maxit=3, per_traj_stats=True)
+    likelihoods: list[float] = []
+    converged = False
+    for _ in range(3):
+        agg = {
+            "loglik": 0.0,
+            "gamma0": np.zeros(2),
+            "counts": np.zeros((2, 2)),
+            "om_stats": np.zeros(om.stats_dim()),
+        }
+        for _, _, obs in em_trajs:  # sorted traj order (duckdb ORDER BY)
+            pobs = om.to_state_probability_trajectory(obs)
+            ll, g0, cnt, gammas = forward_backward_batch(A, [pobs], pi)
+            agg["loglik"] += ll
+            agg["gamma0"] += g0
+            agg["counts"] += cnt.reshape(2, 2)
+            agg["om_stats"] += om.collect_stats(obs, gammas[0])
+        if likelihoods and (agg["loglik"] - likelihoods[-1]) < est.accuracy:
+            converged = True
+        likelihoods.append(agg["loglik"])
+        A, pi = est._mstep(agg, om)
+        if converged:
+            break
+    rows = []
+    for traj_id, ts, obs in trajs:
+        pobs = om.to_state_probability_trajectory(obs)
+        path = viterbi_batch(A, [pobs], pi)[0]
+        for tt, h in zip(ts, path):
+            rows.append((traj_id, int(tt), int(h)))
+    return _values_sql(rows, ["traj_id", "t", "hidden_state"], "bbb")
+
+
+_BUILDERS["hmm_viterbi_events"] = oracle_hmm_viterbi
+
+
+def oracle_bayes_hmm() -> str:
+    """BayesianHMM mirror: deterministic-mode MLHMM prior (per-trajectory
+    stats, sorted reduce) then the same Gibbs chain driven by a numpy
+    sweeper — valid because every FFBS sweep statistic is an integer
+    count (exact, layout-independent sums) and path sampling is seeded
+    per trajectory."""
+    from deeptime_spark.hmm.bayesian_hmm import BayesianHMM, ffbs_sample_path_batch
+    from deeptime_spark.hmm.hmm_model import HiddenMarkovModel, forward_backward_batch
+    from deeptime_spark.hmm.init import init_discrete_metastable_from_msm
+    from deeptime_spark.hmm.mlhmm import MaximumLikelihoodHMM
+    from deeptime_spark.hmm.output_models import DiscreteOutputModel
+
+    sf = sf_dir()
+    tid, t_arr, _, state = _traj(sf)
+    msm, _ = _msm(sf, 1)
+    init = init_discrete_metastable_from_msm(msm, 2)
+    symbols = msm.count_model.state_symbols
+    n_full = max(int(symbols.max()) + 1, 5)
+    B_sub = init.output_model.output_probabilities
+    B = np.full((2, n_full), 1e-12)
+    B[:, symbols] = B_sub
+    B = B / B.sum(axis=1, keepdims=True)
+    init = HiddenMarkovModel(
+        transition_model=init.transition_model,
+        output_model=DiscreteOutputModel(B),
+        initial_distribution=init.initial_distribution,
+    )
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    trajs = [
+        (int(tid[a]), t_arr[a:b], state[a:b]) for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    em_trajs = [(i, ts, obs) for i, ts, obs in trajs if len(obs) > 1]
+    # prior: 2-iteration EM, per-traj stats in sorted order
+    A = np.array(init.transition_matrix, dtype=np.float64, copy=True)
+    pi = np.array(init.initial_distribution, dtype=np.float64, copy=True)
+    om = init.output_model.copy()
+    est = MaximumLikelihoodHMM(init, lagtime=1, maxit=2, per_traj_stats=True)
+    likelihoods: list[float] = []
+    final_counts = None
+    converged = False
+    for _ in range(2):
+        agg = {
+            "loglik": 0.0,
+            "gamma0": np.zeros(2),
+            "counts": np.zeros((2, 2)),
+            "om_stats": np.zeros(om.stats_dim()),
+        }
+        for _, _, obs in em_trajs:
+            pobs = om.to_state_probability_trajectory(obs)
+            ll, g0, cnt, gammas = forward_backward_batch(A, [pobs], pi)
+            agg["loglik"] += ll
+            agg["gamma0"] += g0
+            agg["counts"] += cnt.reshape(2, 2)
+            agg["om_stats"] += om.collect_stats(obs, gammas[0])
+        if likelihoods and (agg["loglik"] - likelihoods[-1]) < est.accuracy:
+            converged = True
+        likelihoods.append(agg["loglik"])
+        A, pi = est._mstep(agg, om)
+        final_counts = agg["counts"]
+        if converged:
+            break
+    from deeptime_spark.markov.msm import MarkovStateModel
+    from deeptime_spark.markov.transition_counting import TransitionCountModel
+
+    prior = HiddenMarkovModel(
+        transition_model=MarkovStateModel(
+            A, reversible=True, lagtime=1,
+            count_model=TransitionCountModel(final_counts, lagtime=1),
+        ),
+        output_model=om,
+        initial_distribution=pi,
+        likelihoods=np.array(likelihoods),
+        initial_count=agg["gamma0"],
+        stride=1,
+    )
+
+    def sweeper(A_s, pi_s, om_s, sweep_seed):
+        N = len(pi_s)
+        C = np.zeros((N, N))
+        init_counts = np.zeros(N)
+        om_stats = np.zeros(om_s.stats_dim())
+        for traj_id, _, obs in trajs:
+            pobs = om_s.to_state_probability_trajectory(obs)
+            path = ffbs_sample_path_batch(
+                A_s, [pobs], pi_s, [sweep_seed * 100003 + traj_id]
+            )[0]
+            np.add.at(C, (path[:-1], path[1:]), 1.0)
+            init_counts[path[0]] += 1.0
+            gamma_hard = np.zeros((len(path), N))
+            gamma_hard[np.arange(len(path)), path] = 1.0
+            om_stats += om_s.collect_stats(obs, gamma_hard)
+        return {"C": C, "init": init_counts, "om_stats": om_stats}
+
+    post = BayesianHMM(prior, n_samples=10, seed=42).fit_with_sweeper(sweeper)
+    stats = post.gather_stats("transition_matrix")
+    mean, lo, hi = stats["mean"], stats["L"], stats["R"]
+    rows = [
+        (i, j, float(mean[i, j]), float(lo[i, j]), float(hi[i, j]))
+        for i in range(2)
+        for j in range(2)
+    ]
+    return _values_sql(rows, ["h_from", "h_to", "p_mean", "p_lo", "p_hi"], "bbddd")
+
+
+_BUILDERS["bayes_hmm_events"] = oracle_bayes_hmm
