@@ -858,8 +858,11 @@ def _q_regspace_events(spark, sf_dir):
     from deeptime_spark.clustering.regspace import RegularSpace
 
     traj = _event_traj(spark, sf_dir)
-    feat = traj.select(F.array(F.col("value") / 100.0).alias("x"))
-    model = RegularSpace(dmin=1.0, max_centers=100).fit(feat).fetch_model()
+    feat = traj.select("traj_id", "t", F.array(F.col("value") / 100.0).alias("x"))
+    # exact=True streams frames in (traj_id, t) order — the reference's own
+    # sequential leader-scan semantics, deterministic and oracle-replayable;
+    # the distributed two-level mode stays pytest-covered (packing invariant)
+    model = RegularSpace(dmin=1.0, max_centers=100, exact=True).fit(feat).fetch_model()
     return (
         model.transform(feat)
         .groupBy("state")
@@ -1142,13 +1145,22 @@ def _q_bayes_hmm_events(spark, sf_dir):
 
 
 def _q_kmeans_embeddings(spark, sf_dir):
-    from deeptime_spark.clustering.kmeans import KMeans
+    """Bit-reproducible distributed k-means (clustering/kmeans.py:
+    DeterministicKMeans): seeded kmeans++ init on a TakeOrdered sample,
+    Lloyd with fixed-point integer partial sums — layout-independent, so
+    the oracle replays the identical fit in numpy. The MLlib k-means||
+    wrapper (throughput path) stays pytest-covered."""
+    from deeptime_spark.clustering.kmeans import DeterministicKMeans
 
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    model = KMeans(n_clusters=8, fixed_seed=42).fit(emb).fetch_model()
-    return model.transform(emb).select("vec_id", F.col("state").alias("cluster"))
+    model = (
+        DeterministicKMeans(n_clusters=8, seed=42, max_iter=16, order_col="vec_id")
+        .fit(emb)
+        .fetch_model()
+    )
+    return model.transform(emb).select("vec_id", F.col("state").cast("long").alias("cluster"))
 
 
 def _q_streaming_dedup_replay(spark, sf_dir):

@@ -27,8 +27,9 @@ from deeptime_spark.clustering.cluster_model import ClusterModel
 class KMeansModel(ClusterModel):
     """Centers + inertia (reference _kmeans.py:58-146)."""
 
-    def __init__(self, cluster_centers: np.ndarray, inertia: float = float("nan"), converged: bool = True):
-        super().__init__(cluster_centers, converged=converged)
+    def __init__(self, cluster_centers: np.ndarray, inertia: float = float("nan"),
+                 converged: bool = True, metric: str = "euclidean"):
+        super().__init__(cluster_centers, metric=metric, converged=converged)
         self.inertia = inertia
 
 
@@ -159,4 +160,216 @@ class MiniBatchKMeans(KMeans):
         self._epoch = 0
         for _ in range(self.max_iter):
             self.partial_fit(df)
+        return self
+
+
+# --------------------------------------------------- deterministic k-means
+
+def kmeanspp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """Seeded kmeans++ (reference _kmeans.py:24-56) on an in-memory sample
+    via deterministic inverse-CDF draws — same rng, same sample, same
+    centers, on any machine."""
+    n = X.shape[0]
+    if n < k:
+        raise ValueError(f"kmeans++ needs >= k={k} sample points, got {n}")
+    centers = [X[int(rng.integers(n))].astype(np.float64)]
+    for _ in range(1, k):
+        from deeptime_spark.clustering.cluster_model import _pairwise_sq_dists
+
+        d2 = _pairwise_sq_dists(X, np.asarray(centers)).min(axis=1)
+        d2 = np.clip(d2, 0.0, None)
+        total = float(d2.sum())
+        if total <= 0.0:
+            idx = int(rng.integers(n))
+        else:
+            r = float(rng.random()) * total
+            idx = min(int(np.searchsorted(np.cumsum(d2), r, side="right")), n - 1)
+        centers.append(X[idx].astype(np.float64))
+    return np.asarray(centers)
+
+
+def _fixed_point_partials(X: np.ndarray, assign: np.ndarray, k: int, scale: int):
+    """Per-cluster (count, int64 coordinate sums) with coordinates scaled
+    by a power of two and rounded to nearest int. Integer addition is
+    associative and commutative, so these partials reduce to the same
+    totals under ANY partitioning / ordering of the rows — the core of the
+    layout-independence guarantee. Caller must keep per-partial magnitude
+    under int64 (rows_per_partition * scale * max|x| < 2^63; reduce
+    ``scale`` for huge partitions of large-magnitude data)."""
+    Xi = np.rint(X * scale).astype(np.int64)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    sums = np.zeros((k, X.shape[1]), dtype=np.int64)
+    np.add.at(sums, assign, Xi)
+    return counts, sums
+
+
+def _centers_from_partials(old: np.ndarray, counts, sums, scale: int) -> np.ndarray:
+    """New centers from exactly-reduced integer partials. ``counts`` and
+    ``sums`` must be Python ints (arbitrary precision — the cross-
+    partition reduce can exceed int64 even when each partial fits); the
+    single int/int -> float division per coordinate is correctly rounded
+    and therefore deterministic."""
+    new = old.copy()
+    for j in range(old.shape[0]):
+        c = int(counts[j])
+        if c > 0:
+            denom = c * scale
+            new[j] = np.array([s / denom for s in sums[j]], dtype=np.float64)
+    return new
+
+
+def deterministic_kmeans_numpy(
+    X_sample: np.ndarray,
+    X: np.ndarray,
+    n_clusters: int,
+    seed: int = 42,
+    max_iter: int = 32,
+    tolerance: float = 1e-6,
+    scale: int = 2**30,
+):
+    """Single-machine replica of ``DeterministicKMeans.fit`` — returns
+    (centers, n_iter). Bit-identical to the distributed fit because every
+    cross-row reduction in the algorithm is over integers and every
+    per-row computation uses the batch-shape-invariant distance kernel."""
+    from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
+
+    rng = np.random.default_rng(seed)
+    centers = kmeanspp_init(X_sample, n_clusters, rng)
+    it = 0
+    for it in range(1, max_iter + 1):
+        a = np.argmin(_euclidean_batch_invariant(X, centers), axis=1)
+        counts, sums = _fixed_point_partials(X, a, n_clusters, scale)
+        new = _centers_from_partials(
+            centers,
+            [int(c) for c in counts],
+            [[int(v) for v in row] for row in sums],
+            scale,
+        )
+        shift = float(np.abs(new - centers).max())
+        centers = new
+        if shift < tolerance:
+            break
+    return centers, it
+
+
+class DeterministicKMeans(Estimator):
+    """Bit-reproducible distributed k-means: identical results on any
+    partition count, row order, or cluster size.
+
+    MLlib's k-means|| (the ``KMeans`` wrapper above) is the throughput
+    path, but its init sampling is framework-internal and its centroid
+    updates are floating-point sums in shuffle order — rerunning on a
+    different layout gives a slightly different model. This estimator
+    trades a little per-iteration CPU for exact reproducibility:
+
+    - **init**: seeded kmeans++ on the ``sample_size`` lowest rows by
+      ``order_col`` (a deterministic, pushdown-friendly TakeOrdered), run
+      driver-side in numpy;
+    - **assignment**: batch-shape-invariant distance kernel
+      (metrics.py:_euclidean_batch_invariant) — per-row results don't
+      depend on how rows are batched into partitions;
+    - **update**: fixed-point integer partial sums per partition
+      (coordinates scaled by ``scale``, a power of two, so the scaling
+      itself is exact in binary), reduced on the driver with Python ints.
+      Integer addition is associative: the reduce is layout-independent.
+
+    One scan per iteration; the shuffle is k rows of (count, int sums)
+    per partition — O(partitions * k * d) longs to the driver.
+    """
+
+    def __init__(
+        self,
+        n_clusters: int,
+        max_iter: int = 32,
+        tolerance: float = 1e-6,
+        seed: int = 42,
+        sample_size: int = 4096,
+        scale: int = 2**30,
+        x_col: str = "x",
+        order_col: str = "_det_order",
+    ):
+        super().__init__()
+        self.n_clusters = n_clusters
+        self.max_iter = max_iter
+        self.tolerance = tolerance
+        self.seed = seed
+        self.sample_size = sample_size
+        self.scale = scale
+        self.x_col = x_col
+        self.order_col = order_col
+
+    def fit(self, df: DataFrame) -> "DeterministicKMeans":
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
+
+        k, x_col, scale = self.n_clusters, self.x_col, self.scale
+        sample_rows = (
+            df.orderBy(self.order_col)
+            .limit(self.sample_size)
+            .select(x_col)
+            .collect()
+        )
+        X0 = np.array([r[x_col] for r in sample_rows], dtype=np.float64)
+        rng = np.random.default_rng(self.seed)
+        centers = kmeanspp_init(X0, k, rng)
+
+        vecs = df.select(x_col).persist()
+        try:
+            schema = StructType(
+                [
+                    StructField("cluster", LongType()),
+                    StructField("n", LongType()),
+                    StructField("sums", ArrayType(LongType())),
+                ]
+            )
+            n_iter = 0
+            for n_iter in range(1, self.max_iter + 1):
+                C = centers
+
+                def partials(batches):
+                    counts = None
+                    sums = None
+                    for pdf in batches:
+                        if not len(pdf):
+                            continue
+                        X = np.stack(pdf[x_col].to_numpy()).astype(np.float64)
+                        a = np.argmin(_euclidean_batch_invariant(X, C), axis=1)
+                        c, s = _fixed_point_partials(X, a, k, scale)
+                        if counts is None:
+                            counts, sums = c, s
+                        else:
+                            counts += c
+                            sums += s
+                    if counts is None:
+                        return
+                    yield pd.DataFrame(
+                        {
+                            "cluster": np.arange(k, dtype=np.int64),
+                            "n": counts,
+                            "sums": [row.tolist() for row in sums],
+                        }
+                    )
+
+                rows = vecs.mapInPandas(partials, schema=schema).collect()
+                counts = [0] * k
+                sums = [[0] * centers.shape[1] for _ in range(k)]
+                for r in rows:
+                    j = int(r["cluster"])
+                    counts[j] += int(r["n"])
+                    row = sums[j]
+                    for i, v in enumerate(r["sums"]):
+                        row[i] += int(v)
+                new = _centers_from_partials(centers, counts, sums, scale)
+                shift = float(np.abs(new - centers).max())
+                centers = new
+                if shift < self.tolerance:
+                    break
+        finally:
+            vecs.unpersist()
+        self.n_iter_ = n_iter
+        self._model = KMeansModel(
+            centers, converged=True, metric="euclidean-deterministic"
+        )
         return self

@@ -44,6 +44,22 @@ def _cosine(X, C):
     return 1.0 - sim
 
 
+def _euclidean_batch_invariant(X, C):
+    """Euclidean distance with a per-(row,center) sequential reduction.
+
+    ``_euclidean_sq``'s ``X @ C.T`` goes through BLAS, whose blocking (and
+    therefore fp rounding) depends on the batch shape — two different
+    partitionings of the same data can disagree by an ulp and flip an
+    argmin near a tie. This kernel contracts the feature axis with a
+    plain einsum loop whose summation order depends only on ``d``, so the
+    distance of a given (row, center) pair is bit-identical no matter how
+    rows are batched. Used by DeterministicKMeans for reproducible
+    assignment; O(n*k*d) without gemm, so reserve it for when
+    bit-reproducibility matters."""
+    diff = X[:, None, :].astype(np.float64) - C[None, :, :].astype(np.float64)
+    return np.sqrt(np.einsum("nkd,nkd->nk", diff, diff))
+
+
 def minkowski(p: float) -> PairwiseMetric:
     def fn(X, C):
         return np.power(
@@ -63,6 +79,7 @@ class MetricRegistry:
         self.register("manhattan", _manhattan)
         self.register("chebyshev", _chebyshev)
         self.register("cosine", _cosine)
+        self.register("euclidean-deterministic", _euclidean_batch_invariant)
 
     def register(self, name: str, pairwise: PairwiseMetric) -> None:
         self._metrics[name] = pairwise

@@ -1091,3 +1091,46 @@ def oracle_bayes_hmm() -> str:
 
 
 _BUILDERS["bayes_hmm_events"] = oracle_bayes_hmm
+
+
+def oracle_regspace() -> str:
+    """RegularSpace mirror: the query runs exact mode (the reference's own
+    sequential leader scan in (traj_id, t) order), so the oracle replays
+    the identical scan over the DuckDB-derived trajectory. d=1 assignment
+    is single-multiply fp — bit-exact across engines."""
+    from deeptime_spark.clustering.cluster_model import _pairwise_sq_dists
+    from deeptime_spark.clustering.regspace import _leader_scan
+
+    sf = sf_dir()
+    _, _, value, _ = _traj(sf)
+    X = (value / 100.0)[:, None]
+    centers: list = []
+    _leader_scan(X, 1.0, 100, centers)
+    C = np.asarray(centers)
+    states = np.argmin(_pairwise_sq_dists(X, C), axis=1)
+    counts = np.bincount(states, minlength=len(centers))
+    rows = [(int(s), int(n)) for s, n in enumerate(counts) if n > 0]
+    return _values_sql(rows, ["state", "n"], "bb")
+
+
+_BUILDERS["regspace_events"] = oracle_regspace
+
+
+def oracle_kmeans() -> str:
+    """DeterministicKMeans mirror: same seeded kmeans++ init on the same
+    vec_id-ordered sample, same Lloyd loop — bit-identical because every
+    cross-row reduction is integer (fixed-point partial sums) and the
+    assignment kernel's fp rounding is batch-shape-invariant."""
+    from deeptime_spark.clustering.kmeans import deterministic_kmeans_numpy
+    from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
+
+    sf = sf_dir()
+    X = _embeddings(sf)  # ordered by vec_id; vec_ids are 0..n-1
+    sample = X[:4096]
+    centers, _ = deterministic_kmeans_numpy(sample, X, n_clusters=8, seed=42, max_iter=16)
+    assign = np.argmin(_euclidean_batch_invariant(X, centers), axis=1)
+    rows = [(int(i), int(a)) for i, a in enumerate(assign)]
+    return _values_sql(rows, ["vec_id", "cluster"], "bb")
+
+
+_BUILDERS["kmeans_embeddings"] = oracle_kmeans

@@ -170,3 +170,52 @@ def test_regspace_exact_matches_sequential_reference(spark, rng):
     expected: list = []
     _leader_scan(X, 1.5, 50, expected)
     np.testing.assert_allclose(model.cluster_centers, np.asarray(expected))
+
+
+def test_deterministic_kmeans_layout_invariant(spark, rng):
+    """Same fit — bit-exact — regardless of partition count/row order, and
+    equal to the single-machine numpy replica (the oracle contract)."""
+    from deeptime_spark.clustering.kmeans import (
+        DeterministicKMeans,
+        deterministic_kmeans_numpy,
+    )
+
+    X = np.vstack(
+        [rng.normal(c, 0.4, size=(120, 5)) for c in ((0, 0, 0, 0, 0), (4, 4, 4, 4, 4), (-4, 4, 0, -4, 4))]
+    )
+    ids = np.arange(len(X))
+    rows = [(int(i), X[i].tolist()) for i in ids]
+    df1 = spark.createDataFrame(rows, "id long, x array<double>").repartition(1)
+    df7 = spark.createDataFrame(list(reversed(rows)), "id long, x array<double>").repartition(7)
+
+    est = dict(n_clusters=3, seed=7, max_iter=12, sample_size=64, order_col="id")
+    m1 = DeterministicKMeans(**est).fit(df1).fetch_model()
+    m7 = DeterministicKMeans(**est).fit(df7).fetch_model()
+    # bit-exact across layouts
+    assert np.array_equal(m1.cluster_centers, m7.cluster_centers)
+
+    sample = X[np.argsort(ids)][:64]
+    centers_np, _ = deterministic_kmeans_numpy(sample, X, 3, seed=7, max_iter=12)
+    assert np.array_equal(m1.cluster_centers, centers_np)
+
+    # and it actually clusters: one center near each blob
+    got = np.sort(m1.cluster_centers.mean(axis=1))
+    np.testing.assert_allclose(got, np.sort([0.0, 4.0, 0.0]), atol=0.5)
+
+
+def test_deterministic_kmeans_assignment_layout_invariant(spark, rng):
+    """transform() uses the batch-shape-invariant kernel: assignments match
+    the numpy replica row-for-row."""
+    from deeptime_spark.clustering.kmeans import DeterministicKMeans
+    from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
+
+    X = rng.normal(size=(300, 4))
+    rows = [(int(i), X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "id long, x array<double>").repartition(5)
+    model = DeterministicKMeans(n_clusters=4, seed=1, max_iter=6, sample_size=128, order_col="id").fit(df).fetch_model()
+    got = {
+        r["id"]: r["state"]
+        for r in model.transform(df).select("id", "state").collect()
+    }
+    want = np.argmin(_euclidean_batch_invariant(X, model.cluster_centers), axis=1)
+    assert [got[i] for i in range(len(X))] == list(want)
