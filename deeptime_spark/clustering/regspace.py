@@ -21,6 +21,7 @@ order-dependent even in the reference).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
@@ -29,17 +30,28 @@ from deeptime_spark.clustering.cluster_model import ClusterModel, _pairwise_sq_d
 
 
 def _leader_scan(X: np.ndarray, dmin: float, max_centers: int, centers: list) -> None:
+    """Sequential leader scan, vectorized: track each row's min squared
+    distance to the admitted centers and jump straight to the next
+    uncovered row — O(n * n_admitted) numpy work instead of a Python loop
+    with an O(n_centers) distance call per row. Admission order and
+    results are identical to the row-by-row scan."""
+    n = len(X)
+    if n == 0:
+        return
     d2min = dmin * dmin
-    for row in X:
-        if len(centers) >= max_centers:
+    if centers:
+        d2 = _pairwise_sq_dists(X, np.asarray(centers)).min(axis=1)
+    else:
+        d2 = np.full(n, np.inf)
+    start = 0
+    while len(centers) < max_centers and start < n:
+        rest = d2[start:] > d2min
+        if not rest.any():
             break
-        if not centers:
-            centers.append(row.copy())
-            continue
-        C = np.asarray(centers)
-        d2 = _pairwise_sq_dists(row[None, :], C)
-        if float(d2.min()) > d2min:
-            centers.append(row.copy())
+        idx = start + int(np.argmax(rest))
+        centers.append(X[idx].copy())
+        d2 = np.minimum(d2, _pairwise_sq_dists(X, X[idx][None, :])[:, 0])
+        start = idx + 1
 
 
 class RegularSpace(Estimator):
@@ -65,9 +77,71 @@ class RegularSpace(Estimator):
 
     def _fit_exact(self, df: DataFrame) -> None:
         order = [c for c in ("traj_id", "t") if c in df.columns]
-        src = df.orderBy(*order) if order else df
+        if not order:
+            # no deterministic scan order available — stream through the
+            # driver in the DataFrame's own order (small-data fallback)
+            self._fit_exact_stream(df)
+            return
+
+        from pyspark.sql import functions as F
+
+        # Distributed-exact leader scan. Key fact (by induction): a point
+        # the sequential scan skips is within dmin of a center admitted
+        # BEFORE it, so removing already-covered points never changes the
+        # scan's outcome on the rest. Each round therefore (1) filters the
+        # data to points uncovered by all current centers — a vectorized
+        # map, no shuffle, (2) takes the first ``batch`` of them in scan
+        # order (TakeOrdered — no global sort), and (3) runs the reference
+        # sequential scan over that small driver-side batch, admitting
+        # every center it finds. One distributed job per round and a
+        # typical round admits many centers, so rounds ~ O(max_centers /
+        # batch-yield), usually 1-2 — the exact reference center set at
+        # cluster scale, with no row-by-row driver streaming.
+        d2min = self.dmin * self.dmin
+        x_col, max_centers = self.x_col, self.max_centers
+        batch_size = 4096
+        key = [F.col(c) for c in order]
+        src = df.select(*key, x_col).persist()
         centers: list = []
-        for row in src.select(self.x_col).toLocalIterator(prefetchPartitions=True):
+
+        def make_far(C: np.ndarray):
+            # factory: the UDF closes over THIS round's center matrix in a
+            # private cell (a shared loop variable would corrupt recompute
+            # of an earlier stage after cache eviction)
+            @F.pandas_udf("boolean")
+            def far(xs: pd.Series) -> pd.Series:
+                X = np.stack(xs.to_numpy()).astype(np.float64)
+                d2 = _pairwise_sq_dists(X, C).min(axis=1)
+                return pd.Series(d2 > d2min)
+
+            return far
+
+        try:
+            while len(centers) < max_centers:
+                cand = src
+                if centers:
+                    cand = src.filter(make_far(np.asarray(centers))(F.col(x_col)))
+                rows = cand.orderBy(*order).limit(batch_size).select(x_col).collect()
+                if not rows:
+                    break
+                n_before = len(centers)
+                _leader_scan(
+                    np.array([r[x_col] for r in rows], dtype=np.float64),
+                    self.dmin,
+                    max_centers,
+                    centers,
+                )
+                if len(rows) < batch_size or len(centers) == n_before:
+                    break  # batch covered the whole remainder
+        finally:
+            src.unpersist()
+        if not centers:
+            raise ValueError("no data")
+        self._model = ClusterModel(np.asarray(centers), converged=True)
+
+    def _fit_exact_stream(self, df: DataFrame) -> None:
+        centers: list = []
+        for row in df.select(self.x_col).toLocalIterator(prefetchPartitions=True):
             if len(centers) >= self.max_centers:
                 break
             _leader_scan(
