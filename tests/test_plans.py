@@ -122,3 +122,50 @@ def test_ivf_quantizer_sample_no_global_sort(spark):
     sampled = emb.select(F.col("embedding"), key.alias("_h")).orderBy("_h").limit(256)
     plan = plan_of(sampled)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_deterministic_kmeans_iteration_map_only(spark):
+    # each Lloyd iteration is one scan: Arrow partials stage, no shuffle
+    # (the reduce is p*k rows collected to the driver)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("x")
+    )
+    schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("n", LongType()),
+            StructField("sums", ArrayType(LongType())),
+        ]
+    )
+
+    def partials(batches):
+        yield pd.DataFrame({"cluster": [0], "n": [0], "sums": [[0]]})
+
+    plan = plan_of(emb.mapInPandas(partials, schema=schema))
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_regspace_exact_round_no_global_sort(spark):
+    # one distributed round = uncovered-filter (map) + scan-order batch
+    # via TakeOrderedAndProject — no full Sort, no Exchange
+    import numpy as np
+    import pandas as pd
+
+    from deeptime_spark.clustering.cluster_model import _pairwise_sq_dists
+
+    traj = entrymod._event_traj(spark, SF)
+    feat = traj.select("traj_id", "t", F.array(F.col("value") / 100.0).alias("x"))
+    C = np.zeros((3, 1))
+
+    @F.pandas_udf("boolean")
+    def far(xs: pd.Series) -> pd.Series:
+        X = np.stack(xs.to_numpy())
+        return pd.Series(_pairwise_sq_dists(X, C).min(axis=1) > 1.0)
+
+    batch = feat.filter(far(F.col("x"))).orderBy("traj_id", "t").limit(4096).select("x")
+    plan = plan_of(batch)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
