@@ -5,6 +5,7 @@ import tempfile
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from deeptime_spark.data.schema import trajectory_from_arrays
 from deeptime_spark.sources import (
@@ -61,3 +62,48 @@ def test_model_persistence_roundtrip(tmpdir, rng):
         with open(tmpdir + "/bad.pkl", "wb") as fh:
             pickle.dump([1, 2, 3], fh)
         load_model(tmpdir + "/bad.pkl")
+
+
+def test_bucketed_table_elides_exchanges(spark, tmp_path):
+    """Bucketed write -> groupBy(traj_id) agg and self-join both plan with
+    zero Exchange: the shuffle is paid at write time, not per query."""
+    import contextlib
+    import io
+
+    from deeptime_spark.sources.readers import (
+        read_trajectories_table,
+        write_trajectories_bucketed,
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    rows = [(i % 7, t, [float(i % 7 + t)]) for i in range(35) for t in range(20)]
+    df = spark.createDataFrame(rows, "traj_id long, t long, x array<double>")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/wh'")
+    try:
+        write_trajectories_bucketed(df, "bdb.traj_b", n_buckets=4)
+        tb = read_trajectories_table(spark, "bdb.traj_b")
+
+        agg = tb.groupBy("traj_id").agg(F.count("*").alias("n"))
+        assert "Exchange" not in plan_of(agg), plan_of(agg)[:1500]
+        assert agg.count() == 7
+
+        # force the sort-merge path (a broadcast join would make bucketing
+        # moot at this test size); bucketed scans must then join with no
+        # shuffle Exchange on either side
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = tb.join(tb.select("traj_id", F.col("t").alias("t2")), "traj_id")
+            p = plan_of(joined)
+            assert "Exchange" not in p, p[:1500]
+            assert "Bucketed: true" in p, p[:1500]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdb.traj_b")
+        spark.sql("DROP DATABASE IF EXISTS bdb")
