@@ -92,12 +92,19 @@ class MiniBatchKMeans(KMeans):
     sampling is a narrow op, no shuffle).
     """
 
-    def __init__(self, n_clusters: int, batch_fraction: float = 0.1, max_iter: int = 8, **kwargs):
+    def __init__(self, n_clusters: int, batch_fraction: float = 0.1, max_iter: int = 8,
+                 batch_size: Optional[int] = None, **kwargs):
         super().__init__(n_clusters, max_iter=max_iter, **kwargs)
         self.batch_fraction = batch_fraction
+        # reference parity (_kmeans.py:474-559): batch_size caps the sample
+        # row count per partial fit. On Spark it maps to a fraction
+        # (batch_size / n, computed once per fit) — fraction sampling is a
+        # narrow op; a row-exact take would need a shuffle or limit job.
+        self.batch_size = batch_size
         self._centers: Optional[np.ndarray] = None
         self._counts: Optional[np.ndarray] = None
         self._epoch = 0
+        self._inertias: list = []
 
     def partial_fit(self, df: DataFrame) -> "MiniBatchKMeans":
         import pandas as pd
@@ -107,7 +114,12 @@ class MiniBatchKMeans(KMeans):
         # seed would refit the identical subsample every epoch instead of
         # streaming new data like the reference minibatch loop
         self._epoch += 1
-        batch = df.sample(fraction=min(1.0, self.batch_fraction), seed=self.seed + self._epoch)
+        frac = self.batch_fraction
+        if self.batch_size is not None:
+            if not hasattr(self, "_n"):
+                self._n = df.count()
+            frac = min(1.0, self.batch_size / max(self._n, 1))
+        batch = df.sample(fraction=min(1.0, frac), seed=self.seed + self._epoch)
         if self._centers is None:
             # init from an MLlib fit on the first batch
             KMeans.fit(self, batch)
@@ -120,12 +132,14 @@ class MiniBatchKMeans(KMeans):
             [
                 StructField("sums", ArrayType(DoubleType())),
                 StructField("counts", ArrayType(DoubleType())),
+                StructField("cost", DoubleType()),
             ]
         )
 
         def acc(batches):
             sums = np.zeros((len(centers), d))
             counts = np.zeros(len(centers))
+            cost = 0.0
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -136,30 +150,47 @@ class MiniBatchKMeans(KMeans):
                     + np.einsum("ij,ij->i", centers, centers)[None, :]
                 )
                 a = np.argmin(d2, axis=1)
+                cost += float(np.clip(d2[np.arange(len(a)), a], 0.0, None).sum())
                 np.add.at(sums, a, X)
                 np.add.at(counts, a, 1.0)
-            yield pd.DataFrame({"sums": [sums.ravel().tolist()], "counts": [counts.tolist()]})
+            yield pd.DataFrame(
+                {"sums": [sums.ravel().tolist()], "counts": [counts.tolist()], "cost": [cost]}
+            )
 
         partials = batch.select(self.x_col).mapInPandas(acc, schema=schema).collect()
         sums = np.zeros((self.n_clusters, d))
         counts = np.zeros(self.n_clusters)
+        cost = 0.0
         for p in partials:
             sums += np.array(p["sums"]).reshape(self.n_clusters, d)
             counts += np.array(p["counts"])
+            cost += p["cost"]
         # minibatch update: running per-center mean (learning rate 1/n_c)
         self._counts += counts
         mask = counts > 0
         eta = (counts[mask] / self._counts[mask])[:, None]
         batch_means = sums[mask] / counts[mask][:, None]
         self._centers[mask] = (1 - eta) * self._centers[mask] + eta * batch_means
-        self._model = KMeansModel(self._centers.copy(), converged=False)
+        # convergence by relative batch-inertia change (reference
+        # _kmeans.py:556-558; cost here is measured pre-update in the same
+        # Arrow pass rather than with a second pass after the update)
+        converged = False
+        if self._inertias and cost != 0.0:
+            converged = abs(cost - self._inertias[-1]) / cost <= self.tolerance
+        self._inertias.append(cost)
+        self._model = KMeansModel(
+            self._centers.copy(), inertia=cost, converged=converged
+        )
         return self
 
     def fit(self, df: DataFrame) -> "MiniBatchKMeans":
         self._centers = None
         self._epoch = 0
+        self._inertias = []
         for _ in range(self.max_iter):
             self.partial_fit(df)
+            if self._model is not None and self._model.converged:
+                break
         return self
 
 

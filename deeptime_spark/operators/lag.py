@@ -102,19 +102,57 @@ def sliding_window(
     time_col: str = TIME_COL,
     out_col: str = "window",
     fixed_width: bool = False,
+    validate_lengths: bool = False,
 ) -> DataFrame:
     """Sliding windows of radius r per trajectory (util/data.py:11-52).
 
-    ``window[t] = [x[t-r] .. x[t+r]]`` clipped at trajectory boundaries.
-    With ``fixed_width``, only complete windows are kept (the reference
-    instead shifts the window inward at the edges; complete-only is the
-    distributed-friendly equivalent and documented deviation).
+    Default mode: ``window[t] = [x[t-r] .. x[t+r]]`` clipped at trajectory
+    boundaries — element-for-element the reference's generator output.
+    ``fixed_width`` mirrors the reference exactly too: every row gets a
+    complete ``2r+1`` window, with edge rows clamped to the first/last
+    complete window of their trajectory (one co-partitioned join from row
+    position to clamped window position — the only extra shuffle).
+
+    ``validate_lengths`` replicates the reference's ValueError for
+    trajectories shorter than ``2r+1``; it costs one aggregation pass, so
+    it is opt-in (off, short trajectories simply keep clipped windows in
+    default mode / drop in fixed mode).
     """
+    if validate_lengths:
+        n_min = (
+            df.groupBy(traj_col).count().agg(F.min("count").alias("m")).first()["m"]
+        )
+        if n_min is not None and n_min < 2 * radius + 1:
+            raise ValueError(
+                f"every trajectory needs at least length 2*radius+1={2 * radius + 1}, "
+                f"shortest has length={n_min}"
+            )
     w = _traj_window(traj_col, time_col).rowsBetween(-radius, radius)
     out = df.withColumn(out_col, F.collect_list(col).over(w))
-    if fixed_width:
-        out = out.where(F.size(out_col) == 2 * radius + 1)
-    return out
+    if not fixed_width:
+        return out
+    # reference fixed-width semantics: clamp the window position inward at
+    # the edges. Complete windows exist at positions [r, n-1-r]; map each
+    # row's t to t_c = clamp(t, r, n-1-r) and join (same traj hash
+    # partitioning on both sides).
+    wins = out.where(F.size(out_col) == 2 * radius + 1).select(
+        F.col(traj_col), F.col(time_col).alias("_tw"), F.col(out_col)
+    )
+    wtraj = _traj_window(traj_col, time_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pos = df.withColumn("_n", F.count(F.lit(1)).over(wtraj)).withColumn(
+        "_tc",
+        F.least(
+            F.greatest(F.col(time_col), F.lit(radius)),
+            F.col("_n") - 1 - F.lit(radius),
+        ),
+    )
+    return (
+        pos.join(wins, on=[pos[traj_col] == wins[traj_col], pos["_tc"] == wins["_tw"]])
+        .select(*[pos[c] for c in df.columns], wins[out_col])
+        .drop("_n", "_tc")
+    )
 
 
 def blocksplit(

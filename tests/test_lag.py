@@ -117,3 +117,46 @@ def test_asof_join_backward_semantics(spark):
     assert out[(1, 5)] == 50.0  # equality included
     assert out[(1, 10)] == 90.0  # latest at-or-before
     assert out[(2, 7)] is None  # right row is later
+
+
+def test_sliding_window_matches_reference_generator(spark):
+    """Both modes reproduce the reference generator (util/data.py:11-52)
+    element-for-element: clipped windows by default, edge-clamped complete
+    windows with fixed_width."""
+    from collections import deque
+
+    from deeptime_spark.operators.lag import sliding_window
+
+    def ref_windows(seq, radius, fixed_width):
+        # reference semantics, reimplemented for the test oracle
+        out = []
+        n = len(seq)
+        for t in range(n):
+            if fixed_width:
+                tc = min(max(t, radius), n - 1 - radius)
+                out.append(seq[tc - radius : tc + radius + 1])
+            else:
+                out.append(seq[max(t - radius, 0) : t + radius + 1])
+        return out
+
+    seq = [float(v) for v in range(9)]
+    rows = [(0, t, v) for t, v in enumerate(seq)]
+    df = spark.createDataFrame(rows, "traj_id long, t long, x double").repartition(3)
+    for fixed in (False, True):
+        got = {
+            r["t"]: list(r["window"])
+            for r in sliding_window(df, radius=2, col="x", fixed_width=fixed).collect()
+        }
+        want = ref_windows(seq, 2, fixed)
+        assert [got[t] for t in range(len(seq))] == want, (fixed, got)
+
+
+def test_sliding_window_validate_lengths(spark):
+    import pytest as _pytest
+
+    from deeptime_spark.operators.lag import sliding_window
+
+    rows = [(0, t, float(t)) for t in range(3)]
+    df = spark.createDataFrame(rows, "traj_id long, t long, x double")
+    with _pytest.raises(ValueError, match="2\\*radius\\+1"):
+        sliding_window(df, radius=2, col="x", validate_lengths=True).collect()
