@@ -1080,6 +1080,26 @@ def _q_dedup_verified_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate CLUSTERS from the verified near-dup pairs: distributed
+    connected components (min-label propagation, operators/dedup.py:
+    connected_components) then per-cluster size — the canonical-election
+    step a dedup pipeline needs after pair verification."""
+    from deeptime_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+        verify_candidates_jaccard,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8)
+    pairs = verify_candidates_jaccard(cands, docs, threshold=0.2)
+    return duplicate_clusters(pairs.select("id_a", "id_b")).select(
+        F.col("component").cast("long").alias("component"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 def _q_hmm_viterbi_events(spark, sf_dir):
     """2-hidden-state HMM over the 5-symbol event dtraj: distributed
     Baum-Welch (applyInPandas E-step) then per-trajectory viterbi decode.
@@ -1287,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,
+        "dedup_components": _q_dedup_components,
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,

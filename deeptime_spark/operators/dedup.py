@@ -418,3 +418,95 @@ def embedding_near_duplicates(
         # the same pair can surface from several tables
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
+
+
+# ------------------------------------------------- duplicate clustering
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a pair graph by iterative
+    min-label propagation — the missing last step of a dedup pipeline
+    (verified near-dup PAIRS -> duplicate CLUSTERS).
+
+    Each round every node adopts the smallest component label among
+    itself and its neighbors (join + min-aggregate, two shuffles on the
+    node key); rounds needed = graph diameter. Near-dup graphs are
+    union-of-quasi-cliques with tiny diameter, so 2-4 rounds is typical
+    and each round's shuffle is O(|E|). For adversarial long-chain graphs
+    the published large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) converges in
+    O(log^2 n) rounds — the upgrade path if diameter is unbounded.
+    Labels are localCheckpointed each round: iterative self-dependent
+    plans otherwise accumulate lineage that Catalyst re-analyzes each
+    round.
+
+    Returns (node, component) for every node incident to an edge, where
+    ``component`` is the minimum node id in the component.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            prop = (
+                sym.join(labels, sym["a"] == labels["node"])
+                .select(F.col("b").alias("node"), "component")
+            )
+            new_labels = (
+                labels.union(prop)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate clusters from verified near-dup pairs: component id
+    (= canonical doc id, the cluster minimum) and cluster size."""
+    cc = connected_components(pairs, id_a, id_b, max_iter=max_iter)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical document (the min id) per duplicate cluster and
+    every document that is in no cluster. Anti-join on the non-canonical
+    member set — broadcastable when the dup graph is small relative to the
+    corpus, shuffle hash join otherwise (AQE decides)."""
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

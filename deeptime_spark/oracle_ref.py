@@ -1134,3 +1134,36 @@ def oracle_kmeans() -> str:
 
 
 _BUILDERS["kmeans_embeddings"] = oracle_kmeans
+
+
+def oracle_dedup_components() -> str:
+    """Union-find over the independently-recomputed verified pair set
+    (same hash replicas as oracle_dedup_verified_pairs) — components and
+    sizes are pure integer facts, bit-exact by construction."""
+    sf = sf_dir()
+    pairs, _ = _minhash_candidates(sf)
+    grams = {i: _word_ngram_set(t) for i, t in _docs(sf)}
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        ga, gb = grams[a], grams[b]
+        if len(ga & gb) / max(len(ga | gb), 1) >= 0.2:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict = {}
+    for node in parent:
+        sizes[find(node)] = sizes.get(find(node), 0) + 1
+    rows = sorted((int(c), int(n)) for c, n in sizes.items())
+    return _values_sql(rows, ["component", "n_members"], "bb")
+
+
+_BUILDERS["dedup_components"] = oracle_dedup_components

@@ -172,7 +172,7 @@ def test_regspace_exact_matches_sequential_reference(spark, rng):
     np.testing.assert_allclose(model.cluster_centers, np.asarray(expected))
 
 
-def test_deterministic_kmeans_layout_invariant(spark, rng):
+def test_deterministic_kmeans_layout_invariant(spark):
     """Same fit — bit-exact — regardless of partition count/row order, and
     equal to the single-machine numpy replica (the oracle contract)."""
     from deeptime_spark.clustering.kmeans import (
@@ -180,9 +180,13 @@ def test_deterministic_kmeans_layout_invariant(spark, rng):
         deterministic_kmeans_numpy,
     )
 
+    rng = np.random.default_rng(1234)  # local: session rng state varies with test order
     X = np.vstack(
         [rng.normal(c, 0.4, size=(120, 5)) for c in ((0, 0, 0, 0, 0), (4, 4, 4, 4, 4), (-4, 4, 0, -4, 4))]
     )
+    # interleave blobs in id order so the TakeOrdered init sample spans
+    # all three blobs (ids are the sample order)
+    X = X[np.argsort(np.tile(np.arange(120), 3), kind="stable")]
     ids = np.arange(len(X))
     rows = [(int(i), X[i].tolist()) for i in ids]
     df1 = spark.createDataFrame(rows, "id long, x array<double>").repartition(1)
@@ -203,12 +207,13 @@ def test_deterministic_kmeans_layout_invariant(spark, rng):
     np.testing.assert_allclose(got, np.sort([0.0, 4.0, 0.0]), atol=0.5)
 
 
-def test_deterministic_kmeans_assignment_layout_invariant(spark, rng):
+def test_deterministic_kmeans_assignment_layout_invariant(spark):
     """transform() uses the batch-shape-invariant kernel: assignments match
     the numpy replica row-for-row."""
     from deeptime_spark.clustering.kmeans import DeterministicKMeans
     from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
 
+    rng = np.random.default_rng(987)
     X = rng.normal(size=(300, 4))
     rows = [(int(i), X[i].tolist()) for i in range(len(X))]
     df = spark.createDataFrame(rows, "id long, x array<double>").repartition(5)

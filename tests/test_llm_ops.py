@@ -381,3 +381,43 @@ def test_extract_features_real_wav_in_spark(spark):
     junk = spark.createDataFrame([(99, b"\x00\x01not-a-format")], ["media_id", "payload"])
     f99 = mm.extract_features(junk, dim=8).collect()[0]["feature"]
     assert f99[0] != 1.0 and f99[0] != 2.0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label propagation equals a driver union-find on a
+    graph with chains, a clique, and singleton-free isolated pairs."""
+    import numpy as np
+
+    from deeptime_spark.operators.dedup import connected_components
+
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21), (5, 6), (6, 5), (30, 31), (31, 32), (32, 30)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(4)
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = {}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent.setdefault(a, a); parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize union-find roots to component minimum
+    comp = {}
+    for n in parent:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    want = {n: min(members) for r, members in comp.items() for n in members}
+    assert got == want
+
+
+def test_drop_near_duplicates_keeps_canonical(spark):
+    from deeptime_spark.operators.dedup import drop_near_duplicates
+
+    docs = spark.createDataFrame([(i, f"doc{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect())
+    assert kept == [0, 3, 4]
