@@ -1100,6 +1100,51 @@ def _q_dedup_components(spark, sf_dir):
     )
 
 
+def _q_event_session_range_join(spark, sf_dir):
+    """Sessionize events (30-min gaps), then RANGE-JOIN the raw events
+    back onto the session intervals (operators/lag.py:range_join —
+    bin-bucketed equi-join; a raw BETWEEN join would plan as
+    BroadcastNestedLoop). Returns per-session assigned-event counts."""
+    from deeptime_spark.operators.lag import range_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tu")
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    gap = F.col("tu") - F.lag("tu", 1).over(w)
+    sid = F.sum(
+        F.when(gap.isNull() | (gap > F.lit(1800 * 1_000_000)), 1).otherwise(0)
+    ).over(w)
+    sess = ev.withColumn("session_id", sid)
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("tu").alias("t_start"), F.max("tu").alias("t_end")
+    )
+    joined = range_join(
+        ev, intervals, by="user_id", t_col="tu",
+        start_col="t_start", end_col="t_end", bin_size=1800 * 1_000_000,
+    )
+    return joined.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+
+
+def _q_event_range_frame(spark, sf_dir):
+    """Per-event forward-looking activity: events of the same user within
+    the next 5 minutes, as a RANGE window frame (value-based bounds — the
+    frame Spark evaluates in one sorted pass per partition)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tu")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tu")
+        .rangeBetween(Window.currentRow, 300 * 1_000_000)
+    )
+    return ev.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n_next_5min")
+    )
+
+
 def _q_hmm_viterbi_events(spark, sf_dir):
     """2-hidden-state HMM over the 5-symbol event dtraj: distributed
     Baum-Welch (applyInPandas E-step) then per-trajectory viterbi decode.
@@ -1308,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,
         "dedup_components": _q_dedup_components,
+        "event_session_range_join": _q_event_session_range_join,
+        "event_range_frame": _q_event_range_frame,
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,
@@ -1612,6 +1659,34 @@ SELECT user_id,
        CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM o GROUP BY user_id
+""",
+        "event_session_range_join": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+), g AS (
+  SELECT user_id, event_id, tu,
+         CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) IS NULL
+                OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+), s AS (
+  SELECT user_id, tu,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), iv AS (
+  SELECT user_id, session_id, min(tu) AS t_start, max(tu) AS t_end
+  FROM s GROUP BY user_id, session_id
+)
+SELECT iv.user_id, CAST(iv.session_id AS BIGINT) AS session_id, count(*) AS n_assigned
+FROM iv JOIN e ON e.user_id = iv.user_id AND e.tu BETWEEN iv.t_start AND iv.t_end
+GROUP BY iv.user_id, iv.session_id
+""",
+        "event_range_frame": """
+SELECT event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN CURRENT ROW AND 300000000 FOLLOWING) AS n_next_5min
+FROM events
 """,
         "distinct_users_by_type": """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

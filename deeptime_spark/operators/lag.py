@@ -226,3 +226,46 @@ def asof_join(
     for c in right_cols:
         u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
     return u.where(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: Sequence[str] | str,
+    t_col: str,
+    start_col: str,
+    end_col: str,
+    bin_size: int,
+) -> DataFrame:
+    """Point-in-interval join (``start <= t <= end`` within ``by`` keys)
+    via bin bucketing — the scalable plan for a non-equi time join.
+
+    Spark plans a raw BETWEEN join as BroadcastNestedLoopJoin — O(n*m)
+    per key and a driver-killer at scale. Bucketing restores an equi-join:
+    each interval explodes to the ``floor(len/bin_size)+1`` bins it
+    overlaps, each point hashes to its single bin, and the join runs on
+    (by, bin) with the BETWEEN as a post-filter. A matching pair meets in
+    exactly one bin (the point's), so no dedup pass is needed. Pick
+    ``bin_size`` near the typical interval length: fanout stays O(1) and
+    the shuffle key (by, bin) spreads hot keys across time.
+
+    ``t_col``/``start_col``/``end_col`` must be numeric (e.g. epoch
+    micros). Returns points joined with their matching intervals' columns;
+    points in no interval are dropped (inner semantics).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    pb = points.withColumn("_bin", F.floor(F.col(t_col) / F.lit(bin_size)))
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bin_size)),
+                F.floor(F.col(end_col) / F.lit(bin_size)),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, on=by + ["_bin"])
+        .where((F.col(t_col) >= F.col(start_col)) & (F.col(t_col) <= F.col(end_col)))
+        .drop("_bin")
+    )

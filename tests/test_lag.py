@@ -4,6 +4,7 @@ subsamples start frames; sliding windows clip at edges."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from deeptime_spark.data import trajectory_from_arrays
 from deeptime_spark.operators import with_lagged, timeshifted, sliding_window, blocksplit, cvsplit
@@ -160,3 +161,43 @@ def test_sliding_window_validate_lengths(spark):
     df = spark.createDataFrame(rows, "traj_id long, t long, x double")
     with _pytest.raises(ValueError, match="2\\*radius\\+1"):
         sliding_window(df, radius=2, col="x", validate_lengths=True).collect()
+
+
+def test_range_join_matches_naive(spark):
+    """Bin-bucketed range join equals the naive BETWEEN join, including
+    intervals spanning many bins, negative coordinates, and points in no
+    interval."""
+    from deeptime_spark.operators.lag import range_join
+
+    pts = [(1, 0, -15), (1, 1, 5), (1, 2, 17), (1, 3, 100), (2, 4, 5), (2, 5, 55)]
+    ivs = [(1, 10, -20, 6), (1, 11, 4, 30), (2, 12, 50, 60)]
+    pdf = spark.createDataFrame(pts, "k long, pid long, t long")
+    idf = spark.createDataFrame(ivs, "k long, iid long, s long, e long")
+
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pdf, idf, by="k", t_col="t", start_col="s", end_col="e", bin_size=7).collect()
+    )
+    want = sorted(
+        (p[1], i[1]) for p in pts for i in ivs
+        if p[0] == i[0] and i[2] <= p[2] <= i[3]
+    )
+    assert got == want and len(got) == 5
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The whole point: no BroadcastNestedLoopJoin in the physical plan."""
+    import contextlib
+    import io
+
+    from deeptime_spark.operators.lag import range_join
+
+    pdf = spark.range(100).select(F.lit(1).alias("k"), F.col("id").alias("t"))
+    idf = spark.range(10).select(
+        F.lit(1).alias("k"), (F.col("id") * 10).alias("s"), (F.col("id") * 10 + 5).alias("e")
+    )
+    out = range_join(pdf, idf, by="k", t_col="t", start_col="s", end_col="e", bin_size=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastNestedLoop" not in buf.getvalue()
