@@ -433,16 +433,19 @@ def connected_components(
     (verified near-dup PAIRS -> duplicate CLUSTERS).
 
     Each round every node adopts the smallest component label among
-    itself and its neighbors (join + min-aggregate, two shuffles on the
-    node key); rounds needed = graph diameter. Near-dup graphs are
-    union-of-quasi-cliques with tiny diameter, so 2-4 rounds is typical
-    and each round's shuffle is O(|E|). For adversarial long-chain graphs
-    the published large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) converges in
-    O(log^2 n) rounds — the upgrade path if diameter is unbounded.
-    Labels are localCheckpointed each round: iterative self-dependent
-    plans otherwise accumulate lineage that Catalyst re-analyzes each
-    round.
+    itself and its neighbors (join + min-aggregate), then labels are
+    pointer-doubled (label[n] <- label[label[n]], one more join) — the
+    path-compression step that turns O(diameter) convergence into
+    O(log n) rounds on ANY graph shape, including adversarial chains
+    (same effect as the large-star/small-star contraction of Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    Near-dup graphs are union-of-quasi-cliques with tiny diameter, so 2-3
+    rounds is typical and each round's shuffle is O(|E|). Labels are
+    localCheckpointed each round: iterative self-dependent plans
+    otherwise accumulate lineage that Catalyst re-analyzes every round.
+    Raises if ``max_iter`` rounds don't converge — a truncated label map
+    silently merges nothing it shouldn't, but may leave components split,
+    so failing loudly is the only safe behavior.
 
     Returns (node, component) for every node incident to an edge, where
     ``component`` is the minimum node id in the component.
@@ -459,6 +462,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     try:
         for _ in range(max_iter):
             prop = (
@@ -469,6 +473,19 @@ def connected_components(
                 labels.union(prop)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
+            )
+            # pointer doubling: follow the label's own label one hop
+            hop = new_labels.select(
+                F.col("node").alias("_pn"), F.col("component").alias("_pc")
+            )
+            new_labels = (
+                new_labels.join(hop, new_labels["component"] == hop["_pn"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
+                    ).alias("component"),
+                )
                 .localCheckpoint()
             )
             changed = (
@@ -479,9 +496,16 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
     finally:
         sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pointer-doubled min-label propagation needs ~log2(n) rounds; "
+            "raise max_iter)"
+        )
     return labels
 
 

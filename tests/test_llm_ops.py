@@ -421,3 +421,15 @@ def test_drop_near_duplicates_keeps_canonical(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect())
     assert kept == [0, 3, 4]
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer doubling: a 200-node path converges well within log-bound
+    rounds (plain propagation would need ~200)."""
+    from deeptime_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(8)
+    got = connected_components(df, max_iter=12).collect()
+    assert len(got) == 201
+    assert all(r["component"] == 0 for r in got)
