@@ -1100,6 +1100,25 @@ def _q_dedup_components(spark, sf_dir):
     )
 
 
+def _q_doc_gopher_quality(spark, sf_dir):
+    """Gopher pretraining quality rules (operators/text.py:gopher_quality
+    — Rae et al. 2021 Table A1) per document: all integer-count ratios,
+    bit-exact across engines."""
+    from deeptime_spark.operators.text import gopher_quality
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality(docs).drop("text")
+
+
+def _q_doc_gopher_repetition(spark, sf_dir):
+    """Gopher repetition rules: duplicate-line fraction + duplicated-line
+    character fraction (sorted-adjacency, O(L log L) per doc)."""
+    from deeptime_spark.operators.text import gopher_repetition
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_repetition(docs).drop("text")
+
+
 def _q_event_session_range_join(spark, sf_dir):
     """Sessionize events (30-min gaps), then RANGE-JOIN the raw events
     back onto the session intervals (operators/lag.py:range_join —
@@ -1355,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "event_session_range_join": _q_event_session_range_join,
         "event_range_frame": _q_event_range_frame,
+        "doc_gopher_quality": _q_doc_gopher_quality,
+        "doc_gopher_repetition": _q_doc_gopher_repetition,
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,
@@ -1659,6 +1680,53 @@ SELECT user_id,
        CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM o GROUP BY user_id
+""",
+        "doc_gopher_quality": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
+  CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+    / greatest(len(toks), 1) AS symbol_ratio,
+  CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•‣▶]'))) AS DOUBLE)
+    / greatest(len(lines), 1) AS frac_bullet_lines,
+  CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+    / greatest(len(lines), 1) AS frac_ellipsis_lines,
+  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+    / greatest(len(toks), 1) AS frac_alpha_words,
+  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                       w -> list_contains(toks, w))) AS BIGINT) AS n_stop_hits,
+  CAST(len(toks) BETWEEN 50 AND 100000
+       AND (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0
+       AND (CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / greatest(len(toks), 1)) < 0.1
+       AND (CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•‣▶]'))) AS DOUBLE) / greatest(len(lines), 1)) < 0.9
+       AND (CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / greatest(len(lines), 1)) < 0.3
+       AND (CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / greatest(len(toks), 1)) >= 0.8
+       AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                           w -> list_contains(toks, w))) >= 2 AS BIGINT) AS passes_gopher
+FROM base
+""",
+        "doc_gopher_repetition": r"""
+WITH nl AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(lines) AS l FROM nl
+), cnt AS (
+  SELECT doc_id, l, length(l) AS ln, count(*) OVER (PARTITION BY doc_id, l) AS c FROM ex
+), agg AS (
+  SELECT doc_id, sum(ln) AS total, sum(CASE WHEN c > 1 THEN ln ELSE 0 END) AS dup
+  FROM cnt GROUP BY doc_id
+)
+SELECT nl.doc_id,
+  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / greatest(len(lines), 1) AS frac_dup_lines,
+  COALESCE(CAST(dup AS DOUBLE) / greatest(total, 1), 0.0) AS frac_dup_line_chars
+FROM nl LEFT JOIN agg ON nl.doc_id = agg.doc_id
 """,
         "event_session_range_join": """
 WITH e AS (

@@ -158,3 +158,111 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(text_col))
         .withColumn("lang_detected", detect_language(text_col))
     )
+
+
+# ------------------------------------------------ Gopher quality rules
+
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher pretraining quality-filter rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1) as pure Column
+    expressions — the standard document filter set a 100 TB text pipeline
+    runs before training:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#' or ellipsis) < 0.1
+    - < 90% of lines start with a bullet
+    - < 30% of lines end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 required English stop words present
+
+    All ratios are divisions of exact integer counts, so the emitted
+    doubles are bit-exact and engine-independent. Per-line / per-token
+    predicates run as higher-order filters over the per-document arrays
+    (small arrays; the corpus-scale axis stays row-parallel codegen).
+    Adds the individual metrics and a ``passes_gopher`` flag.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    mean_len = mean_word_length(text_col)
+    n_hash = F.length(F.regexp_replace(c, r"[^#]", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), 0))
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    frac_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•‣▶]"))
+    ) / n_lines
+    frac_ellipsis_l = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ) / n_lines
+    frac_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.greatest(
+        n_words, F.lit(1)
+    )
+    n_stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    passes = (
+        n_words.between(50, 100_000)
+        & mean_len.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (frac_bullet < 0.9)
+        & (frac_ellipsis_l < 0.3)
+        & (frac_alpha >= 0.8)
+        & (n_stop_hits >= 2)
+    )
+    return df.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ellipsis_l.alias("frac_ellipsis_lines"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop_hits.cast("long").alias("n_stop_hits"),
+        passes.cast("long").alias("passes_gopher"),
+    )
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (same paper): duplicate-line fraction and
+    the fraction of characters inside duplicated lines — boilerplate and
+    template detection. Per-document array algebra; exact integer counts."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_distinct = F.size(F.array_distinct(lines))
+    frac_dup_lines = (F.size(lines) - n_distinct) / n_lines
+    total_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    # chars in lines that appear more than once (all copies counted).
+    # Sorted-adjacency formulation: after sort_array, a line is part of a
+    # duplicate run iff it equals its left or right neighbor — O(L log L)
+    # per document instead of the naive O(L^2) nested filter, which a
+    # single pathological 100k-line document would turn into a stage
+    # straggler. Empty-string shift sentinels can't collide: empty lines
+    # were filtered out above.
+    s = F.sort_array(lines)
+    n = F.size(s)
+    prev = F.concat(F.array(F.lit("")), F.slice(s, 1, F.greatest(n - 1, F.lit(0))))
+    nxt = F.concat(F.slice(s, 2, F.greatest(n - 1, F.lit(0))), F.array(F.lit("")))
+    eq_prev = F.zip_with(s, prev, lambda a, b: a == b)
+    eq_next = F.zip_with(s, nxt, lambda a, b: a == b)
+    dup_flags = F.zip_with(eq_prev, eq_next, lambda a, b: a | b)
+    dup_chars = F.aggregate(
+        F.zip_with(s, dup_flags, lambda l, f: F.when(f, F.length(l)).otherwise(0)),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    frac_dup_chars = dup_chars / F.greatest(total_chars, F.lit(1))
+    return df.select(
+        "*",
+        frac_dup_lines.alias("frac_dup_lines"),
+        frac_dup_chars.alias("frac_dup_line_chars"),
+    )

@@ -433,3 +433,34 @@ def test_connected_components_long_chain_converges_fast(spark):
     got = connected_components(df, max_iter=12).collect()
     assert len(got) == 201
     assert all(r["component"] == 0 for r in got)
+
+
+def test_gopher_quality_rules(spark):
+    from deeptime_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox likes to be of and that have with " + " ".join(
+        f"word{i}" for i in range(60)
+    )
+    bullets = "\n".join("- item" for _ in range(10))
+    symbols = "the be " + " ".join("#" * 3 for _ in range(60))
+    docs = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, symbols), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[0]["passes_gopher"] == 1
+    assert out[1]["frac_bullet_lines"] == 1.0 and out[1]["passes_gopher"] == 0
+    assert out[2]["symbol_ratio"] > 0.1 and out[2]["passes_gopher"] == 0
+    assert out[3]["n_words"] == 2 and out[3]["passes_gopher"] == 0
+
+
+def test_gopher_repetition_rules(spark):
+    from deeptime_spark.operators.text import gopher_repetition
+
+    text = "unique one\nrepeat me\nrepeat me\nunique two"
+    docs = spark.createDataFrame([(0, text), (1, "a\nb\nc")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert out[0]["frac_dup_lines"] == 0.25  # 1 extra copy / 4 lines
+    # "repeat me" x2 = 18 chars of 38 total
+    assert abs(out[0]["frac_dup_line_chars"] - 18 / 38) < 1e-12
+    assert out[1]["frac_dup_lines"] == 0.0 and out[1]["frac_dup_line_chars"] == 0.0
