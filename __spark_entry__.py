@@ -1100,6 +1100,22 @@ def _q_dedup_components(spark, sf_dir):
     )
 
 
+def _q_doc_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03, operators/
+    dedup.py:winnowing_fingerprints_df): substring-level dup detection.
+    Per-doc summary of the selected hash set (integer-only computation —
+    engine-independent)."""
+    from deeptime_spark.operators.dedup import winnowing_fingerprints_df
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints_df(docs)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
 def _q_doc_gopher_quality(spark, sf_dir):
     """Gopher pretraining quality rules (operators/text.py:gopher_quality
     — Rae et al. 2021 Table A1) per document: all integer-count ratios,
@@ -1376,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_range_frame": _q_event_range_frame,
         "doc_gopher_quality": _q_doc_gopher_quality,
         "doc_gopher_repetition": _q_doc_gopher_repetition,
+        "doc_winnowing": _q_doc_winnowing,
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,

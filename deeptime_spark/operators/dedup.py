@@ -534,3 +534,91 @@ def drop_near_duplicates(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------- winnowing fingerprints
+
+def winnowing_fingerprints_numpy(text: str, k: int = 8, w: int = 16) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken:
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03) for one document: polynomial rolling k-gram hashes over
+    the UTF-8 bytes (uint64 wraparound arithmetic — exact and
+    engine-independent), then the RIGHTMOST minimum of every window of
+    ``w`` consecutive hashes. Guarantee: two documents sharing any
+    substring of length >= w + k - 1 share at least one fingerprint.
+    Returns the sorted distinct selected hashes viewed as int64."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(codes) < k:
+        return np.empty(0, dtype=np.int64)
+    B = np.uint64(1000003)
+    powers = B ** np.arange(k - 1, -1, -1).astype(np.uint64)
+    H = sliding_window_view(codes, k) @ powers
+    if len(H) <= w:
+        sel = np.array([len(H) - 1 - int(np.argmin(H[::-1]))])
+    else:
+        wins = sliding_window_view(H, w)
+        # rightmost min: argmin on the reversed window
+        idx = w - 1 - np.argmin(wins[:, ::-1], axis=1)
+        sel = np.unique(np.arange(len(wins)) + idx)
+    return np.unique(H[sel]).view(np.int64)
+
+
+def winnowing_fingerprints_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """Distributed winnowing: one Arrow-batched map emitting
+    (id, fingerprint) rows — substring-level dup detection where shingle
+    MinHash (whole-document similarity) is the wrong granularity.
+    Candidate pairs then come from grouping on the fingerprint value
+    (reuse the capped bucket-pair machinery), never an all-pairs join.
+    Integer-only computation: results are layout- and engine-independent.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("fingerprint", LongType())]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, fps = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                f = winnowing_fingerprints_numpy(t or "", k, w)
+                ids.append(np.full(len(f), i, dtype=np.int64))
+                fps.append(f)
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids), "fingerprint": np.concatenate(fps)}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(emit, schema=schema)
+
+
+def winnowing_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Pairs of documents sharing >= ``min_shared`` winnowing
+    fingerprints — substring-overlap candidates. Bucket key is the
+    fingerprint value (capped like every LSH stage), pair counts via one
+    aggregation."""
+    fps = winnowing_fingerprints_df(df, text_col, id_col, k, w)
+    pairs = _bucket_pairs(fps, ["fingerprint"], id_col, [], max_bucket)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1167,3 +1167,19 @@ def oracle_dedup_components() -> str:
 
 
 _BUILDERS["dedup_components"] = oracle_dedup_components
+
+
+def oracle_doc_winnowing() -> str:
+    """Winnowing summary replay: same uint64 rolling-hash + rightmost-min
+    selection over the DuckDB-read documents — integers only, bit-exact."""
+    from deeptime_spark.operators.dedup import winnowing_fingerprints_numpy
+
+    rows = []
+    for doc_id, text in _docs(sf_dir()):
+        f = winnowing_fingerprints_numpy(text or "")
+        if len(f):
+            rows.append((doc_id, len(f), int(f.min()), int(f.max())))
+    return _values_sql(rows, ["doc_id", "n_fp", "min_fp", "max_fp"], "bbbb")
+
+
+_BUILDERS["doc_winnowing"] = oracle_doc_winnowing

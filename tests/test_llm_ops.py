@@ -464,3 +464,23 @@ def test_gopher_repetition_rules(spark):
     # "repeat me" x2 = 18 chars of 38 total
     assert abs(out[0]["frac_dup_line_chars"] - 18 / 38) < 1e-12
     assert out[1]["frac_dup_lines"] == 0.0 and out[1]["frac_dup_line_chars"] == 0.0
+
+
+def test_winnowing_guarantee_and_candidates(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share a fingerprint; the candidate op surfaces exactly such pairs."""
+    from deeptime_spark.operators.dedup import winnowing_candidates
+
+    shared = "this exact passage was copied verbatim between two documents"
+    docs = spark.createDataFrame(
+        [
+            (0, "intro text. " + shared + " trailing content here"),
+            (1, "different opening -- " + shared + " -- and a different end"),
+            (2, "entirely unrelated prose about something else altogether"),
+            (3, "more unrelated filler text with zero overlap with others"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in winnowing_candidates(docs, min_shared=2).collect()}
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)
