@@ -1100,6 +1100,17 @@ def _q_dedup_components(spark, sf_dir):
     )
 
 
+def _q_doc_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal: self-trained unigram model (exact
+    integer counts -> reproducible log-probs) scoring each doc's mean
+    token log-prob in token order (operators/text.py:
+    unigram_lm_scores_df). Layout-independent end to end."""
+    from deeptime_spark.operators.text import unigram_lm_scores_df
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_scores_df(docs, vocab_size=20_000)
+
+
 def _q_doc_winnowing(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD'03, operators/
     dedup.py:winnowing_fingerprints_df): substring-level dup detection.
@@ -1393,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_quality": _q_doc_gopher_quality,
         "doc_gopher_repetition": _q_doc_gopher_repetition,
         "doc_winnowing": _q_doc_winnowing,
+        "doc_lm_score": _q_doc_lm_score,
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,

@@ -266,3 +266,79 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         frac_dup_lines.alias("frac_dup_lines"),
         frac_dup_chars.alias("frac_dup_line_chars"),
     )
+
+
+# ------------------------------------------------ unigram LM scoring
+
+def unigram_lm_scores_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """LM-based document quality signal (the CCNet-style filter axis: a
+    language model trained on the corpus scores each document; outliers
+    are boilerplate/gibberish). Here the model is a self-trained unigram
+    LM — the Spark-first reduction of that design:
+
+    - **model fit** = one explode + groupBy token count (map-side partial
+      aggregation; exact integers, layout-independent), top ``vocab_size``
+      tokens by (count desc, token asc) — a deterministic order —
+      collected to the driver (V rows, small);
+    - **probabilities**: add-``smoothing`` estimates
+      p(w) = (c_w + a) / (T + a (V + 1)) with one OOV bucket — all derived
+      from exact integers, so every log-prob double is reproducible;
+    - **scoring** = Arrow map with the broadcast token->logprob dict; each
+      document's score is the mean token log-prob accumulated IN TOKEN
+      ORDER (sequential cumsum), so the result never depends on how rows
+      were partitioned.
+
+    Returns (id, n_tokens, lm_score) with lm_score <= 0 (higher = more
+    typical of the corpus).
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    counts = toks.select(F.explode("_toks").alias("w")).groupBy("w").count()
+    agg = counts.agg(
+        F.sum("count").alias("T"), F.count(F.lit(1)).alias("n_distinct")
+    ).first()
+    total = int(agg["T"] or 0)
+    vocab_rows = (
+        counts.orderBy(F.desc("count"), F.asc("w")).limit(vocab_size).collect()
+    )
+    V = len(vocab_rows)
+    denom = total + smoothing * (V + 1)
+    logp = {
+        r["w"]: math.log((int(r["count"]) + smoothing) / denom) for r in vocab_rows
+    }
+    log_oov = math.log(smoothing / denom)
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("lm_score", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, ns, scores = [], [], []
+            for i, ws in zip(pdf[id_col], pdf["_toks"]):
+                lp = np.array([logp.get(w, log_oov) for w in ws], dtype=np.float64)
+                ids.append(int(i))
+                ns.append(len(lp))
+                # in-order sequential sum: layout-independent
+                scores.append(float(np.cumsum(lp)[-1] / len(lp)) if len(lp) else 0.0)
+            yield pd.DataFrame({id_col: ids, "n_tokens": ns, "lm_score": scores})
+
+    return toks.mapInPandas(score, schema=schema)

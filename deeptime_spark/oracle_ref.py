@@ -1183,3 +1183,40 @@ def oracle_doc_winnowing() -> str:
 
 
 _BUILDERS["doc_winnowing"] = oracle_doc_winnowing
+
+
+def oracle_doc_lm_score() -> str:
+    """Unigram-LM score replica: DuckDB tokenization (regexp dialect
+    equivalence with Spark's split is already relied on by every text
+    oracle), exact integer vocab counts, the same smoothed log-prob
+    formula, the same in-token-order accumulation — bit-exact because
+    both sides run the identical double ops on identical operands."""
+    import math
+
+    con = duckdb.connect()
+    sf = sf_dir()
+    rows = con.execute(
+        rf"""SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"""
+    ).fetchall()
+    from collections import Counter
+
+    counts = Counter()
+    for _, toks in rows:
+        counts.update(toks)
+    total = sum(counts.values())
+    vocab = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20_000]
+    V = len(vocab)
+    smoothing = 1.0
+    denom = total + smoothing * (V + 1)
+    logp = {w: math.log((c + smoothing) / denom) for w, c in vocab}
+    log_oov = math.log(smoothing / denom)
+    out = []
+    for doc_id, toks in rows:
+        lp = np.array([logp.get(w, log_oov) for w in toks], dtype=np.float64)
+        score = float(np.cumsum(lp)[-1] / len(lp)) if len(lp) else 0.0
+        out.append((doc_id, len(toks), score))
+    return _values_sql(out, ["doc_id", "n_tokens", "lm_score"], "bbd")
+
+
+_BUILDERS["doc_lm_score"] = oracle_doc_lm_score

@@ -484,3 +484,22 @@ def test_winnowing_guarantee_and_candidates(spark):
     got = {(r["id_a"], r["id_b"]) for r in winnowing_candidates(docs, min_shared=2).collect()}
     assert (0, 1) in got
     assert all(p == (0, 1) for p in got)
+
+
+def test_unigram_lm_score_orders_typical_above_gibberish(spark):
+    from deeptime_spark.operators.text import unigram_lm_scores_df
+
+    typical = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [(0, typical), (1, typical), (2, typical), (3, "zxqv jkwpf mmtrx qqzl bbnv")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lm_score"] for r in unigram_lm_scores_df(docs, vocab_size=100).collect()}
+    assert out[0] == out[1] == out[2]          # identical docs, identical score
+    assert out[0] > out[3]                     # corpus-typical beats gibberish
+    assert all(v < 0 for v in out.values())    # log-probs
+
+    # layout independence: same scores from a different partitioning
+    docs7 = docs.repartition(7)
+    out7 = {r["doc_id"]: r["lm_score"] for r in unigram_lm_scores_df(docs7, vocab_size=100).collect()}
+    assert out == out7
