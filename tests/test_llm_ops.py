@@ -503,3 +503,36 @@ def test_unigram_lm_score_orders_typical_above_gibberish(spark):
     docs7 = docs.repartition(7)
     out7 = {r["doc_id"]: r["lm_score"] for r in unigram_lm_scores_df(docs7, vocab_size=100).collect()}
     assert out == out7
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Measured recall of the approximate paths against exact top-k on
+    the harness embeddings: LSH (4-table OR) and IVF (4/16 probes) must
+    recover a solid fraction of the true neighbors — quality, not just
+    shape."""
+    from deeptime_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_lsh = recall(lsh_topk(emb, queries, k=k, n_planes=4, n_tables=4))
+    r_ivf = recall(ivf_topk(emb, queries, k=k, n_lists=8, n_probe=4))
+    assert r_lsh >= 0.5, r_lsh
+    assert r_ivf >= 0.5, r_ivf
