@@ -1140,10 +1140,13 @@ def _q_doc_gopher_quality(spark, sf_dir):
 def _q_doc_gopher_repetition(spark, sf_dir):
     """Gopher repetition rules: duplicate-line fraction + duplicated-line
     character fraction (sorted-adjacency, O(L log L) per doc)."""
-    from deeptime_spark.operators.text import gopher_repetition
+    from deeptime_spark.operators.text import (
+        gopher_repetition,
+        gopher_top_ngram_fractions,
+    )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return gopher_repetition(docs).drop("text")
+    return gopher_top_ngram_fractions(gopher_repetition(docs)).drop("text")
 
 
 def _q_event_session_range_join(spark, sf_dir):
@@ -1751,10 +1754,39 @@ WITH nl AS (
 ), agg AS (
   SELECT doc_id, sum(ln) AS total, sum(CASE WHEN c > 1 THEN ln ELSE 0 END) AS dup
   FROM cnt GROUP BY doc_id
+), tk AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks,
+         greatest(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1) AS nchars
+  FROM documents
+), g2 AS (
+  SELECT doc_id, nchars, unnest(list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' '))) AS gram
+  FROM tk WHERE len(toks) >= 2
+), t2 AS (
+  SELECT doc_id, CAST(count(*) * length(gram) AS DOUBLE) / any_value(nchars) AS frac,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+  FROM g2 GROUP BY doc_id, gram
+), g3 AS (
+  SELECT doc_id, nchars, unnest(list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))) AS gram
+  FROM tk WHERE len(toks) >= 3
+), t3 AS (
+  SELECT doc_id, CAST(count(*) * length(gram) AS DOUBLE) / any_value(nchars) AS frac,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+  FROM g3 GROUP BY doc_id, gram
+), g4 AS (
+  SELECT doc_id, nchars, unnest(list_transform(range(len(toks) - 3), i -> array_to_string(toks[i+1:i+4], ' '))) AS gram
+  FROM tk WHERE len(toks) >= 4
+), t4 AS (
+  SELECT doc_id, CAST(count(*) * length(gram) AS DOUBLE) / any_value(nchars) AS frac,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+  FROM g4 GROUP BY doc_id, gram
 )
 SELECT nl.doc_id,
   CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / greatest(len(lines), 1) AS frac_dup_lines,
-  COALESCE(CAST(dup AS DOUBLE) / greatest(total, 1), 0.0) AS frac_dup_line_chars
+  COALESCE(CAST(dup AS DOUBLE) / greatest(total, 1), 0.0) AS frac_dup_line_chars,
+  COALESCE((SELECT frac FROM t2 WHERE t2.doc_id = nl.doc_id AND rn = 1), 0.0) AS frac_top_2gram_chars,
+  COALESCE((SELECT frac FROM t3 WHERE t3.doc_id = nl.doc_id AND rn = 1), 0.0) AS frac_top_3gram_chars,
+  COALESCE((SELECT frac FROM t4 WHERE t4.doc_id = nl.doc_id AND rn = 1), 0.0) AS frac_top_4gram_chars
 FROM nl LEFT JOIN agg ON nl.doc_id = agg.doc_id
 """,
         "event_session_range_join": """

@@ -342,3 +342,56 @@ def unigram_lm_scores_df(
             yield pd.DataFrame({id_col: ids, "n_tokens": ns, "lm_score": scores})
 
     return toks.mapInPandas(score, schema=schema)
+
+
+def _word_ngrams_all(text_col: str | Column, n: int) -> Column:
+    """All word n-grams IN ORDER (non-distinct) — the counting base for
+    repetition metrics. Same lookahead-regex single pass as word_ngrams."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    pattern = r"(?<!\S)(?=(" + r"\S+ " * (n - 1) + r"\S+))"
+    grams = F.regexp_extract_all(norm, F.lit(pattern), 1)
+    n_tok = F.size(F.split(norm, " "))
+    return F.when(n_tok < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """(count, gram) of the most frequent element of a SORTED array via a
+    sequential fold (struct accumulator) — equal elements are adjacent
+    after sorting, so the max run = the max count; ties resolve to the
+    lexicographically smallest gram (first max wins in sorted order)."""
+    init = F.struct(
+        F.lit(0).alias("bc"), F.lit("").alias("bg"),
+        F.lit(0).alias("cc"), F.lit("").alias("pv"),
+    )
+
+    def merge(acc, g):
+        cc = F.when(g == acc["pv"], acc["cc"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            F.when(cc > acc["bc"], cc).otherwise(acc["bc"]).alias("bc"),
+            F.when(cc > acc["bc"], g).otherwise(acc["bg"]).alias("bg"),
+            cc.alias("cc"),
+            g.alias("pv"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge)
+
+
+def gopher_top_ngram_fractions(
+    df: DataFrame, text_col: str = "text", ns: tuple = (2, 3, 4)
+) -> DataFrame:
+    """The remaining Gopher repetition rules: for each n, the fraction of
+    (normalized) characters covered by occurrences of the single most
+    frequent word n-gram — template/boilerplate detection. All counts are
+    integers and the tie-break (lexicographically smallest gram among
+    equally frequent) is deterministic, so results are engine-exact."""
+    c = F.col(text_col)
+    norm_len = F.greatest(
+        F.length(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")), F.lit(1)
+    )
+    out = df
+    for n in ns:
+        top = _top_run(F.sort_array(_word_ngrams_all(text_col, n)))
+        frac = (top["bc"] * F.length(top["bg"])) / norm_len
+        out = out.withColumn(f"frac_top_{n}gram_chars", frac)
+    return out

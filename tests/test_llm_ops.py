@@ -536,3 +536,19 @@ def test_ann_recall_vs_bruteforce(spark):
     r_ivf = recall(ivf_topk(emb, queries, k=k, n_lists=8, n_probe=4))
     assert r_lsh >= 0.5, r_lsh
     assert r_ivf >= 0.5, r_ivf
+
+
+def test_gopher_top_ngram_fractions(spark):
+    from deeptime_spark.operators.text import gopher_top_ngram_fractions
+
+    # "spam ham" appears 3x in 9 tokens -> top 2-gram
+    text = "spam ham eggs spam ham toast spam ham beans"
+    docs = spark.createDataFrame([(0, text), (1, "one two")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_top_ngram_fractions(docs).collect()}
+    n = len(text)
+    assert abs(out[0]["frac_top_2gram_chars"] - 3 * len("spam ham") / n) < 1e-12
+    # all 3-grams unique (count 1) -> tie-break picks the
+    # lexicographically smallest: "eggs spam ham"
+    assert abs(out[0]["frac_top_3gram_chars"] - 1 * len("eggs spam ham") / n) < 1e-12
+    assert out[1]["frac_top_2gram_chars"] == len("one two") / len("one two")
+    assert out[1]["frac_top_3gram_chars"] == 0.0
