@@ -1100,6 +1100,34 @@ def _q_dedup_components(spark, sf_dir):
     )
 
 
+def _q_event_cube(spark, sf_dir):
+    """CUBE grouping-set counts over (event_type, hour) — all four
+    grouping combinations in one pass (expand + single aggregation)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "hour", F.hour("ts").cast("long")
+    )
+    return (
+        ev.cube("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc_sum"))
+    )
+
+
+def _q_event_value_percentiles(spark, sf_dir):
+    """Exact quartiles of the integer-cents value per event type. The
+    quarter-fraction positions interpolate with exact binary weights over
+    integers, so Spark's percentile and DuckDB's quantile_cont agree
+    bit-exactly."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    pcts = ev.groupBy("event_type").agg(
+        F.percentile("vc", F.lit(0.25)).alias("p25"),
+        F.percentile("vc", F.lit(0.5)).alias("p50"),
+        F.percentile("vc", F.lit(0.75)).alias("p75"),
+    )
+    return pcts
+
+
 def _q_doc_lm_score(spark, sf_dir):
     """CCNet-style LM quality signal: self-trained unigram model (exact
     integer counts -> reproducible log-probs) scoring each doc's mean
@@ -1408,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_repetition": _q_doc_gopher_repetition,
         "doc_winnowing": _q_doc_winnowing,
         "doc_lm_score": _q_doc_lm_score,
+        "event_cube": _q_event_cube,
+        "event_value_percentiles": _q_event_value_percentiles,
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,
@@ -1810,6 +1840,18 @@ WITH e AS (
 SELECT iv.user_id, CAST(iv.session_id AS BIGINT) AS session_id, count(*) AS n_assigned
 FROM iv JOIN e ON e.user_id = iv.user_id AND e.tu BETWEEN iv.t_start AND iv.t_end
 GROUP BY iv.user_id, iv.session_id
+""",
+        "event_cube": """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc_sum
+FROM events GROUP BY CUBE (event_type, hour(ts))
+""",
+        "event_value_percentiles": """
+SELECT event_type,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.50) AS p50,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p75
+FROM events GROUP BY event_type
 """,
         "event_range_frame": """
 SELECT event_id,
