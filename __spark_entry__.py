@@ -533,6 +533,18 @@ def _q_purchase_not_error_users(spark, sf_dir):
     return purch.exceptAll(err).distinct()
 
 
+def _q_purchase_and_signup_users(spark, sf_dir):
+    """Set operation: (user, week) pairs with BOTH a purchase and a
+    signup that week (INTERSECT — completes the set-op family with
+    event_rollup/CUBE and the EXCEPT query)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "week", F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "week").distinct()
+    sign = ev.where(F.col("event_type") == "signup").select("user_id", "week").distinct()
+    return purch.intersect(sign)
+
+
 def _q_q5_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: 6-table join, dims broadcast, revenue in exact
     integer cents x discount-percent units."""
@@ -1438,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": _q_doc_lm_score,
         "event_cube": _q_event_cube,
         "event_value_percentiles": _q_event_value_percentiles,
+        "purchase_and_signup_users": _q_purchase_and_signup_users,
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,
@@ -1840,6 +1853,13 @@ WITH e AS (
 SELECT iv.user_id, CAST(iv.session_id AS BIGINT) AS session_id, count(*) AS n_assigned
 FROM iv JOIN e ON e.user_id = iv.user_id AND e.tu BETWEEN iv.t_start AND iv.t_end
 GROUP BY iv.user_id, iv.session_id
+""",
+        "purchase_and_signup_users": """
+SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+FROM events WHERE event_type = 'signup'
 """,
         "event_cube": """
 SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n,
