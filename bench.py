@@ -56,6 +56,14 @@ HEADLINE = [
     "kmeans_embeddings",
     "embedding_whiten",
     "hmm_viterbi_events",
+    # round-4 surface: duplicate clustering, filter rules, LM scoring,
+    # substring fingerprints, range join
+    "dedup_components",
+    "doc_gopher_quality",
+    "doc_gopher_repetition",
+    "doc_winnowing",
+    "doc_lm_score",
+    "event_session_range_join",
 ]
 
 

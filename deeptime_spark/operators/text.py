@@ -355,43 +355,64 @@ def _word_ngrams_all(text_col: str | Column, n: int) -> Column:
     return F.when(n_tok < n, F.array().cast("array<string>")).otherwise(grams)
 
 
-def _top_run(sorted_arr: Column) -> Column:
-    """(count, gram) of the most frequent element of a SORTED array via a
-    sequential fold (struct accumulator) — equal elements are adjacent
-    after sorting, so the max run = the max count; ties resolve to the
-    lexicographically smallest gram (first max wins in sorted order)."""
-    init = F.struct(
-        F.lit(0).alias("bc"), F.lit("").alias("bg"),
-        F.lit(0).alias("cc"), F.lit("").alias("pv"),
-    )
-
-    def merge(acc, g):
-        cc = F.when(g == acc["pv"], acc["cc"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            F.when(cc > acc["bc"], cc).otherwise(acc["bc"]).alias("bc"),
-            F.when(cc > acc["bc"], g).otherwise(acc["bg"]).alias("bg"),
-            cc.alias("cc"),
-            g.alias("pv"),
-        )
-
-    return F.aggregate(sorted_arr, init, merge)
-
-
 def gopher_top_ngram_fractions(
-    df: DataFrame, text_col: str = "text", ns: tuple = (2, 3, 4)
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ns: tuple = (2, 3, 4)
 ) -> DataFrame:
     """The remaining Gopher repetition rules: for each n, the fraction of
     (normalized) characters covered by occurrences of the single most
-    frequent word n-gram — template/boilerplate detection. All counts are
-    integers and the tie-break (lexicographically smallest gram among
-    equally frequent) is deterministic, so results are engine-exact."""
+    frequent word n-gram — template/boilerplate detection.
+
+    Plan shape: explode grams -> codegen count per (doc, gram) with
+    map-side partial aggregation -> per-doc argmax via one row_number
+    window (count desc, gram asc — the deterministic tie-break) -> join
+    back on the doc id. Everything stays in whole-stage codegen and
+    spills safely on pathological documents; an array-local fold would
+    run interpreted per gram and keep million-gram documents on a single
+    row. All counts are integers, so results are engine-exact."""
+    from pyspark.sql import Window
+
     c = F.col(text_col)
     norm_len = F.greatest(
         F.length(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")), F.lit(1)
     )
-    out = df
+    out = df.withColumn("_nl", norm_len)
+    # one explode carries every n (tagged structs), so the whole rule set
+    # costs one gram shuffle + one window + one join regardless of len(ns)
+    def _tag(n):
+        # factory, NOT a default-arg lambda: a 2-parameter lambda makes
+        # F.transform pass the array INDEX as the second argument
+        def f(g):
+            return F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+        return f
+
+    tagged = F.flatten(
+        F.array(*[F.transform(_word_ngrams_all(text_col, n), _tag(n)) for n in ns])
+    )
+    grams = out.select(
+        F.col(id_col), F.col("_nl"), F.explode(tagged).alias("_t")
+    ).select(id_col, "_nl", F.col("_t.n").alias("_n"), F.col("_t.g").alias("_g"))
+    counts = grams.groupBy(id_col, "_nl", "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy(id_col, "_n").orderBy(F.desc("_c"), F.asc("_g"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("_n") == n, (F.col("_c") * F.length("_g")) / F.col("_nl"))
+                ).alias(f"frac_top_{n}gram_chars")
+                for n in ns
+            ]
+        )
+    )
+    joined = out.join(top, on=id_col, how="left")
     for n in ns:
-        top = _top_run(F.sort_array(_word_ngrams_all(text_col, n)))
-        frac = (top["bc"] * F.length(top["bg"])) / norm_len
-        out = out.withColumn(f"frac_top_{n}gram_chars", frac)
-    return out
+        joined = joined.withColumn(
+            f"frac_top_{n}gram_chars",
+            F.coalesce(F.col(f"frac_top_{n}gram_chars"), F.lit(0.0)),
+        )
+    return joined.drop("_nl")
