@@ -422,11 +422,31 @@ def embedding_near_duplicates(
 
 # ------------------------------------------------- duplicate clustering
 
+def _union_find_local(pairs: list) -> dict:
+    """Driver union-find with path compression; component = min member."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Distributed connected components over a pair graph by iterative
     min-label propagation — the missing last step of a dedup pipeline
@@ -447,66 +467,89 @@ def connected_components(
     silently merges nothing it shouldn't, but may leave components split,
     so failing loudly is the only safe behavior.
 
+    Duplicate-pair graphs are usually TINY relative to the corpus (the
+    corpus-scale work already happened in the LSH/verification stages), so
+    when the symmetrized edge list fits ``local_threshold`` rows it is
+    collected and solved with a driver union-find — one job instead of
+    2/round, bit-identical output. The distributed loop is the path for
+    genuinely huge pair graphs; set ``local_threshold=0`` to force it.
+
     Returns (node, component) for every node incident to an edge, where
     ``component`` is the minimum node id in the component.
     """
+    spark = edges.sparkSession
+    # materialize the (possibly expensive) upstream pair pipeline ONCE —
+    # the symmetrizing union would otherwise recompute it per branch
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    e0.count()
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
-    converged = False
     try:
+        if local_threshold > 0:
+            head = sym.limit(local_threshold + 1).collect()
+            if len(head) <= local_threshold:
+                comp = _union_find_local([(r["a"], r["b"]) for r in head])
+                return spark.createDataFrame(
+                    sorted(comp.items()), "node long, component long"
+                )
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint()
+        )
+        converged = False
         for _ in range(max_iter):
-            prop = (
+            nbr = (
                 sym.join(labels, sym["a"] == labels["node"])
-                .select(F.col("b").alias("node"), "component")
+                .groupBy(F.col("b").alias("_nn"))
+                .agg(F.min("component").alias("_nm"))
             )
-            new_labels = (
-                labels.union(prop)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
+            upd = labels.join(nbr, labels["node"] == nbr["_nn"], "left").select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nm"), F.col("component"))
+                ).alias("_c1"),
+                (F.coalesce(F.col("_nm"), F.col("component")) < F.col("component")).alias(
+                    "_ch1"
+                ),
             )
             # pointer doubling: follow the label's own label one hop
-            hop = new_labels.select(
-                F.col("node").alias("_pn"), F.col("component").alias("_pc")
-            )
+            hop = upd.select(F.col("node").alias("_pn"), F.col("_c1").alias("_pc"))
             new_labels = (
-                new_labels.join(hop, new_labels["component"] == hop["_pn"], "left")
+                upd.join(hop, upd["_c1"] == hop["_pn"], "left")
                 .select(
                     "node",
                     F.least(
-                        F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
+                        F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1"))
                     ).alias("component"),
+                    (
+                        F.col("_ch1")
+                        | (F.coalesce(F.col("_pc"), F.col("_c1")) < F.col("_c1"))
+                    ).alias("_changed"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            # convergence check reads the checkpointed partitions — no
+            # join against the previous labels, limit-1 early exit
+            changed = not new_labels.where(F.col("_changed")).limit(1).isEmpty()
+            labels = new_labels.drop("_changed")
+            if not changed:
                 converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(pointer-doubled min-label propagation needs ~log2(n) rounds; "
+                "raise max_iter)"
+            )
+        return labels
     finally:
         sym.unpersist()
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(pointer-doubled min-label propagation needs ~log2(n) rounds; "
-            "raise max_iter)"
-        )
-    return labels
+        e0.unpersist()
 
 
 def duplicate_clusters(

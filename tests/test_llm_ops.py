@@ -392,7 +392,11 @@ def test_connected_components_matches_union_find(spark):
 
     edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21), (5, 6), (6, 5), (30, 31), (31, 32), (32, 30)]
     df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(4)
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    # both paths must agree: driver union-find fast path and the
+    # distributed min-label propagation loop
+    got_local = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got = {r["node"]: r["component"] for r in connected_components(df, local_threshold=0).collect()}
+    assert got_local == got
 
     parent = {}
     def find(x):
@@ -430,7 +434,7 @@ def test_connected_components_long_chain_converges_fast(spark):
 
     edges = [(i, i + 1) for i in range(200)]
     df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(8)
-    got = connected_components(df, max_iter=12).collect()
+    got = connected_components(df, max_iter=12, local_threshold=0).collect()
     assert len(got) == 201
     assert all(r["component"] == 0 for r in got)
 
