@@ -169,3 +169,16 @@ def test_regspace_exact_round_no_global_sort(spark):
     batch = feat.filter(far(F.col("x"))).orderBy("traj_id", "t").limit(4096).select("x")
     plan = plan_of(batch)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_gopher_paths_stay_jvm_side(spark):
+    # quality is pure codegen; repetition's gram counting runs as
+    # explode + hash aggregate + one window — no Python evaluation
+    for q in (entrymod._q_doc_gopher_quality, entrymod._q_doc_gopher_repetition):
+        plan = plan_of(q(spark, SF))
+        assert "EvalPython" not in plan, plan[:1200]
+
+
+def test_range_join_no_nested_loop_in_harness_query(spark):
+    plan = plan_of(entrymod._q_event_session_range_join(spark, SF))
+    assert "BroadcastNestedLoop" not in plan, plan[:1200]
