@@ -199,33 +199,59 @@ def asof_join(
     by: Sequence[str] | str = (),
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the value of the LATEST
-    right row with ``right.on <= left.on`` within the same ``by`` key(s)
-    (the time-alignment specialization of the lag join, SURVEY.md §2.14).
+    """As-of join: for each left row, the LATEST right row with
+    ``right.on <= left.on`` (``direction='backward'``) or the EARLIEST
+    with ``right.on >= left.on`` (``'forward'``) within the same ``by``
+    key(s) — the time-alignment specialization of the lag join
+    (SURVEY.md §2.14; semantics of pandas ``merge_asof``). ``tolerance``
+    nulls the carried columns when the matched row is farther than that
+    distance in ``on`` units (left rows are always kept).
 
     Plan shape at scale: tag sides, union by name, ONE shuffle on the key
-    for a last(ignorenulls) window — no per-row range probing, no join
-    explosion on hot keys; all carried columns share a single Window
-    operator. Right rows sort before left rows at equal timestamps, so
-    equality is included (standard backward-asof semantics).
+    for a last/first(ignorenulls) window — no per-row range probing, no
+    join explosion on hot keys; all carried columns share a single Window
+    operator. At equal timestamps the right row sorts on the inclusive
+    side, so equality matches in both directions.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by) | {on}]
-    l = left.withColumn("_side", F.lit(1))
+    # backward: right first at ties (right=0 < left=1), last() over the
+    # preceding frame. forward: right after left at ties (left=0 <
+    # right=1), first() over the following frame.
+    left_tag, right_tag = (1, 0) if direction == "backward" else (0, 1)
+    l = left.withColumn("_side", F.lit(left_tag))
     r = right.select(
-        *by, F.col(on), *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
-    ).withColumn("_side", F.lit(0))
+        *by,
+        F.col(on),
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("_side", F.lit(right_tag))
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    for c in right_cols:
-        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).drop("_side")
+    carried = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
+    base = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("_side").asc())
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    for c in carried:
+        u = u.withColumn(c, pick(c))
+    out = u.where(F.col("_side") == F.lit(left_tag)).drop("_side")
+    if tolerance is not None:
+        out = out.withColumn(
+            "_gap", F.abs(F.col(on) - F.col(f"{on}{suffix}"))
+        )
+        for c in carried:
+            out = out.withColumn(c, F.when(F.col("_gap") <= F.lit(tolerance), F.col(c)))
+        out = out.drop("_gap")
+    return out.drop(f"{on}{suffix}")
 
 
 def range_join(

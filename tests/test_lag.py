@@ -201,3 +201,29 @@ def test_range_join_plans_as_equi_join(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "BroadcastNestedLoop" not in buf.getvalue()
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from deeptime_spark.operators.lag import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 35), (2, 5)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (1, 100, "c"), (2, 50, "d")],
+        "k long, t long, v string",
+    )
+
+    def run(**kw):
+        return {
+            (r["k"], r["t"]): r["v_asof"]
+            for r in asof_join(left, right, on="t", by="k", **kw).collect()
+        }
+
+    back = run(direction="backward")
+    assert back == {(1, 10): "a", (1, 20): "b", (1, 35): "b", (2, 5): None}
+    fwd = run(direction="forward")
+    assert fwd == {(1, 10): "b", (1, 20): "b", (1, 35): "c", (2, 5): "d"}
+    # tolerance: backward match farther than 5 in t is nulled
+    tol = run(direction="backward", tolerance=5)
+    assert tol == {(1, 10): "a", (1, 20): "b", (1, 35): None, (2, 5): None}
