@@ -183,12 +183,14 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     doubles are bit-exact and engine-independent. Per-line / per-token
     predicates run as higher-order filters over the per-document arrays
     (small arrays; the corpus-scale axis stays row-parallel codegen).
-    Adds the individual metrics and a ``passes_gopher`` flag.
+    Adds the individual metrics and a ``passes_gopher`` flag. NULL text
+    is treated as empty (web corpora contain null rows; a raw split(null)
+    would poison every downstream metric with nulls/-1 sizes).
     """
-    c = F.col(text_col)
-    toks = tokens(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(c)
     n_words = F.size(toks)
-    mean_len = mean_word_length(text_col)
+    mean_len = mean_word_length(c)
     n_hash = F.length(F.regexp_replace(c, r"[^#]", ""))
     n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), 0))
     symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
@@ -234,8 +236,9 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher repetition rules (same paper): duplicate-line fraction and
     the fraction of characters inside duplicated lines — boilerplate and
-    template detection. Per-document array algebra; exact integer counts."""
-    c = F.col(text_col)
+    template detection. Per-document array algebra; exact integer counts.
+    NULL text treated as empty."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(c, r"\n"), lambda l: F.length(F.trim(l)) > 0)
     n_lines = F.greatest(F.size(lines), F.lit(1))
     n_distinct = F.size(F.array_distinct(lines))
@@ -371,7 +374,7 @@ def gopher_top_ngram_fractions(
     row. All counts are integers, so results are engine-exact."""
     from pyspark.sql import Window
 
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     norm_len = F.greatest(
         F.length(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")), F.lit(1)
     )

@@ -556,3 +556,13 @@ def test_gopher_top_ngram_fractions(spark):
     assert abs(out[0]["frac_top_3gram_chars"] - 1 * len("eggs spam ham") / n) < 1e-12
     assert out[1]["frac_top_2gram_chars"] == len("one two") / len("one two")
     assert out[1]["frac_top_3gram_chars"] == 0.0
+
+
+def test_gopher_ops_null_text_safe(spark):
+    from deeptime_spark.operators.text import gopher_quality, gopher_repetition
+
+    docs = spark.createDataFrame([(0, None), (1, "the be to")], "doc_id long, text string")
+    q = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert q[0]["passes_gopher"] == 0 and q[0]["n_words"] >= 0
+    r = {x["doc_id"]: x for x in gopher_repetition(docs).collect()}
+    assert r[0]["frac_dup_lines"] == 0.0
