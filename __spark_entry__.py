@@ -1242,22 +1242,25 @@ def _q_hmm_viterbi_events(spark, sf_dir):
     re-derivation of the event window per stage."""
     from deeptime_spark.hmm import MaximumLikelihoodHMM, init_discrete_metastable_from_data
 
+    # explicit partition count: AQE would coalesce the small window
+    # shuffle to ~1 partition, serializing the Python E-step/FFBS batches —
+    # pin parallelism while keeping trajectories co-located by traj_id
     traj = (
         _event_traj(spark, sf_dir).select("traj_id", "t", "state")
-        .repartition("traj_id").persist()
+        .repartition(spark.sparkContext.defaultParallelism, "traj_id").persist()
     )
     init = init_discrete_metastable_from_data(
         traj, n_hidden_states=2, lagtime=1, n_observation_states=5
     )
     model = (
-        MaximumLikelihoodHMM(init, lagtime=1, maxit=3, per_traj_stats=True)
+        MaximumLikelihoodHMM(init, lagtime=1, maxit=3, per_traj_stats=True, assume_colocated=True)
         .fit(traj)
         .fetch_model()
     )
     # the returned plan reads the cached trajectory; the cache is left for
     # LRU eviction because the caller still has to execute the plan (an
     # eager collect+recreate here costs far more than the cached partitions)
-    out = model.viterbi_df(traj)
+    out = model.viterbi_df(traj, colocated=True)
     return out.select(
         "traj_id", "t", F.col("hidden_state").cast("long").alias("hidden_state")
     )
@@ -1272,19 +1275,22 @@ def _q_bayes_hmm_events(spark, sf_dir):
         init_discrete_metastable_from_data,
     )
 
+    # explicit partition count: AQE would coalesce the small window
+    # shuffle to ~1 partition, serializing the Python E-step/FFBS batches —
+    # pin parallelism while keeping trajectories co-located by traj_id
     traj = (
         _event_traj(spark, sf_dir).select("traj_id", "t", "state")
-        .repartition("traj_id").persist()
+        .repartition(spark.sparkContext.defaultParallelism, "traj_id").persist()
     )
     init = init_discrete_metastable_from_data(
         traj, n_hidden_states=2, lagtime=1, n_observation_states=5
     )
     prior = (
-        MaximumLikelihoodHMM(init, lagtime=1, maxit=2, per_traj_stats=True)
+        MaximumLikelihoodHMM(init, lagtime=1, maxit=2, per_traj_stats=True, assume_colocated=True)
         .fit(traj)
         .fetch_model()
     )
-    post = BayesianHMM(prior, n_samples=10, seed=42).fit(traj).fetch_model()
+    post = BayesianHMM(prior, n_samples=10, seed=42, assume_colocated=True).fit(traj).fetch_model()
     traj.unpersist()
     stats = post.gather_stats("transition_matrix")
     mean, lo, hi = stats["mean"], stats["L"], stats["R"]

@@ -124,7 +124,8 @@ class BayesianHMM(Estimator):
 
     def __init__(self, initial_hmm: HiddenMarkovModel, n_samples: int = 100, stride: int = 1,
                  initial_distribution_prior: float = 0.0, transition_matrix_prior: float = 0.0,
-                 reversible: bool = True, seed: int = 42, obs_col: str = "state"):
+                 reversible: bool = True, seed: int = 42, obs_col: str = "state",
+                 assume_colocated: bool = False):
         super().__init__()
         self.initial_hmm = initial_hmm
         self.n_samples = n_samples
@@ -134,6 +135,10 @@ class BayesianHMM(Estimator):
         self.reversible = reversible
         self.seed = seed
         self.obs_col = obs_col
+        # caller guarantees df is already co-located (hash-partitioned, and
+        # ideally persisted) by traj_id — fit() then skips its own
+        # repartition + duplicate persist and reads the caller's cache
+        self.assume_colocated = assume_colocated
 
     def _sweep_stats(self, df: DataFrame, A, pi, om, sweep_seed: int) -> dict:
         """One distributed FFBS sweep -> reduced sufficient statistics
@@ -188,13 +193,17 @@ class BayesianHMM(Estimator):
     def fit(self, df: DataFrame, progress=None) -> "BayesianHMM":
         # persist co-located by trajectory: every sweep's mapInPandas then
         # reads cached partitions with no per-sweep shuffle
-        df = df.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
+        df = df.select("traj_id", "t", self.obs_col)
+        owns_cache = not self.assume_colocated
+        if owns_cache:
+            df = df.repartition("traj_id").persist()
         try:
             self._model = self.fit_with_sweeper(
                 lambda A, pi, om, seed: self._sweep_stats(df, A, pi, om, seed), progress
             )
         finally:
-            df.unpersist()
+            if owns_cache:
+                df.unpersist()
         return self
 
     def fit_with_sweeper(self, sweep_fn, progress=None) -> "BayesianHMMPosterior":

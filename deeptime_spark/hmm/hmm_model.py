@@ -240,7 +240,9 @@ class HiddenMarkovModel:
 
     # ------------------------------------------------------- DataFrame API
 
-    def _decode_df(self, df: DataFrame, kind: str, obs_col: str) -> DataFrame:
+    def _decode_df(
+        self, df: DataFrame, kind: str, obs_col: str, colocated: bool = False
+    ) -> DataFrame:
         """Partition-batched decode: co-locate trajectories by hash
         repartition, then one mapInPandas pass runs the batched recursion
         over every trajectory in the partition at once (one vectorized time
@@ -289,20 +291,23 @@ class HiddenMarkovModel:
                     }
                 )
 
-        return (
-            df.select("traj_id", "t", obs_col)
-            .repartition("traj_id")
-            .mapInPandas(fn, schema=schema)
-        )
+        out = df.select("traj_id", "t", obs_col)
+        if not colocated:
+            out = out.repartition("traj_id")
+        return out.mapInPandas(fn, schema=schema)
 
     def state_probabilities_df(self, df: DataFrame, obs_col: str = "state") -> DataFrame:
         """gamma per frame: batched forward-backward per partition (the
         reference's `transform(..., 'sfull')`)."""
         return self._decode_df(df, "gamma", obs_col)
 
-    def viterbi_df(self, df: DataFrame, obs_col: str = "state") -> DataFrame:
-        """Most likely hidden path per trajectory."""
-        return self._decode_df(df, "viterbi", obs_col)
+    def viterbi_df(
+        self, df: DataFrame, obs_col: str = "state", colocated: bool = False
+    ) -> DataFrame:
+        """Most likely hidden path per trajectory. ``colocated=True`` skips
+        the repartition when the caller's frame is already hash-partitioned
+        by traj_id (e.g. persisted upstream of an EM fit)."""
+        return self._decode_df(df, "viterbi", obs_col, colocated=colocated)
 
     def transform(self, df: DataFrame, obs_col: str = "state") -> DataFrame:
         return self.state_probabilities_df(df, obs_col)

@@ -81,6 +81,7 @@ class MaximumLikelihoodHMM(Estimator):
         maxit_reversible: int = 100_000,
         obs_col: str = "state",
         per_traj_stats: bool = False,
+        assume_colocated: bool = False,
     ):
         super().__init__()
         if lagtime <= 0:
@@ -102,6 +103,16 @@ class MaximumLikelihoodHMM(Estimator):
         # replayable bit-exactly by an external oracle. Default stays
         # partition-batched (fewer rows, vectorized batch recursion).
         self.per_traj_stats = per_traj_stats
+        # assume_colocated: caller guarantees the input frame is already
+        # hash-partitioned (and ideally persisted) by traj_id. At lagtime=1 /
+        # stride=1 the lagged frame IS the input frame minus length-1
+        # trajectories, so fit() skips lag_observations_df's count-filter
+        # join, the repartition, and the duplicate persist entirely and reads
+        # the caller's cached partitions; singleton trajectories are dropped
+        # inside the E-step instead (identical statistics — a length-1
+        # trajectory contributes nothing once dropped, reference
+        # markov/_util.py:133 drops them up front).
+        self.assume_colocated = assume_colocated
         self.likelihoods_: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------ E-step
@@ -128,6 +139,11 @@ class MaximumLikelihoodHMM(Estimator):
 
         def estep(batches):
             groups = _partition_groups(batches, obs_col)
+            if groups:
+                # lag_observations_df drops length-1 sub-trajectories up
+                # front; the assume_colocated fast path defers that drop to
+                # here (same statistics either way)
+                groups = [g for g in groups if len(g[2]) > 1]
             if not groups:
                 return
             if per_traj:
@@ -217,11 +233,21 @@ class MaximumLikelihoodHMM(Estimator):
         pi = np.array(init.initial_distribution, dtype=np.float64, copy=True)
         om = init.output_model.copy()
 
-        lagged = lag_observations_df(df, self.lagtime, self.stride)
-        # the EM loop re-reads the lagged frame every iteration: persist it
-        # ALREADY co-located by trajectory, so each E-step's mapInPandas
-        # reads cached partitions with zero per-iteration shuffle
-        lagged = lagged.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
+        if self.lagtime == 1 and self.stride == 1 and self.assume_colocated:
+            # input frame == lagged frame at lag 1; caller already co-located
+            # (and usually persisted) it by traj_id — no second shuffle, no
+            # duplicate cache; singleton trajectories drop inside the E-step
+            lagged = df.select("traj_id", "t", self.obs_col)
+            owns_cache = False
+        else:
+            lagged = lag_observations_df(df, self.lagtime, self.stride)
+            # the EM loop re-reads the lagged frame every iteration: persist it
+            # ALREADY co-located by trajectory, so each E-step's mapInPandas
+            # reads cached partitions with zero per-iteration shuffle
+            lagged = (
+                lagged.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
+            )
+            owns_cache = True
         try:
             likelihoods = []
             final_counts = None
@@ -239,7 +265,8 @@ class MaximumLikelihoodHMM(Estimator):
                     if converged:
                         break
         finally:
-            lagged.unpersist()
+            if owns_cache:
+                lagged.unpersist()
 
         self.likelihoods_ = np.array(likelihoods)
         count_model = TransitionCountModel(final_counts, lagtime=self.lagtime)
