@@ -230,3 +230,43 @@ def test_batched_kernels_property(discrete_ground_truth):
             np.testing.assert_array_equal(p_b, viterbi(A, pobs, pi))
 
     check()
+
+
+def test_mlhmm_assume_colocated_equivalent(spark, discrete_ground_truth):
+    """The lag-1 co-located fast path (no lag_observations_df join, no
+    second repartition/persist, E-step-level singleton drop) must produce
+    the exact same model as the default path, including with a length-1
+    trajectory present (which the default path drops up front)."""
+    hmm = discrete_ground_truth
+    dtrajs = [hmm.simulate(400, seed=200 + s)[1].astype(int) for s in range(4)]
+    dtrajs.append(np.array([1]))  # singleton: dropped either way
+    df = dtraj_from_arrays(spark, dtrajs)
+    coloc = df.repartition(4, "traj_id").persist()
+    try:
+        init = init_discrete_metastable_from_data(coloc, n_hidden_states=2, lagtime=1)
+        base = (
+            MaximumLikelihoodHMM(init, lagtime=1, maxit=4, per_traj_stats=True)
+            .fit(df)
+            .fetch_model()
+        )
+        fast = (
+            MaximumLikelihoodHMM(
+                init, lagtime=1, maxit=4, per_traj_stats=True, assume_colocated=True
+            )
+            .fit(coloc)
+            .fetch_model()
+        )
+        np.testing.assert_array_equal(base.transition_matrix, fast.transition_matrix)
+        np.testing.assert_array_equal(
+            base.initial_distribution, fast.initial_distribution
+        )
+        np.testing.assert_array_equal(
+            base.output_model.output_probabilities,
+            fast.output_model.output_probabilities,
+        )
+        # decode parity on the colocated frame without the extra shuffle
+        a = base.viterbi_df(df).orderBy("traj_id", "t").collect()
+        b = fast.viterbi_df(coloc, colocated=True).orderBy("traj_id", "t").collect()
+        assert [r["hidden_state"] for r in a] == [r["hidden_state"] for r in b]
+    finally:
+        coloc.unpersist()
