@@ -196,7 +196,9 @@ class BayesianHMM(Estimator):
         df = df.select("traj_id", "t", self.obs_col)
         owns_cache = not self.assume_colocated
         if owns_cache:
-            df = df.repartition("traj_id").persist()
+            df = df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, "traj_id"
+            ).persist()
         try:
             self._model = self.fit_with_sweeper(
                 lambda A, pi, om, seed: self._sweep_stats(df, A, pi, om, seed), progress

@@ -293,7 +293,10 @@ class HiddenMarkovModel:
 
         out = df.select("traj_id", "t", obs_col)
         if not colocated:
-            out = out.repartition("traj_id")
+            # pin parallelism: AQE coalescing would serialize the decode
+            out = out.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, "traj_id"
+            )
         return out.mapInPandas(fn, schema=schema)
 
     def state_probabilities_df(self, df: DataFrame, obs_col: str = "state") -> DataFrame:

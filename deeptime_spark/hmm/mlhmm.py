@@ -245,7 +245,11 @@ class MaximumLikelihoodHMM(Estimator):
             # ALREADY co-located by trajectory, so each E-step's mapInPandas
             # reads cached partitions with zero per-iteration shuffle
             lagged = (
-                lagged.select("traj_id", "t", self.obs_col).repartition("traj_id").persist()
+                lagged.select("traj_id", "t", self.obs_col)
+                .repartition(
+                    df.sparkSession.sparkContext.defaultParallelism, "traj_id"
+                )
+                .persist()
             )
             owns_cache = True
         try:

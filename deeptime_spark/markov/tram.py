@@ -204,7 +204,9 @@ class _SparkBiasStore:
         self.df = (
             df.where(F.col(state_col) >= 0)
             .select(F.col(state_col).alias("_i"), F.col(bias_col).alias("_b"))
-            .repartition("_i")
+            # explicit partition count: AQE would coalesce a small shuffle to
+            # ~1 partition and serialize the per-iteration Python folds
+            .repartition(df.sparkSession.sparkContext.defaultParallelism, "_i")
             .persist()
         )
 
