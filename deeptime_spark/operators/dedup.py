@@ -478,9 +478,22 @@ def connected_components(
     ``component`` is the minimum node id in the component.
     """
     spark = edges.sparkSession
-    # materialize the (possibly expensive) upstream pair pipeline ONCE —
-    # the symmetrizing union would otherwise recompute it per branch
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if local_threshold > 0:
+        # union-find needs neither symmetrized nor distinct edges, so the
+        # fast path is ONE job: run the (possibly expensive) upstream pair
+        # pipeline straight into a bounded collect — no persist, no
+        # union/distinct shuffle. <= threshold rows back means we saw every
+        # edge; otherwise fall through to the distributed loop.
+        head = e0.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            comp = _union_find_local([(r["a"], r["b"]) for r in head])
+            return spark.createDataFrame(
+                sorted(comp.items()), "node long, component long"
+            )
+    # distributed path: materialize the pair pipeline ONCE — the
+    # symmetrizing union would otherwise recompute it per branch
+    e0 = e0.persist()
     e0.count()
     sym = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -488,13 +501,6 @@ def connected_components(
         .persist()
     )
     try:
-        if local_threshold > 0:
-            head = sym.limit(local_threshold + 1).collect()
-            if len(head) <= local_threshold:
-                comp = _union_find_local([(r["a"], r["b"]) for r in head])
-                return spark.createDataFrame(
-                    sorted(comp.items()), "node long, component long"
-                )
         labels = (
             sym.select(F.col("a").alias("node"))
             .distinct()
