@@ -1,0 +1,135 @@
+"""Weak-scaling harness: replicate the sf0.1 tables k-fold (k = 1,2,4,8)
+with id offsets and time representative queries at each multiple.
+
+On fixed local cores, a linear-work operator's wall time should grow
+~proportionally with data (slope ~= k); a superlinear slope exposes a
+plan that would not survive a 100x scale-up (unbounded pair expansion,
+driver materialization, quadratic buckets). Replicated documents keep
+their text, so every doc gains k exact near-duplicates — dup density
+rises with k by construction, which stresses the LSH bucket caps and
+pair verification exactly the way a boilerplate-heavy web crawl would.
+
+Usage: python tools/scale_bench.py [k ...]   (default 1 2 4 8)
+Writes /tmp/scale/x{k}/ table dirs on first use; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SRC = "/root/testdata/sf0.1"
+ROOT = "/tmp/scale"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+# tables replicated with an id offset per copy; the rest are symlinked
+REPLICATE = {
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "lineitem": ("l_orderkey",),
+}
+OFFSET = 10_000_000
+
+QUERIES = [
+    # text / dedup over documents (dup density grows with k)
+    "doc_token_stats", "minhash_bands", "dedup_verified_pairs",
+    "dedup_components", "simhash_pairs", "doc_gopher_repetition",
+    # similarity over embeddings
+    "knn_bruteforce", "ivf_topk",
+    # relational over lineitem
+    "q1_pricing_summary", "q6_forecast_revenue",
+    # trajectory ops over events
+    "event_transition_counts", "event_moments", "event_sliding_avg",
+    "hmm_viterbi_events",
+]
+
+
+def build_dir(spark, k: int) -> str:
+    out = f"{ROOT}/x{k}"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if k == 1 or t not in REPLICATE:
+            os.symlink(src, dst)
+            continue
+        df = spark.read.parquet(src)
+        parts = []
+        for i in range(k):
+            p = df
+            for id_col in REPLICATE[t]:
+                p = p.withColumn(id_col, F.col(id_col) + F.lit(i * OFFSET))
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(dst)
+    open(marker, "w").write("ok")
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warm codegen + python workers once
+    from pyspark.sql import functions as F  # noqa: F401
+
+    spark.read.parquet(f"{SRC}/region.parquet").mapInPandas(
+        lambda it: it, schema="r_regionkey int, r_name string"
+    ).write.format("noop").mode("overwrite").save()
+
+    dirs = {k: build_dir(spark, k) for k in ks}
+    results: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        results[name] = {}
+        for k in ks:
+            t0 = time.time()
+            try:
+                fn(spark, dirs[k]).write.format("noop").mode("overwrite").save()
+                results[name][f"x{k}"] = round(time.time() - t0, 3)
+            except Exception as exc:
+                results[name][f"x{k}"] = -1.0
+                print(f"error {name} x{k}: {exc}", file=sys.stderr)
+        r = results[name]
+        if all(v > 0 for v in r.values()) and len(ks) > 1:
+            r["slope"] = round(r[f"x{ks[-1]}"] / max(r[f"x{ks[0]}"], 1e-9), 2)
+    print(json.dumps({"queries": results, "ks": ks, "cpus": int(cpus)}))
+
+
+if __name__ == "__main__":
+    main()
