@@ -220,6 +220,7 @@ def ngram_jaccard(a_text: Column, b_text: Column, n: int = 3) -> Column:
 def verify_candidates_jaccard(
     candidates: DataFrame, docs: DataFrame, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    candidates_materialized: bool = False,
 ) -> DataFrame:
     """Join candidate pairs back to PRE-COMPUTED gram arrays and keep
     pairs over the exact n-gram Jaccard threshold.
@@ -232,7 +233,25 @@ def verify_candidates_jaccard(
     broadcast-hash at scale."""
     from deeptime_spark.operators.text import word_ngrams
 
-    grams = docs.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams"))
+    doc_side = docs
+    if candidates_materialized:
+        # gram computation restricted to candidate-touched documents: at
+        # web scale the candidate set is a sliver of the corpus, so a
+        # semi-join (AQE turns it into a broadcast when the id set is
+        # small) keeps the regex pass off the untouched 99% — identical
+        # results, since grams of non-candidate docs are never read. Only
+        # worth it when ``candidates`` is persisted/checkpointed: the id
+        # set adds two more consumers of the candidate subtree, which
+        # would otherwise re-run the whole LSH pipeline.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        doc_side = docs.join(cand_ids, id_col, "left_semi")
+    grams = doc_side.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+    )
     out = (
         candidates.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("_grams", "_ga"), "id_a")
         .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("_grams", "_gb"), "id_b")

@@ -63,6 +63,21 @@ def test_jaccard_verification(spark, neardup_docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_jaccard_verification_materialized_restriction(spark, neardup_docs):
+    """candidates_materialized=True (gram computation semi-joined down to
+    candidate-touched docs) must return the exact same verified pairs."""
+    cands = dedup.minhash_lsh_candidates(neardup_docs, n_hashes=64, bands=16).persist()
+    try:
+        base = dedup.verify_candidates_jaccard(cands, neardup_docs, threshold=0.5)
+        fast = dedup.verify_candidates_jaccard(
+            cands, neardup_docs, threshold=0.5, candidates_materialized=True
+        )
+        key = lambda r: (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        assert sorted(map(key, base.collect())) == sorted(map(key, fast.collect()))
+    finally:
+        cands.unpersist()
+
+
 def test_simhash_near_duplicates(spark, neardup_docs):
     pairs = dedup.simhash_near_duplicates(neardup_docs, max_hamming=10)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
