@@ -1323,6 +1323,28 @@ def _q_kmeans_embeddings(spark, sf_dir):
     return model.transform(emb).select("vec_id", F.col("state").cast("long").alias("cluster"))
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators/dedup.py:semantic_duplicates): DeterministicKMeans
+    clustering, then per-cluster normalized-gram cosine pruning against
+    lower-id members. Flags and dup_of are integer facts; the oracle
+    replays the identical fit + gram in numpy (oracle_ref.py)."""
+    from deeptime_spark.operators.dedup import semantic_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    flags = semantic_duplicates(
+        emb, n_clusters=8, threshold=0.45, kmeans_max_iter=8, seed=42
+    )
+    return flags.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("is_dup").cast("long").alias("is_dup"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+    )
+
+
 def _q_streaming_dedup_replay(spark, sf_dir):
     """Replay documents.parquet as micro-batches through the Structured
     Streaming exact-dedup operator (streaming/accumulate.py) and report
@@ -1444,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_gram_events": _q_kernel_gram_events,
         "tica_events": _q_tica_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "semantic_dedup": _q_semantic_dedup,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,

@@ -690,3 +690,131 @@ def winnowing_candidates(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------- semantic dedup
+
+def semantic_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_cluster: int = 4096,
+    kmeans_max_iter: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster mark every item whose cosine similarity to ANY lower-id
+    member exceeds ``threshold`` as a semantic duplicate of that earlier
+    member. Complements the surface-form family (exact / MinHash /
+    SimHash / winnowing): it catches paraphrases and re-encodings that
+    share no n-grams.
+
+    Spark shape: assignment via ``DeterministicKMeans`` (bit-reproducible
+    on any partition layout), ONE shuffle on the cluster id, then a
+    grouped Arrow batch per cluster runs the normalized gram matrix in
+    BLAS. Within-cluster work is quadratic by nature, so it is bounded
+    exactly like the LSH buckets: at most ``max_cluster`` members per
+    cluster take part (the lowest ids — deterministic), and at 100 TB you
+    size ``n_clusters`` so the expected cluster fits the cap. The output
+    is layout-independent: each cluster is processed whole, sorted by id,
+    so the same rows produce the same flags on any partitioning.
+
+    Returns (id, cluster, is_dup, max_prior_sim, dup_of) — ``dup_of`` is
+    the MOST-similar earlier member (earliest id under exact ties), null
+    for kept rows; following the dup_of chain downward always ends at a
+    kept representative.
+    """
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from deeptime_spark.clustering.kmeans import DeterministicKMeans
+
+    model = (
+        DeterministicKMeans(
+            n_clusters=n_clusters, seed=seed, max_iter=kmeans_max_iter,
+            order_col=id_col, x_col=x_col,
+        )
+        .fit(emb)
+        .fetch_model()
+    )
+    assigned = model.transform(emb.select(id_col, x_col), x_col=x_col, out_col="_c")
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cluster", LongType()),
+            StructField("is_dup", BooleanType()),
+            StructField("max_prior_sim", DoubleType()),
+            StructField("dup_of", LongType()),
+        ]
+    )
+
+    def dedup_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        over_cap = pdf.iloc[max_cluster:]
+        pdf = pdf.head(max_cluster)
+        ids = pdf["id"].to_numpy()
+        X = np.stack(pdf[x_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm[:, None]
+        S = Xn @ Xn.T
+        n = len(ids)
+        # max over j < i (strict lower triangle per row); argmax gives the
+        # EARLIEST maximizer, so dup_of is deterministic under ties
+        mask = np.tril(np.ones((n, n), dtype=bool), k=-1)
+        neg = np.where(mask, S, -np.inf)
+        max_prior = np.max(neg, axis=1, initial=-np.inf)
+        arg_prior = np.argmax(np.where(mask, S, -np.inf), axis=1)
+        is_dup = max_prior > threshold
+        dup_of = np.where(is_dup, ids[arg_prior], -1)
+        out = pd.DataFrame(
+            {
+                "id": ids,
+                "cluster": np.full(n, int(key[0]), dtype=np.int64),
+                "is_dup": is_dup,
+                "max_prior_sim": np.where(np.isfinite(max_prior), max_prior, None),
+                "dup_of": np.where(is_dup, dup_of, None),
+            }
+        )
+        if len(over_cap):
+            # members beyond the quadratic cap are emitted UNFLAGGED rather
+            # than silently dropped — no row loss, recall degrades only on
+            # the capped tail (same contract as the LSH bucket caps)
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "id": over_cap["id"].to_numpy(),
+                            "cluster": np.full(len(over_cap), int(key[0]), dtype=np.int64),
+                            "is_dup": np.zeros(len(over_cap), dtype=bool),
+                            "max_prior_sim": [None] * len(over_cap),
+                            "dup_of": [None] * len(over_cap),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
+
+    out = assigned.select(
+        F.col(id_col).cast("long").alias("id"), x_col, F.col("_c").cast("long").alias("_c")
+    ).groupBy("_c").applyInPandas(dedup_cluster, schema=schema)
+    return out.withColumnRenamed("id", id_col)
+
+
+def drop_semantic_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    **kwargs,
+) -> DataFrame:
+    """Keep only semantic-dedup survivors (anti-join on flagged ids)."""
+    flags = semantic_duplicates(emb, id_col=id_col, x_col=x_col, **kwargs)
+    losers = flags.where(F.col("is_dup")).select(id_col)
+    return emb.join(losers, on=id_col, how="left_anti")

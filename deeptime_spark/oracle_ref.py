@@ -1220,3 +1220,51 @@ def oracle_doc_lm_score() -> str:
 
 
 _BUILDERS["doc_lm_score"] = oracle_doc_lm_score
+
+
+def oracle_semantic_dedup() -> str:
+    """SemDeDup replica: same DeterministicKMeans fit/assignment as
+    oracle_kmeans (bit-reproducible by construction), then the identical
+    per-cluster normalized gram + strict-lower-triangle max — the gemm
+    shapes match the Spark side exactly because each cluster is processed
+    whole on both sides, so every flag and dup_of is an integer fact."""
+    from deeptime_spark.clustering.kmeans import deterministic_kmeans_numpy
+    from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
+
+    sf = sf_dir()
+    X = _embeddings(sf)  # ordered by vec_id; vec_ids are 0..n-1
+    sample = X[:4096]
+    centers, _ = deterministic_kmeans_numpy(sample, X, n_clusters=8, seed=42, max_iter=8)
+    assign = np.argmin(_euclidean_batch_invariant(X, centers), axis=1)
+    threshold, max_cluster = 0.45, 4096
+    rows = []
+    for c in range(8):
+        ids = np.flatnonzero(assign == c)
+        part = ids[:max_cluster]
+        Xc = X[part]
+        nrm = np.linalg.norm(Xc, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        Xn = Xc / nrm[:, None]
+        S = Xn @ Xn.T
+        n = len(part)
+        mask = np.tril(np.ones((n, n), dtype=bool), k=-1)
+        neg = np.where(mask, S, -np.inf)
+        max_prior = np.max(neg, axis=1, initial=-np.inf)
+        arg_prior = np.argmax(neg, axis=1)
+        is_dup = max_prior > threshold
+        for i in range(n):
+            rows.append(
+                (
+                    int(part[i]),
+                    c,
+                    int(is_dup[i]),
+                    int(part[arg_prior[i]]) if is_dup[i] else -1,
+                )
+            )
+        for i in ids[max_cluster:]:
+            rows.append((int(i), c, 0, -1))
+    rows.sort()
+    return _values_sql(rows, ["vec_id", "cluster", "is_dup", "dup_of"], "bbbb")
+
+
+_BUILDERS["semantic_dedup"] = oracle_semantic_dedup

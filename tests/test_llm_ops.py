@@ -581,3 +581,44 @@ def test_gopher_ops_null_text_safe(spark):
     assert q[0]["passes_gopher"] == 0 and q[0]["n_words"] >= 0
     r = {x["doc_id"]: x for x in gopher_repetition(docs).collect()}
     assert r[0]["frac_dup_lines"] == 0.0
+
+
+def test_semantic_duplicates(spark):
+    """Two tight cosine groups + one isolated vector: the lowest id per
+    group is kept, later members flag as dups of it; layout-independent."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8)
+    rows = []
+    for i in range(4):  # group A: tiny perturbations of base_a
+        rows.append((i, (base_a + 1e-3 * rng.normal(size=8)).tolist()))
+    for i in range(4, 7):  # group B
+        rows.append((i, (base_b + 1e-3 * rng.normal(size=8)).tolist()))
+    rows.append((7, rng.normal(size=8).tolist()))  # isolated
+    df = spark.createDataFrame(rows, "vec_id long, x array<double>")
+
+    flags = dedup.semantic_duplicates(
+        df, n_clusters=2, threshold=0.99, kmeans_max_iter=4
+    )
+    got = {r["vec_id"]: r for r in flags.collect()}
+    assert len(got) == 8
+    assert not got[0]["is_dup"] and not got[4]["is_dup"] and not got[7]["is_dup"]
+    for i in (1, 2, 3):  # dup_of = most-similar EARLIER member of group A
+        assert got[i]["is_dup"] and got[i]["dup_of"] in (0, 1, 2) and got[i]["dup_of"] < i
+    for i in (5, 6):
+        assert got[i]["is_dup"] and got[i]["dup_of"] in (4, 5) and got[i]["dup_of"] < i
+
+    # repartitioned input -> identical flags (clusters processed whole)
+    flags2 = dedup.semantic_duplicates(
+        df.repartition(7), n_clusters=2, threshold=0.99, kmeans_max_iter=4
+    )
+    a = sorted((r["vec_id"], r["is_dup"], r["dup_of"]) for r in flags.collect())
+    b = sorted((r["vec_id"], r["is_dup"], r["dup_of"]) for r in flags2.collect())
+    assert a == b
+
+    kept = dedup.drop_semantic_duplicates(
+        df, n_clusters=2, threshold=0.99, kmeans_max_iter=4
+    )
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 4, 7]
