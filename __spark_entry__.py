@@ -1345,6 +1345,27 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """RAG chunking: overlapping 64-token windows (overlap 16) per
+    document (operators/chunking.py:chunk_documents) — pure codegen
+    sequence+slice, no shuffle; oracle replays the identical list algebra
+    in DuckDB."""
+    from deeptime_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+def _q_doc_packing(spark, sf_dir):
+    """GPT-style concat-and-split packing per source shard, budget 512
+    tokens (operators/chunking.py:pack_documents): per-shard prefix-sum
+    window -> pack indices + straddle flags, all integers."""
+    from deeptime_spark.operators.chunking import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=512)
+
+
 def _q_streaming_dedup_replay(spark, sf_dir):
     """Replay documents.parquet as micro-batches through the Structured
     Streaming exact-dedup operator (streaming/accumulate.py) and report
@@ -1467,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tica_events": _q_tica_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup": _q_semantic_dedup,
+        "doc_chunks": _q_doc_chunks,
+        "doc_packing": _q_doc_packing,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,
@@ -1550,6 +1573,44 @@ def oracle_sql() -> dict[str, str]:
     scores, case = _lang_scores_sql()
     en = _sw_list("en")
     base = {
+        "doc_chunks": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         GREATEST(CAST(ceil(GREATEST(len(toks) - 16, 1) / 48.0) AS BIGINT), 1) AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+FROM n, UNNEST(range(n_chunks)) AS u(i)
+""",
+        "doc_packing": r"""
+WITH t AS (
+  SELECT doc_id, source AS shard,
+         len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                         x -> x != '')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(floor(tok_offset / 512.0) AS BIGINT) AS pack_first,
+       CAST(floor((tok_offset + GREATEST(n_tokens - 1, 0)) / 512.0) AS BIGINT) AS pack_last,
+       CAST(floor(tok_offset / 512.0) != floor((tok_offset + GREATEST(n_tokens - 1, 0)) / 512.0) AS BIGINT)
+         AS straddles
+FROM o
+""",
         "doc_token_stats": r"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,

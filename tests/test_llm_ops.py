@@ -622,3 +622,50 @@ def test_semantic_duplicates(spark):
         df, n_clusters=2, threshold=0.99, kmeans_max_iter=4
     )
     assert sorted(r["vec_id"] for r in kept.collect()) == [0, 4, 7]
+
+
+def test_chunk_documents_edges(spark):
+    from deeptime_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(11))),  # 11 toks: chunks at 0,4,8
+        (1, "only two"),                             # shorter than chunk -> 1 chunk
+        (2, ""),                                     # empty -> 1 empty chunk
+        (3, None),                                   # null-safe
+        (4, " ".join(f"t{i}" for i in range(6))),    # exactly chunk_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=6, overlap=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for v in got.values():
+        v.sort(key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in got[0]] == [6, 6, 3]
+    assert got[0][1]["chunk_text"].split() == [f"t{i}" for i in range(4, 10)]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert got[0][0]["chunk_text"].split()[-2:] == got[0][1]["chunk_text"].split()[:2]
+    assert len(got[1]) == 1 and got[1][0]["n_chunk_tokens"] == 2
+    assert len(got[2]) == 1 and got[2][0]["n_chunk_tokens"] == 0
+    assert len(got[3]) == 1 and got[3][0]["n_chunk_tokens"] == 0
+    assert len(got[4]) == 1 and got[4][0]["n_chunk_tokens"] == 6
+
+
+def test_pack_documents(spark):
+    from deeptime_spark.operators.chunking import pack_documents
+
+    # shard A: 300+300 tokens at budget 512 -> doc 1 straddles the cut;
+    # shard B independent offsets
+    rows = [
+        (0, " ".join("x" for _ in range(300)), "A"),
+        (1, " ".join("x" for _ in range(300)), "A"),
+        (2, " ".join("x" for _ in range(100)), "B"),
+        (3, "", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in pack_documents(df, budget=512).collect()}
+    assert got[0]["tok_offset"] == 0 and got[0]["pack_first"] == 0 == got[0]["pack_last"]
+    assert got[1]["tok_offset"] == 300
+    assert got[1]["pack_first"] == 0 and got[1]["pack_last"] == 1 and got[1]["straddles"] == 1
+    assert got[2]["tok_offset"] == 0 and got[2]["shard"] == "B"
+    assert got[3]["n_tokens"] == 0 and got[3]["straddles"] == 0
