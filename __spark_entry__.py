@@ -1463,13 +1463,13 @@ def _q_streaming_transition_counts(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records queries in
-    # declaration order (r02 recorded exactly the first 50 of 68). Slots
-    # 1-23: every query with no prior driver evidence (estimator pipelines,
-    # streaming replay, MSM pipelines — most now oracle-backed via
-    # oracle_ref). Slots 24-50: oracle-backed operator/relational queries.
-    # Past 50: relational queries green in r02 and rows-only LSH/ANN
-    # pipelines that ran in r02 — rotated back in next round if the window
-    # persists (see COVERAGE.md).
+    # declaration order (r02 recorded exactly the first 50 of 68). The
+    # front of the window holds every query with no prior driver evidence
+    # (estimator pipelines, streaming replay, MSM pipelines — oracle-backed
+    # via oracle_ref — plus the round-4 additions semantic_dedup,
+    # doc_chunks, doc_packing); the rest of the 50 are oracle-backed
+    # operator/relational queries. Past 50: queries green in r02 — rotated
+    # back in next round if the window persists (see COVERAGE.md).
     return {
         # --- estimator pipelines unverified in r02: declared first ---
         "tram_events": _q_tram_events,
