@@ -310,8 +310,15 @@ def simhash_signatures_df(
     ``aggregate`` passes over the token array. Map-side partial sums mean
     the shuffle carries |docs| x bits longs.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
-    h = F.xxhash64("_t")
+    # hash projected ONCE before the aggregate: inlining xxhash64 into all
+    # ``bits`` aggregate expressions multiplies the generated code size by
+    # 64x and the first-run JIT compile goes from ~1s to ~5s (execution
+    # cost is identical — runtime subexpression elimination handles it —
+    # but compile time is what a fresh plan pays)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t")).select(
+        F.col(id_col), F.xxhash64("_t").alias("_h")
+    )
+    h = F.col("_h")
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
