@@ -157,8 +157,16 @@ def minhash_signatures_df(
     the right plan at 100 TB as well as the fast one locally.
     """
     sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_sh"))
-    mins = sh.groupBy(id_col).agg(
-        *[F.min(F.hash("_sh", F.lit(i))).alias(f"_h{i}") for i in range(n_hashes)]
+    # all n_hashes murmur blocks live in ONE projection; the aggregate is
+    # n_hashes tiny min(element_at) buffers — same values, but the
+    # generated aggregate code stays small, so a fresh plan's JIT compile
+    # is ~2.5s cheaper than inlining the hash into every aggregate
+    hs = sh.select(
+        F.col(id_col),
+        F.array(*[F.hash("_sh", F.lit(i)) for i in range(n_hashes)]).alias("_hs"),
+    )
+    mins = hs.groupBy(id_col).agg(
+        *[F.min(F.element_at("_hs", i + 1)).alias(f"_h{i}") for i in range(n_hashes)]
     )
     return mins.select(F.col(id_col), F.array(*[f"_h{i}" for i in range(n_hashes)]).alias(out_col))
 
