@@ -512,23 +512,23 @@ def connected_components(
     ``component`` is the minimum node id in the component.
     """
     spark = edges.sparkSession
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    if local_threshold > 0:
-        # union-find needs neither symmetrized nor distinct edges, so the
-        # fast path is ONE job: run the (possibly expensive) upstream pair
-        # pipeline straight into a bounded collect — no persist, no
-        # union/distinct shuffle. <= threshold rows back means we saw every
-        # edge; otherwise fall through to the distributed loop.
-        head = e0.limit(local_threshold + 1).collect()
-        if len(head) <= local_threshold:
-            comp = _union_find_local([(r["a"], r["b"]) for r in head])
-            return spark.createDataFrame(
-                sorted(comp.items()), "node long, component long"
-            )
-    # distributed path: materialize the pair pipeline ONCE — the
-    # symmetrizing union would otherwise recompute it per branch
-    e0 = e0.persist()
-    e0.count()
+    # materialize the (possibly expensive) upstream pair pipeline exactly
+    # ONCE via persist+count. Never limit().collect() an unpersisted
+    # pipeline here: Spark's incremental collect-limit starts with one
+    # partition and re-executes the whole upstream as it widens — on an
+    # LSH+verify pipeline that multiplies the dominant cost several times.
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    n_edges = e0.count()
+    if 0 < local_threshold >= n_edges:
+        # union-find needs neither symmetrized nor distinct edges: collect
+        # the raw pairs from cache and solve on the driver — no
+        # union/distinct shuffle, bit-identical output.
+        head = e0.collect()
+        e0.unpersist()
+        comp = _union_find_local([(r["a"], r["b"]) for r in head])
+        return spark.createDataFrame(
+            sorted(comp.items()), "node long, component long"
+        )
     sym = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
