@@ -188,13 +188,23 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     would poison every downstream metric with nulls/-1 sizes).
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(c)
+    # STAGED projections: the token/line splits are materialized once as
+    # intermediate array columns and every metric reads the column, and the
+    # passes flag reads the metric COLUMNS. Folding all of this into one
+    # select re-inlines each regex split ~5x and the metric expressions
+    # again inside the flag — the expression tree blows up whole-stage
+    # codegen and a fresh plan pays ~6s of JIT compile for identical
+    # runtime. (CollapseProject keeps the stages: it does not duplicate
+    # non-cheap aliased expressions.)
+    base = df.select("*", tokens(c).alias("_toks"), F.split(c, r"\n").alias("_lines"))
+    toks = F.col("_toks")
+    lines = F.col("_lines")
     n_words = F.size(toks)
-    mean_len = mean_word_length(c)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = total_len.cast("double") / F.greatest(F.size(toks), F.lit(1))
     n_hash = F.length(F.regexp_replace(c, r"[^#]", ""))
     n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), 0))
     symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
-    lines = F.split(c, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     frac_bullet = F.size(
         F.filter(lines, lambda l: l.rlike(r"^\s*[-*•‣▶]"))
@@ -211,16 +221,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda w: F.array_contains(toks, w),
         )
     )
-    passes = (
-        n_words.between(50, 100_000)
-        & mean_len.between(3.0, 10.0)
-        & (symbol_ratio < 0.1)
-        & (frac_bullet < 0.9)
-        & (frac_ellipsis_l < 0.3)
-        & (frac_alpha >= 0.8)
-        & (n_stop_hits >= 2)
-    )
-    return df.select(
+    metrics = base.select(
         "*",
         n_words.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
@@ -229,8 +230,17 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         frac_ellipsis_l.alias("frac_ellipsis_lines"),
         frac_alpha.alias("frac_alpha_words"),
         n_stop_hits.cast("long").alias("n_stop_hits"),
-        passes.cast("long").alias("passes_gopher"),
+    ).drop("_toks", "_lines")
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("frac_bullet_lines") < 0.9)
+        & (F.col("frac_ellipsis_lines") < 0.3)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_stop_hits") >= 2)
     )
+    return metrics.select("*", passes.cast("long").alias("passes_gopher"))
 
 
 def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
