@@ -40,6 +40,7 @@ QUERIES = [
     # text / dedup over documents (dup density grows with k)
     "doc_token_stats", "minhash_bands", "dedup_verified_pairs",
     "dedup_components", "simhash_pairs", "doc_gopher_repetition",
+    "doc_chunks", "doc_packing", "semantic_dedup",
     # similarity over embeddings
     "knn_bruteforce", "ivf_topk",
     # relational over lineitem
