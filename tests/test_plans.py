@@ -182,3 +182,29 @@ def test_gopher_paths_stay_jvm_side(spark):
 def test_range_join_no_nested_loop_in_harness_query(spark):
     plan = plan_of(entrymod._q_event_session_range_join(spark, SF))
     assert "BroadcastNestedLoop" not in plan, plan[:1200]
+
+
+def test_simhash_hash_not_inlined_into_aggregates(spark):
+    # xxhash64 must be computed in ONE projection, not inlined into the 64
+    # bit-vote aggregates (generated-aggregate code size -> ~5s JIT compile
+    # for a fresh plan). The plan therefore contains exactly one xxhash64.
+    from deeptime_spark.operators.dedup import simhash_signatures_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(simhash_signatures_df(docs))
+    assert plan.count("xxhash64") == 1, plan[:2000]
+
+
+def test_minhash_hash_not_inlined_into_aggregates(spark):
+    # the 32 murmur blocks live in one projection; the aggregate buffers
+    # are min(element_at(...)) — no hash(...) calls inside HashAggregate
+    from deeptime_spark.operators.dedup import minhash_signatures_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures_df(docs, n_hashes=32))
+    agg_sections = [
+        seg for seg in plan.split("\n") if "HashAggregate" in seg
+    ]
+    assert agg_sections, plan[:1500]
+    for seg in agg_sections:
+        assert "hash(_sh" not in seg, seg[:800]
