@@ -1366,6 +1366,34 @@ def _q_doc_packing(spark, sf_dir):
     return pack_documents(docs, budget=512)
 
 
+def _q_corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end training-corpus cleaning: token-length filter -> exact
+    dedup -> MinHash-LSH near-dup drop (connected components elect the
+    min-id canonical) -> GPT-style sequence packing of the survivors.
+    One DataFrame pipeline composing the dedup/chunking operators; the
+    oracle replays every stage with the bit-exact hash replicas
+    (oracle_ref.py:oracle_corpus_clean)."""
+    from deeptime_spark.operators.chunking import pack_documents
+    from deeptime_spark.operators.dedup import (
+        drop_exact_duplicates,
+        drop_near_duplicates,
+        minhash_lsh_candidates,
+        verify_candidates_jaccard,
+    )
+    from deeptime_spark.operators.text import token_count
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    s1 = docs.where(token_count("text") >= 30)
+    # persisted: the survivor frame feeds candidate generation, gram
+    # verification, and the final anti-join — without the cache the
+    # filter+dedup window would re-run per consumer
+    s2 = drop_exact_duplicates(s1).persist()
+    cands = minhash_lsh_candidates(s2, n_hashes=32, bands=8)
+    pairs = verify_candidates_jaccard(cands, s2, threshold=0.2)
+    s3 = drop_near_duplicates(s2, pairs)
+    return pack_documents(s3, budget=512)
+
+
 def _q_streaming_dedup_replay(spark, sf_dir):
     """Replay documents.parquet as micro-batches through the Structured
     Streaming exact-dedup operator (streaming/accumulate.py) and report
@@ -1490,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "doc_chunks": _q_doc_chunks,
         "doc_packing": _q_doc_packing,
+        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,

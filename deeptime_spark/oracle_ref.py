@@ -1268,3 +1268,85 @@ def oracle_semantic_dedup() -> str:
 
 
 _BUILDERS["semantic_dedup"] = oracle_semantic_dedup
+
+
+def oracle_corpus_clean() -> str:
+    """End-to-end pipeline replica: length filter -> exact dedup (min-id
+    per md5) -> MinHash-LSH + Jaccard near-dup drop (union-find canonical
+    election) -> per-shard concat-and-split packing. Every stage reuses
+    the bit-exact replicas above; all outputs are integer facts."""
+    import hashlib
+
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    docs = [(int(i), t, s) for i, t, s in rows]
+    # stage 1: token-count filter (Spark: size(split(trim(lower), '\s+')) >= 30)
+    s1 = [(i, t, s) for i, t, s in docs if len(_tokens_py(t)) >= 30]
+    # stage 2: exact dedup, min-id representative per md5(text)
+    seen: dict = {}
+    s2 = []
+    for i, t, s in s1:
+        h = hashlib.md5(t.encode()).hexdigest()
+        if h not in seen:
+            seen[h] = i
+            s2.append((i, t, s))
+    # stage 3: near-dup candidates on the SURVIVOR set (bucket caps apply
+    # to the filtered corpus, mirroring the Spark pipeline), Jaccard
+    # verification, union-find, drop non-canonical members
+    sigs = _minhash_sigs(sf)  # per-doc signatures, corpus-independent
+    n_hashes, bands = 32, 8
+    r = n_hashes // bands
+    buckets: dict = {}
+    for i, _, _ in s2:
+        sig = sigs[i]
+        for b in range(bands):
+            block = sig[b * r : (b + 1) * r]
+            key_str = "[" + ", ".join(str(int(v)) for v in block) + "]"
+            buckets.setdefault((b, xxhash64(key_str.encode())), []).append(i)
+    grams = {i: _word_ngram_set(t) for i, t, _ in s2}
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(_bucket_pairs_py(buckets)):
+        ga, gb = grams[a], grams[b]
+        if len(ga & gb) / max(len(ga | gb), 1) >= 0.2:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    losers = {n for n in parent if find(n) != n}
+    s3 = [(i, t, s) for i, t, s in s2 if i not in losers]
+    # stage 4: concat-and-split packing per source shard, budget 512
+    out = []
+    offsets: dict = {}
+    for i, t, s in s3:  # already sorted by doc_id
+        n_tok = len([x for x in _tokens_py(t) if x != ""])
+        off = offsets.get(s, 0)
+        offsets[s] = off + n_tok
+        pf = off // 512
+        pl = (off + max(n_tok - 1, 0)) // 512
+        out.append((i, s, n_tok, off, pf, pl, int(pf != pl)))
+    body = ",\n".join(
+        f"({i}, '{s}', {n}, {o}, {pf}, {pl}, {st})" for i, s, n, o, pf, pl, st in out
+    )
+    return f"""SELECT CAST(c0 AS BIGINT) AS doc_id, c1 AS shard,
+       CAST(c2 AS BIGINT) AS n_tokens, CAST(c3 AS BIGINT) AS tok_offset,
+       CAST(c4 AS BIGINT) AS pack_first, CAST(c5 AS BIGINT) AS pack_last,
+       CAST(c6 AS BIGINT) AS straddles
+FROM (VALUES\n{body}\n) AS v(c0, c1, c2, c3, c4, c5, c6)"""
+
+
+_BUILDERS["corpus_clean_pipeline"] = oracle_corpus_clean
