@@ -64,6 +64,12 @@ HEADLINE = [
     "doc_winnowing",
     "doc_lm_score",
     "event_session_range_join",
+    # round-4 late additions: semantic dedup, chunk/pack layer, and the
+    # end-to-end cleaning composition
+    "semantic_dedup",
+    "doc_chunks",
+    "doc_packing",
+    "corpus_clean_pipeline",
 ]
 
 
