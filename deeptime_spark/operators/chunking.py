@@ -74,6 +74,7 @@ def pack_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_col: str = "source",
+    docs_per_shard: int | None = None,
 ) -> DataFrame:
     """Concat-and-split sequence packing per shard.
 
@@ -87,12 +88,26 @@ def pack_documents(
 
     One window over the shard partitioning: the prefix sum is the only
     sequential dependency, and it is per shard — the scale knob is the
-    shard count, not the corpus size.
+    shard count, not the corpus size. When the natural shards are too few
+    for the cluster (parallelism == shard count), ``docs_per_shard``
+    sub-shards each one deterministically by id range: shard becomes
+    ``source#<doc_id div docs_per_shard>``, each virtual shard packs
+    independently (offsets restart — packing is per-shard by definition),
+    and parallelism scales with corpus size again.
     """
     n_tok = F.size(F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""))
+    shard_expr = F.col(shard_col).cast("string")
+    if docs_per_shard is not None:
+        if docs_per_shard < 1:
+            raise ValueError("docs_per_shard must be >= 1")
+        shard_expr = F.concat_ws(
+            "#",
+            shard_expr,
+            F.floor(F.col(id_col) / docs_per_shard).cast("string"),
+        )
     w = Window.partitionBy("shard").orderBy(id_col)
     out = df.select(
-        F.col(id_col), F.col(shard_col).alias("shard"), n_tok.alias("n_tokens")
+        F.col(id_col), shard_expr.alias("shard"), n_tok.alias("n_tokens")
     ).withColumn(
         "tok_offset", F.coalesce(F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0))
     )

@@ -669,3 +669,22 @@ def test_pack_documents(spark):
     assert got[1]["pack_first"] == 0 and got[1]["pack_last"] == 1 and got[1]["straddles"] == 1
     assert got[2]["tok_offset"] == 0 and got[2]["shard"] == "B"
     assert got[3]["n_tokens"] == 0 and got[3]["straddles"] == 0
+
+
+def test_pack_documents_virtual_shards(spark):
+    """docs_per_shard sub-shards deterministically: each virtual shard
+    packs independently with offsets restarting at 0, and within a
+    virtual shard the result equals packing that id range alone."""
+    from deeptime_spark.operators.chunking import pack_documents
+
+    rows = [(i, " ".join("x" for _ in range(100)), "A") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in pack_documents(df, budget=256, docs_per_shard=2).collect()}
+    assert got[0]["shard"] == "A#0" and got[5]["shard"] == "A#2"
+    # offsets restart per virtual shard: docs 0,2,4 each start a shard
+    for i in (0, 2, 4):
+        assert got[i]["tok_offset"] == 0 and got[i]["pack_first"] == 0
+    # second member of each shard: offset 100, crosses the 256 cut at 199? no
+    for i in (1, 3, 5):
+        assert got[i]["tok_offset"] == 100
+        assert got[i]["pack_first"] == 0 and got[i]["pack_last"] == 0
