@@ -688,3 +688,58 @@ def test_pack_documents_virtual_shards(spark):
     for i in (1, 3, 5):
         assert got[i]["tok_offset"] == 100
         assert got[i]["pack_first"] == 0 and got[i]["pack_last"] == 0
+
+
+def test_chunk_pack_properties(spark):
+    """Property sweep over random corpora: chunking covers every token
+    with exact overlap; packing offsets are a consistent prefix sum and
+    pack indices are monotone within each shard."""
+    import numpy as np
+
+    from deeptime_spark.operators.chunking import chunk_documents, pack_documents
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 60))
+        rows.append(
+            (i, " ".join(f"w{rng.integers(0, 50)}" for _ in range(n)),
+             f"s{int(rng.integers(0, 3))}")
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ct, ov = 16, 4
+    chunks = {}
+    for r in chunk_documents(df, chunk_tokens=ct, overlap=ov).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    toks_by_id = {i: [w for w in t.split() if w] for i, t, _ in rows}
+    for i, t, _ in rows:
+        cs = sorted(chunks[i], key=lambda r: r["chunk_idx"])
+        toks = toks_by_id[i]
+        # coverage: stitching chunk windows at their stride reproduces the doc
+        stitched = list(cs[0]["chunk_text"].split())
+        for c in cs[1:]:
+            stitched += c["chunk_text"].split()[ov:] if len(cs) > 1 else []
+        if toks:
+            assert stitched == toks, (i, stitched, toks)
+        # overlap: consecutive chunks share exactly `ov` tokens (full chunks)
+        for a, b in zip(cs, cs[1:]):
+            at = a["chunk_text"].split()
+            if len(at) == ct:
+                assert at[-ov:] == b["chunk_text"].split()[: min(ov, b["n_chunk_tokens"])]
+
+    packed = pack_documents(df, budget=64)
+    by_shard = {}
+    for r in packed.collect():
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        prev_pack = 0
+        for r in rs:
+            assert r["tok_offset"] == run  # prefix-sum consistency
+            assert r["n_tokens"] == len(toks_by_id[r["doc_id"]])
+            assert r["pack_first"] >= prev_pack  # monotone packs
+            assert r["pack_last"] >= r["pack_first"]
+            assert (r["straddles"] == 1) == (r["pack_first"] != r["pack_last"])
+            prev_pack = r["pack_first"]
+            run += r["n_tokens"]
