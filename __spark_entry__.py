@@ -1394,6 +1394,56 @@ def _q_corpus_clean_pipeline(spark, sf_dir):
     return pack_documents(s3, budget=512)
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """Native session_window sessionization on a replayed event stream
+    (streaming/accumulate.py:streaming_session_counts). Events are split
+    across 4 arbitrary files, so one user's sessions SPAN micro-batches
+    and the session state must merge across triggers — no in-order
+    contract. Complete output mode gives exact end-of-stream batch
+    equivalence; the oracle is the gap-rule sessionization in SQL
+    (new session iff gap >= 30 min, matching session_window's half-open
+    [ts, ts+gap) extents)."""
+    import tempfile
+    import uuid
+
+    from deeptime_spark.streaming.accumulate import streaming_session_counts
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    src_dir = tempfile.mkdtemp(prefix="sess_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sess = streaming_session_counts(stream, gap="30 minutes")
+    sink = "sessw_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        [(int(r["user_id"]), int(r["n_sessions"]), int(r["n_events"])) for r in rows],
+        "user_id long, n_sessions long, n_events long",
+    )
+
+
 def _q_streaming_dedup_replay(spark, sf_dir):
     """Replay documents.parquet as micro-batches through the Structured
     Streaming exact-dedup operator (streaming/accumulate.py) and report
@@ -1535,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming batch-equivalence harness ---
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,
+        "streaming_sessions": _q_streaming_sessions,
         # --- MSM pipelines that ran rows-only in r02 ---
         "msm_pi_events": _q_msm_pi_events,
         "msm_its_events": _q_msm_its_events,
@@ -1639,6 +1690,18 @@ SELECT doc_id, shard,
        CAST(floor(tok_offset / 512.0) != floor((tok_offset + GREATEST(n_tokens - 1, 0)) / 512.0) AS BIGINT)
          AS straddles
 FROM o
+""",
+        "streaming_sessions": r"""
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id
 """,
         "doc_token_stats": r"""
 SELECT doc_id,

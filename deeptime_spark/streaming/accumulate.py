@@ -177,3 +177,29 @@ def streaming_transition_counts(stream_df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_session_counts(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization on a stream via Spark's native
+    ``session_window`` aggregation (SURVEY §2.14 sessions, streaming
+    form): one row per (user, session) with the event count. Session
+    state merges across micro-batches and out-of-order arrivals — the
+    operator needs NO in-order contract, unlike the stateful transition
+    counter. Run in complete output mode for exact end-of-stream batch
+    equivalence (append mode would hold back sessions the watermark has
+    not closed); at true scale, append mode + a watermark bounds the
+    state instead and late sessions trail by the allowed lateness.
+
+    Boundary semantics: an event at exactly ``gap`` after the previous
+    one starts a NEW session (session extents are half-open
+    ``[ts, ts+gap)``).
+    """
+    return (
+        stream_df.groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -110,3 +110,53 @@ def test_streaming_drop_exact_duplicates(spark, tmpdir):
     out = spark.sql("SELECT text FROM dedup_out").collect()
     texts = sorted(r["text"] for r in out)
     assert texts == ["alpha beta", "delta", "gamma"]
+
+
+def test_streaming_session_counts_cross_batch_merge(spark, tmp_path):
+    """A user's session split across two micro-batch files must merge
+    into ONE session (state merge across triggers)."""
+    import pandas as pd
+
+    from deeptime_spark.streaming.accumulate import streaming_session_counts
+
+    # user 1: events at t0, t0+10min (same session, different files);
+    # user 2: events 40min apart -> two sessions
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    f1 = pd.DataFrame(
+        {"user_id": [1, 2], "ts": [t0, t0], "event_id": [1, 2]}
+    )
+    f2 = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": [t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(minutes=40)],
+            "event_id": [3, 4],
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(f1).coalesce(1).write.mode("overwrite").parquet(src + "/a")
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(src + "/a")
+    schema = spark.read.parquet(src + "/a").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/a")
+    )
+    from pyspark.sql import functions as F
+
+    q = (
+        streaming_session_counts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessw_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.table("sessw_test")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    spark.catalog.dropTempView("sessw_test")
+    assert got == {1: 1, 2: 2}
