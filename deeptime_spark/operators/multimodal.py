@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -258,6 +259,74 @@ def extract_features(media: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.select("media_id", "payload").mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def resize_image(img: "np.ndarray", height: int, width: int) -> "np.ndarray":
+    """Nearest-neighbor resize — pure index math, no codec library, and
+    deterministic (the same pixel is chosen for a target cell on any
+    platform: floor(i * src / dst))."""
+    ys = (np.arange(height) * img.shape[0]) // height
+    xs = (np.arange(width) * img.shape[1]) // width
+    return img[ys][:, xs]
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("ok", BooleanType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, height: int = 32, width: int = 32) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-emit raw RGB bytes, as one
+    Arrow-batched mapInPandas stage (the resize step of an image
+    preprocessing pipeline). PPM/BMP payloads decode for real; anything
+    else (including WAV/garbage) yields ok=false with a null payload —
+    no silent fakes in the resize path. Output payload is height*width*3
+    uint8 bytes (row-major RGB), bounded regardless of input size, so the
+    stage SHRINKS data volume — the property that matters at 100 TB.
+    """
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_ok, out_payload = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else b""
+                img = None
+                try:
+                    img = decode_ppm(raw)
+                except Exception:
+                    try:
+                        img = decode_bmp(raw)
+                    except Exception:
+                        img = None
+                if img is None:
+                    out_ok.append(False)
+                    out_payload.append(None)
+                else:
+                    out_ok.append(True)
+                    out_payload.append(
+                        resize_image(img, height, width).astype(np.uint8).tobytes()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "ok": out_ok,
+                    "payload": out_payload,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(work, schema=RESIZE_SCHEMA)
 
 
 def frame_sample_plan(video: DataFrame, every_ms: int = 1000) -> DataFrame:

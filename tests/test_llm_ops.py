@@ -743,3 +743,27 @@ def test_chunk_pack_properties(spark):
             assert (r["straddles"] == 1) == (r["pack_first"] != r["pack_last"])
             prev_pack = r["pack_first"]
             run += r["n_tokens"]
+
+
+def test_resize_images_real_ppm(spark):
+    """Resize decodes real PPM bytes, emits bounded row-major RGB, and
+    nearest-neighbor picks the exact expected source pixels; non-image
+    payloads come back ok=false instead of silently faked."""
+    import numpy as np
+
+    from deeptime_spark.operators.multimodal import (
+        decode_ppm, resize_image, resize_images, synth_ppm,
+    )
+
+    rows = [
+        (0, bytearray(synth_ppm(16, 12, seed=3))),
+        (1, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in resize_images(df, height=4, width=5).collect()}
+    assert got[1]["ok"] is False and got[1]["payload"] is None
+    r0 = got[0]
+    assert r0["ok"] and len(r0["payload"]) == 4 * 5 * 3
+    img = decode_ppm(synth_ppm(16, 12, seed=3))
+    want = resize_image(img, 4, 5).astype(np.uint8).tobytes()
+    assert bytes(r0["payload"]) == want
