@@ -1394,6 +1394,19 @@ def _q_corpus_clean_pipeline(spark, sf_dir):
     return pack_documents(s3, budget=512)
 
 
+def _q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py:decontaminate):
+    flag corpus documents sharing any distinct word 8-gram with the probe
+    set (stand-in benchmark = docs with doc_id < 20). Probe gram hashes
+    broadcast; corpus side is one codegen regex pass + broadcast
+    semi-join — the corpus never shuffles."""
+    from deeptime_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.where(F.col("doc_id") < 20)
+    return decontaminate(docs, probes, n=8, min_hits=1)
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """Native session_window sessionization on a replayed event stream
     (streaming/accumulate.py:streaming_session_counts). Events are split
@@ -1569,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "doc_packing": _q_doc_packing,
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
+        "doc_decontaminate": _q_doc_decontaminate,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,

@@ -833,3 +833,57 @@ def drop_semantic_duplicates(
     flags = semantic_duplicates(emb, id_col=id_col, x_col=x_col, **kwargs)
     losers = flags.where(F.col("is_dup")).select(id_col)
     return emb.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------- decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    ``min_hits`` distinct word n-grams with any probe (eval/benchmark)
+    document — the standard n-gram-overlap contamination check run
+    before training (as in GPT-3 appx. C / PaLM: 8-13-gram collision).
+
+    Spark shape: the probe set is tiny relative to the corpus, so its
+    distinct gram hashes build ONCE and broadcast; the corpus side is one
+    codegen regex pass per document (explode grams -> xxhash64) and a
+    broadcast-hash semi-join + count. No shuffle of the corpus: the join
+    and the groupBy(id) both run map-side against the broadcast set, and
+    the aggregate's partial is per document. Returns
+    (id, n_contaminated_grams, contaminated).
+    """
+    from deeptime_spark.operators.text import word_ngrams
+
+    probe_grams = (
+        probes.select(F.explode(word_ngrams(F.col(probe_text_col), n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    ).select(F.col(id_col), F.xxhash64("_g").alias("_gh"))
+    hits = (
+        doc_grams.join(F.broadcast(probe_grams), "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("long").alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) >= min_hits)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

@@ -1350,3 +1350,24 @@ FROM (VALUES\n{body}\n) AS v(c0, c1, c2, c3, c4, c5, c6)"""
 
 
 _BUILDERS["corpus_clean_pipeline"] = oracle_corpus_clean
+
+
+def oracle_doc_decontaminate() -> str:
+    """Decontamination replica: distinct word 8-grams per document via
+    the same normalize/split mirror, probe set = union of grams of docs
+    with id < 20, per-doc count of grams in the probe set."""
+    sf = sf_dir()
+    docs = _docs(sf)
+    grams = {i: _word_ngram_set(t, 8) for i, t in docs}
+    probe_set: set = set()
+    for i, _ in docs:
+        if i < 20:
+            probe_set |= grams[i]
+    rows = []
+    for i, _ in docs:
+        hits = len(grams[i] & probe_set)
+        rows.append((i, hits, int(hits >= 1)))
+    return _values_sql(rows, ["doc_id", "n_contaminated_grams", "contaminated"], "bbb")
+
+
+_BUILDERS["doc_decontaminate"] = oracle_doc_decontaminate

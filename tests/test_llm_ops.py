@@ -767,3 +767,22 @@ def test_resize_images_real_ppm(spark):
     img = decode_ppm(synth_ppm(16, 12, seed=3))
     want = resize_image(img, 4, 5).astype(np.uint8).tobytes()
     assert bytes(r0["payload"]) == want
+
+
+def test_decontaminate(spark):
+    from deeptime_spark.operators.dedup import decontaminate
+
+    probe_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, probe_text),                                  # probe itself
+        (1, "prefix words then " + probe_text),           # contains probe 8-grams
+        (2, "totally different words in every position here now ok yes"),
+        (3, None),                                        # null-safe
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = docs.where(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r for r in decontaminate(docs, probes, n=8).collect()}
+    assert got[0]["contaminated"] == 1
+    assert got[1]["contaminated"] == 1 and got[1]["n_contaminated_grams"] >= 1
+    assert got[2]["contaminated"] == 0 and got[2]["n_contaminated_grams"] == 0
+    assert got[3]["contaminated"] == 0
