@@ -133,3 +133,23 @@ def test_kahan_sum_and_dot():
     rng = np.random.default_rng(4)
     A, B = rng.normal(size=(3, 5)), rng.normal(size=(5, 2))
     np.testing.assert_allclose(kdot(A, B), A @ B, rtol=1e-12)
+
+
+def test_approx_sketches_within_bounds(spark):
+    """The approximate aggregation surface (SURVEY §2.14): HLL distinct
+    counts and approx percentiles land within their documented error
+    bounds against the exact answers on harness events. (Approx sketches
+    are engine-specific, so they live under pytest bounds, not the
+    DuckDB value-hash gate.)"""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    row = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10_000).alias("approx_q"),
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("exact_q"),
+    ).collect()[0]
+    assert abs(row["approx_users"] - row["exact_users"]) <= 0.06 * row["exact_users"]
+    for a, e in zip(row["approx_q"], row["exact_q"]):
+        assert abs(a - e) <= max(0.05 * abs(e), 1e-9)
