@@ -6,3 +6,41 @@ from deeptime_spark.operators.lag import (  # noqa: F401
     cvsplit,
     strided,
 )
+
+# LLM-data-pipeline surface (lazy imports would save nothing: these
+# modules import only pyspark/numpy/pandas, all already loaded)
+from deeptime_spark.operators.chunking import (  # noqa: F401
+    chunk_documents,
+    pack_documents,
+)
+from deeptime_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    decontaminate,
+    drop_exact_duplicates,
+    drop_near_duplicates,
+    drop_semantic_duplicates,
+    duplicate_clusters,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    semantic_duplicates,
+    simhash_near_duplicates,
+    verify_candidates_jaccard,
+    winnowing_candidates,
+)
+from deeptime_spark.operators.multimodal import (  # noqa: F401
+    extract_features,
+    frame_sample_plan,
+    resize_images,
+)
+from deeptime_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from deeptime_spark.operators.text import (  # noqa: F401
+    detect_language,
+    gopher_quality,
+    gopher_repetition,
+    text_stats,
+    unigram_lm_scores_df,
+)
