@@ -41,6 +41,7 @@ QUERIES = [
     "doc_token_stats", "minhash_bands", "dedup_verified_pairs",
     "dedup_components", "simhash_pairs", "doc_gopher_repetition",
     "doc_chunks", "doc_packing", "semantic_dedup",
+    "corpus_clean_pipeline", "doc_decontaminate",
     # similarity over embeddings
     "knn_bruteforce", "ivf_topk",
     # relational over lineitem
