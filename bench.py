@@ -123,6 +123,14 @@ def main() -> None:
         except Exception as e:  # keep the bench line parseable even on error
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+        # Session hygiene between queries: a single long-lived local JVM
+        # accumulates cached relations, broadcast blocks, and AQE plan
+        # state across 40+ queries; without this the later (heavier)
+        # queries pay 2-4x in GC pressure that says nothing about their
+        # own plans.  Each query is still timed with a cold cache, which
+        # is the honest per-operator number.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

