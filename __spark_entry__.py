@@ -1189,6 +1189,53 @@ def _q_doc_gopher_repetition(spark, sf_dir):
     return gopher_top_ngram_fractions(gopher_repetition(docs)).drop("text")
 
 
+def _q_doc_span_dedup(spark, sf_dir):
+    """Exact duplicated-span detection (Lee et al. ACL'22 substring dedup
+    reduced to non-overlapping 10-token windows): per-doc span counts and
+    the fraction of spans that are non-first global occurrences."""
+    from deeptime_spark.operators.dedup import dedup_token_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_token_spans(docs, span_tokens=10)
+
+
+def _q_doc_c4_filter(spark, sf_dir):
+    """C4 line-level cleaning rules (Raffel et al. JMLR'20 §2.2): per-doc
+    kept-line tally and the md5 of the reassembled clean text. The
+    terminal-punctuation rule is off because the synthetic corpus has no
+    sentence punctuation — the word-count and bad-phrase rules carry the
+    filter."""
+    from deeptime_spark.operators.text import c4_line_filter
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = c4_line_filter(
+        docs, min_words=5, require_terminal_punct=False, min_kept_lines=1
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines_total",
+        "n_lines_kept",
+        "passes_c4",
+    )
+
+
+def _q_doc_line_dedup(spark, sf_dir):
+    """C4-style GLOBAL line dedup: each non-trivial line survives only at
+    its first (doc_id, line_no) occurrence corpus-wide; docs reassembled
+    in line order (operators/dedup.py:drop_duplicate_lines_across_docs)."""
+    from deeptime_spark.operators.dedup import drop_duplicate_lines_across_docs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = drop_duplicate_lines_across_docs(docs, min_chars=10)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
 def _q_event_session_range_join(spark, sf_dir):
     """Sessionize events (30-min gaps), then RANGE-JOIN the raw events
     back onto the session intervals (operators/lag.py:range_join —
@@ -1583,6 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": _q_doc_packing,
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_span_dedup": _q_doc_span_dedup,
+        "doc_c4_filter": _q_doc_c4_filter,
+        "doc_line_dedup": _q_doc_line_dedup,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,
@@ -1981,6 +2031,73 @@ SELECT doc_id,
        AND len(list_filter(['the','be','to','of','and','that','have','with'],
                            w -> list_contains(toks, w))) >= 2 AS BIGINT) AS passes_gopher
 FROM base
+""",
+        "doc_span_dedup": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+), spans AS (
+  SELECT doc_id, i AS span_no, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS span
+  FROM toks, LATERAL (SELECT unnest(range(CAST(greatest(floor(len(t)/10), 0) AS BIGINT))) AS i)
+), marked AS (
+  SELECT doc_id,
+    CAST(count(*) OVER (PARTITION BY span) > 1
+         AND row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) > 1 AS BIGINT) AS dup
+  FROM spans
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(dup) AS n_dup FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+  CAST(coalesce(p.n_dup, 0) AS DOUBLE) / greatest(coalesce(p.n_spans, 0), 1) AS dup_span_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "doc_c4_filter": r"""
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines FROM documents
+), f AS (
+  SELECT doc_id, lines,
+    list_filter(lines, l -> length(trim(l)) > 0
+      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(lower(l), 'lorem ipsum')
+      AND NOT contains(lower(l), 'cookie policy')
+      AND NOT contains(lower(l), 'privacy policy')
+      AND NOT contains(lower(l), 'terms of use')
+      AND NOT contains(lower(l), '{')) AS kept
+  FROM base
+)
+SELECT doc_id,
+  md5(array_to_string(kept, chr(10))) AS clean_md5,
+  CAST(len(lines) AS BIGINT) AS n_lines_total,
+  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+  CAST(len(kept) >= 1 AS BIGINT) AS passes_c4
+FROM f
+""",
+        "doc_line_dedup": r"""
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM documents
+), lines AS (
+  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_no, unnest(ls) AS line FROM base
+), trivial AS (
+  SELECT * FROM lines WHERE length(trim(line)) < 10
+), winners AS (
+  SELECT doc_id, line_no, line FROM lines WHERE length(trim(line)) >= 10
+  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
+), kept AS (
+  SELECT * FROM winners UNION ALL SELECT * FROM trivial
+), reasm AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(string_split(coalesce(text, ''), chr(10))) AS n_total FROM documents
+)
+SELECT t.doc_id,
+  md5(coalesce(r.clean_text, '')) AS clean_md5,
+  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+  CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM totals t LEFT JOIN reasm r USING (doc_id)
 """,
         "doc_gopher_repetition": r"""
 WITH nl AS (

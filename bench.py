@@ -67,6 +67,9 @@ HEADLINE = [
     # round-4 late additions: semantic dedup, chunk/pack layer, and the
     # end-to-end cleaning composition
     "semantic_dedup",
+    "doc_span_dedup",
+    "doc_c4_filter",
+    "doc_line_dedup",
     "doc_chunks",
     "doc_packing",
     "corpus_clean_pipeline",

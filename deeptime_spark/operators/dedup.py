@@ -889,3 +889,153 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------- exact token-span dedup
+
+def token_spans(text_col: str | Column = "text", span_tokens: int = 10) -> Column:
+    """Non-overlapping ``span_tokens``-token windows of the normalized
+    token stream, each joined back to a single string. The trailing
+    partial window is dropped (its hash would never match a full span
+    anyway). One codegen projection per document — no Python, no shuffle."""
+    from deeptime_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    n_spans = F.floor(F.size(toks) / span_tokens).cast("int")
+    # sequence(0, -1) generates a DESCENDING [0, -1] — guard the
+    # short-document case explicitly
+    return F.when(n_spans <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
+        )
+    )
+
+
+def dedup_token_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection across the whole corpus — the
+    practical reduction of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22)
+    to non-overlapping token windows: a span occurrence is a duplicate
+    unless it is the globally FIRST occurrence (smallest (doc_id,
+    span_no)). Returns per-document (id, n_spans, n_dup_spans,
+    dup_span_frac).
+
+    Plan shape, sized for 100 TB:
+    - one projection builds the span array per document (codegen);
+    - ``groupBy(span)`` with ``min(struct(doc_id, span_no))`` + count —
+      map-side partial aggregation collapses every partition's copies of
+      a hot span to ONE row before the shuffle, so a boilerplate span
+      repeated a billion times costs one row per map task, not a skewed
+      reducer;
+    - one shuffle join back on the span key to mark non-first
+      occurrences (AQE skew-join splits any residual hot key);
+    - per-document rollup (second small shuffle keyed by doc id).
+
+    ``hash_spans=True`` groups on xxhash64(span) instead of the span
+    string — 8 bytes of shuffle width per span instead of the text
+    itself, the right trade at corpus scale (2^-64 collision odds);
+    the default keeps exact strings so results are provably exact.
+    """
+    span_key = F.xxhash64("_span") if hash_spans else F.col("_span")
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(token_spans(text_col, span_tokens)).alias("_span_no", "_span"),
+    ).select(F.col(id_col), "_span_no", span_key.alias("_k"))
+    firsts = spans.groupBy("_k").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_span_no").alias("s"))).alias("_w"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    marked = spans.join(firsts, "_k").select(
+        F.col(id_col),
+        (
+            (F.col("_cnt") > 1)
+            & ~((F.col(id_col) == F.col("_w.d")) & (F.col("_span_no") == F.col("_w.s")))
+        ).cast("long").alias("_dup"),
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("_dup").alias("n_dup_spans"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1))
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+def drop_duplicate_lines_across_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+) -> DataFrame:
+    """C4-style GLOBAL line dedup: every non-trivial line (>=``min_chars``
+    chars after trim) is kept only at its globally first occurrence
+    (smallest (doc_id, line_no)); trivial lines always pass through.
+    Documents are reassembled in original line order. Returns (id,
+    clean_text, n_lines_kept, n_lines_dropped).
+
+    Scale shape: posexplode lines -> ``groupBy(line)`` with
+    ``min(struct(doc_id, line_no, line))`` — map-side combine means the
+    degenerate boilerplate line (cookie banner on a billion pages)
+    reduces to one row per map task before the shuffle; winners ARE the
+    kept occurrences, so no join back is needed for them — only the
+    reassembly shuffle keyed by doc id, where each document holds its own
+    (bounded) line list.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")).alias(
+            "_line_no", "_line"
+        ),
+    )
+    trivial = lines.where(F.length(F.trim("_line")) < min_chars)
+    nontrivial = lines.where(F.length(F.trim("_line")) >= min_chars)
+    n_lines = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")).alias("_n_total"),
+    )
+    winners = (
+        nontrivial.groupBy("_line")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("_line_no").alias("s"))).alias("_w")
+        )
+        .select(F.col("_w.d").alias(id_col), F.col("_w.s").alias("_line_no"), F.col("_line"))
+    )
+    kept = winners.unionByName(trivial.select(id_col, "_line_no", "_line"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_line_no", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        n_lines.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

@@ -429,3 +429,70 @@ def gopher_top_ngram_fractions(
             F.coalesce(F.col(f"frac_top_{n}gram_chars"), F.lit(0.0)),
         )
     return joined.drop("_nl")
+
+
+# ------------------------------------------------ C4-style line filtering
+
+C4_BAD_PHRASES = [
+    "javascript",
+    "lorem ipsum",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "{",
+]
+
+
+def c4_keep_line(line: Column, min_words: int = 5, require_terminal_punct: bool = True,
+                 bad_phrases: list[str] | None = None) -> Column:
+    """Per-line C4 keep predicate (Raffel et al., "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", JMLR'20,
+    §2.2 cleaning heuristics): a line survives iff it is non-blank, has at
+    least ``min_words`` whitespace words, ends in terminal punctuation
+    (optional), and contains none of the boilerplate ``bad_phrases``
+    (case-insensitive). Pure Column algebra — evaluated inside codegen,
+    no Python per line."""
+    phrases = C4_BAD_PHRASES if bad_phrases is None else bad_phrases
+    t = F.trim(line)
+    keep = (F.length(t) > 0) & (F.size(F.split(t, r"\s+")) >= min_words)
+    if require_terminal_punct:
+        keep = keep & t.rlike(r'[.!?"”]$')
+    low = F.lower(line)
+    for p in phrases:
+        keep = keep & ~low.contains(p.lower())
+    return keep
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+    bad_phrases: list[str] | None = None,
+) -> DataFrame:
+    """C4 line-level cleaning over a document table: drop boilerplate
+    lines, reassemble the document, and flag documents that keep fewer
+    than ``min_kept_lines`` lines (C4 drops pages with <3 retained
+    sentences). Entirely per-document array algebra — one codegen
+    projection, NO shuffle, trivially data-parallel at any corpus size.
+
+    Returns the input columns plus ``clean_text``, ``n_lines_total``,
+    ``n_lines_kept``, and ``passes_c4``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(c, r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: c4_keep_line(l, min_words, require_terminal_punct, bad_phrases),
+    )
+    n_total = F.size(lines)
+    n_kept = F.size(kept)
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_total.cast("long").alias("n_lines_total"),
+        n_kept.cast("long").alias("n_lines_kept"),
+        (n_kept >= min_kept_lines).cast("long").alias("passes_c4"),
+    )

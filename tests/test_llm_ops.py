@@ -786,3 +786,99 @@ def test_decontaminate(spark):
     assert got[1]["contaminated"] == 1 and got[1]["n_contaminated_grams"] >= 1
     assert got[2]["contaminated"] == 0 and got[2]["n_contaminated_grams"] == 0
     assert got[3]["contaminated"] == 0
+
+
+# --------------------------------------------- C4 rules & span/line dedup
+
+
+def test_c4_line_filter_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "This sentence has enough words to survive the filter.\n"
+                "too short\n"
+                "Please accept our cookie policy before you continue reading.\n"
+                "Enable javascript to view this page properly today.\n"
+                "Another perfectly reasonable sentence with many words here."),
+            (2, "one two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.c4_line_filter(df).collect()}
+    # doc 1: bad-phrase lines and the short line drop; the line without
+    # terminal punctuation... both survivors end in '.', so both kept
+    assert out[1]["n_lines_total"] == 5
+    assert out[1]["n_lines_kept"] == 2
+    assert out[1]["passes_c4"] == 0  # needs >=3 kept lines
+    assert "cookie policy" not in out[1]["clean_text"]
+    assert "javascript" not in out[1]["clean_text"]
+    # doc 2: single short line fails min_words
+    assert out[2]["n_lines_kept"] == 0
+    assert out[2]["clean_text"] == ""
+
+
+def test_c4_terminal_punct_optional(spark):
+    df = spark.createDataFrame(
+        [(1, "five words but no period here at all")], "doc_id long, text string"
+    )
+    strict = text.c4_line_filter(df).collect()[0]
+    loose = text.c4_line_filter(df, require_terminal_punct=False).collect()[0]
+    assert strict["n_lines_kept"] == 0
+    assert loose["n_lines_kept"] == 1
+
+
+def test_token_spans_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only four tokens here"), (2, None)], "doc_id long, text string")
+    out = dedup.dedup_token_spans(df, span_tokens=10).orderBy("doc_id").collect()
+    assert [r["n_spans"] for r in out] == [0, 0]
+    assert [r["n_dup_spans"] for r in out] == [0, 0]
+
+
+def test_dedup_token_spans_first_occurrence_wins(spark):
+    span = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, span + " " + other), (2, span + " " + span), (3, other)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_token_spans(df, span_tokens=10).collect()}
+    # doc1 holds both first occurrences -> 0 dups; doc2 repeats `span`
+    # twice, both copies are dups; doc3's `other` already seen in doc1
+    assert out[1]["n_dup_spans"] == 0 and out[1]["n_spans"] == 2
+    assert out[2]["n_dup_spans"] == 2 and out[2]["n_spans"] == 2
+    assert out[3]["n_dup_spans"] == 1
+    assert out[3]["dup_span_frac"] == 1.0
+
+
+def test_dedup_token_spans_hashed_matches_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = dedup.dedup_token_spans(docs, span_tokens=10).orderBy("doc_id").collect()
+    hashed = dedup.dedup_token_spans(docs, span_tokens=10, hash_spans=True).orderBy("doc_id").collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in hashed]
+
+
+def test_drop_duplicate_lines_across_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a unique first-doc line\nshared boilerplate cookie banner\nok"),
+            (2, "shared boilerplate cookie banner\nanother unique line of text\nok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.drop_duplicate_lines_across_docs(df).collect()}
+    assert out[1]["n_lines_dropped"] == 0
+    assert out[2]["n_lines_dropped"] == 1
+    assert "boilerplate" not in out[2]["clean_text"]
+    # trivial line 'ok' passes through everywhere, order preserved
+    assert out[2]["clean_text"] == "another unique line of text\nok"
+    assert out[1]["clean_text"].endswith("ok")
+
+
+def test_drop_duplicate_lines_all_docs_present(spark):
+    # a doc whose every nontrivial line is a dup still appears (trivial tail)
+    df = spark.createDataFrame(
+        [(1, "the only nontrivial line"), (2, "the only nontrivial line")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.drop_duplicate_lines_across_docs(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["clean_text"] == "" and out[2]["n_lines_kept"] == 0
