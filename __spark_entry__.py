@@ -958,6 +958,32 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (IVFADC, Jégou et al. TPAMI'11): coarse inverted-file
+    pruning + asymmetric distance over product-quantized residual codes —
+    the compressed-domain ANN path (m bytes per vector instead of 4·d).
+    Deterministic end to end: content-addressed quantizer sample, seeded
+    Lloyd per subspace, argmin ties to the lowest code, rank by
+    (adc_dist asc, vec_id)."""
+    from deeptime_spark.operators.similarity import ivfpq_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, m_subvectors=8, k_codes=16
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
 def _q_vocab_stats(spark, sf_dir):
     """Corpus vocabulary statistics: distinct tokens, total tokens, and
     singleton count — explode + two aggregations, the scale shape for
@@ -1633,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_c4_filter": _q_doc_c4_filter,
         "doc_line_dedup": _q_doc_line_dedup,
+        "ivfpq_topk": _q_ivfpq_topk,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,

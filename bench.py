@@ -39,6 +39,7 @@ HEADLINE = [
     "knn_bruteforce",
     "lsh_topk",
     "ivf_topk",
+    "ivfpq_topk",
     # lag / window / markov / stats
     "event_timeshifted",
     "event_sliding_avg",

@@ -297,3 +297,182 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("similarity"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def _content_sample(corpus: DataFrame, id_col: str, vec_col: str, n: int) -> np.ndarray:
+    """Content-addressed sample (smallest md5(id)): pseudo-random yet
+    independent of partitioning/layout, reproducible by any engine, and
+    no corpus-size pass (TakeOrderedAndProject heap, not a full sort)."""
+    key = F.md5(F.col(id_col).cast("string"))
+    return np.asarray(
+        [
+            r[0]
+            for r in corpus.select(F.col(vec_col), key.alias("_h"))
+            .orderBy("_h")
+            .limit(n)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+
+def _lloyd(sample: np.ndarray, n_centers: int, iters: int, seed: int) -> np.ndarray:
+    from deeptime_spark.clustering.cluster_model import _pairwise_sq_dists
+
+    rng = np.random.default_rng(seed)
+    centers = sample[rng.choice(len(sample), size=min(n_centers, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = _pairwise_sq_dists(sample, centers).argmin(axis=1)
+        for c in range(len(centers)):
+            mask = assign == c
+            if mask.any():
+                centers[c] = sample[mask].mean(axis=0)
+    return centers
+
+
+def pq_train_codebooks(
+    residuals: np.ndarray, m_subvectors: int, k_codes: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Per-subspace codebooks for product quantization (Jégou, Douze,
+    Schmid: "Product Quantization for Nearest Neighbor Search",
+    TPAMI'11): split d dims into m contiguous subvectors and run Lloyd
+    independently per subspace. Returns (m, k_codes, d/m) float64."""
+    n, d = residuals.shape
+    if d % m_subvectors:
+        raise ValueError(f"m_subvectors={m_subvectors} must divide d={d}")
+    ds = d // m_subvectors
+    books = np.empty((m_subvectors, min(k_codes, n), ds))
+    for m in range(m_subvectors):
+        sub = residuals[:, m * ds : (m + 1) * ds]
+        books[m] = _lloyd(sub, k_codes, iters, seed + m)
+    return books
+
+
+def pq_encode_df(
+    assigned: DataFrame,
+    centers: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Residual-PQ encode: codes[m] = argmin_c ||(x - center_cell)_m -
+    codebook[m][c]||² (ties -> lowest code, np.argmin). One Arrow-batched
+    pass; per-row results are independent of batch shape (each row's
+    argmin reads only that row's residual), so the encoding is
+    layout-invariant. At corpus scale this runs ONCE at ingest and
+    shrinks each vector to m small ints — the whole point of PQ: the
+    scan-side working set drops from 4·d bytes to m bytes per vector."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = assigned.sparkSession
+    b_centers = spark.sparkContext.broadcast(np.asarray(centers, dtype=np.float64))
+    b_books = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    m_sub, k_codes, ds = codebooks.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        C = b_centers.value
+        B = b_books.value
+        out = []
+        for v, cell in zip(vecs, cells):
+            resid = np.asarray(v, dtype=np.float64) - C[int(cell)]
+            codes = np.empty(m_sub, dtype=np.int32)
+            for m in range(m_sub):
+                sub = resid[m * ds : (m + 1) * ds]
+                d2 = ((B[m] - sub) ** 2).sum(axis=1)
+                codes[m] = int(np.argmin(d2))
+            out.append(codes.tolist())
+        return pd.Series(out)
+
+    return assigned.withColumn(out_col, _encode(F.col(vec_col), F.col(cell_col)))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m_subvectors: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    quantizer_iters: int = 8,
+    quantizer_sample: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (IVFADC of Jégou et al. TPAMI'11): coarse
+    inverted-file pruning + asymmetric distance computation over
+    product-quantized RESIDUAL codes. Returns (query_id, vec_id, rank,
+    adc_dist) with rank by (adc_dist asc, vec_id asc).
+
+    100 TB shape:
+    - quantizer + codebooks train driver-side on one bounded
+      content-addressed sample (coarse density only);
+    - the corpus is encoded ONCE (Arrow batch pass) to m small ints per
+      vector; every later query touches codes, never raw vectors —
+      memory-bandwidth-bound scans shrink ~4·d/m fold;
+    - per (query, probed cell) the ADC lookup table is tiny
+      (m × k_codes doubles) and rides the broadcast probe row;
+    - scoring is pure JVM: fold over the m code entries with
+      element_at into the table — left-to-right double adds, so any
+      engine that sums the same table entries in subvector order
+      reproduces the distances bit-exactly;
+    - the salted two-stage top-k bounds every reducer at O(k).
+    """
+    sample = _content_sample(corpus, id_col, vec_col, quantizer_sample)
+    centers = _lloyd(sample, n_lists, quantizer_iters, seed)
+    from deeptime_spark.clustering.cluster_model import ClusterModel, _pairwise_sq_dists
+
+    s_assign = _pairwise_sq_dists(sample, centers).argmin(axis=1)
+    residuals = sample - centers[s_assign]
+    books = pq_train_codebooks(residuals, m_subvectors, k_codes, quantizer_iters, seed)
+
+    km = ClusterModel(centers)
+    assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
+    encoded = pq_encode_df(assigned, centers, books, id_col, vec_col).select(
+        id_col, "_cell", "codes"
+    )
+
+    # probe rows: (qid, cell, flattened ADC table) — the table for query q
+    # in cell c is ||(q - center_c)_m - codebook[m][code]||² per (m, code)
+    qrows = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    ).collect()
+    m_sub, kc, ds = books.shape
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["_qvec"], dtype=np.float64)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            resid = qv - centers[int(cell)]
+            tab = [
+                [float(((books[m][c] - resid[m * ds : (m + 1) * ds]) ** 2).sum()) for c in range(kc)]
+                for m in range(m_sub)
+            ]
+            probe_rows.append((int(r["_qid"]), int(cell), tab))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "_qid long, _cell int, _tab array<array<double>>")
+
+    scored = encoded.join(F.broadcast(probes), "_cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with("codes", "_tab", lambda c, t: F.element_at(t, c + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+        F.spark_partition_id().alias("_part"),
+    )
+    w1 = Window.partitionBy(query_id_col, "_part").orderBy(F.asc("adc_dist"), F.col(id_col))
+    survivors = (
+        scored.withColumn("_rn", F.row_number().over(w1)).where(F.col("_rn") <= k).drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.col(id_col))
+    return survivors.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

@@ -866,6 +866,66 @@ def oracle_ivf_topk() -> str:
 _BUILDERS["ivf_topk"] = oracle_ivf_topk
 
 
+def oracle_ivfpq_topk() -> str:
+    """IVF-PQ mirror (IVFADC): same content-addressed sample, the
+    operator's own driver-side Lloyd/codebook training (engine-independent
+    numpy, exactly the code under test's training path — what the
+    comparison verifies is the DISTRIBUTED side: cell assignment, the
+    Arrow encode pass, the broadcast probe join, and the JVM fold-order
+    ADC sum), then per-query table lookups accumulated in subvector order
+    (left-to-right float64 adds == the F.aggregate fold)."""
+    import hashlib
+
+    from deeptime_spark.clustering.cluster_model import _pairwise_sq_dists
+    from deeptime_spark.operators.similarity import _lloyd, pq_train_codebooks
+
+    sf = sf_dir()
+    X = _embeddings(sf)
+    n_lists, n_probe, k, iters, seed = 16, 4, 5, 8, 42
+    m_sub, k_codes = 8, 16
+    keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(len(X)))
+    sample = X[[i for _, i in keyed[:65536]]]
+    centers = _lloyd(sample, n_lists, iters, seed)
+    s_assign = _pairwise_sq_dists(sample, centers).argmin(axis=1)
+    books = pq_train_codebooks(sample - centers[s_assign], m_sub, k_codes, iters, seed)
+    ds = X.shape[1] // m_sub
+
+    cells = _pairwise_sq_dists(X, centers).argmin(axis=1)
+    codes = np.empty((len(X), m_sub), dtype=np.int64)
+    for i in range(len(X)):
+        resid = X[i] - centers[int(cells[i])]
+        for m in range(m_sub):
+            sub = resid[m * ds : (m + 1) * ds]
+            codes[i, m] = int(((books[m] - sub) ** 2).sum(axis=1).argmin())
+
+    rows = []
+    for q in range(5):
+        d2 = ((centers - X[q]) ** 2).sum(axis=1)
+        probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+        tabs = {}
+        for cell in probe:
+            resid = X[q] - centers[cell]
+            tabs[cell] = [
+                [float(((books[m][c] - resid[m * ds : (m + 1) * ds]) ** 2).sum()) for c in range(k_codes)]
+                for m in range(m_sub)
+            ]
+        scored = []
+        for i in range(len(X)):
+            cell = int(cells[i])
+            if cell in tabs:
+                acc = 0.0
+                for m in range(m_sub):
+                    acc = acc + tabs[cell][m][int(codes[i, m])]
+                scored.append((acc, i))
+        scored.sort()
+        for rank, (dist, i) in enumerate(scored[:k], start=1):
+            rows.append((q, i, rank, _spark_round(dist, 6)))
+    return _values_sql(rows, ["query_id", "vec_id", "rank", "adc_dist"], "bbbd")
+
+
+_BUILDERS["ivfpq_topk"] = oracle_ivfpq_topk
+
+
 def oracle_tram() -> str:
     """TRAM mirror: per-ensemble counts, state counts and the
     (state, traj, t)-ordered bias blocks are re-derived from the parquet

@@ -882,3 +882,68 @@ def test_drop_duplicate_lines_all_docs_present(spark):
     out = {r["doc_id"]: r for r in dedup.drop_duplicate_lines_across_docs(df).collect()}
     assert set(out) == {1, 2}
     assert out[2]["clean_text"] == "" and out[2]["n_lines_kept"] == 0
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def test_ivfpq_self_match_and_determinism(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.ivfpq_topk(emb, queries, k=5, n_lists=8, n_probe=3,
+                                m_subvectors=8, k_codes=16)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        best = min(rs, key=lambda r: r["rank"])
+        # the query vector itself lives in its own probed cell and has the
+        # minimal quantization distance -> rank 1 self-match
+        assert best["vec_id"] == q
+    # layout invariance: different partitioning, identical rows
+    res2 = similarity.ivfpq_topk(emb.repartition(7), queries, k=5, n_lists=8,
+                                 n_probe=3, m_subvectors=8, k_codes=16)
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, res2.collect()))
+    assert a == b
+
+
+def test_pq_codebooks_shape_and_validation(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    resid = rng.normal(size=(100, 16))
+    books = similarity.pq_train_codebooks(resid, m_subvectors=4, k_codes=8)
+    assert books.shape == (4, 8, 4)
+    with pytest.raises(ValueError):
+        similarity.pq_train_codebooks(resid, m_subvectors=5, k_codes=8)
+
+
+def test_ivfpq_recall_reasonable(spark):
+    # compressed-domain ADC should still place a good fraction of the true
+    # L2 top-5 in its top-5 on the harness embeddings
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = similarity.ivfpq_topk(emb, queries, k=5, n_lists=8, n_probe=4,
+                                 m_subvectors=8, k_codes=32).collect()
+    X = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for q in range(5):
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        exact = set(np.argsort(d, kind="stable")[:5].tolist())
+        hits += len(exact & got[q]); total += 5
+    assert hits / total >= 0.3
