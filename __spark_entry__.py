@@ -958,6 +958,37 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+_MIX_TARGETS = {"src0": 0.3, "src1": 0.2, "src2": 0.5}
+_MIX_RATES_PPM = {"src0": 300000, "src1": 800000}
+
+
+def _q_domain_mixture(spark, sf_dir):
+    """Domain-reweighting accounting (The Pile / DoReMi-style mixtures
+    realized as subsampling): per-source token share vs a target mixture
+    and the down-sampling rate that realizes it. One aggregation pass +
+    window totals (operators/mixing.py:domain_mixture)."""
+    from deeptime_spark.operators.mixing import domain_mixture
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return domain_mixture(docs, _MIX_TARGETS)
+
+
+def _q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic content-addressed stratified sample: per-source keep
+    rates in ppm, membership decided by pmod(xxhash64(doc_id), 1e6) —
+    layout/partitioning-independent, replayable by the engine-independent
+    xxhash64 replica (spark_hashes.py). Returns per-source kept counts
+    and an id checksum."""
+    from deeptime_spark.operators.mixing import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = stratified_sample(docs, _MIX_RATES_PPM, default_ppm=100000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 def _q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ (IVFADC, Jégou et al. TPAMI'11): coarse inverted-file
     pruning + asymmetric distance over product-quantized residual codes —
@@ -1660,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_filter": _q_doc_c4_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "ivfpq_topk": _q_ivfpq_topk,
+        "domain_mixture": _q_domain_mixture,
+        "doc_stratified_sample": _q_doc_stratified_sample,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,
@@ -2058,6 +2091,32 @@ SELECT doc_id,
        AND len(list_filter(['the','be','to','of','and','that','have','with'],
                            w -> list_contains(toks, w))) >= 2 AS BIGINT) AS passes_gopher
 FROM base
+""",
+        "domain_mixture": r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs, n_tokens,
+    CASE source WHEN 'src0' THEN CAST('0.3' AS DOUBLE)
+                WHEN 'src1' THEN CAST('0.2' AS DOUBLE)
+                WHEN 'src2' THEN CAST('0.5' AS DOUBLE)
+                ELSE CAST('0.0' AS DOUBLE) END AS target_share
+  FROM per
+)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS observed_share,
+  target_share,
+  LEAST(CAST('1.0' AS DOUBLE), COALESCE(
+    CASE WHEN n_tokens > 0 THEN
+      target_share
+      * (MIN(CASE WHEN target_share > 0 THEN CAST(n_tokens AS DOUBLE) / target_share END) OVER ())
+      / CAST(n_tokens AS DOUBLE)
+    END, CAST('0.0' AS DOUBLE))) AS sampling_rate
+FROM t
 """,
         "doc_span_dedup": r"""
 WITH toks AS (

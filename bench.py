@@ -74,6 +74,9 @@ HEADLINE = [
     "doc_chunks",
     "doc_packing",
     "corpus_clean_pipeline",
+    # data-mixing surface
+    "domain_mixture",
+    "doc_stratified_sample",
 ]
 
 

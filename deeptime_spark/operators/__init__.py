@@ -16,6 +16,8 @@ from deeptime_spark.operators.chunking import (  # noqa: F401
 from deeptime_spark.operators.dedup import (  # noqa: F401
     connected_components,
     decontaminate,
+    dedup_token_spans,
+    drop_duplicate_lines_across_docs,
     drop_exact_duplicates,
     drop_near_duplicates,
     drop_semantic_duplicates,
@@ -32,12 +34,19 @@ from deeptime_spark.operators.multimodal import (  # noqa: F401
     frame_sample_plan,
     resize_images,
 )
+from deeptime_spark.operators.mixing import (  # noqa: F401
+    domain_mixture,
+    sample_deterministic,
+    stratified_sample,
+)
 from deeptime_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
 )
 from deeptime_spark.operators.text import (  # noqa: F401
+    c4_line_filter,
     detect_language,
     gopher_quality,
     gopher_repetition,

@@ -1,0 +1,123 @@
+"""Data-mixing operators: deterministic sampling and domain reweighting.
+
+The last stage of a training-data pipeline: given per-domain token
+budgets (target mixture weights), compute per-domain sampling rates and
+materialize a reproducible sample. Everything is content-addressed
+(xxhash64 of the row key) — a row's keep/drop decision depends only on
+its key, never on partitioning, cluster layout, or row order, so the
+same sample falls out on any engine, any layout, any day. That property
+is what makes 100 TB sampling auditable: re-running the pipeline
+reproduces the sample bit-for-bit, and an engine-independent replica
+(deeptime_spark.spark_hashes.xxhash64) can verify membership offline.
+
+All hot-path logic is JVM codegen (hash + compare); no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def deterministic_keep(key: Column, rate_ppm: Column | int, salt: int = 0) -> Column:
+    """Content-addressed Bernoulli(rate_ppm / 1e6): keep iff
+    pmod(xxhash64(key, salt-tag), 1e6) < rate_ppm. The salt lets
+    independent sampling decisions reuse one key (e.g. train/holdout
+    splits that must not correlate)."""
+    tagged = F.concat(key.cast("string"), F.lit(f"#{salt}")) if salt else key.cast("string")
+    h = F.pmod(F.xxhash64(tagged), F.lit(PPM))
+    rate = F.lit(rate_ppm) if isinstance(rate_ppm, int) else rate_ppm
+    return h < rate
+
+
+def sample_deterministic(
+    df: DataFrame, rate_ppm: int, key_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Uniform deterministic sample at rate_ppm parts-per-million."""
+    return df.where(deterministic_keep(F.col(key_col), rate_ppm, salt))
+
+
+def domain_mixture(
+    docs: DataFrame,
+    target_weights: dict[str, float],
+    text_col: str = "text",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain mixture accounting: observed token share vs the target
+    mixture, and the per-domain DOWN-sampling rate that realizes the
+    target (DoReMi/The Pile-style domain reweighting, applied as
+    subsampling: rate_d = min(1, target_d · S / tokens_d) where S is the
+    largest total budget no domain can exceed, S = min_d tokens_d /
+    target_d over target_d > 0).
+
+    One aggregation pass + window totals — no driver math, plain SQL
+    semantics, so a SQL oracle replicates it exactly. Token counts are
+    whitespace tokens (operators.text.token_count) — exact integers.
+    """
+    from pyspark.sql import Window
+
+    from deeptime_spark.operators.text import token_count
+
+    if target_weights:
+        w = F.create_map(*[F.lit(x) for kv in target_weights.items() for x in kv])
+        target = F.coalesce(w[F.col(strata_col)], F.lit(0.0))
+    else:  # empty map literal types as map<void,void> — avoid it
+        target = F.lit(0.0)
+    per = (
+        docs.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(text_col)).alias("n_tokens"),
+        )
+        .withColumn("target_share", target)
+    )
+    everything = Window.partitionBy()
+    total = F.sum("n_tokens").over(everything)
+    # S = min over domains with target > 0 of tokens_d / target_d
+    s_budget = F.min(
+        F.when(F.col("target_share") > 0, F.col("n_tokens") / F.col("target_share"))
+    ).over(everything)
+    return per.select(
+        strata_col,
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") / total).alias("observed_share"),
+        "target_share",
+        # coalesce BEFORE least: with no positive-target domain s_budget
+        # is NULL, and least() skips NULLs — the rate must clamp to 0.0,
+        # not silently pass everything
+        F.least(
+            F.lit(1.0),
+            F.coalesce(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("target_share") * s_budget / F.col("n_tokens"),
+                ),
+                F.lit(0.0),
+            ),
+        ).alias("sampling_rate"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_ppm: dict[str, int],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: int = 0,
+    default_ppm: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum s keeps rows at
+    rates_ppm[s] parts-per-million (strata absent from the dict keep at
+    ``default_ppm``). The rate rides a literal map lookup — one codegen
+    predicate, no join, no shuffle; combined with ``domain_mixture`` this
+    materializes a target token mixture reproducibly at any scale."""
+    if rates_ppm:
+        m = F.create_map(*[F.lit(x) for kv in rates_ppm.items() for x in kv])
+        rate = F.coalesce(m[F.col(strata_col)], F.lit(default_ppm))
+    else:
+        rate = F.lit(default_ppm)
+    return docs.where(deterministic_keep(F.col(key_col), rate, salt))

@@ -926,6 +926,39 @@ def oracle_ivfpq_topk() -> str:
 _BUILDERS["ivfpq_topk"] = oracle_ivfpq_topk
 
 
+def oracle_doc_stratified_sample() -> str:
+    """Mirror of the content-addressed stratified sample: membership is
+    pmod(xxhash64(str(doc_id)), 1e6) < rate_ppm[source] — replayed with
+    the engine-independent XXH64 replica, aggregated to per-source
+    (n_kept, id_checksum) literals."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    rates = {"src0": 300000, "src1": 800000}
+    default_ppm = 100000
+    agg: dict = {}
+    for doc_id, source in rows:
+        rate = rates.get(source, default_ppm)
+        if xxhash64(str(int(doc_id)).encode()) % 1_000_000 < rate:
+            n, s = agg.get(source, (0, 0))
+            agg[source] = (n + 1, s + int(doc_id))
+    out = [(src_, n, s) for src_, (n, s) in sorted(agg.items())]
+    body = ",\n".join(f"('{a}', {b}, {c})" for a, b, c in out)
+    return (
+        "SELECT c0 AS source, CAST(c1 AS BIGINT) AS n_kept, "
+        "CAST(c2 AS BIGINT) AS id_checksum FROM (VALUES\n"
+        + body
+        + "\n) AS v(c0, c1, c2)"
+    )
+
+
+_BUILDERS["doc_stratified_sample"] = oracle_doc_stratified_sample
+
+
 def oracle_tram() -> str:
     """TRAM mirror: per-ensemble counts, state counts and the
     (state, traj, t)-ordered bias blocks are re-derived from the parquet

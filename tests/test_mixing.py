@@ -1,0 +1,71 @@
+"""Data-mixing operators: deterministic sampling + domain reweighting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deeptime_spark.operators import mixing
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_sample_layout_invariant(spark, docs):
+    a = sorted(r["doc_id"] for r in mixing.sample_deterministic(docs, 250000).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixing.sample_deterministic(docs.repartition(13), 250000).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_sample_nested_rates(spark, docs):
+    # a lower rate's sample is a SUBSET of a higher rate's (same key, same
+    # salt -> same uniform variate, thresholded)
+    lo = {r["doc_id"] for r in mixing.sample_deterministic(docs, 100000).collect()}
+    hi = {r["doc_id"] for r in mixing.sample_deterministic(docs, 400000).collect()}
+    assert lo <= hi
+
+
+def test_sample_salt_decorrelates(spark, docs):
+    a = {r["doc_id"] for r in mixing.sample_deterministic(docs, 500000, salt=0).collect()}
+    b = {r["doc_id"] for r in mixing.sample_deterministic(docs, 500000, salt=1).collect()}
+    assert a != b  # independent decisions
+    # both still roughly half the corpus
+    n = docs.count()
+    assert 0.3 * n < len(a) < 0.7 * n and 0.3 * n < len(b) < 0.7 * n
+
+
+def test_domain_mixture_budget_math(spark):
+    rows = [
+        (i, " ".join(["w"] * 100), "a") for i in range(10)
+    ] + [(100 + i, " ".join(["w"] * 100), "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in mixing.domain_mixture(df, {"a": 0.5, "b": 0.5}).collect()}
+    # a: 1000 tokens, b: 3000 tokens; budget S = min(1000/.5, 3000/.5) = 2000
+    # rate_a = .5*2000/1000 = 1.0; rate_b = .5*2000/3000 = 1/3
+    assert out["a"]["sampling_rate"] == 1.0
+    assert abs(out["b"]["sampling_rate"] - 1 / 3) < 1e-12
+    assert out["a"]["observed_share"] == 0.25
+
+
+def test_domain_mixture_zero_target_zero_rate(spark):
+    df = spark.createDataFrame(
+        [(1, "w w w", "a"), (2, "w w w", "b")], "doc_id long, text string, source string"
+    )
+    out = {r["source"]: r for r in mixing.domain_mixture(df, {"a": 1.0}).collect()}
+    assert out["b"]["sampling_rate"] == 0.0
+    assert out["a"]["sampling_rate"] == 1.0
+    # no positive-target domain at all -> every rate clamps to 0, not 1
+    out2 = {r["source"]: r for r in mixing.domain_mixture(df, {}).collect()}
+    assert all(r["sampling_rate"] == 0.0 for r in out2.values())
+
+
+def test_stratified_rates_apply_per_stratum(spark, docs):
+    kept = mixing.stratified_sample(
+        docs, {"src0": 1_000_000}, default_ppm=0
+    )
+    got = kept.select("source").distinct().collect()
+    assert [r["source"] for r in got] == ["src0"]
+    assert kept.count() == docs.where(F.col("source") == "src0").count()
