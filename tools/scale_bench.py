@@ -42,8 +42,11 @@ QUERIES = [
     "dedup_components", "simhash_pairs", "doc_gopher_repetition",
     "doc_chunks", "doc_packing", "semantic_dedup",
     "corpus_clean_pipeline", "doc_decontaminate",
+    # round-4 surface: span/line dedup, C4 rules, mixing
+    "doc_span_dedup", "doc_line_dedup", "doc_c4_filter",
+    "domain_mixture", "doc_stratified_sample",
     # similarity over embeddings
-    "knn_bruteforce", "ivf_topk",
+    "knn_bruteforce", "ivf_topk", "ivfpq_topk",
     # relational over lineitem
     "q1_pricing_summary", "q6_forecast_revenue",
     # trajectory ops over events
