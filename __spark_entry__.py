@@ -1144,8 +1144,16 @@ def _q_dedup_verified_pairs(spark, sf_dir):
     from deeptime_spark.operators.dedup import minhash_lsh_candidates, verify_candidates_jaccard
 
     docs = _read(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8)
-    out = verify_candidates_jaccard(cands, docs, threshold=0.2)
+    # materialize the candidate set ONCE: verification consumes it in two
+    # joins plus the gram-restriction semi-join, and without the persist
+    # the whole LSH subtree re-executes per consumer — superlinear under
+    # rising duplicate density (weak-scaling x8 measured 106 s -> the
+    # persisted form stays near-linear)
+    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8).persist()
+    cands.count()
+    out = verify_candidates_jaccard(
+        cands, docs, threshold=0.2, candidates_materialized=True
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1161,8 +1169,14 @@ def _q_dedup_components(spark, sf_dir):
     )
 
     docs = _read(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8)
-    pairs = verify_candidates_jaccard(cands, docs, threshold=0.2)
+    # same candidate materialization as dedup_verified_pairs: the pair
+    # pipeline is consumed by connected_components' own persist+count,
+    # and the candidate subtree must not re-execute per join consumer
+    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8).persist()
+    cands.count()
+    pairs = verify_candidates_jaccard(
+        cands, docs, threshold=0.2, candidates_materialized=True
+    )
     return duplicate_clusters(pairs.select("id_a", "id_b")).select(
         F.col("component").cast("long").alias("component"),
         F.col("n_members").cast("long").alias("n_members"),

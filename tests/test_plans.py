@@ -208,3 +208,70 @@ def test_minhash_hash_not_inlined_into_aggregates(spark):
     assert agg_sections, plan[:1500]
     for seg in agg_sections:
         assert "hash(_sh" not in seg, seg[:800]
+
+
+def test_c4_filter_map_only_no_python(spark):
+    # C4 line filter is a single projection: no shuffle, no Python
+    from deeptime_spark.operators.text import c4_line_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(c4_line_filter(docs))
+    assert "EvalPython" not in plan
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_line_dedup_partial_agg_before_shuffle(spark):
+    # winners aggregate must run partial (map-side) so a degenerate hot
+    # line collapses per map task before the exchange
+    from deeptime_spark.operators.dedup import drop_duplicate_lines_across_docs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(drop_duplicate_lines_across_docs(docs))
+    assert "EvalPython" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_span_dedup_no_python_partial_agg(spark):
+    from deeptime_spark.operators.dedup import dedup_token_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup_token_spans(docs))
+    assert "EvalPython" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_mixing_sample_pure_codegen_pushdown(spark):
+    # deterministic sampling is one codegen predicate: no shuffle, no
+    # Python, and the scan only reads the referenced columns
+    from deeptime_spark.operators.mixing import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    plan = plan_of(stratified_sample(docs, {"src0": 500000}, default_ppm=100000))
+    assert "EvalPython" not in plan
+    assert n_exchanges(plan) == 0, plan
+    read = plan.split("ReadSchema")[1][:300]
+    assert "text" not in read
+
+
+def test_ivfpq_scoring_stays_jvm(spark):
+    # ADC scoring is a JVM fold over the broadcast table: the only Python
+    # in the whole plan is the one Arrow encode pass
+    from deeptime_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(ivfpq_topk(emb, queries, k=3, n_lists=4, n_probe=2,
+                              m_subvectors=8, k_codes=8))
+    import re
+
+    # a bounded number of Arrow kernels — cell assignment + PQ encode —
+    # all BEFORE the probe join; ADC scoring and the two-stage top-k are JVM
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    assert n_arrow <= 3, plan
+    join_tail = plan.split("BroadcastHashJoin")[-1]
+    assert "EvalPython" not in join_tail.split("(1) Scan")[0][:4000]
+    assert "BroadcastHashJoin" in plan
