@@ -958,6 +958,37 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction audit (CCNet/C4-style scrub): per-class hit counts +
+    md5 of the scrubbed text. The synthetic corpus carries no PII, so the
+    query injects a deterministic id-derived contact block per document
+    before scrubbing — the patterns, priority order, and placeholder
+    tagging are exercised for real and replicated by the SQL oracle."""
+    from deeptime_spark.operators.text import pii_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    out = pii_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_credit_card",
+        "n_phone",
+        "n_ipv4",
+        "n_ssn",
+        F.md5("scrubbed_text").alias("scrubbed_md5"),
+    )
+
+
 _MIX_TARGETS = {"src0": 0.3, "src1": 0.2, "src2": 0.5}
 _MIX_RATES_PPM = {"src0": 300000, "src1": 800000}
 
@@ -1707,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "domain_mixture": _q_domain_mixture,
         "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_pii_scrub": _q_doc_pii_scrub,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,
@@ -2105,6 +2137,32 @@ SELECT doc_id,
        AND len(list_filter(['the','be','to','of','and','that','have','with'],
                            w -> list_contains(toks, w))) >= 2 AS BIGINT) AS passes_gopher
 FROM base
+""",
+        "doc_pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b(?:\d[ -]?){13,16}\b')) AS BIGINT) AS n_credit_card,
+  CAST(len(regexp_extract_all(text, '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(?:\d[ -]?){13,16}\b', '<CC>', 'g'),
+          '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}', '<PHONE>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')
+  ) AS scrubbed_md5
+FROM aug
 """,
         "domain_mixture": r"""
 WITH per AS (

@@ -77,6 +77,7 @@ HEADLINE = [
     # data-mixing surface
     "domain_mixture",
     "doc_stratified_sample",
+    "doc_pii_scrub",
 ]
 
 

@@ -48,6 +48,8 @@ from deeptime_spark.operators.similarity import (  # noqa: F401
 from deeptime_spark.operators.text import (  # noqa: F401
     c4_line_filter,
     detect_language,
+    pii_stats,
+    scrub_pii,
     gopher_quality,
     gopher_repetition,
     text_stats,

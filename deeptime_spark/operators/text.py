@@ -496,3 +496,50 @@ def c4_line_filter(
         n_kept.cast("long").alias("n_lines_kept"),
         (n_kept >= min_kept_lines).cast("long").alias("passes_c4"),
     )
+
+
+# ------------------------------------------------ PII scrubbing
+
+# Order matters: longer/more-specific patterns first so a credit-card
+# number is not half-eaten by the phone rule. All patterns are RE2-safe
+# (no backrefs/lookbehind) and run in Spark's codegen regexp engine.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("credit_card", r"\b(?:\d[ -]?){13,16}\b", "<CC>"),
+    ("phone", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def scrub_pii(text_col: str | Column = "text", patterns=None) -> Column:
+    """Replace PII spans with typed placeholder tags — the CCNet/C4-style
+    pre-training scrub. One chained regexp_replace per pattern class,
+    all inside codegen; at corpus scale this is a map-only projection
+    with zero shuffles."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    for _, pat, repl in (patterns or PII_PATTERNS):
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              patterns=None) -> DataFrame:
+    """Per-document PII hit counts per class plus the scrubbed text —
+    the audit view a redaction pipeline needs (how much was removed,
+    and of what kind) alongside the cleaned output.
+
+    Counts are INDEPENDENT per class over the raw text (a digit run can
+    count as both credit_card and phone); scrubbing applies the classes
+    sequentially in PII_PATTERNS order, so each span is replaced once by
+    its highest-priority class."""
+    pats = patterns or PII_PATTERNS
+    cols = [F.col(id_col)]
+    for name, pat, _ in pats:
+        cols.append(
+            F.size(F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")), F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}"),
+        )
+    cols.append(scrub_pii(text_col, pats).alias("scrubbed_text"))
+    return df.select(*cols)

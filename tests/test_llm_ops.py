@@ -947,3 +947,36 @@ def test_ivfpq_recall_reasonable(spark):
         exact = set(np.argsort(d, kind="stable")[:5].tolist())
         hits += len(exact & got[q]); total += 5
     assert hits / total >= 0.3
+
+
+# ------------------------------------------------------------- PII scrub
+
+
+def test_pii_scrub_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail john.doe@example.com call +1 (555) 123-4567 host 10.0.0.1"),
+            (2, "card 4111 1111 1111 1111 and ssn 123-45-6789"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pii_stats(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed_text"]
+    assert "john.doe" not in out[1]["scrubbed_text"]
+    assert "<PHONE>" in out[1]["scrubbed_text"] and "<IP>" in out[1]["scrubbed_text"]
+    assert out[2]["n_credit_card"] == 1 and out[2]["n_ssn"] == 1
+    assert "<CC>" in out[2]["scrubbed_text"] and "<SSN>" in out[2]["scrubbed_text"]
+    assert "4111" not in out[2]["scrubbed_text"]
+    assert out[3]["scrubbed_text"] == "" and out[3]["n_email"] == 0
+
+
+def test_pii_scrub_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame(
+        [(1, "perfectly ordinary sentence with no sensitive content")],
+        "doc_id long, text string",
+    )
+    r = text.pii_stats(df).collect()[0]
+    assert r["scrubbed_text"] == "perfectly ordinary sentence with no sensitive content"
+    assert all(r[f"n_{n}"] == 0 for n, _, _ in text.PII_PATTERNS)
