@@ -328,11 +328,20 @@ def simhash_signatures_df(
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t")).select(
         F.col(id_col), F.xxhash64("_t").alias("_h")
     )
+    # collapse repeated tokens per document BEFORE the 64-way bit-vote:
+    # natural text is Zipf-heavy, so the count-weighted vote runs the 64
+    # CASE aggregates over |distinct tokens per doc| rows instead of every
+    # occurrence (measured 2-4x at sf0.1; identical sums by construction).
+    # Worst case (all-unique tokens) the extra map-side-combined exchange
+    # carries the rows the vote shuffle would have carried anyway.
+    cnt = toks.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
     h = F.col("_h")
-    votes = toks.groupBy(id_col).agg(
+    votes = cnt.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, F.col("_c")
+                ).otherwise(-F.col("_c"))
             ).alias(f"_v{p}")
             for p in range(bits)
         ]
