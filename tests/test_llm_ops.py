@@ -980,3 +980,81 @@ def test_pii_scrub_leaves_clean_text_alone(spark):
     r = text.pii_stats(df).collect()[0]
     assert r["scrubbed_text"] == "perfectly ordinary sentence with no sensitive content"
     assert all(r[f"n_{n}"] == 0 for n, _, _ in text.PII_PATTERNS)
+
+
+def test_span_dedup_matches_naive_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.lists(word, min_size=0, max_size=14), min_size=1, max_size=8),
+        st.integers(2, 4),
+    )
+    def check(docs_tokens, span):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in dedup.dedup_token_spans(df, span_tokens=span).collect()
+        }
+        # naive reference: first (doc_id, span_no) occurrence wins
+        seen = {}
+        expect = {}
+        for i, toks in enumerate(rows):
+            toks = rows[i][1].strip().lower().split()
+            if rows[i][1].strip() == "":
+                toks = [""]  # split('\\s+') of empty/whitespace text
+            spans = [
+                " ".join(toks[j * span : (j + 1) * span])
+                for j in range(len(toks) // span)
+            ]
+            expect[i] = [len(spans), 0]
+            for sn, s in enumerate(spans):
+                if s in seen:
+                    expect[i][1] += 1
+                else:
+                    seen[s] = (i, sn)
+        # count duplicates exactly as the operator does: every occurrence
+        # of a span with count > 1 that is not the global first
+        # (the naive loop above visits in (doc_id, span_no) order, so
+        # first-seen == global first)
+        assert got == {k: tuple(v) for k, v in expect.items()}
+
+    check()
+
+
+def test_line_dedup_matches_naive_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.sampled_from(
+        ["a big nontrivial line", "another nontrivial one", "x", ""]
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.lists(line, min_size=1, max_size=6), min_size=1, max_size=6))
+    def check(docs_lines):
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_dropped"])
+            for r in dedup.drop_duplicate_lines_across_docs(df, min_chars=10).collect()
+        }
+        seen = set()
+        expect = {}
+        for i, text in rows:
+            ls = text.split("\n")
+            kept = []
+            for l in ls:
+                if len(l.strip()) < 10:
+                    kept.append(l)
+                elif l not in seen:
+                    seen.add(l)
+                    kept.append(l)
+            expect[i] = ("\n".join(kept), len(kept), len(ls) - len(kept))
+        assert got == expect
+
+    check()
