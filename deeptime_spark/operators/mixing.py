@@ -29,7 +29,10 @@ def deterministic_keep(key: Column, rate_ppm: Column | int, salt: int = 0) -> Co
     tagged = F.concat(key.cast("string"), F.lit(f"#{salt}")) if salt else key.cast("string")
     h = F.pmod(F.xxhash64(tagged), F.lit(PPM))
     rate = F.lit(rate_ppm) if isinstance(rate_ppm, int) else rate_ppm
-    return h < rate
+    # NULL keys hash as the constant seed (42), which would keep EVERY
+    # null-keyed row at any rate above 42 ppm — exactly the malformed
+    # rows a pipeline most wants down-weighted. Nulls never pass.
+    return key.isNotNull() & (h < rate)
 
 
 def sample_deterministic(

@@ -197,35 +197,14 @@ def ivf_topk(
     Higher recall than sign-LSH at the same pruning factor because cells
     adapt to the data distribution.
     """
-    from deeptime_spark.clustering.cluster_model import ClusterModel, _pairwise_sq_dists
+    from deeptime_spark.clustering.cluster_model import ClusterModel
 
-    # coarse quantizer trained on a bounded sample (standard IVF practice:
-    # the quantizer needs the coarse density, not every vector). The
-    # sample is CONTENT-ADDRESSED — the quantizer_sample rows with the
-    # smallest md5(id) — so it is pseudo-random yet independent of
-    # partitioning and cluster layout (a seeded Bernoulli sample changes
-    # with the partition split) and reproducible by any engine. No exact
-    # corpus-size pass; orderBy+limit runs as TakeOrderedAndProject (a
-    # per-partition top-k heap + driver merge, no full sort).
-    key = F.md5(F.col(id_col).cast("string"))
-    sample = np.asarray(
-        [
-            r[0]
-            for r in corpus.select(F.col(vec_col), key.alias("_h"))
-            .orderBy("_h")
-            .limit(quantizer_sample)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    rng = np.random.default_rng(seed)
-    centers = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
-    for _ in range(quantizer_iters):
-        assign = _pairwise_sq_dists(sample, centers).argmin(axis=1)
-        for c in range(len(centers)):
-            mask = assign == c
-            if mask.any():
-                centers[c] = sample[mask].mean(axis=0)
+    # coarse quantizer trained on a bounded content-addressed sample
+    # (standard IVF practice: the quantizer needs the coarse density, not
+    # every vector) — see _content_sample/_lloyd for the determinism and
+    # no-extra-scan properties; ivfpq_topk shares the identical quantizer
+    sample = _content_sample(corpus, id_col, vec_col, quantizer_sample)
+    centers = _lloyd(sample, n_lists, quantizer_iters, seed)
     km = ClusterModel(centers)
     assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
     # probe cells per query: n_probe nearest centers (driver-side for the
@@ -354,7 +333,6 @@ def pq_encode_df(
     assigned: DataFrame,
     centers: np.ndarray,
     codebooks: np.ndarray,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "_cell",
     out_col: str = "codes",
@@ -372,7 +350,7 @@ def pq_encode_df(
     b_centers = spark.sparkContext.broadcast(np.asarray(centers, dtype=np.float64))
     b_books = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
 
-    m_sub, k_codes, ds = codebooks.shape
+    m_sub, _, ds = codebooks.shape
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _encode(vecs: pd.Series, cells: pd.Series) -> pd.Series:
@@ -436,7 +414,7 @@ def ivfpq_topk(
 
     km = ClusterModel(centers)
     assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
-    encoded = pq_encode_df(assigned, centers, books, id_col, vec_col).select(
+    encoded = pq_encode_df(assigned, centers, books, vec_col).select(
         id_col, "_cell", "codes"
     )
 

@@ -518,7 +518,9 @@ def scrub_pii(text_col: str | Column = "text", patterns=None) -> Column:
     all inside codegen; at corpus scale this is a map-only projection
     with zero shuffles."""
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
-    for _, pat, repl in (patterns or PII_PATTERNS):
+    # explicit None check: an empty pattern list legitimately means
+    # "scrub nothing" and must not fall back to the defaults
+    for _, pat, repl in (PII_PATTERNS if patterns is None else patterns):
         c = F.regexp_replace(c, pat, repl)
     return c
 
@@ -533,7 +535,7 @@ def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     count as both credit_card and phone); scrubbing applies the classes
     sequentially in PII_PATTERNS order, so each span is replaced once by
     its highest-priority class."""
-    pats = patterns or PII_PATTERNS
+    pats = PII_PATTERNS if patterns is None else patterns
     cols = [F.col(id_col)]
     for name, pat, _ in pats:
         cols.append(

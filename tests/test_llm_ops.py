@@ -1058,3 +1058,11 @@ def test_line_dedup_matches_naive_reference(spark):
         assert got == expect
 
     check()
+
+
+def test_pii_empty_pattern_list_scrubs_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "mail john@example.com")], "doc_id long, text string"
+    )
+    r = text.pii_stats(df, patterns=[]).collect()[0]
+    assert r["scrubbed_text"] == "mail john@example.com"

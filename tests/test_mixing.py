@@ -69,3 +69,12 @@ def test_stratified_rates_apply_per_stratum(spark, docs):
     got = kept.select("source").distinct().collect()
     assert [r["source"] for r in got] == ["src0"]
     assert kept.count() == docs.where(F.col("source") == "src0").count()
+
+
+def test_null_keys_never_sampled(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    kept = mixing.sample_deterministic(df, 1_000_000)  # rate = 100%
+    ids = [r["doc_id"] for r in kept.collect()]
+    assert None not in ids and sorted(ids) == [1, 2]

@@ -130,6 +130,12 @@ def main() -> None:
             except Exception as exc:
                 results[name][f"x{k}"] = -1.0
                 print(f"error {name} x{k}: {exc}", file=sys.stderr)
+            # session hygiene (same rationale as bench.py): queries that
+            # persist intermediates (LSH candidates, estimator caches)
+            # would otherwise accumulate across 4 scale factors x ~25
+            # queries and inflate later timings with eviction/GC pressure
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         r = results[name]
         if all(v > 0 for v in r.values()) and len(ks) > 1:
             r["slope"] = round(r[f"x{ks[-1]}"] / max(r[f"x{ks[0]}"], 1e-9), 2)
