@@ -1543,6 +1543,44 @@ def _q_corpus_clean_pipeline(spark, sf_dir):
     return pack_documents(s3, budget=512)
 
 
+def _q_corpus_prep_pipeline(spark, sf_dir):
+    """Round-4 composition: C4 line rules -> GLOBAL first-occurrence line
+    dedup -> deterministic stratified sample -> GPT-style sequence
+    packing, one DataFrame pipeline. (PII scrubbing belongs between the
+    filter and dedup stages; it is a no-op on the synthetic corpus and is
+    exercised separately by doc_pii_scrub.) Every stage is replayed by
+    the SQL oracle; the sample membership uses the engine-independent
+    XXH64 replica embedded as a literal id set."""
+    from deeptime_spark.operators.chunking import pack_documents
+    from deeptime_spark.operators.dedup import drop_duplicate_lines_across_docs
+    from deeptime_spark.operators.mixing import stratified_sample
+    from deeptime_spark.operators.text import c4_line_filter
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    s1 = c4_line_filter(
+        docs, min_words=30, require_terminal_punct=False, min_kept_lines=1
+    ).where(F.col("passes_c4") == 1)
+    s2 = drop_duplicate_lines_across_docs(
+        s1.select("doc_id", F.col("clean_text").alias("text"), "source"), min_chars=10
+    ).where(F.col("n_lines_kept") > 0)
+    s3 = stratified_sample(
+        s2.join(docs.select("doc_id", "source"), "doc_id"),
+        _MIX_RATES_PPM,
+        default_ppm=500000,
+    )
+    out = pack_documents(
+        s3.select("doc_id", F.col("clean_text").alias("text"), "source"), budget=512
+    )
+    return out.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("tok_offset").cast("long").alias("tok_offset"),
+        F.col("pack_first").cast("long").alias("pack_first"),
+        F.col("pack_last").cast("long").alias("pack_last"),
+    )
+
+
 def _q_doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/dedup.py:decontaminate):
     flag corpus documents sharing any distinct word 8-gram with the probe
@@ -1739,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": _q_domain_mixture,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_pii_scrub": _q_doc_pii_scrub,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "hmm_viterbi_events": _q_hmm_viterbi_events,
         "embedding_whiten": _q_embedding_whiten,
         "dedup_verified_pairs": _q_dedup_verified_pairs,

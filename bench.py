@@ -78,6 +78,7 @@ HEADLINE = [
     "domain_mixture",
     "doc_stratified_sample",
     "doc_pii_scrub",
+    "corpus_prep_pipeline",
 ]
 
 

@@ -959,6 +959,84 @@ def oracle_doc_stratified_sample() -> str:
 _BUILDERS["doc_stratified_sample"] = oracle_doc_stratified_sample
 
 
+def oracle_corpus_prep_pipeline() -> str:
+    """Python replay of the round-4 composition (C4 line rules -> global
+    first-occurrence line dedup -> XXH64-replica stratified sample ->
+    per-shard sequence packing). Every stage is exact integer/string math
+    mirroring the Column semantics: split('\\s+') on trimmed lowercase
+    text, first-(doc_id, line_no) wins, pmod(xxhash64(str(id)), 1e6)
+    membership, prefix-sum packing ordered by doc id within shard."""
+    import re as re_
+
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    bad = ["javascript", "lorem ipsum", "cookie policy", "privacy policy", "terms of use", "{"]
+
+    def keep_line(l: str) -> bool:
+        t = l.strip()
+        if not t or len(re_.split(r"\s+", t)) < 30:
+            return False
+        low = l.lower()
+        return not any(p in low for p in bad)
+
+    # stage 1: C4 filter (min_words=30, no terminal punct, >=1 kept line)
+    s1 = []
+    for doc_id, text, source in rows:
+        kept = [l for l in (text or "").split("\n") if keep_line(l)]
+        if kept:
+            s1.append((int(doc_id), "\n".join(kept), source))
+    # stage 2: global line dedup (min_chars=10), drop fully-deduped docs
+    seen: set = set()
+    s2 = []
+    for doc_id, text, source in s1:
+        out_lines = []
+        for l in text.split("\n"):
+            if len(l.strip()) < 10:
+                out_lines.append(l)
+            elif l not in seen:
+                seen.add(l)
+                out_lines.append(l)
+        if out_lines:
+            s2.append((doc_id, "\n".join(out_lines), source))
+    # stage 3: stratified sample (src0/src1 explicit, default 500000 ppm)
+    rates = {"src0": 300000, "src1": 800000}
+    s3 = [
+        (d, t, s)
+        for d, t, s in s2
+        if xxhash64(str(d).encode()) % 1_000_000 < rates.get(s, 500000)
+    ]
+    # stage 4: pack (budget 512, shard = source, order by doc_id)
+    budget = 512
+    by_shard: dict = {}
+    for d, t, s in s3:
+        toks = [w for w in re_.split(r"\s+", (t or "").strip().lower()) if w != ""]
+        by_shard.setdefault(s, []).append((d, len(toks)))
+    out = []
+    for s, docs_ in sorted(by_shard.items()):
+        off = 0
+        for d, n in sorted(docs_):
+            first = off // budget
+            last = (off + max(n - 1, 0)) // budget
+            out.append((d, s, n, off, first, last))
+            off += n
+    body = ",\n".join(
+        f"({d}, '{s}', {n}, {o}, {f}, {l})" for d, s, n, o, f, l in sorted(out)
+    )
+    return (
+        "SELECT c0 AS doc_id, c1 AS shard, CAST(c2 AS BIGINT) AS n_tokens, "
+        "CAST(c3 AS BIGINT) AS tok_offset, CAST(c4 AS BIGINT) AS pack_first, "
+        "CAST(c5 AS BIGINT) AS pack_last FROM (VALUES\n" + body + "\n) AS v(c0, c1, c2, c3, c4, c5)"
+    )
+
+
+_BUILDERS["corpus_prep_pipeline"] = oracle_corpus_prep_pipeline
+
+
 def oracle_tram() -> str:
     """TRAM mirror: per-ensemble counts, state counts and the
     (state, traj, t)-ordered bias blocks are re-derived from the parquet
