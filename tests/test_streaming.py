@@ -160,3 +160,47 @@ def test_streaming_session_counts_cross_batch_merge(spark, tmp_path):
     }
     spark.catalog.dropTempView("sessw_test")
     assert got == {1: 1, 2: 2}
+
+
+def test_streaming_corpus_filter_matches_batch(spark, tmpdir):
+    """The stateless corpus-prep stages (C4 line filter, PII scrub,
+    deterministic sampling) are pure projections/predicates, so they run
+    unchanged on a stream and must keep exactly the rows the batch path
+    keeps — content-addressed sampling is what makes this hold across
+    arbitrary micro-batch splits."""
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.mixing import deterministic_keep
+    from deeptime_spark.operators.text import c4_line_filter, scrub_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.parquet(tmpdir + "/docs")
+
+    def prep(df):
+        filtered = c4_line_filter(
+            df, min_words=20, require_terminal_punct=False, min_kept_lines=1
+        ).where(F.col("passes_c4") == 1)
+        return filtered.select(
+            "doc_id", scrub_pii("clean_text").alias("clean_text")
+        ).where(deterministic_keep(F.col("doc_id"), 600000))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        tmpdir + "/docs"
+    )
+    q = (
+        prep(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_prep_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["doc_id"], r["clean_text"])
+        for r in spark.sql("SELECT * FROM corpus_prep_out").collect()
+    )
+    want = sorted((r["doc_id"], r["clean_text"]) for r in prep(docs).collect())
+    assert got == want and len(want) > 0
