@@ -177,6 +177,13 @@ class MaximumLikelihoodHMM(Estimator):
                 }
             )
 
+        # one stats row per PARTITION (or per trajectory in per_traj
+        # mode), so the driver reduction is O(partitions x N^2) floats —
+        # negligible up to thousands of partitions. If a deployment ever
+        # runs with 10^5+ partitions, insert a tree level (repartition the
+        # stats rows to sqrt(P) and re-run a summing mapInPandas) before
+        # this collect; the per_traj sorted-reduce replayability is
+        # unaffected because that mode already fixes the reduction order.
         rows = df.mapInPandas(estep, schema=schema).collect()
         if not rows:
             raise ValueError("no (sub-)trajectories of length > 1 — lagtime too large?")
