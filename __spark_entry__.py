@@ -1537,8 +1537,15 @@ def _q_corpus_clean_pipeline(spark, sf_dir):
     # verification, and the final anti-join — without the cache the
     # filter+dedup window would re-run per consumer
     s2 = drop_exact_duplicates(s1).persist()
-    cands = minhash_lsh_candidates(s2, n_hashes=32, bands=8)
-    pairs = verify_candidates_jaccard(cands, s2, threshold=0.2)
+    # candidates materialized once: the verification stage consumes them
+    # in two gram joins plus the restriction semi-join (same pattern as
+    # dedup_verified_pairs — without it the signature+banding subtree
+    # executes per consumer)
+    cands = minhash_lsh_candidates(s2, n_hashes=32, bands=8).persist()
+    cands.count()
+    pairs = verify_candidates_jaccard(
+        cands, s2, threshold=0.2, candidates_materialized=True
+    )
     s3 = drop_near_duplicates(s2, pairs)
     return pack_documents(s3, budget=512)
 
