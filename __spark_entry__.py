@@ -1746,6 +1746,398 @@ def _q_streaming_transition_counts(spark, sf_dir):
     )
 
 
+# --- round-4: adapted TPC-H relational surface (no partsupp table in the
+# testdata; queries needing it are re-expressed over lineitem shipments;
+# date/comment columns absent from the schema get equivalent predicates).
+# Conventions follow the header exactness policy: money as BIGINT cents,
+# revenue as cents x (100 - discount-percent) BIGINT units ("_c2").
+
+
+def _rev_c2():
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+def _q_q2_min_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted, no partsupp): for each PROMO part of size
+    10, the supplier with minimum account balance among those who actually
+    shipped it — distinct shipment pairs, then an argmin window."""
+    from pyspark.sql import Window
+
+    part = _read(spark, sf_dir, "part").where(
+        (F.col("p_size") == 10) & (F.col("p_type") == "PROMO")
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    pairs = (
+        _read(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal_c"),
+        )
+    )
+
+
+def _q_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-style correlated semi-join (orders in 1997H2
+    having a returned line shipped after the order date), counted by
+    priority."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year; dims broadcast, fact join on orderkey."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(
+            ((supp.s_nationkey == 1) & (cust.c_nationkey == 2))
+            | ((supp.s_nationkey == 2) & (cust.c_nationkey == 1))
+        )
+    )
+    return joined.groupBy(
+        F.col("s_nationkey").cast("long").alias("supp_nation"),
+        F.col("c_nationkey").cast("long").alias("cust_nation"),
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(F.count(F.lit(1)).alias("n_items"), F.sum(_rev_c2()).alias("revenue_c2"))
+
+
+def _q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_5's share of ASIA-region PROMO-part revenue
+    per year — conditional aggregation over one joined plan; share emitted
+    as exact BIGINT numerator/denominator plus a deterministic
+    double division rounded to 6 places."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    part = _read(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    rev = _rev_c2()
+    out = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(rev).alias("total_rev_c2"),
+        F.sum(F.when(F.col("s_nationkey") == 5, rev).otherwise(F.lit(0))).alias(
+            "nation_rev_c2"
+        ),
+    )
+    return out.select(
+        "o_year",
+        "total_rev_c2",
+        "nation_rev_c2",
+        F.round(
+            F.col("nation_rev_c2").cast("double") / F.col("total_rev_c2").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+def _q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted, no supplycost): widget-part revenue by
+    supplier nation and ship year."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(_rev_c2()).alias("profit_c2"))
+    )
+
+
+def _q_q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape (adapted, no shipmode/commitdate): lines shipped
+    more than 60 days after the order date, split into high/low-priority
+    counts per ship year — CASE-WHEN conditional aggregation."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(li.l_shipdate > F.date_add(orders.o_orderdate, 60))
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution over a left
+    outer join (orders since 2001 only, so zero-order customers appear)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: PROMO-part share of June-1997 revenue; exact
+    integer numerator/denominator plus rounded double ratio."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = _rev_c2()
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_rev_c2"
+            ),
+            F.sum(rev).alias("total_rev_c2"),
+        )
+    )
+    return out.select(
+        "promo_rev_c2",
+        "total_rev_c2",
+        F.round(
+            F.col("promo_rev_c2").cast("double") / F.col("total_rev_c2").cast("double"),
+            6,
+        ).alias("promo_share"),
+    )
+
+
+def _q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum 1997Q1 revenue —
+    agg, scalar max, equality join back (ties kept, as in the spec)."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_c2()).alias("total_rev_c2"))
+    mx = rev.agg(F.max("total_rev_c2").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_c2 == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c2")
+    )
+
+
+def _q_q16_part_supplier_stats(spark, sf_dir):
+    """TPC-H Q16 shape (adapted, suppliers via shipments): distinct
+    supplier count per (brand, type, size) excluding Brand#1."""
+    part = _read(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from Brand#23 lineitems below half the
+    part's average quantity — per-part avg broadcast back (the correlated
+    scalar subquery, expressed as agg + join)."""
+    part = _read(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    li = _read(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("p_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("ap"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_c"
+            ),
+        )
+    )
+
+
+def _q_q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250, with
+    customer attribution — HAVING on a fact-side agg, dims broadcast."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_c"),
+            "sum_qty",
+        )
+    )
+
+
+def _q_q19_or_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of brand/size/quantity envelopes —
+    exercises OR-predicate pushdown through a broadcast join."""
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum(_rev_c2()).alias("revenue_c2")
+    )
+
+
+def _q_q20_semi_chain(spark, sf_dir):
+    """TPC-H Q20 shape (adapted): suppliers who shipped >60 units of any
+    'red' part — chained semi-joins ending in the supplier dim."""
+    part = _read(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = _read(spark, sf_dir, "lineitem")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def _q_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted, no receipt dates): on multi-supplier
+    orders where exactly one supplier had a returned line, count those
+    sole-culprit suppliers — the EXISTS/NOT-EXISTS pair re-expressed as
+    one conditional aggregation per order."""
+    li = _read(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nr"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "culprit"
+        ),
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    return (
+        per_order.where((F.col("ns") > 1) & (F.col("nr") == 1))
+        .groupBy("culprit")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("culprit") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+def _q_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted, no phone country codes): customers in
+    nations 0-9 with above-average positive balance and no orders since
+    2000 — scalar-subquery threshold (exact integer-cents floor average)
+    + anti-join."""
+    cust = _read(spark, sf_dir, "customer").withColumn(
+        "acctbal_c", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    thr = (
+        cust.where(F.col("acctbal_c") > 0)
+        .agg(F.floor(F.sum("acctbal_c") / F.count(F.lit(1))).alias("thr_c"))
+    )
+    recent = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .where((F.col("acctbal_c") > F.col("thr_c")) & (F.col("c_nationkey") < 10))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("acctbal_c").alias("totacctbal_c"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records queries in
     # declaration order (r02 recorded exactly the first 50 of 68). The
@@ -1862,6 +2254,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_volume": _q_nation_order_volume,
         "brand_volume": _q_brand_volume,
         "q5_supplier_volume": _q_q5_supplier_volume,
+        # --- round-4 adapted TPC-H additions (correlated subqueries,
+        # semi/anti joins, argmin windows, conditional aggregation) ---
+        "q2_min_supplier": _q_q2_min_supplier,
+        "q4_priority_exists": _q_q4_priority_exists,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "q12_late_shipments": _q_q12_late_shipments,
+        "q13_order_distribution": _q_q13_order_distribution,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q16_part_supplier_stats": _q_q16_part_supplier_stats,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        "q18_large_volume_customers": _q_q18_large_volume_customers,
+        "q19_or_predicates": _q_q19_or_predicates,
+        "q20_semi_chain": _q_q20_semi_chain,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
+        "q22_dormant_customers": _q_q22_dormant_customers,
     }
 
 
@@ -2516,6 +2926,219 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name
 ORDER BY revenue_c2 DESC, c_custkey
 LIMIT 20
+""",
+        "q2_min_supplier": """
+WITH pairs AS (
+  SELECT DISTINCT p_partkey, p_name, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 10 AND p_type = 'PROMO'
+), ranked AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal, s_suppkey) AS rn
+  FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal_c
+FROM ranked WHERE rn = 1
+""",
+        "q4_priority_exists": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_returnflag = 'R'
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+        "q7_volume_shipping": """
+SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+       CAST(c_nationkey AS BIGINT) AS cust_nation,
+       year(l_shipdate) AS l_year, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+  AND ((s_nationkey = 1 AND c_nationkey = 2)
+    OR (s_nationkey = 2 AND c_nationkey = 1))
+GROUP BY 1, 2, 3
+""",
+        "q8_market_share": """
+WITH agg AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_c2,
+         CAST(sum(CASE WHEN s_nationkey = 5
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       ELSE 0 END) AS BIGINT) AS nation_rev_c2
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  GROUP BY 1
+)
+SELECT o_year, total_rev_c2, nation_rev_c2,
+       round(CAST(nation_rev_c2 AS DOUBLE) / CAST(total_rev_c2 AS DOUBLE), 6) AS mkt_share
+FROM agg
+""",
+        "q9_product_profit": """
+SELECT n_name AS nation, year(l_shipdate) AS o_year, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS profit_c2
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+        "q12_late_shipments": """
+SELECT year(l_shipdate) AS l_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+        "q13_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders
+             WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+""",
+        "q14_promo_revenue": """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       ELSE 0 END) AS BIGINT) AS promo_rev_c2,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_c2
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    AND l_shipdate <  TIMESTAMP '1997-07-01'
+)
+SELECT promo_rev_c2, total_rev_c2,
+       round(CAST(promo_rev_c2 AS DOUBLE) / CAST(total_rev_c2 AS DOUBLE), 6) AS promo_share
+FROM agg
+""",
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_c2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_c2
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_c2 = (SELECT max(total_rev_c2) FROM rev)
+""",
+        "q16_part_supplier_stats": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY 1, 2, 3
+""",
+        "q17_small_qty_revenue": """
+WITH li AS (
+  SELECT l_quantity, l_extendedprice, p_partkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), avg_q AS (
+  SELECT p_partkey AS ap, avg(l_quantity) AS avg_qty FROM li GROUP BY 1
+)
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM li JOIN avg_q ON p_partkey = ap
+WHERE l_quantity < 0.5 * avg_qty
+""",
+        "q18_large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c, sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "q19_or_predicates": """
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+        "q20_semi_chain": """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 60
+)
+""",
+        "q21_waiting_supplier": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nr,
+         max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS culprit
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON culprit = s_suppkey
+WHERE ns > 1 AND nr = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+""",
+        "q22_dormant_customers": """
+WITH thr AS (
+  SELECT CAST(floor(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                    / count(*)) AS BIGINT) AS thr_c
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+FROM customer, thr
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > thr_c
+  AND c_nationkey < 10
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
 """,
         "event_confidence_interval": f"""
 WITH {_TRAJ_CTE}

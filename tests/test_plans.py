@@ -104,11 +104,16 @@ def test_kernel_gram_map_only(spark):
 
 
 def test_lsh_pipelines_bounded_shuffles(spark):
-    # explode -> partial-agg signature (1) -> band bucket window (2) ->
-    # bucket collect (3); banding must not add passes beyond three
-    for q in (entrymod._q_minhash_bands, entrymod._q_simhash_pairs):
+    # minhash: explode -> partial-agg signature (1) -> band bucket window
+    # (2) -> bucket collect (3); banding must not add passes beyond three.
+    # simhash budgets ONE more: the Zipf token-collapse groupBy(id, hash)
+    # (operators/dedup.py:simhash_signatures_df) trades an extra map-side-
+    # combined exchange for running the 64 CASE votes over distinct rather
+    # than all token occurrences (measured 2-4x at sf0.1); both its
+    # exchanges carry combiner-reduced rows, never raw occurrences.
+    for q, budget in ((entrymod._q_minhash_bands, 3), (entrymod._q_simhash_pairs, 4)):
         plan = plan_of(q(spark, SF))
-        assert n_exchanges(plan) <= 3, plan[:1500]
+        assert n_exchanges(plan) <= budget, plan[:1500]
         assert "EvalPython" not in plan
 
 
