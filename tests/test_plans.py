@@ -280,3 +280,46 @@ def test_ivfpq_scoring_stays_jvm(spark):
     join_tail = plan.split("BroadcastHashJoin")[-1]
     assert "EvalPython" not in join_tail.split("(1) Scan")[0][:4000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_round4_tpch_broadcast_dims(spark):
+    # dimension sides (part/supplier/customer/nation/region, per-part avg,
+    # scalar max / threshold) are explicitly broadcast: no sort-merge join
+    # may appear for a dim join at any scale factor
+    for q in (
+        entrymod._q_q2_min_supplier,
+        entrymod._q_q7_volume_shipping,
+        entrymod._q_q8_market_share,
+        entrymod._q_q9_product_profit,
+        entrymod._q_q17_small_qty_revenue,
+        entrymod._q_q19_or_predicates,
+        entrymod._q_q22_dormant_customers,
+    ):
+        plan = plan_of(q(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan[:1500]
+        assert "EvalPython" not in plan
+
+
+def test_round4_tpch_filters_pushed(spark):
+    # date-range / flag predicates reach the parquet reader
+    plan = plan_of(entrymod._q_q4_priority_exists(spark, SF))
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:400]
+    plan = plan_of(entrymod._q_q15_top_supplier(spark, SF))
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q4_semi_join_not_inner(spark):
+    # the EXISTS must stay a semi-join: no post-join dedup of orders
+    plan = plan_of(entrymod._q_q4_priority_exists(spark, SF))
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q20_semi_join_chain(spark):
+    plan = plan_of(entrymod._q_q20_semi_chain(spark, SF))
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q22_anti_join(spark):
+    plan = plan_of(entrymod._q_q22_dormant_customers(spark, SF))
+    assert "LeftAnti" in plan, plan[:2000]
