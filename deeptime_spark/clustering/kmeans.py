@@ -346,7 +346,14 @@ class DeterministicKMeans(Estimator):
         rng = np.random.default_rng(self.seed)
         centers = kmeanspp_init(X0, k, rng)
 
-        vecs = df.select(x_col).persist()
+        from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+        # every Lloyd iteration is one mapInPandas over this frame; a
+        # single-row-group scan would serialize the BLAS work on one core.
+        # Safe under the round-robin exchange: partials are fixed-point
+        # integers reduced exactly, so results are batch-shape-invariant
+        # (pinned by tests). No-op when the scan already has enough splits.
+        vecs = spread_for_map_parallelism(df.select(x_col)).persist()
         try:
             schema = StructType(
                 [

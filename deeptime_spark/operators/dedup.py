@@ -156,6 +156,12 @@ def minhash_signatures_df(
     volume is |docs| x n_hashes longs regardless of document length —
     the right plan at 100 TB as well as the fast one locally.
     """
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # single-row-group inputs scan as ONE task; the hash work is map-side,
+    # so spread (no-op at scale) and key by id: the signature groupBy is
+    # then satisfied with no further exchange (see operators/layout.py)
+    df = spread_for_map_parallelism(df, id_col)
     sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_sh"))
     # n_hashes SCALAR hash columns, not one array column: building an
     # n_hashes-element array per exploded shingle row costs one heap
@@ -259,6 +265,11 @@ def verify_candidates_jaccard(
             .distinct()
         )
         doc_side = docs.join(cand_ids, id_col, "left_semi")
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # the gram regex pass is the expensive map stage here; spread it off a
+    # single-split scan (no-op at scale), keyed so the pair joins cluster
+    doc_side = spread_for_map_parallelism(doc_side, id_col)
     grams = doc_side.select(
         F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
     )
@@ -325,6 +336,13 @@ def simhash_signatures_df(
     # 64x and the first-run JIT compile goes from ~1s to ~5s (execution
     # cost is identical — runtime subexpression elimination handles it —
     # but compile time is what a fresh plan pays)
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # keyed spread (no-op at scale): the token-collapse groupBy(id, _h)
+    # AND the vote groupBy(id) are both satisfied by hash(id), so on a
+    # single-row-group input this removes both downstream exchanges while
+    # parallelizing the bit-vote map work
+    df = spread_for_map_parallelism(df, id_col)
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t")).select(
         F.col(id_col), F.xxhash64("_t").alias("_h")
     )
@@ -675,6 +693,11 @@ def winnowing_fingerprints_df(
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # the rolling-hash Python kernel is pure map work: spread a
+    # single-split scan across cores (no-op at scale)
+    df = spread_for_map_parallelism(df, id_col)
     schema = StructType(
         [StructField(id_col, LongType()), StructField("fingerprint", LongType())]
     )

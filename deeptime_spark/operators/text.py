@@ -314,6 +314,11 @@ def unigram_lm_scores_df(
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # both the count explode and the Arrow scoring map are map-heavy;
+    # spread a single-split scan once for both consumers (no-op at scale)
+    df = spread_for_map_parallelism(df, id_col)
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     counts = toks.select(F.explode("_toks").alias("w")).groupBy("w").count()
     agg = counts.agg(
@@ -388,6 +393,12 @@ def gopher_top_ngram_fractions(
     norm_len = F.greatest(
         F.length(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")), F.lit(1)
     )
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # gram explosion is the heavy map stage; spread a single-split scan
+    # (no-op at scale), keyed by doc id so the gram count groupBy and the
+    # per-(doc, n) window both run with no further exchange
+    df = spread_for_map_parallelism(df, id_col)
     out = df.withColumn("_nl", norm_len)
     # one explode carries every n (tagged structs), so the whole rule set
     # costs one gram shuffle + one window + one join regardless of len(ns)

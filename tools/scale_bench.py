@@ -47,8 +47,11 @@ QUERIES = [
     "domain_mixture", "doc_stratified_sample",
     # similarity over embeddings
     "knn_bruteforce", "ivf_topk", "ivfpq_topk",
-    # relational over lineitem
+    # relational over lineitem (q18/q21: shuffle-agg + join shapes from
+    # the round-4 adapted TPC-H set; l_orderkey is offset per replica so
+    # fact-side groups multiply rather than deepen)
     "q1_pricing_summary", "q6_forecast_revenue",
+    "q18_large_volume_customers", "q21_waiting_supplier",
     # trajectory ops over events
     "event_transition_counts", "event_moments", "event_sliding_avg",
     "hmm_viterbi_events",
