@@ -352,8 +352,13 @@ class DeterministicKMeans(Estimator):
         # single-row-group scan would serialize the BLAS work on one core.
         # Safe under the round-robin exchange: partials are fixed-point
         # integers reduced exactly, so results are batch-shape-invariant
-        # (pinned by tests). No-op when the scan already has enough splits.
-        vecs = spread_for_map_parallelism(df.select(x_col)).persist()
+        # (pinned by tests). No-op when the scan already has enough
+        # splits; size-capped because the per-byte cost here is one BLAS
+        # gemm — slicing a sub-MB input across every core costs more in
+        # per-iteration task scheduling than the map work saved.
+        vecs = spread_for_map_parallelism(
+            df.select(x_col), min_bytes_per_partition=4 << 20
+        ).persist()
         try:
             schema = StructType(
                 [

@@ -26,15 +26,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (bytes), or None if the
+    stats are unavailable. Plan metadata only — never runs a job."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def spread_for_map_parallelism(
-    df: DataFrame, *key_cols: str, target: int | None = None
+    df: DataFrame,
+    *key_cols: str,
+    target: int | None = None,
+    min_bytes_per_partition: int | None = None,
 ) -> DataFrame:
     """Repartition ``df`` by ``key_cols`` onto ``target`` partitions iff it
     currently has fewer partitions than ``target`` (default: the session's
-    ``sparkContext.defaultParallelism``). See module docstring."""
+    ``sparkContext.defaultParallelism``). See module docstring.
+
+    ``min_bytes_per_partition`` caps the target so each partition carries
+    at least that much estimated input — for kernels whose per-byte CPU
+    cost is ordinary (BLAS over packed doubles), where slicing a tiny
+    input across every core costs more in task scheduling than the map
+    work saved. Leave unset for CPU-dense text kernels (gram explosion,
+    n x hashing), where even kilobytes of input are worth a core."""
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
+    if min_bytes_per_partition:
+        est = estimated_size_bytes(df)
+        if est is not None:
+            target = min(target, max(1, est // min_bytes_per_partition))
     if target <= 1:
         return df
     try:

@@ -323,3 +323,42 @@ def test_q20_semi_join_chain(spark):
 def test_q22_anti_join(spark):
     plan = plan_of(entrymod._q_q22_dormant_customers(spark, SF))
     assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_spread_noop_when_partitions_sufficient(spark):
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(target, "doc_id")
+    # already at target: identical plan object, no second exchange
+    assert spread_for_map_parallelism(wide, "doc_id") is wide
+    # under target: exactly one keyed exchange appears
+    spreadp = plan_of(spread_for_map_parallelism(docs, "doc_id"))
+    assert n_exchanges(spreadp) == 1, spreadp[:800]
+
+
+def test_spread_size_cap_skips_tiny_inputs(spark):
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # sf0.001 documents are far below 1 GiB/partition: the cap must
+    # reduce the target to 1 and leave the frame unshuffled
+    assert spread_for_map_parallelism(
+        docs, "doc_id", min_bytes_per_partition=1 << 30
+    ) is docs
+
+
+def test_spread_keyed_satisfies_downstream_group(spark):
+    # the keyed spread must not ADD a pass: groupBy on the spread key
+    # runs on the same exchange (one Exchange total in the plan)
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = spread_for_map_parallelism(docs, "doc_id").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = plan_of(out)
+    assert n_exchanges(plan) == 1, plan[:1200]
