@@ -717,6 +717,28 @@ def _q_pcca_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, m0 double, m1 double")
 
 
+def _q_sindy_events(spark, sf_dir):
+    """SINDy on the event value series (SURVEY §2.10): per-trajectory
+    window FD derivative -> polynomial library -> ONE gramian aggregate
+    -> driver least squares (STLSQ with threshold 0 = the pure
+    regression, boundary-flip-free for the oracle compare). Returns the
+    discovered equation coefficients for features [1, x, x^2]."""
+    from deeptime_spark.sindy import SINDy, STLSQ
+
+    traj = _event_traj(spark, sf_dir)
+    feat = traj.select("traj_id", "t", F.array(F.col("value") / 100.0).alias("x"))
+    model = (
+        SINDy(optimizer=STLSQ(threshold=0.0, alpha=0.0))
+        .fit(feat, dt=1.0)
+        .fetch_model()
+    )
+    rows = [
+        (int(i), str(name), round(float(model.coefficients[0, i]), 6))
+        for i, name in enumerate(model.feature_names)
+    ]
+    return spark.createDataFrame(rows, "idx long, feature string, coef double")
+
+
 def _q_tram_events(spark, sf_dir):
     """TRAM over two synthetic thermodynamic ensembles built from the
     event dtraj (ensemble = traj parity, bias = scaled value): Spark
@@ -2199,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_its_events": _q_msm_its_events,
         "msm_ck_events": _q_msm_ck_events,
         "pcca_events": _q_pcca_events,
+        "sindy_events": _q_sindy_events,
         # --- LSH/ANN pipelines (newly oracle-backed via spark_hashes) ---
         "minhash_bands": _q_minhash_bands,
         "simhash_pairs": _q_simhash_pairs,

@@ -174,6 +174,8 @@ def _msm(sf: str, lag: int):
 # ------------------------------------------------------------ SQL emit
 
 def _lit(x) -> str:
+    if isinstance(x, str):
+        return "'" + x.replace("'", "''") + "'"
     if isinstance(x, (int, np.integer)):
         return str(int(x))
     x = float(x)
@@ -189,10 +191,12 @@ def _lit(x) -> str:
 
 
 def _values_sql(rows, cols: list[str], types: str) -> str:
-    """VALUES literal table; types per column: 'b' BIGINT, 'd' DOUBLE."""
+    """VALUES literal table; types per column: 'b' BIGINT, 'd' DOUBLE,
+    's' VARCHAR."""
+    _SQL_T = {"b": "BIGINT", "d": "DOUBLE", "s": "VARCHAR"}
     body = ",\n".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
     sel = ", ".join(
-        f"CAST(c{i} AS {'BIGINT' if t == 'b' else 'DOUBLE'}) AS {c}"
+        f"CAST(c{i} AS {_SQL_T[t]}) AS {c}"
         for i, (c, t) in enumerate(zip(cols, types))
     )
     names = ", ".join(f"c{i}" for i in range(len(cols)))
@@ -498,8 +502,48 @@ SELECT vec_id, {', '.join(comps)} FROM emb
 
 # ------------------------------------------------------------- public
 
+def oracle_sindy(round_to: int = 6) -> str:
+    """SINDy equation coefficients, layer-1 recomputed in numpy: the
+    per-trajectory FD derivative (same stencils as sindy.with_derivative
+    — central interior, second-order one-sided at trajectory edges,
+    trajectories shorter than 3 dropped), monomial features [1, v, v^2]
+    with v = value/100, normal-equation gramians, and the shared STLSQ
+    finalize at threshold 0 (pure least squares — scale-invariant, so
+    raw sums here vs Spark's moment normalization agree to rounding)."""
+    from deeptime_spark.sindy import STLSQ
+
+    sf = sf_dir()
+    tid, t, value, _ = _traj(sf)
+    v = value / 100.0
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    xs, dots = [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        seg = v[a:b]
+        n = len(seg)
+        if n < 3:
+            continue
+        d = np.empty(n)
+        d[1:-1] = (seg[2:] - seg[:-2]) / 2.0
+        d[0] = (-3.0 * seg[0] + 4.0 * seg[1] - seg[2]) / 2.0
+        d[-1] = (3.0 * seg[-1] - 4.0 * seg[-2] + seg[-3]) / 2.0
+        xs.append(seg)
+        dots.append(d)
+    x = np.concatenate(xs)
+    xdot = np.concatenate(dots)
+    theta = np.stack([np.ones_like(x), x, x * x], axis=1)
+    G = theta.T @ theta
+    B = theta.T @ xdot[:, None]
+    Xi = STLSQ(threshold=0.0, alpha=0.0).solve(G, B)
+    names = ["1", "x0", "x0*x0"]
+    rows = [
+        (i, names[i], round(float(Xi[0, i]), round_to)) for i in range(len(names))
+    ]
+    return _values_sql(rows, ["idx", "feature", "coef"], "bsd")
+
+
 _BUILDERS = {
     "msm_pi_events": oracle_msm_pi,
+    "sindy_events": oracle_sindy,
     "msm_its_events": oracle_msm_its,
     "msm_ck_events": oracle_msm_ck,
     "pcca_events": oracle_pcca,

@@ -121,3 +121,22 @@ def test_tv_derivative_denoises(spark, rng):
     rows = tv_derivative_df(df, alpha=50.0, maxit=60, tol=1e-8).orderBy("t").collect()
     got = np.array([r["dvalue_tv"] for r in rows])
     np.testing.assert_allclose(got, d_tv, atol=1e-8)
+
+
+def test_sindy_harness_query_layout_independent(spark):
+    # the harness sindy_events coefficients must not depend on how the
+    # event rows were partitioned: round-6 output identical under a
+    # 13-way scrambling repartition of the feature frame
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.sindy import SINDy, STLSQ
+
+    traj = entrymod._event_traj(spark, "/root/testdata/sf0.001")
+    feat = traj.select("traj_id", "t", F.array(F.col("value") / 100.0).alias("x"))
+
+    def coefs(frame):
+        m = SINDy(optimizer=STLSQ(threshold=0.0, alpha=0.0)).fit(frame, dt=1.0).fetch_model()
+        return [round(float(c), 6) for c in m.coefficients[0]]
+
+    assert coefs(feat) == coefs(feat.repartition(13, "t"))
