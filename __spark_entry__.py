@@ -1673,6 +1673,60 @@ def _q_streaming_sessions(spark, sf_dir):
     )
 
 
+def _q_streaming_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window event counts on a replayed stream
+    (streaming/accumulate.py:windowed_event_counts). Events are split
+    across 4 arbitrary files so windows span micro-batches; complete
+    output mode at end-of-stream equals the batch GROUP BY hour — the
+    oracle is plain SQL date_trunc bucketing (Spark's window() aligns
+    tumbling windows to the epoch, i.e. to the hour for 1-hour windows).
+    The append-mode late-row DROP policy is pinned separately in
+    tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from deeptime_spark.streaming.accumulate import windowed_event_counts
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    src_dir = tempfile.mkdtemp(prefix="winc_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    counts = windowed_event_counts(stream, window_duration="1 hour", watermark="1 hour")
+    sink = "winc_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="winc_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = (
+        spark.table(sink)
+        .select(
+            F.unix_timestamp("window_start").alias("window_start_s"),
+            F.unix_timestamp("window_end").alias("window_end_s"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    )
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        [
+            (int(r["window_start_s"]), int(r["window_end_s"]), str(r["event_type"]), int(r["n"]))
+            for r in rows
+        ],
+        "window_start_s long, window_end_s long, event_type string, n long",
+    )
+
+
 def _q_streaming_dedup_replay(spark, sf_dir):
     """Replay documents.parquet as micro-batches through the Structured
     Streaming exact-dedup operator (streaming/accumulate.py) and report
@@ -2216,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_window_counts": _q_streaming_window_counts,
         # --- MSM pipelines that ran rows-only in r02 ---
         "msm_pi_events": _q_msm_pi_events,
         "msm_its_events": _q_msm_its_events,
@@ -2401,6 +2456,12 @@ SELECT count(DISTINCT md5(text)) AS n_unique FROM documents
         "streaming_dedup_replay": """
 SELECT count(DISTINCT text) AS n_kept, count(DISTINCT text) AS n_distinct_text
 FROM documents
+""",
+        "streaming_window_counts": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+       CAST(epoch(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS BIGINT) AS window_end_s,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2, 3
 """,
         "doc_jaccard_adjacent": r"""
 WITH b AS (

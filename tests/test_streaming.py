@@ -204,3 +204,66 @@ def test_streaming_corpus_filter_matches_batch(spark, tmpdir):
     )
     want = sorted((r["doc_id"], r["clean_text"]) for r in prep(docs).collect())
     assert got == want and len(want) > 0
+
+
+def test_windowed_counts_append_drops_late_rows(spark, tmp_path):
+    # the documented watermark policy, exercised on a REAL stream: a row
+    # arriving a batch later, older than (max event time - watermark), is
+    # dropped; its already-finalized window emits without it
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+
+    from deeptime_spark.streaming.accumulate import windowed_event_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-06-01 10:00:00")
+
+    def write_file(name, ts_list):
+        pdf = pd.DataFrame(
+            {"event_type": ["click"] * len(ts_list), "ts": ts_list}
+        )
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 0: two rows in the 10:00 window + one at 14:00 that advances
+    # the watermark to 13:00
+    write_file("f1", [base, base + pd.Timedelta("30min"), base + pd.Timedelta("4h")])
+    time.sleep(1.1)  # file-source processes in mtime order
+    # batch 1: watermark 13:00 now in force — closes and emits the 10:00
+    # window (the input filter uses the watermark with a one-batch lag,
+    # so the late arrival goes in a THIRD batch)
+    write_file("f2", [base + pd.Timedelta("4h30min")])
+    time.sleep(1.1)
+    # batch 2: a LATE row for the long-evicted 10:00 window + 15:00
+    write_file("f3", [base + pd.Timedelta("45min"), base + pd.Timedelta("5h")])
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    counts = windowed_event_counts(stream, "1 hour", watermark="1 hour")
+    sink = "late_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["window_start"].hour, int(r["n"])) for r in spark.table(sink).collect()
+    }
+    spark.catalog.dropTempView(sink)
+    # the 10:00 window finalized with 2 rows; the late 10:45 arrival was
+    # dropped — had it been aggregated it would re-open the evicted window
+    # and append a spurious (10, 1) row — and the still-open 14:00/15:00
+    # windows never emitted
+    assert rows == {(10, 2)}, rows
