@@ -79,6 +79,10 @@ HEADLINE = [
     "doc_stratified_sample",
     "doc_pii_scrub",
     "corpus_prep_pipeline",
+    # round-4 adapted TPC-H additions (fact-agg + conditional-distinct
+    # shapes; both weak-scale-tested in SCALE.md)
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
 ]
 
 
