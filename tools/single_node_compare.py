@@ -1,0 +1,221 @@
+"""Single-node reference vs engine, same data, same results.
+
+The reference library executes its operators as single-process
+numpy/BLAS (or, for the LLM-data ops it doesn't have, the natural
+single-node implementation is plain Python/numpy — exactly what our
+oracle replicas in oracle_ref.py/spark_hashes.py already are, and they
+produce bit-identical outputs to the Spark queries by construction).
+This harness times those single-node implementations against the
+corresponding Spark queries on the SAME sf directory and prints one
+JSON line — the "matches-or-beats single-node throughput" evidence at
+the scale where a single node still can hold the data.
+
+Reading the numbers: the engine carries ~0.5 s/query of fixed Spark
+overhead (job scheduling, codegen). For CPU-dense text/hash kernels the
+32-core JVM path wins outright; for tiny-d BLAS kernels (moments over a
+d<=6 feature vector) single-threaded numpy on 100k rows is
+microseconds of FLOPs and no distributed engine can beat it — there the
+win is the slope, not the intercept (SCALE.md: the same plans hold
+slope ~1-2 at 8x data and would on 1000 executors at 100 TB, where the
+numpy path stops existing because the data doesn't fit one node).
+
+Usage: python tools/single_node_compare.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+
+
+def timed(fn, n=1):
+    best = float("inf")
+    out = None
+    for _ in range(n):
+        t0 = time.time()
+        out = fn()
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def _flatten_if_dir_tables(sf: str) -> str:
+    """Spark-written table DIRS (e.g. tools/scale_bench.py replicas) ->
+    one flat parquet file per table, so the duckdb/numpy single-node
+    side can read them the same way it reads the driver testdata."""
+    if not os.path.isdir(os.path.join(sf, "documents.parquet")):
+        return sf
+    flat = sf.rstrip("/") + "_flat"
+    os.makedirs(flat, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings", "lineitem"):
+        src, dst = os.path.join(sf, f"{t}.parquet"), os.path.join(flat, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        if os.path.isdir(src):
+            con.execute(
+                f"COPY (SELECT * FROM parquet_scan('{src}/*.parquet')) TO '{dst}' (FORMAT PARQUET)"
+            )
+        elif os.path.exists(src):
+            os.symlink(os.path.abspath(src), dst)
+    return flat
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_single = _flatten_if_dir_tables(sf)
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_single
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import __spark_entry__ as entrymod
+    from deeptime_spark import oracle_ref
+    from deeptime_spark.session import get_spark
+
+    spark = get_spark("single-node-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the fixed engine costs once (same policy as bench.py)
+    spark.read.parquet(f"{sf}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
+
+    def spark_time(name):
+        def run():
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+
+        return timed(run, n=2)[0]
+
+    results = {}
+
+    # ---- MinHash signatures + LSH banding over every document --------
+    # single-node reference: the bit-exact Murmur3 replica pipeline the
+    # oracle uses (shingling, per-seed hashing, banding) on one core.
+    def single_minhash():
+        oracle_ref._minhash_sigs.cache_clear()
+        return oracle_ref._minhash_sigs(sf_single, n_hashes=32)
+
+    t_single, _ = timed(single_minhash)
+    results["minhash_bands"] = {"single_node_s": round(t_single, 3),
+                                "engine_s": round(spark_time("minhash_bands"), 3)}
+
+    # ---- Token stats over every document ------------------------------
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_single}/documents.parquet')"
+    ).fetchall()
+
+    def single_token_stats():
+        out = []
+        for i, t in docs:
+            toks = (t or "").lower().split()
+            n = len(toks)
+            uniq = len(set(toks))
+            total = sum(len(w) for w in toks)
+            out.append((i, n, uniq, total / n if n else 0.0))
+        return out
+
+    t_single, _ = timed(single_token_stats)
+    results["doc_token_stats"] = {"single_node_s": round(t_single, 3),
+                                  "engine_s": round(spark_time("doc_token_stats"), 3)}
+
+    # ---- Gopher top-n-gram fractions ---------------------------------
+    def single_gopher_rep():
+        from collections import Counter
+
+        out = []
+        for i, t in docs:
+            norm = " ".join((t or "").lower().split())
+            toks = norm.split(" ")
+            nl = max(len(norm), 1)
+            fracs = []
+            for n in (2, 3, 4):
+                grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                if not grams:
+                    fracs.append(0.0)
+                    continue
+                cnt = Counter(grams)
+                top, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                fracs.append(c * len(top) / nl)
+            out.append((i, *fracs))
+        return out
+
+    t_single, _ = timed(single_gopher_rep)
+    results["doc_gopher_repetition"] = {
+        "single_node_s": round(t_single, 3),
+        "engine_s": round(spark_time("doc_gopher_repetition"), 3),
+    }
+
+    # ---- Moments / covariance at lag (the reference's BLAS core) -----
+    ev = con.execute(
+        f"""SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+                   value FROM read_parquet('{sf_single}/events.parquet') ORDER BY user_id, t"""
+    ).fetchnumpy()
+    uid = np.asarray(ev["user_id"], dtype=np.int64)
+    val = np.asarray(ev["value"], dtype=np.float64) / 100.0
+
+    def single_moments():
+        X = np.stack([val, val * val, val * val * val], axis=1)
+        bounds = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1], True])
+        lag = 2
+        idx0, idxt = [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b - a > lag:
+                idx0.append(np.arange(a, b - lag))
+                idxt.append(np.arange(a + lag, b))
+        i0, it = np.concatenate(idx0), np.concatenate(idxt)
+        X0, Xt = X[i0], X[it]
+        return X0.T @ X0, X0.T @ Xt  # the reference's moments_XXXY BLAS call
+
+    t_single, _ = timed(single_moments, n=2)
+    results["event_moments"] = {"single_node_s": round(t_single, 3),
+                                "engine_s": round(spark_time("event_moments"), 3)}
+
+    # ---- Transition counting (the reference's groupBy-count core) ----
+    st = con.execute(
+        f"""SELECT user_id, CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                   WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 ELSE -1 END AS s
+            FROM read_parquet('{sf_single}/events.parquet') ORDER BY user_id, ts, event_id"""
+    ).fetchnumpy()
+    uid2 = np.asarray(st["user_id"], dtype=np.int64)
+    s = np.asarray(st["s"], dtype=np.int64)
+
+    def single_counts():
+        same = uid2[1:] == uid2[:-1]
+        pair = s[:-1][same] * 5 + s[1:][same]
+        return np.bincount(pair, minlength=25).reshape(5, 5)
+
+    t_single, _ = timed(single_counts, n=2)
+    results["event_transition_counts"] = {
+        "single_node_s": round(t_single, 3),
+        "engine_s": round(spark_time("event_transition_counts"), 3),
+    }
+
+    # ---- Brute-force cosine top-k (BLAS gemm) ------------------------
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_single}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    V = np.array([r[1] for r in emb], dtype=np.float64)
+
+    def single_knn():
+        Q = V[:5]
+        sims = (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ (
+            V / np.linalg.norm(V, axis=1, keepdims=True)
+        ).T
+        return np.argsort(-sims, axis=1)[:, :11]
+
+    t_single, _ = timed(single_knn, n=2)
+    results["knn_bruteforce"] = {"single_node_s": round(t_single, 3),
+                                 "engine_s": round(spark_time("knn_bruteforce"), 3)}
+
+    print(json.dumps({"sf_dir": sf, "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
