@@ -2191,7 +2191,9 @@ def _q_q22_dormant_customers(spark, sf_dir):
     """TPC-H Q22 shape (adapted, no phone country codes): customers in
     nations 0-9 with above-average positive balance and no orders since
     2000 — scalar-subquery threshold (exact integer-cents floor average)
-    + anti-join."""
+    + anti-join. The plan's BroadcastNestedLoopJoin is the ONE-ROW
+    threshold cross join (the standard scalar-subquery shape — a single
+    broadcast row against the stream, constant cost at any scale)."""
     cust = _read(spark, sf_dir, "customer").withColumn(
         "acctbal_c", F.round(F.col("c_acctbal") * 100).cast("long")
     )
