@@ -717,6 +717,21 @@ def _q_pcca_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, m0 double, m1 double")
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    """BPE tokenizer (Sennrich ACL'16) trained and applied on the corpus:
+    ONE word-count aggregation (the only corpus-scale pass), driver merge
+    loop over the distinct-word dictionary, broadcast-ranks Arrow encode.
+    Returns per-document word and BPE token counts — exact integers,
+    replayed end-to-end by the oracle (oracle_ref.py:oracle_bpe)."""
+    from deeptime_spark.operators.bpe import bpe_token_counts_df, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=120, min_count=2)
+    return bpe_token_counts_df(docs, merges).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -2279,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_ck_events": _q_msm_ck_events,
         "pcca_events": _q_pcca_events,
         "sindy_events": _q_sindy_events,
+        "bpe_tokens": _q_bpe_tokens,
         # --- LSH/ANN pipelines (newly oracle-backed via spark_hashes) ---
         "minhash_bands": _q_minhash_bands,
         "simhash_pairs": _q_simhash_pairs,

@@ -1,0 +1,214 @@
+"""Byte-pair-encoding tokenizer, Spark-split the published way.
+
+Sennrich et al., "Neural Machine Translation of Rare Words with Subword
+Units" (ACL 2016): BPE training never touches the raw corpus after the
+first pass — it operates on the DISTINCT-WORD frequency dictionary.
+That gives the natural 100 TB decomposition:
+
+- **corpus-scale work = ONE aggregation**: explode whitespace tokens ->
+  groupBy(word).count() — map-side combined, so the shuffle carries the
+  distinct vocabulary per partition, not token occurrences;
+- **merge loop = driver-side** over |vocab| entries with incremental
+  pair-count maintenance (only words containing the merged pair are
+  touched per iteration — the subword-nmt trick), deterministic
+  tie-break (max count, then lexicographically smallest pair);
+- **encoding = broadcast ranks + Arrow map** with an LRU word cache —
+  natural text is Zipf-heavy, so the per-batch hit rate is high and the
+  greedy merge loop runs once per distinct word per batch, not per
+  occurrence.
+
+Scale envelope: the driver dictionary is the only non-distributed
+state. At web scale prune it with ``min_count`` (count-1 hapax
+legomena are useless to BPE statistics and dominate |vocab|) and/or
+train on a deterministic hash-sample of documents
+(operators/mixing.sample_deterministic) — both standard practice for
+production tokenizers, which train merges on a corpus sample anyway.
+
+All statistics are exact integers; training and encoding are
+deterministic functions of the word-count dictionary, so results are
+layout-independent and replayable by the oracle (oracle_ref.py).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deeptime_spark.operators.text import tokens
+
+END = "</w>"
+
+
+def word_counts_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over the corpus — the single corpus-scale pass."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def collect_word_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> list[tuple[str, int]]:
+    """Driver-side dictionary, deterministically ordered (count desc,
+    word asc) — the training input."""
+    wc = word_counts_df(df, text_col)
+    if min_count > 1:
+        wc = wc.where(F.col("n") >= min_count)
+    rows = wc.collect()
+    return sorted(((r["word"], int(r["n"])) for r in rows), key=lambda kv: (-kv[1], kv[0]))
+
+
+def _word_pairs(syms: Sequence[str]) -> Iterable[tuple[str, str]]:
+    return zip(syms, syms[1:])
+
+
+def train_bpe_from_counts(
+    counts: Iterable[tuple[str, int]],
+    n_merges: int = 200,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """The classic merge loop with incremental pair-count updates.
+
+    Deterministic: ties on pair count break to the lexicographically
+    smallest pair, and the dictionary order never matters because every
+    statistic is a full sum over it."""
+    vocab: list[tuple[tuple[str, ...], int]] = [
+        (tuple(word) + (END,), int(n)) for word, n in counts if word
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for wi, (syms, n) in enumerate(vocab):
+        for p in _word_pairs(syms):
+            pair_counts[p] += n
+            pair_words[p].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best_count = max(pair_counts.values())
+        if best_count < min_pair_count:
+            break
+        best = min(p for p, c in pair_counts.items() if c == best_count)
+        merges.append(best)
+        joined = best[0] + best[1]
+        for wi in list(pair_words[best]):
+            syms, n = vocab[wi]
+            for p in _word_pairs(syms):
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        del pair_words[p]
+            new: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    new.append(joined)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[wi] = (tuple(new), n)
+            for p in _word_pairs(vocab[wi][0]):
+                pair_counts[p] += n
+                pair_words[p].add(wi)
+    return merges
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_count: int = 1,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    return train_bpe_from_counts(
+        collect_word_counts(df, text_col, min_count), n_merges, min_pair_count
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2-style greedy encode: repeatedly merge the lowest-rank pair."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for p in _word_pairs(syms):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        new: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == best_pair[0] and syms[i + 1] == best_pair[1]:
+                new.append(best_pair[0] + best_pair[1])
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        syms = new
+    return syms
+
+
+def bpe_token_counts_df(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens) per document — broadcast ranks, one
+    Arrow map, per-batch LRU over distinct words."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_words", LongType()),
+            StructField("n_bpe_tokens", LongType()),
+        ]
+    )
+
+    # the greedy merge loop is CPU-dense Python: spread a single-split
+    # scan before the Arrow stage (no-op at real scale)
+    src = spread_for_map_parallelism(df.select(id_col, text_col), id_col)
+
+    def enc(batches):
+        r = bc.value
+        cache: dict[str, int] = {}
+
+        def n_toks(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = len(encode_word(w, r))
+                cache[w] = v
+            return v
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, nw, nb = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in (t or "").lower().strip(" ").split() if w]
+                ids.append(int(i))
+                nw.append(len(ws))
+                nb.append(sum(n_toks(w) for w in ws))
+            yield pd.DataFrame({id_col: ids, "n_words": nw, "n_bpe_tokens": nb})
+
+    return src.mapInPandas(enc, schema=schema)

@@ -541,9 +541,47 @@ def oracle_sindy(round_to: int = 6) -> str:
     return _values_sql(rows, ["idx", "feature", "coef"], "bsd")
 
 
+def oracle_bpe() -> str:
+    """Full BPE replay: word counts from the DuckDB corpus (layer 1,
+    independent of Spark), then the same deterministic merge loop and
+    greedy encoder (shared finalize — every statistic is an exact
+    integer, so any Spark-side word-count deviation fails the compare)."""
+    from collections import Counter
+
+    from deeptime_spark.operators.bpe import encode_word, train_bpe_from_counts
+
+    docs = _docs(sf_dir())
+    wc: Counter = Counter()
+    per_doc = []
+    for doc_id, text in docs:
+        ws = [w for w in _tokens_py(text or "") if w]
+        per_doc.append((doc_id, ws))
+        wc.update(ws)
+    counts = [
+        (w, n)
+        for w, n in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n >= 2
+    ]
+    merges = train_bpe_from_counts(counts, n_merges=120, min_pair_count=2)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache: dict = {}
+    rows = []
+    for doc_id, ws in per_doc:
+        nb = 0
+        for w in ws:
+            v = cache.get(w)
+            if v is None:
+                v = len(encode_word(w, ranks))
+                cache[w] = v
+            nb += v
+        rows.append((doc_id, len(ws), nb))
+    return _values_sql(rows, ["doc_id", "n_words", "n_bpe_tokens"], "bbb")
+
+
 _BUILDERS = {
     "msm_pi_events": oracle_msm_pi,
     "sindy_events": oracle_sindy,
+    "bpe_tokens": oracle_bpe,
     "msm_its_events": oracle_msm_its,
     "msm_ck_events": oracle_msm_ck,
     "pcca_events": oracle_pcca,
