@@ -72,3 +72,35 @@ def test_spark_counts_match_python_and_layout_independent(spark):
         assert r["n_bpe_tokens"] == sum(len(encode_word(w, ranks)) for w in ws)
     out2 = bpe_token_counts_df(df.repartition(3, "doc_id"), merges).orderBy("doc_id").collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=8),
+    min_size=1, max_size=30,
+).map(lambda ws: [(w, i % 7 + 1) for i, w in enumerate(dict.fromkeys(ws))])
+
+
+@settings(max_examples=60, deadline=None)
+@given(_words)
+def test_prop_roundtrip_and_bounds(counts):
+    merges = train_bpe_from_counts(counts, n_merges=20, min_pair_count=2)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in counts:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + END
+        assert 1 <= len(toks) <= len(w) + 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(_words)
+def test_prop_training_input_order_invariant(counts):
+    # the merge sequence is a function of the COUNTS, not of the
+    # dictionary ordering the driver happened to collect
+    merges_a = train_bpe_from_counts(counts, n_merges=15, min_pair_count=2)
+    merges_b = train_bpe_from_counts(list(reversed(counts)), n_merges=15, min_pair_count=2)
+    assert merges_a == merges_b
