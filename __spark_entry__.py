@@ -717,6 +717,26 @@ def _q_pcca_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, m0 double, m1 double")
 
 
+def _q_doc_sql_surface(spark, sf_dir):
+    """The plain-SQL surface under the gate: per-document token count and
+    SimHash computed through the dt_* SQL temporary functions
+    (deeptime_spark/sql_functions.py) — the same expressions the Column
+    operators compile to, reached from spark.sql alone. Oracle: the
+    engine-independent XXH64 replica (oracle_ref.py:oracle_sql_surface)."""
+    from deeptime_spark.sql_functions import register_sql_functions
+
+    register_sql_functions(spark)
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("_sqlsurface_docs")
+    out = spark.sql(
+        """SELECT doc_id, dt_token_count(text) AS n_tokens,
+                  dt_simhash64(text) AS simhash
+           FROM _sqlsurface_docs"""
+    )
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "simhash"
+    )
+
+
 def _q_bpe_tokens(spark, sf_dir):
     """BPE tokenizer (Sennrich ACL'16) trained and applied on the corpus:
     ONE word-count aggregation (the only corpus-scale pass), driver merge
@@ -2295,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcca_events": _q_pcca_events,
         "sindy_events": _q_sindy_events,
         "bpe_tokens": _q_bpe_tokens,
+        "doc_sql_surface": _q_doc_sql_surface,
         # --- LSH/ANN pipelines (newly oracle-backed via spark_hashes) ---
         "minhash_bands": _q_minhash_bands,
         "simhash_pairs": _q_simhash_pairs,

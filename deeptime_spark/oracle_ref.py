@@ -578,10 +578,33 @@ def oracle_bpe() -> str:
     return _values_sql(rows, ["doc_id", "n_words", "n_bpe_tokens"], "bbb")
 
 
+def oracle_sql_surface() -> str:
+    """Replay of the dt_* SQL-surface query: token counts from the split
+    mirror (empty-text edge included) and SimHash from the XXH64 replica
+    — identical construction to oracle_simhash_pairs' signature stage."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    rows = []
+    for doc_id, text in _docs(sf_dir()):
+        toks = _tokens_py(text or "")
+        hs = np.array([xxhash64(t.encode()) for t in toks], dtype=np.int64)
+        hu = hs.view(np.uint64)
+        sim = 0
+        n = len(hu)
+        for p in range(64):
+            ones = int(((hu >> np.uint64(p)) & np.uint64(1)).sum())
+            if 2 * ones - n > 0:
+                sim |= 1 << p
+        sim = sim - (1 << 64) if sim >= (1 << 63) else sim
+        rows.append((doc_id, len(toks), sim))
+    return _values_sql(rows, ["doc_id", "n_tokens", "simhash"], "bbb")
+
+
 _BUILDERS = {
     "msm_pi_events": oracle_msm_pi,
     "sindy_events": oracle_sindy,
     "bpe_tokens": oracle_bpe,
+    "doc_sql_surface": oracle_sql_surface,
     "msm_its_events": oracle_msm_its,
     "msm_ck_events": oracle_msm_ck,
     "pcca_events": oracle_pcca,
