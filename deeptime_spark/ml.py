@@ -85,6 +85,32 @@ class TICAStage(Estimator):
         return TICAModelStage(model, self.inputCol, self.outputCol)
 
 
+class VAMPStage(Estimator):
+    """Pipeline stage for VAMP — same adapter shape as TICAStage (the
+    engine model API is shared via CovarianceKoopmanModel)."""
+
+    def __init__(
+        self,
+        lagtime: int = 1,
+        dim: Optional[int] = None,
+        inputCol: str = "x",
+        outputCol: str = "proj",
+        trajCol: str = "traj_id",
+        timeCol: str = "t",
+    ):
+        super().__init__()
+        self.lagtime, self.dim = lagtime, dim
+        self.inputCol, self.outputCol = inputCol, outputCol
+        self.trajCol, self.timeCol = trajCol, timeCol
+
+    def _fit(self, df: DataFrame) -> TICAModelStage:
+        from deeptime_spark.decomposition.vamp import VAMP
+
+        ren = _Renaming(self.inputCol, self.trajCol, self.timeCol)
+        model = VAMP(lagtime=self.lagtime, dim=self.dim).fit(ren.to_engine(df)).fetch_model()
+        return TICAModelStage(model, self.inputCol, self.outputCol)
+
+
 class KMeansDiscretizerModelStage(Transformer):
     def __init__(self, model, inputCol: str, outputCol: str):
         super().__init__()

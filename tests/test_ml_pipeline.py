@@ -56,3 +56,14 @@ def test_pipeline_stage_copy_and_refit(spark):
     p1 = m1.transform(feat).select("p").first()["p"]
     p2 = m2.transform(feat).select("p").first()["p"]
     assert len(p1) == 1 and len(p2) == 1
+
+
+def test_vamp_stage(spark):
+    from deeptime_spark.ml import VAMPStage
+
+    traj = entrymod._event_traj(spark, SF)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v).alias("x"))
+    out = VAMPStage(lagtime=2, dim=1, outputCol="svproj").fit(feat).transform(feat)
+    row = out.select("svproj").first()
+    assert len(row["svproj"]) == 1
