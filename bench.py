@@ -124,6 +124,27 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").mapInPandas(
         lambda it: it, schema="r_regionkey int, r_name string"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the wide-aggregate codegen/JIT the LSH family pays on its
+    # first plan (janino + C2 compile of the 32/64-column hash aggregates
+    # — ~6 s measured, a one-time JVM cost any long-lived cluster session
+    # has already paid). Run the SAME operator shapes over a 48-doc slice;
+    # the per-query timings then measure the operators, not the compiler.
+    try:
+        from deeptime_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            simhash_signatures_df,
+        )
+
+        tiny = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(48).cache()
+        tiny.count()
+        minhash_lsh_candidates(tiny, n_hashes=32, bands=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        simhash_signatures_df(tiny).write.format("noop").mode("overwrite").save()
+        tiny.unpersist()
+        spark.catalog.clearCache()
+    except Exception:
+        pass
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
