@@ -717,6 +717,67 @@ def _q_pcca_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, m0 double, m1 double")
 
 
+def _q_generator_msm_roundtrip(spark, sf_dir):
+    """§2.1 generators under the gate: a 48-trajectory BirthDeathChain
+    ensemble generated ON THE EXECUTORS (seeded per-trajectory
+    simulate_msm in one mapInPandas — the SURVEY §2.1 ensemble mapping),
+    then counted and reversible-MLE'd back. Deterministic end to end
+    (PCG64 per-trajectory seeds), so the oracle replays generation +
+    counting + finalize exactly (oracle_ref.py:oracle_generator_msm).
+    Output: per-state visit counts and stationary distribution."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from deeptime_spark.data.generators import BirthDeathChain
+    from deeptime_spark.markov.msm import MaximumLikelihoodMSM
+
+    n, n_traj, n_steps = 9, 48, 400
+    q = np.r_[0.0, [0.25] * (n - 1)]
+    p = np.r_[[0.25] * (n - 1), 0.0]
+    T = BirthDeathChain(q, p).transition_matrix
+    bc = spark.sparkContext.broadcast(T)
+    schema = StructType(
+        [
+            StructField("traj_id", LongType()),
+            StructField("t", LongType()),
+            StructField("state", IntegerType()),
+        ]
+    )
+
+    def gen(pdfs):
+        from deeptime_spark.data.generators import simulate_msm
+
+        Tm = bc.value
+        for pdf in pdfs:
+            for tid in pdf["id"]:
+                tid = int(tid)
+                d = simulate_msm(Tm, n_steps, start=tid % Tm.shape[0], seed=1000 + tid)
+                yield pd.DataFrame(
+                    {"traj_id": tid, "t": np.arange(n_steps), "state": d}
+                )
+
+    traj = spark.range(n_traj).repartition(8).mapInPandas(gen, schema=schema)
+    msm = (
+        MaximumLikelihoodMSM(reversible=True, lagtime=1)
+        .fit(traj.select("traj_id", "t", "state"))
+        .fetch_model()
+    )
+    hist = {
+        int(r["state"]): int(r["n"])
+        for r in traj.groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    pi = msm.stationary_distribution
+    # map submodel pi back to full generator state ids (fully connected
+    # here, but keep the general contract mirrored with the oracle)
+    symbols = [int(s) for s in np.asarray(msm.count_model.state_symbols)]
+    full_pi = {s: float(pi[i]) for i, s in enumerate(symbols)}
+    rows = [
+        (s, hist.get(s, 0), round(full_pi.get(s, 0.0), 6)) for s in range(n)
+    ]
+    return spark.createDataFrame(rows, "state long, n_visits long, pi double")
+
+
 def _q_doc_sql_surface(spark, sf_dir):
     """The plain-SQL surface under the gate: per-document token count and
     SimHash computed through the dt_* SQL temporary functions
@@ -2316,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sindy_events": _q_sindy_events,
         "bpe_tokens": _q_bpe_tokens,
         "doc_sql_surface": _q_doc_sql_surface,
+        "generator_msm_roundtrip": _q_generator_msm_roundtrip,
         # --- LSH/ANN pipelines (newly oracle-backed via spark_hashes) ---
         "minhash_bands": _q_minhash_bands,
         "simhash_pairs": _q_simhash_pairs,

@@ -600,11 +600,47 @@ def oracle_sql_surface() -> str:
     return _values_sql(rows, ["doc_id", "n_tokens", "simhash"], "bbb")
 
 
+def oracle_generator_msm() -> str:
+    """Exact replay of the generator round trip: same per-trajectory
+    PCG64 seeds through the same simulate_msm, counting re-derived in
+    numpy (integers), same reversible-MLE finalize on the largest
+    connected submodel — bit-exact by construction."""
+    from deeptime_spark.data.generators import BirthDeathChain, simulate_msm
+    from deeptime_spark.markov.msm import transition_matrix_reversible
+    from deeptime_spark.markov.transition_counting import TransitionCountModel
+
+    n, n_traj, n_steps = 9, 48, 400
+    q = np.r_[0.0, [0.25] * (n - 1)]
+    p = np.r_[[0.25] * (n - 1), 0.0]
+    T = BirthDeathChain(q, p).transition_matrix
+    C = np.zeros((n, n), dtype=np.int64)
+    hist = np.zeros(n, dtype=np.int64)
+    for tid in range(n_traj):
+        d = simulate_msm(T, n_steps, start=tid % n, seed=1000 + tid)
+        np.add.at(hist, d, 1)
+        np.add.at(C, (d[:-1], d[1:]), 1)
+    tcm = TransitionCountModel(
+        C.astype(np.float64), counting_mode="sliding", lagtime=1, state_histogram=hist
+    )
+    sub = tcm.submodel_largest(directed=True)
+    Tm, pi = transition_matrix_reversible(
+        np.asarray(sub.count_matrix, dtype=np.float64), return_statdist=True
+    )
+    # map submodel pi back to full state ids (BDC with these params is
+    # fully connected in practice; the mapping keeps the general case honest)
+    full_pi = np.zeros(n)
+    for i, s in enumerate(np.asarray(sub.state_symbols)):
+        full_pi[int(s)] = pi[i]
+    rows = [(s, int(hist[s]), round(float(full_pi[s]), 6)) for s in range(n)]
+    return _values_sql(rows, ["state", "n_visits", "pi"], "bbd")
+
+
 _BUILDERS = {
     "msm_pi_events": oracle_msm_pi,
     "sindy_events": oracle_sindy,
     "bpe_tokens": oracle_bpe,
     "doc_sql_surface": oracle_sql_surface,
+    "generator_msm_roundtrip": oracle_generator_msm,
     "msm_its_events": oracle_msm_its,
     "msm_ck_events": oracle_msm_ck,
     "pcca_events": oracle_pcca,
