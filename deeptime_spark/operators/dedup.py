@@ -273,6 +273,16 @@ def verify_candidates_jaccard(
     grams = doc_side.select(
         F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
     )
+    if candidates_materialized:
+        # BOTH pair joins consume the gram frame; without a cache the
+        # semi-join + regex subtree executes once per branch (measured 2x
+        # the whole verification cost at sf0.1). The frame is candidate-
+        # touched docs only — by construction a sliver of the corpus — so
+        # MEMORY_AND_DISK is safe at scale; count() fills the cache in one
+        # pass before the branches fan out. Callers own cache lifecycle
+        # (the harness clears between queries).
+        grams = grams.persist()
+        grams.count()
     out = (
         candidates.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("_grams", "_ga"), "id_a")
         .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("_grams", "_gb"), "id_b")
