@@ -717,6 +717,26 @@ def _q_pcca_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, m0 double, m1 double")
 
 
+def _q_doc_quality_classifier(spark, sf_dir):
+    """Model-based quality filter (the fastText axis of CCNet/GPT-3
+    pipelines): multinomial Naive Bayes self-trained on the Gopher rule
+    labels — one per-class token-count aggregation, driver log-prob
+    finalize from exact integers, Arrow scoring in token order
+    (operators/text.py:quality_classifier_scores_df). Oracle replays
+    labels via the DuckDB Gopher rules and the same finalize
+    (oracle_ref.py:oracle_quality_classifier)."""
+    from deeptime_spark.operators.text import quality_classifier_scores_df
+
+    docs = _read(spark, sf_dir, "documents")
+    out = quality_classifier_scores_df(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("log_odds", 6).alias("log_odds"),
+        F.col("pred_good").cast("long").alias("pred_good"),
+    )
+
+
 def _q_generator_msm_roundtrip(spark, sf_dir):
     """§2.1 generators under the gate: a 48-trajectory BirthDeathChain
     ensemble generated ON THE EXECUTORS (seeded per-trajectory
@@ -2378,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "doc_sql_surface": _q_doc_sql_surface,
         "generator_msm_roundtrip": _q_generator_msm_roundtrip,
+        "doc_quality_classifier": _q_doc_quality_classifier,
         # --- LSH/ANN pipelines (newly oracle-backed via spark_hashes) ---
         "minhash_bands": _q_minhash_bands,
         "simhash_pairs": _q_simhash_pairs,

@@ -556,3 +556,116 @@ def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
     cols.append(scrub_pii(text_col, pats).alias("scrubbed_text"))
     return df.select(*cols)
+
+
+# ------------------------------------- model-based quality classifier
+
+def quality_classifier_scores_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Self-supervised quality CLASSIFIER (the fastText-filter axis of
+    CCNet/GPT-3-style pipelines: train a cheap text classifier on weak
+    quality labels, keep what scores 'good'). Spark-first reduction with
+    no training dependency and exact reproducibility:
+
+    - **weak labels** = the Gopher rule flag (``gopher_quality`` —
+      heuristics stand in for the curated positive set, as in the
+      published pipelines' bootstrap stage);
+    - **model** = multinomial Naive Bayes over unigrams: per-class token
+      counts from ONE explode + groupBy aggregation (map-side partial,
+      exact integers); add-``smoothing`` log-probabilities and the class
+      prior derived on the driver from those integers — every double is
+      a deterministic function of exact counts;
+    - **scoring** = Arrow map with the broadcast token -> (logp_good -
+      logp_bad) dict; each document's log-odds accumulate IN TOKEN ORDER
+      (sequential cumsum), so results never depend on partitioning.
+
+    Returns (id, n_tokens, log_odds, pred_good): log_odds > 0 means the
+    classifier calls the document 'good'. The same shape scales to a
+    curated-positive-set label column via ``label_col``.
+    """
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    labeled = gopher_quality(df, text_col).select(
+        F.col(id_col), F.col(text_col), F.col("passes_gopher").alias("_y")
+    )
+    toks = labeled.select(
+        F.col(id_col), F.col("_y"), tokens(text_col).alias("_toks")
+    )
+    counts = (
+        toks.select("_y", F.explode("_toks").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("_y", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).collect()
+    doc_counts = labeled.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
+    n_good = sum(int(r["n"]) for r in doc_counts if int(r["_y"]) == 1)
+    n_bad = sum(int(r["n"]) for r in doc_counts if int(r["_y"]) == 0)
+
+    per_class: dict[int, dict[str, int]] = {0: {}, 1: {}}
+    for r in counts:
+        per_class[int(r["_y"])][r["w"]] = int(r["n"])
+    # deterministic joint vocabulary: top vocab_size by (total desc, word)
+    totals = {}
+    for c in (0, 1):
+        for w, n in per_class[c].items():
+            totals[w] = totals.get(w, 0) + n
+    vocab = [w for w, _ in sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]]
+    t_good = sum(per_class[1].get(w, 0) for w in vocab)
+    t_bad = sum(per_class[0].get(w, 0) for w in vocab)
+    V = len(vocab)
+    prior = math.log((n_good + smoothing) / (n_bad + smoothing))
+    delta = {
+        w: (
+            math.log((per_class[1].get(w, 0) + smoothing) / (t_good + smoothing * (V + 1)))
+            - math.log((per_class[0].get(w, 0) + smoothing) / (t_bad + smoothing * (V + 1)))
+        )
+        for w in vocab
+    }
+    oov = (
+        math.log(smoothing / (t_good + smoothing * (V + 1)))
+        - math.log(smoothing / (t_bad + smoothing * (V + 1)))
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("log_odds", DoubleType()),
+            StructField("pred_good", LongType()),
+        ]
+    )
+    src = spread_for_map_parallelism(df.select(id_col, text_col), id_col)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, ns, odds, preds = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in (t or "").lower().strip(" ").split() if w]
+                lp = np.array([delta.get(w, oov) for w in ws], dtype=np.float64)
+                # in-order sequential sum: layout-independent
+                lo = prior + (float(np.cumsum(lp)[-1]) if len(lp) else 0.0)
+                ids.append(int(i))
+                ns.append(len(ws))
+                odds.append(lo)
+                preds.append(1 if lo > 0 else 0)
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": ns, "log_odds": odds, "pred_good": preds}
+            )
+
+    return src.mapInPandas(score, schema=schema)

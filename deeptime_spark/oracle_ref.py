@@ -635,12 +635,83 @@ def oracle_generator_msm() -> str:
     return _values_sql(rows, ["state", "n_visits", "pi"], "bbd")
 
 
+# Label rule for the quality classifier oracle — the same DuckDB Gopher
+# flag the green doc_gopher_quality oracle emits (duplicated from the
+# harness SQL deliberately: if the rules drift apart, the classifier
+# query goes red rather than silently diverging).
+_GOPHER_LABEL_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM read_parquet('{sf}/documents.parquet')
+)
+SELECT doc_id,
+  CAST(len(toks) BETWEEN 50 AND 100000
+       AND (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0
+       AND (CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / greatest(len(toks), 1)) < 0.1
+       AND (CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•‣▶]'))) AS DOUBLE) / greatest(len(lines), 1)) < 0.9
+       AND (CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / greatest(len(lines), 1)) < 0.3
+       AND (CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / greatest(len(toks), 1)) >= 0.8
+       AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                           w -> list_contains(toks, w))) >= 2 AS BIGINT) AS y
+FROM base
+"""
+
+
+def oracle_quality_classifier(round_to: int = 6) -> str:
+    """Naive-Bayes quality classifier replay: labels from the DuckDB
+    Gopher rules (layer 1 — the same SQL the green doc_gopher_quality
+    oracle uses), per-class integer token counts from the token replica,
+    then the identical log-prob finalize and in-token-order scoring."""
+    import math
+    from collections import Counter
+
+    con = duckdb.connect()
+    sf = sf_dir()
+    labels = dict(con.execute(_GOPHER_LABEL_SQL.format(sf=sf)).fetchall())
+    per_class = {0: Counter(), 1: Counter()}
+    per_doc = []
+    n_docs = {0: 0, 1: 0}
+    for doc_id, text in _docs(sf):
+        y = int(labels[doc_id])
+        ws = [w for w in _tokens_py(text or "") if w]
+        per_doc.append((doc_id, ws))
+        per_class[y].update(ws)
+        n_docs[y] += 1
+    smoothing, vocab_size = 1.0, 50_000
+    totals = per_class[0] + per_class[1]
+    vocab = [w for w, _ in sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]]
+    t_good = sum(per_class[1].get(w, 0) for w in vocab)
+    t_bad = sum(per_class[0].get(w, 0) for w in vocab)
+    V = len(vocab)
+    prior = math.log((n_docs[1] + smoothing) / (n_docs[0] + smoothing))
+    delta = {
+        w: (
+            math.log((per_class[1].get(w, 0) + smoothing) / (t_good + smoothing * (V + 1)))
+            - math.log((per_class[0].get(w, 0) + smoothing) / (t_bad + smoothing * (V + 1)))
+        )
+        for w in vocab
+    }
+    oov = (
+        math.log(smoothing / (t_good + smoothing * (V + 1)))
+        - math.log(smoothing / (t_bad + smoothing * (V + 1)))
+    )
+    rows = []
+    for doc_id, ws in per_doc:
+        lp = np.array([delta.get(w, oov) for w in ws], dtype=np.float64)
+        lo = prior + (float(np.cumsum(lp)[-1]) if len(lp) else 0.0)
+        rows.append((doc_id, len(ws), round(lo, round_to), 1 if lo > 0 else 0))
+    return _values_sql(rows, ["doc_id", "n_tokens", "log_odds", "pred_good"], "bbdb")
+
+
 _BUILDERS = {
     "msm_pi_events": oracle_msm_pi,
     "sindy_events": oracle_sindy,
     "bpe_tokens": oracle_bpe,
     "doc_sql_surface": oracle_sql_surface,
     "generator_msm_roundtrip": oracle_generator_msm,
+    "doc_quality_classifier": oracle_quality_classifier,
     "msm_its_events": oracle_msm_its,
     "msm_ck_events": oracle_msm_ck,
     "pcca_events": oracle_pcca,

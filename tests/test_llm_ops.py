@@ -1066,3 +1066,27 @@ def test_pii_empty_pattern_list_scrubs_nothing(spark):
     )
     r = text.pii_stats(df, patterns=[]).collect()[0]
     assert r["scrubbed_text"] == "mail john@example.com"
+
+
+def test_quality_classifier_separates_and_layout_independent(spark):
+    from deeptime_spark.operators.text import quality_classifier_scores_df
+
+    good_text = (
+        "the quick brown fox jumps over the lazy dog and runs to have "
+        "a long rest with that other fox near the river bank today " * 3
+    )
+    bad_text = "### ### ### #tag #tag ### " * 20
+    rows = [(i, good_text + f" extra{i}") for i in range(10)] + [
+        (100 + i, bad_text + f" #{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_classifier_scores_df(df).collect()}
+    # the NB model recovers the weak-label structure it trained on
+    assert all(out[i]["pred_good"] == 1 for i in range(10))
+    assert all(out[100 + i]["pred_good"] == 0 for i in range(10))
+    # identical log-odds under a hostile repartition
+    out2 = {
+        r["doc_id"]: r["log_odds"]
+        for r in quality_classifier_scores_df(df.repartition(7, "doc_id")).collect()
+    }
+    assert all(out[k]["log_odds"] == out2[k] for k in out)
