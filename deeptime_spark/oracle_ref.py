@@ -674,7 +674,9 @@ def oracle_quality_classifier(round_to: int = 6) -> str:
     per_doc = []
     n_docs = {0: 0, 1: 0}
     for doc_id, text in _docs(sf):
-        y = int(labels[doc_id])
+        # NULL text makes every DuckDB rule condition NULL -> y is None;
+        # Spark's flag casts the same false-y outcome to 0
+        y = int(labels[doc_id] or 0)
         ws = [w for w in _tokens_py(text or "") if w]
         per_doc.append((doc_id, ws))
         per_class[y].update(ws)
