@@ -362,3 +362,29 @@ def test_spread_keyed_satisfies_downstream_group(spark):
     )
     plan = plan_of(out)
     assert n_exchanges(plan) == 1, plan[:1200]
+
+
+def test_bpe_word_count_partial_agg(spark):
+    # BPE's only corpus-scale pass must map-side combine: the shuffle
+    # carries per-partition distinct words, not token occurrences
+    from deeptime_spark.operators.bpe import word_counts_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(word_counts_df(docs))
+    assert "partial_count" in plan, plan[:1200]
+    assert "EvalPython" not in plan
+
+
+def test_quality_classifier_single_arrow_stage(spark):
+    # scoring is exactly one Arrow map over the spread scan; the
+    # training aggregation ran at build time (collected), so the scoring
+    # plan itself must contain no joins and one Python stage
+    import re
+
+    from deeptime_spark.operators.text import quality_classifier_scores_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(quality_classifier_scores_df(docs))
+    n_py = len(re.findall(r"\(\d+\) (?:Arrow|Batch)EvalPython|\(\d+\) MapInPandas", plan))
+    assert n_py == 1, plan[:1500]
+    assert "Join" not in plan
