@@ -213,6 +213,19 @@ def main() -> int:
     results["knn_bruteforce"] = {"single_node_s": round(t_single, 3),
                                  "engine_s": round(spark_time("knn_bruteforce"), 3)}
 
+    # ---- BPE tokenizer and NB quality classifier ---------------------
+    # the literal-value oracle builders ARE the single-node reference
+    # implementations (full train + encode / label + train + score in one
+    # process, bit-identical outputs) — time them directly.
+    for qname, builder in (
+        ("bpe_tokens", "oracle_bpe"),
+        ("doc_quality_classifier", "oracle_quality_classifier"),
+    ):
+        fn = getattr(oracle_ref, builder)
+        t_single, _ = timed(fn)
+        results[qname] = {"single_node_s": round(t_single, 3),
+                          "engine_s": round(spark_time(qname), 3)}
+
     print(json.dumps({"sf_dir": sf, "results": results}))
     return 0
 
