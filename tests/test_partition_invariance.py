@@ -21,9 +21,14 @@ SF = "/root/testdata/sf0.001"
 SWEEP = [
     "q1_pricing_summary",
     "q21_waiting_supplier",
+    "q8_market_share",
+    "q22_dormant_customers",
     "event_timeshifted",
     "minhash_bands",
+    "dedup_components",
     "doc_gopher_repetition",
+    "doc_quality_classifier",
+    "bpe_tokens",
     "event_cube",
     "sindy_events",
     "knn_bruteforce",
