@@ -717,6 +717,47 @@ def _q_pcca_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, m0 double, m1 double")
 
 
+def _q_bucketed_traj_counts(spark, sf_dir):
+    """§2.1 sinks under the gate: the trajectory frame is written through
+    the bucketed external-table sink (bucketBy(traj_id) + sortBy — the
+    pay-the-shuffle-once layout, sources/readers.py), read back, and
+    transition-counted. The bucketed scan satisfies the per-trajectory
+    clustering so the lag window plans with ZERO Exchange (pinned in
+    tests/test_sources.py); the counts equal counting the original frame
+    (same oracle SQL as event_transition_counts)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from deeptime_spark.markov.transition_counting import transition_counts_df
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    name = "bq_" + uuid.uuid4().hex[:8]
+    path = tempfile.mkdtemp(prefix="bucketed_traj_")
+    (
+        traj.write.mode("overwrite")
+        .bucketBy(8, "traj_id")
+        .sortBy("traj_id", "t")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    try:
+        back = spark.table(name)
+        rows = (
+            transition_counts_df(back, lagtime=1)
+            .select("s_from", "s_to", F.col("n").cast("long").alias("n"))
+            .collect()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["s_from"]), int(r["s_to"]), int(r["n"])) for r in rows],
+        "s_from long, s_to long, n long",
+    )
+
+
 def _q_doc_quality_classifier(spark, sf_dir):
     """Model-based quality filter (the fastText axis of CCNet/GPT-3
     pipelines): multinomial Naive Bayes self-trained on the Gopher rule
@@ -2399,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sql_surface": _q_doc_sql_surface,
         "generator_msm_roundtrip": _q_generator_msm_roundtrip,
         "doc_quality_classifier": _q_doc_quality_classifier,
+        "bucketed_traj_counts": _q_bucketed_traj_counts,
         # --- LSH/ANN pipelines (newly oracle-backed via spark_hashes) ---
         "minhash_bands": _q_minhash_bands,
         "simhash_pairs": _q_simhash_pairs,
@@ -3401,6 +3443,9 @@ FROM (
 )
 """,
     }
+    # the bucketed-sink round trip must reproduce exactly the counts of
+    # the original frame — same oracle as the direct counting query
+    base["bucketed_traj_counts"] = base["event_transition_counts"]
     # estimator-pipeline oracles: independently-recomputed data path +
     # driver-finalize literals (deeptime_spark/oracle_ref.py). Builders are
     # failure-isolated; a raising builder leaves its query rows-only.
