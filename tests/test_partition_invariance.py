@@ -49,11 +49,16 @@ def normalize(df) -> pd.DataFrame:
 @pytest.mark.parametrize("name", SWEEP)
 def test_result_invariant_under_hostile_partitioning(spark, name):
     q = entrymod.queries()[name]
-    base = normalize(q(spark, SF))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        base = normalize(q(spark, SF))
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         scrambled = normalize(q(spark, SF))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # dedup queries persist their candidate/gram frames (the harness
+        # clears between queries); drop them here so later PLAN tests in
+        # the same session don't get InMemoryRelation substituted into
+        # their subtrees (observed: minhash_bands gaining an exchange)
+        spark.catalog.clearCache()
     pd.testing.assert_frame_equal(base, scrambled)
