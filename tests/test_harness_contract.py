@@ -43,3 +43,30 @@ def test_oracle_sql_is_parseable_by_duckdb():
             con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
         except Exception as exc:  # pragma: no cover - failure carries name
             raise AssertionError(f"oracle for {name} failed to parse: {exc}")
+
+
+def test_bench_and_scale_headline_names_resolve():
+    """Every name bench.py and tools/scale_bench.py time must exist in
+    queries() — a renamed/removed query must fail HERE, not as a silent
+    skip (bench's qs.get(name) tolerates misses) or a driver-time error."""
+    import importlib.util
+    import os
+
+    qs = set(entrymod.queries())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def load(path, name):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    bench = load(os.path.join(root, "bench.py"), "bench_contract_check")
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench.HEADLINE names not in queries(): {missing}"
+
+    scale = load(
+        os.path.join(root, "tools", "scale_bench.py"), "scale_contract_check"
+    )
+    missing = [n for n in scale.QUERIES if n not in qs]
+    assert not missing, f"scale_bench.QUERIES names not in queries(): {missing}"
