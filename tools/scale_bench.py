@@ -42,9 +42,11 @@ QUERIES = [
     "dedup_components", "simhash_pairs", "doc_gopher_repetition",
     "doc_chunks", "doc_packing", "semantic_dedup",
     "corpus_clean_pipeline", "doc_decontaminate",
-    # round-4 surface: span/line dedup, C4 rules, mixing
+    # round-4 surface: span/line dedup, C4 rules, mixing, tokenizer,
+    # model-based quality
     "doc_span_dedup", "doc_line_dedup", "doc_c4_filter",
     "domain_mixture", "doc_stratified_sample",
+    "bpe_tokens", "doc_quality_classifier",
     # similarity over embeddings
     "knn_bruteforce", "ivf_topk", "ivfpq_topk",
     # relational over lineitem (q18/q21: shuffle-agg + join shapes from
