@@ -2139,7 +2139,7 @@ def _q_q12_late_shipments(spark, sf_dir):
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .where(li.l_shipdate > F.date_add(orders.o_orderdate, 60))
+        .where(li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS"))
         .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -2374,130 +2374,16 @@ def _q_q22_dormant_customers(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's correctness pass records queries in
-    # declaration order (r02 recorded exactly the first 50 of 68). The
-    # front of the window holds every query with no prior driver evidence
-    # (estimator pipelines, streaming replay, MSM pipelines — oracle-backed
-    # via oracle_ref — plus the round-4 additions semantic_dedup,
-    # doc_chunks, doc_packing); the rest of the 50 are oracle-backed
-    # operator/relational queries. Past 50: queries green in r02 — rotated
-    # back in next round if the window persists (see COVERAGE.md).
+    # NOTE on ordering: the driver's correctness pass records only the
+    # FIRST ~50 queries in declaration order (r02 and r04 each recorded
+    # exactly 50). Round-5 rotation (see COVERAGE.md): slots 0-26 hold the
+    # 27 queries with NO prior driver evidence (16 adapted TPC-H, the 5
+    # late-round-4 additions, and the 6 LSH/ANN queries that ran rows-only
+    # in r02 and are now oracle-backed via spark_hashes); slots 27-49 hold
+    # the r02-green relational/stats block, stale for two rounds. Past 50:
+    # the r04-green estimator/corpus/streaming wall — rotated back later.
     return {
-        # --- estimator pipelines unverified in r02: declared first ---
-        "tram_events": _q_tram_events,
-        "vamp_events": _q_vamp_events,
-        "dmd_events": _q_dmd_events,
-        "kedmd_events": _q_kedmd_events,
-        "bayes_msm_events": _q_bayes_msm_events,
-        "bayes_hmm_events": _q_bayes_hmm_events,
-        "tpt_events": _q_tpt_events,
-        "effective_counts_events": _q_effective_counts_events,
-        "koopman_weights_events": _q_koopman_weights_events,
-        "regspace_events": _q_regspace_events,
-        "msm_longtail_events": _q_msm_longtail_events,
-        "multimodal_features": _q_multimodal_features,
-        "kernel_gram_events": _q_kernel_gram_events,
-        "tica_events": _q_tica_events,
-        "kmeans_embeddings": _q_kmeans_embeddings,
-        "semantic_dedup": _q_semantic_dedup,
-        "doc_chunks": _q_doc_chunks,
-        "doc_packing": _q_doc_packing,
-        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
-        "doc_decontaminate": _q_doc_decontaminate,
-        "doc_span_dedup": _q_doc_span_dedup,
-        "doc_c4_filter": _q_doc_c4_filter,
-        "doc_line_dedup": _q_doc_line_dedup,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "domain_mixture": _q_domain_mixture,
-        "doc_stratified_sample": _q_doc_stratified_sample,
-        "doc_pii_scrub": _q_doc_pii_scrub,
-        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
-        "hmm_viterbi_events": _q_hmm_viterbi_events,
-        "embedding_whiten": _q_embedding_whiten,
-        "dedup_verified_pairs": _q_dedup_verified_pairs,
-        "dedup_components": _q_dedup_components,
-        "event_session_range_join": _q_event_session_range_join,
-        "event_range_frame": _q_event_range_frame,
-        "doc_gopher_quality": _q_doc_gopher_quality,
-        "doc_gopher_repetition": _q_doc_gopher_repetition,
-        "doc_winnowing": _q_doc_winnowing,
-        "doc_lm_score": _q_doc_lm_score,
-        "event_cube": _q_event_cube,
-        "event_value_percentiles": _q_event_value_percentiles,
-        "purchase_and_signup_users": _q_purchase_and_signup_users,
-        # --- streaming batch-equivalence harness ---
-        "streaming_dedup_replay": _q_streaming_dedup_replay,
-        "streaming_transition_counts": _q_streaming_transition_counts,
-        "streaming_sessions": _q_streaming_sessions,
-        "streaming_window_counts": _q_streaming_window_counts,
-        # --- MSM pipelines that ran rows-only in r02 ---
-        "msm_pi_events": _q_msm_pi_events,
-        "msm_its_events": _q_msm_its_events,
-        "msm_ck_events": _q_msm_ck_events,
-        "pcca_events": _q_pcca_events,
-        "sindy_events": _q_sindy_events,
-        "bpe_tokens": _q_bpe_tokens,
-        "doc_sql_surface": _q_doc_sql_surface,
-        "generator_msm_roundtrip": _q_generator_msm_roundtrip,
-        "doc_quality_classifier": _q_doc_quality_classifier,
-        "bucketed_traj_counts": _q_bucketed_traj_counts,
-        # --- LSH/ANN pipelines (newly oracle-backed via spark_hashes) ---
-        "minhash_bands": _q_minhash_bands,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        # --- text analysis (operators/text.py) ---
-        "doc_token_stats": _q_doc_token_stats,
-        "doc_quality": _q_doc_quality,
-        "doc_language": _q_doc_language,
-        "doc_language_summary": _q_doc_language_summary,
-        # --- dedup (operators/dedup.py) ---
-        "doc_hash_groups": _q_doc_hash_groups,
-        "dedup_docs_count": _q_dedup_docs_count,
-        "doc_jaccard_adjacent": _q_doc_jaccard_adjacent,
-        "doc_shingle_count": _q_doc_shingle_count,
-        "vocab_stats": _q_vocab_stats,
-        "top_tokens": _q_top_tokens,
-        # --- similarity search (operators/similarity.py) ---
-        "embedding_norms": _q_embedding_norms,
-        "knn_bruteforce": _q_knn_bruteforce,
-        "embedding_label_stats": _q_embedding_label_stats,
-        "label_centroid_norm": _q_label_centroid_norm,
-        # --- lag / window / split (operators/lag.py) ---
-        "event_timeshifted": _q_event_timeshifted,
-        "event_sliding_avg": _q_event_sliding_avg,
-        "event_derivative": _q_event_derivative,
-        "event_blocksplit": _q_event_blocksplit,
-        # --- moments (operators/moments.py plan shape) ---
-        "event_moments": _q_event_moments,
-        # --- markov counting ---
-        "event_transition_counts": _q_event_transition_counts,
-        "event_state_histogram": _q_event_state_histogram,
-        "event_two_step_counts": _q_event_two_step_counts,
-        "event_weighted_counts": _q_event_weighted_counts,
-        # --- stats (operators/stats.py) ---
-        "event_box": _q_event_box,
-        "event_histogram2d": _q_event_histogram2d,
-        "event_confidence_interval": _q_event_confidence_interval,
-        "q6_forecast_revenue": _q_q6_forecast_revenue,
-        # --- relational surface (§2.14) ---
-        "event_sessions": _q_event_sessions,
-        "distinct_users_by_type": _q_distinct_users_by_type,
-        "event_order_asof": _q_event_order_asof,
-        "event_rollup": _q_event_rollup,
-        "purchase_not_error_users": _q_purchase_not_error_users,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "q3_top_orders": _q_q3_top_orders,
-        "q10_returned_items": _q_q10_returned_items,
-        "top_customers": _q_top_customers,
-        "order_priority_count": _q_order_priority_count,
-        "nation_order_volume": _q_nation_order_volume,
-        "brand_volume": _q_brand_volume,
-        "q5_supplier_volume": _q_q5_supplier_volume,
-        # --- round-4 adapted TPC-H additions (correlated subqueries,
-        # semi/anti joins, argmin windows, conditional aggregation) ---
+        # --- adapted TPC-H (never driver-run; slots 0-15) ---
         "q2_min_supplier": _q_q2_min_supplier,
         "q4_priority_exists": _q_q4_priority_exists,
         "q7_volume_shipping": _q_q7_volume_shipping,
@@ -2514,6 +2400,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_semi_chain": _q_q20_semi_chain,
         "q21_waiting_supplier": _q_q21_waiting_supplier,
         "q22_dormant_customers": _q_q22_dormant_customers,
+        # --- late-round-4 additions (never driver-run; slots 16-20) ---
+        "bpe_tokens": _q_bpe_tokens,
+        "doc_sql_surface": _q_doc_sql_surface,
+        "generator_msm_roundtrip": _q_generator_msm_roundtrip,
+        "doc_quality_classifier": _q_doc_quality_classifier,
+        "bucketed_traj_counts": _q_bucketed_traj_counts,
+        # --- LSH/ANN, rows-only in r02, oracle-backed since r04 via
+        # deeptime_spark/spark_hashes.py (slots 21-26) ---
+        "minhash_bands": _q_minhash_bands,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        # --- r02-green relational/stats block, stale 2 rounds (27-49) ---
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_top_orders": _q_q3_top_orders,
+        "q5_supplier_volume": _q_q5_supplier_volume,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q10_returned_items": _q_q10_returned_items,
+        "top_customers": _q_top_customers,
+        "order_priority_count": _q_order_priority_count,
+        "nation_order_volume": _q_nation_order_volume,
+        "brand_volume": _q_brand_volume,
+        "event_sessions": _q_event_sessions,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "event_order_asof": _q_event_order_asof,
+        "event_rollup": _q_event_rollup,
+        "purchase_not_error_users": _q_purchase_not_error_users,
+        "event_box": _q_event_box,
+        "event_histogram2d": _q_event_histogram2d,
+        "event_confidence_interval": _q_event_confidence_interval,
+        "event_moments": _q_event_moments,
+        "event_transition_counts": _q_event_transition_counts,
+        "event_state_histogram": _q_event_state_histogram,
+        "event_two_step_counts": _q_event_two_step_counts,
+        "event_weighted_counts": _q_event_weighted_counts,
+        "event_timeshifted": _q_event_timeshifted,
+        # ---------------- past the 50-slot window ----------------
+        # r02-green lag/text/dedup/similarity block
+        "event_sliding_avg": _q_event_sliding_avg,
+        "event_derivative": _q_event_derivative,
+        "event_blocksplit": _q_event_blocksplit,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_language": _q_doc_language,
+        "doc_language_summary": _q_doc_language_summary,
+        "doc_hash_groups": _q_doc_hash_groups,
+        "dedup_docs_count": _q_dedup_docs_count,
+        "doc_jaccard_adjacent": _q_doc_jaccard_adjacent,
+        "doc_shingle_count": _q_doc_shingle_count,
+        "vocab_stats": _q_vocab_stats,
+        "top_tokens": _q_top_tokens,
+        "embedding_norms": _q_embedding_norms,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "embedding_label_stats": _q_embedding_label_stats,
+        "label_centroid_norm": _q_label_centroid_norm,
+        # r04-green estimator pipelines
+        "tram_events": _q_tram_events,
+        "vamp_events": _q_vamp_events,
+        "dmd_events": _q_dmd_events,
+        "kedmd_events": _q_kedmd_events,
+        "bayes_msm_events": _q_bayes_msm_events,
+        "bayes_hmm_events": _q_bayes_hmm_events,
+        "tpt_events": _q_tpt_events,
+        "effective_counts_events": _q_effective_counts_events,
+        "koopman_weights_events": _q_koopman_weights_events,
+        "regspace_events": _q_regspace_events,
+        "msm_longtail_events": _q_msm_longtail_events,
+        "multimodal_features": _q_multimodal_features,
+        "kernel_gram_events": _q_kernel_gram_events,
+        "tica_events": _q_tica_events,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "hmm_viterbi_events": _q_hmm_viterbi_events,
+        "embedding_whiten": _q_embedding_whiten,
+        "msm_pi_events": _q_msm_pi_events,
+        "msm_its_events": _q_msm_its_events,
+        "msm_ck_events": _q_msm_ck_events,
+        "pcca_events": _q_pcca_events,
+        "sindy_events": _q_sindy_events,
+        # r04-green corpus/dedup/ANN pipelines
+        "semantic_dedup": _q_semantic_dedup,
+        "doc_chunks": _q_doc_chunks,
+        "doc_packing": _q_doc_packing,
+        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_span_dedup": _q_doc_span_dedup,
+        "doc_c4_filter": _q_doc_c4_filter,
+        "doc_line_dedup": _q_doc_line_dedup,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "domain_mixture": _q_domain_mixture,
+        "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        "dedup_verified_pairs": _q_dedup_verified_pairs,
+        "dedup_components": _q_dedup_components,
+        "doc_gopher_quality": _q_doc_gopher_quality,
+        "doc_gopher_repetition": _q_doc_gopher_repetition,
+        "doc_winnowing": _q_doc_winnowing,
+        "doc_lm_score": _q_doc_lm_score,
+        # r04-green relational/window extras
+        "event_session_range_join": _q_event_session_range_join,
+        "event_range_frame": _q_event_range_frame,
+        "event_cube": _q_event_cube,
+        "event_value_percentiles": _q_event_value_percentiles,
+        "purchase_and_signup_users": _q_purchase_and_signup_users,
+        # r04-green streaming batch-equivalence harness
+        "streaming_dedup_replay": _q_streaming_dedup_replay,
+        "streaming_transition_counts": _q_streaming_transition_counts,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_window_counts": _q_streaming_window_counts,
     }
 
 

@@ -18,10 +18,13 @@ That gives the natural 100 TB decomposition:
   occurrence.
 
 Scale envelope: the driver dictionary is the only non-distributed
-state. At web scale prune it with ``min_count`` (count-1 hapax
-legomena are useless to BPE statistics and dominate |vocab|) and/or
-train on a deterministic hash-sample of documents
-(operators/mixing.sample_deterministic) — both standard practice for
+state, and it is BOUNDED by default: ``min_count=2`` prunes hapax
+legomena (useless to BPE statistics at ``min_pair_count>=2``, and they
+dominate |vocab| on noisy web text) and ``top_k_words`` applies a
+distributed ``orderBy(n desc, word).limit`` (TakeOrdered heap) before
+the collect, so driver memory is O(top_k_words) regardless of corpus
+size. For even cheaper training, sample documents deterministically
+first (operators/mixing.sample_deterministic) — standard practice for
 production tokenizers, which train merges on a corpus sample anyway.
 
 All statistics are exact integers; training and encoding are
@@ -53,13 +56,27 @@ def word_counts_df(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def collect_word_counts(
-    df: DataFrame, text_col: str = "text", min_count: int = 1
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    top_k_words: int | None = 1_000_000,
 ) -> list[tuple[str, int]]:
     """Driver-side dictionary, deterministically ordered (count desc,
-    word asc) — the training input."""
+    word asc) — the training input.
+
+    Bounded at the 100 TB design point: hapax pruning (``min_count``,
+    default 2 — count-1 words contribute nothing to BPE pair statistics
+    at ``min_pair_count>=2``) plus a DISTRIBUTED top-k cut
+    (``orderBy(n desc, word).limit`` — a TakeOrdered heap with the same
+    deterministic tie-break as the returned ordering) keep the collect
+    at <= ``top_k_words`` rows regardless of corpus size, instead of the
+    full distinct-word set (O(1e8) with noise on a web corpus). Pass
+    ``top_k_words=None`` for the unbounded dictionary on small corpora."""
     wc = word_counts_df(df, text_col)
     if min_count > 1:
         wc = wc.where(F.col("n") >= min_count)
+    if top_k_words is not None:
+        wc = wc.orderBy(F.col("n").desc(), F.col("word")).limit(top_k_words)
     rows = wc.collect()
     return sorted(((r["word"], int(r["n"])) for r in rows), key=lambda kv: (-kv[1], kv[0]))
 
@@ -129,11 +146,14 @@ def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 200,
-    min_count: int = 1,
+    min_count: int = 2,
     min_pair_count: int = 2,
+    top_k_words: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     return train_bpe_from_counts(
-        collect_word_counts(df, text_col, min_count), n_merges, min_pair_count
+        collect_word_counts(df, text_col, min_count, top_k_words),
+        n_merges,
+        min_pair_count,
     )
 
 

@@ -246,7 +246,12 @@ def verify_candidates_jaccard(
     (array_intersect/array_union sizes) — computing grams per pair through
     interpreted HOFs is ~20x slower and O(|pairs|) instead of O(|docs|).
     The candidate set is tiny relative to the corpus, so the two joins
-    broadcast-hash at scale."""
+    broadcast-hash at scale.
+
+    With ``candidates_materialized=True`` the gram frame is restricted to
+    candidate-touched docs and ``persist()``-ed (lazily — no job until the
+    caller's first action); the cache lives until the caller clears it
+    (``spark.catalog.clearCache()``) or the block manager evicts it."""
     from deeptime_spark.operators.text import word_ngrams
 
     doc_side = docs
@@ -276,13 +281,16 @@ def verify_candidates_jaccard(
     if candidates_materialized:
         # BOTH pair joins consume the gram frame; without a cache the
         # semi-join + regex subtree executes once per branch (measured 2x
-        # the whole verification cost at sf0.1). The frame is candidate-
-        # touched docs only — by construction a sliver of the corpus — so
-        # MEMORY_AND_DISK is safe at scale; count() fills the cache in one
-        # pass before the branches fan out. Callers own cache lifecycle
-        # (the harness clears between queries).
+        # the whole verification cost at sf0.1). persist() is LAZY — it
+        # shares the RDD identity across both join branches, so the DAG
+        # scheduler computes the gram stage exactly once on the FIRST
+        # action over the returned frame (no job runs at construction
+        # time, and a discarded result costs nothing). The frame is
+        # candidate-touched docs only — by construction a sliver of the
+        # corpus — so MEMORY_AND_DISK is safe at scale. CACHE LIFECYCLE IS
+        # THE CALLER'S: unpersist via spark.catalog.clearCache() (the
+        # bench/correctness harnesses do) or blockManager LRU reclaims it.
         grams = grams.persist()
-        grams.count()
     out = (
         candidates.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("_grams", "_ga"), "id_a")
         .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("_grams", "_gb"), "id_b")

@@ -602,12 +602,27 @@ def quality_classifier_scores_df(
     toks = labeled.select(
         F.col(id_col), F.col("_y"), tokens(text_col).alias("_toks")
     )
-    counts = (
+    tok_counts = (
         toks.select("_y", F.explode("_toks").alias("w"))
         .where(F.col("w") != "")
         .groupBy("_y", "w")
         .agg(F.count(F.lit(1)).alias("n"))
-    ).collect()
+    )
+    # Bounded-driver vocab cut (100 TB design point): the top-vocab_size
+    # words by (total desc, word) are chosen DISTRIBUTEDLY — a TakeOrdered
+    # heap over the word totals — and the per-class counts are semi-joined
+    # down to that vocabulary BEFORE the collect, so the driver sees at
+    # most 2 * vocab_size rows instead of the full distinct-token table
+    # (O(1e8) on a web corpus). The deterministic (total desc, word)
+    # ordering is reconstructed on the driver from the collected rows.
+    vocab_df = (
+        tok_counts.groupBy("w")
+        .agg(F.sum("n").alias("_total"))
+        .orderBy(F.col("_total").desc(), F.col("w"))
+        .limit(vocab_size)
+        .select("w")
+    )
+    counts = tok_counts.join(F.broadcast(vocab_df), "w", "left_semi").collect()
     doc_counts = labeled.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
     n_good = sum(int(r["n"]) for r in doc_counts if int(r["_y"]) == 1)
     n_bad = sum(int(r["n"]) for r in doc_counts if int(r["_y"]) == 0)
@@ -615,12 +630,11 @@ def quality_classifier_scores_df(
     per_class: dict[int, dict[str, int]] = {0: {}, 1: {}}
     for r in counts:
         per_class[int(r["_y"])][r["w"]] = int(r["n"])
-    # deterministic joint vocabulary: top vocab_size by (total desc, word)
-    totals = {}
+    totals: dict[str, int] = {}
     for c in (0, 1):
         for w, n in per_class[c].items():
             totals[w] = totals.get(w, 0) + n
-    vocab = [w for w, _ in sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]]
+    vocab = [w for w, _ in sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))]
     t_good = sum(per_class[1].get(w, 0) for w in vocab)
     t_bad = sum(per_class[0].get(w, 0) for w in vocab)
     V = len(vocab)

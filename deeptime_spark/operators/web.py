@@ -83,11 +83,23 @@ def normalize_url(url: str | Column) -> Column:
         lowered.startswith("https://"), F.regexp_replace(lowered, r":443$", "")
     ).otherwise(lowered)
     rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, TRACKING_PARAMS + r"=[^&#]*&", "")
-    rest = F.regexp_replace(rest, r"[?&]" + TRACKING_PARAMS + r"=[^&#]*$", "")
+    # Anchored at a separator and matching RUNS of consecutive tracking
+    # params, so 'ref=' never matches inside a longer name ('href=') and
+    # adjacent tracking params vanish in one pass.
+    rest = F.regexp_replace(
+        rest, r"([?&])(?:" + TRACKING_PARAMS + r"=[^&#]*&)+", r"$1"
+    )
+    rest = F.regexp_replace(
+        rest,
+        r"[?&](?:" + TRACKING_PARAMS + r"=[^&#]*&)*" + TRACKING_PARAMS + r"=[^&#]*$",
+        "",
+    )
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]$", "")
-    rest = F.regexp_replace(rest, r"//+", "/")
+    # collapse '//' in the PATH only — query strings may legally carry '//'
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.substring(rest, F.length(path) + F.lit(1), F.length(rest))
+    rest = F.concat(F.regexp_replace(path, r"//+", "/"), query)
     return F.concat(lowered, rest)
 
 

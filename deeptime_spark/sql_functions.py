@@ -65,35 +65,35 @@ def sql_function_definitions() -> dict[str, str]:
     return {
         "dt_token_count": (
             # exact mirror of operators/text.py:token_count
-            "CREATE TEMPORARY FUNCTION dt_token_count(t STRING) RETURNS INT "
+            "CREATE OR REPLACE TEMPORARY FUNCTION dt_token_count(t STRING) RETURNS INT "
             f"RETURN size({_TOKS.format(t='t')})"
         ),
         "dt_shingles": (
-            "CREATE TEMPORARY FUNCTION dt_shingles(t STRING, k INT) "
+            "CREATE OR REPLACE TEMPORARY FUNCTION dt_shingles(t STRING, k INT) "
             "RETURNS ARRAY<STRING> RETURN "
             f"CASE WHEN length({norm}) < k THEN array({norm}) "
             f"ELSE regexp_extract_all({norm}, '(?=(.{{' || k || '}}))', 1) END"
         ),
         "dt_word_ngrams": (
-            "CREATE TEMPORARY FUNCTION dt_word_ngrams(t STRING, n INT) "
+            "CREATE OR REPLACE TEMPORARY FUNCTION dt_word_ngrams(t STRING, n INT) "
             f"RETURNS ARRAY<STRING> RETURN {word_ngrams}"
         ),
         "dt_ngram_jaccard": (
-            "CREATE TEMPORARY FUNCTION dt_ngram_jaccard(a STRING, b STRING, n INT) "
+            "CREATE OR REPLACE TEMPORARY FUNCTION dt_ngram_jaccard(a STRING, b STRING, n INT) "
             "RETURNS DOUBLE RETURN "
             "size(array_intersect(dt_word_ngrams(a, n), dt_word_ngrams(b, n))) / "
             "greatest(size(array_union(dt_word_ngrams(a, n), dt_word_ngrams(b, n))), 1)"
         ),
         "dt_simhash64": (
-            "CREATE TEMPORARY FUNCTION dt_simhash64(t STRING) RETURNS BIGINT "
+            "CREATE OR REPLACE TEMPORARY FUNCTION dt_simhash64(t STRING) RETURNS BIGINT "
             f"RETURN {_simhash_body()}"
         ),
         "dt_minhash32": (
-            "CREATE TEMPORARY FUNCTION dt_minhash32(t STRING, k INT) "
+            "CREATE OR REPLACE TEMPORARY FUNCTION dt_minhash32(t STRING, k INT) "
             f"RETURNS ARRAY<INT> RETURN {_minhash_body()}"
         ),
         "dt_hamming64": (
-            "CREATE TEMPORARY FUNCTION dt_hamming64(a BIGINT, b BIGINT) "
+            "CREATE OR REPLACE TEMPORARY FUNCTION dt_hamming64(a BIGINT, b BIGINT) "
             "RETURNS INT RETURN bit_count(a ^ b)"
         ),
     }

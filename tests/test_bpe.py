@@ -104,3 +104,17 @@ def test_prop_training_input_order_invariant(counts):
     merges_a = train_bpe_from_counts(counts, n_merges=15, min_pair_count=2)
     merges_b = train_bpe_from_counts(list(reversed(counts)), n_merges=15, min_pair_count=2)
     assert merges_a == merges_b
+
+
+def test_top_k_words_cap_is_distributed_and_deterministic(spark):
+    """The dictionary cap must equal the driver-side (count desc, word)
+    truncation — i.e. the TakeOrdered tie-break matches the documented
+    ordering — and must bound the collect."""
+    rows = [(i, f"common common common rare{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = collect_word_counts(df, min_count=1, top_k_words=None)
+    capped = collect_word_counts(df, min_count=1, top_k_words=5)
+    assert capped == full[:5]
+    assert len(capped) == 5 and capped[0][0] == "common"
+    # default hapax pruning: rare{i} words (count 1) vanish
+    assert collect_word_counts(df) == [("common", 120)]

@@ -1090,3 +1090,36 @@ def test_quality_classifier_separates_and_layout_independent(spark):
         for r in quality_classifier_scores_df(df.repartition(7, "doc_id")).collect()
     }
     assert all(out[k]["log_odds"] == out2[k] for k in out)
+
+
+def test_quality_classifier_vocab_cut_is_bounded_and_exact(spark):
+    """The vocab_size cut now happens DISTRIBUTEDLY (TakeOrdered +
+    semi-join) before the collect; output must equal the unbounded model
+    truncated on the driver — same (total desc, word) tie-break."""
+    from deeptime_spark.operators.text import quality_classifier_scores_df
+
+    good = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, good + f"uniq{i}a uniq{i}b uniq{i}c") for i in range(12)] + [
+        (100 + i, "### " * 60 + f"tag{i}x tag{i}y") for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # many distinct singleton tokens; tiny vocab forces the cut to bite
+    small = {
+        r["doc_id"]: r for r in quality_classifier_scores_df(df, vocab_size=8).collect()
+    }
+    big = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores_df(df, vocab_size=10**6).collect()
+    }
+    assert set(small) == set(big) == {r[0] for r in rows}
+    # the classifier still separates with the capped vocab
+    assert all(small[i]["pred_good"] == 1 for i in range(12))
+    assert all(small[100 + i]["pred_good"] == 0 for i in range(12))
+    # layout independence survives the distributed cut
+    small2 = {
+        r["doc_id"]: r["log_odds"]
+        for r in quality_classifier_scores_df(
+            df.repartition(7, "doc_id"), vocab_size=8
+        ).collect()
+    }
+    assert all(small[k]["log_odds"] == small2[k] for k in small)

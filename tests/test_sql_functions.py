@@ -90,3 +90,13 @@ def test_jaccard_and_hamming(sql_docs):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_registration_is_idempotent(sql_docs):
+    """CREATE OR REPLACE: registering twice in one session must not raise
+    (round-4 ADVICE — FUNCTION_ALREADY_EXISTS kept doc_sql_surface out of
+    repeated-run sweeps)."""
+    spark = sql_docs
+    register_sql_functions(spark)
+    register_sql_functions(spark)
+    assert spark.sql("SELECT dt_token_count('a b c') AS v").collect()[0]["v"] == 3
