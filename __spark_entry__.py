@@ -979,6 +979,26 @@ def _q_vamp_events(spark, sf_dir):
     )
 
 
+def _q_vamp_score_events(spark, sf_dir):
+    """VAMP-1/2/E scores of the fitted event-feature model — driver
+    evidence for the scoring surface (reference decomposition/_score.py
+    semantics: VAMP-r = 1 + sum(sigma^r); VAMP-E from the model's own
+    covariances). The distributed stage is the covariance aggregation;
+    each score is a deterministic function of it."""
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v, v * v * v).alias("x"))
+    model = VAMP(lagtime=2).fit(feat).fetch_model()
+    rows = [
+        ("vamp1", round(float(model.score(1)), 6)),
+        ("vamp2", round(float(model.score(2)), 6)),
+        ("vampe", round(float(model.score("E")), 6)),
+    ]
+    return spark.createDataFrame(rows, "score_kind string, score double")
+
+
 def _q_dmd_events(spark, sf_dir):
     """DMD eigenvalues of the event-value feature trajectory."""
     import numpy as np
@@ -2373,6 +2393,39 @@ def _q_q22_dormant_customers(spark, sf_dir):
     )
 
 
+def _q_web_host_stats(spark, sf_dir):
+    """Crawl-layer surface (operators/web.py) with a fully independent
+    SQL oracle: raw URLs are synthesized deterministically from doc_id —
+    identical in both engines, exercising mixed-case scheme/host, the
+    default :80 port, '//' path debris, tracking parameters, and
+    fragments — then normalize_url + host_stats run the real operators.
+    n_urls counts DISTINCT NORMALIZED urls (the fetch-dedup identity):
+    at a fixed host, doc_ids congruent mod 360 (lcm of the path/query
+    residues) collapse to one canonical URL, so the count is a real
+    check of the whole normalization chain, replayed verbatim in DuckDB
+    (RE2-safe regexes by design — web.py module docstring)."""
+    from deeptime_spark.operators.web import host_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:80//d//"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/page?utm_source=x&ref=feed&id="),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("#frag"),
+    )
+    pages = docs.select(url.alias("url"), "text")
+    out = host_stats(pages)
+    return out.select(
+        "host",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02 and r04 each recorded
@@ -2435,11 +2488,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_moments": _q_event_moments,
         "event_transition_counts": _q_event_transition_counts,
         "event_state_histogram": _q_event_state_histogram,
-        "event_two_step_counts": _q_event_two_step_counts,
         "event_weighted_counts": _q_event_weighted_counts,
-        "event_timeshifted": _q_event_timeshifted,
+        # round-5 additions (no prior evidence): scoring surface + web layer
+        "vamp_score_events": _q_vamp_score_events,
+        "web_host_stats": _q_web_host_stats,
         # ---------------- past the 50-slot window ----------------
         # r02-green lag/text/dedup/similarity block
+        "event_two_step_counts": _q_event_two_step_counts,
+        "event_timeshifted": _q_event_timeshifted,
         "event_sliding_avg": _q_event_sliding_avg,
         "event_derivative": _q_event_derivative,
         "event_blocksplit": _q_event_blocksplit,
@@ -2567,6 +2623,51 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM o GROUP BY user_id
+""",
+        "web_host_stats": r"""
+WITH u AS (
+  SELECT doc_id, text,
+    'HTTP://Site' || (doc_id % 7) || '.Example.COM:80//d//' || (doc_id % 40) ||
+    '/page?utm_source=x&ref=feed&id=' || (doc_id % 9) || '#frag' AS url
+  FROM documents
+), s2 AS (
+  SELECT text, trim(url) AS u,
+    regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1) AS prefix
+  FROM u
+), s3 AS (
+  SELECT text, u, prefix,
+    substr(u, length(prefix) + 1) AS rest0,
+    CASE WHEN lower(prefix) LIKE 'http://%'  THEN regexp_replace(lower(prefix), ':80$', '')
+         WHEN lower(prefix) LIKE 'https://%' THEN regexp_replace(lower(prefix), ':443$', '')
+         ELSE lower(prefix) END AS lowered,
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+      '^[^@]*@', ''), ':[0-9]*$', '')) AS host
+  FROM s2
+), s4 AS (
+  SELECT text, lowered, host,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest0, '#.*$', ''),
+            '([?&])(?:(?:utm_[a-z0-9]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*&)+', '\1', 'g'),
+          '[?&](?:(?:utm_[a-z0-9]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*&)*(?:utm_[a-z0-9]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*$', ''),
+        '\?&', '?', 'g'),
+      '[?&]$', '') AS rest1
+  FROM s3
+), s5 AS (
+  SELECT text, host,
+    lowered || regexp_replace(regexp_extract(rest1, '^([^?]*)', 1), '//+', '/', 'g')
+            || substr(rest1, length(regexp_extract(rest1, '^([^?]*)', 1)) + 1) AS nurl
+  FROM s4
+)
+SELECT host,
+       COUNT(*) AS n_pages,
+       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT nurl) AS n_urls
+FROM s5
+GROUP BY host
 """,
         "doc_token_stats": r"""
 SELECT doc_id,

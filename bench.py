@@ -83,6 +83,12 @@ HEADLINE = [
     # shapes; both weak-scale-tested in SCALE.md)
     "q18_large_volume_customers",
     "q21_waiting_supplier",
+    # round-5: the heaviest TPC-H join trees (never timed before r5) —
+    # q9 is the largest (lineitem x part x supplier x nation), q7/q8 are
+    # the multi-nation broadcast-dim star shapes
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
 ]
 
 

@@ -353,6 +353,22 @@ def oracle_vamp() -> str:
     return _values_sql(rows, ["idx", "sv"], "bd")
 
 
+def oracle_vamp_score() -> str:
+    """Covariances re-derived independently from the DuckDB trajectory
+    (layer 1), then the same score finalize — data-path oracle, with the
+    score formulas pinned independently by tests/test_decomposition.py."""
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    cov = _covariance_model(sf_dir(), 2, 3)
+    model = VAMP(lagtime=2).fit_from_covariances(cov)
+    rows = [
+        ("vamp1", round(float(model.score(1)), 6)),
+        ("vamp2", round(float(model.score(2)), 6)),
+        ("vampe", round(float(model.score("E")), 6)),
+    ]
+    return _values_sql(rows, ["score_kind", "score"], "sd")
+
+
 def oracle_dmd() -> str:
     cov = _covariance_model(sf_dir(), 1, 2, remove_mean=False, bessel=False)
     mxx, mxy = cov.cov_00, cov.cov_0t
@@ -722,6 +738,7 @@ _BUILDERS = {
     "bayes_msm_events": oracle_bayes_msm,
     "effective_counts_events": oracle_effective_counts,
     "vamp_events": oracle_vamp,
+    "vamp_score_events": oracle_vamp_score,
     "dmd_events": oracle_dmd,
     "kedmd_events": oracle_kedmd,
     "tica_events": oracle_tica,
