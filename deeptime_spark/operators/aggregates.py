@@ -4,10 +4,11 @@ Reference: ``logsumexp``/``logsumexp_pair``/``kdot``/``ksum``
 (/root/reference/src/deeptime/numeric/__init__.py:38-39, C++ Kahan
 kahan_summation.h). Spark's fp64 tree-reduced ``sum`` already covers the
 compensated-summation use cases (SURVEY §4.1); what the JVM lacks is a
-log-space sum — needed by TRAM-scale free-energy accumulations — which is
-the classic two-pass max-shift formulation here: one aggregate for the
-per-group max, one for the shifted exponential sum. Both passes are
-map-side partial aggregations."""
+log-space sum — needed by TRAM-scale free-energy accumulations. The
+grouped form is the classic max-shift formulation (per-group max, then
+shifted exponential sum — both map-side partial aggregations in one
+plan); the global scalar uses per-partition shifted partials combined on
+the driver, so it costs a single action."""
 
 from __future__ import annotations
 
@@ -30,9 +31,29 @@ def grouped_logsumexp(
 
 
 def logsumexp(df: DataFrame, value_col: str) -> float:
-    """Global log-space sum (driver scalar)."""
-    m = df.agg(F.max(value_col).alias("m")).first()["m"]
-    row = df.agg(F.sum(F.exp(F.col(value_col) - F.lit(float(m)))).alias("s")).first()
+    """Global log-space sum (driver scalar) in ONE action.
+
+    Per-partition max-shifted partials (a window partitioned by
+    ``spark_partition_id`` — no cross-partition shuffle of the values)
+    combine on the driver with a second max-shift over the tiny
+    (n_partitions)-row result. Same overflow safety as the classic
+    two-pass global-shift formulation, half the job count — relevant
+    when this lands inside an iteration loop (TRAM-style)."""
     import math
 
-    return float(m) + math.log(row["s"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_p")
+    parts = (
+        df.select(F.spark_partition_id().alias("_p"), F.col(value_col).alias("_v"))
+        .withColumn("_m", F.max("_v").over(w))
+        .groupBy("_p")
+        .agg(
+            F.max("_m").alias("m"),
+            F.sum(F.exp(F.col("_v") - F.col("_m"))).alias("s"),
+        )
+        .collect()
+    )
+    gm = max(float(r["m"]) for r in parts)
+    total = sum(float(r["s"]) * math.exp(float(r["m"]) - gm) for r in parts)
+    return gm + math.log(total)

@@ -566,6 +566,7 @@ def quality_classifier_scores_df(
     id_col: str = "doc_id",
     vocab_size: int = 50_000,
     smoothing: float = 1.0,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Self-supervised quality CLASSIFIER (the fastText-filter axis of
     CCNet/GPT-3-style pipelines: train a cheap text classifier on weak
@@ -596,9 +597,16 @@ def quality_classifier_scores_df(
 
     from deeptime_spark.operators.layout import spread_for_map_parallelism
 
-    labeled = gopher_quality(df, text_col).select(
-        F.col(id_col), F.col(text_col), F.col("passes_gopher").alias("_y")
-    )
+    if label_col is not None:
+        # curated-positive-set pathway: caller supplies 0/1 labels
+        # (e.g. "is from a reference corpus"), same training shape
+        labeled = df.select(
+            F.col(id_col), F.col(text_col), F.col(label_col).cast("int").alias("_y")
+        )
+    else:
+        labeled = gopher_quality(df, text_col).select(
+            F.col(id_col), F.col(text_col), F.col("passes_gopher").alias("_y")
+        )
     toks = labeled.select(
         F.col(id_col), F.col("_y"), tokens(text_col).alias("_toks")
     )

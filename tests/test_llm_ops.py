@@ -1123,3 +1123,33 @@ def test_quality_classifier_vocab_cut_is_bounded_and_exact(spark):
         ).collect()
     }
     assert all(small[k]["log_odds"] == small2[k] for k in small)
+
+
+def test_quality_classifier_label_col_pathway(spark):
+    """Curated-positive-set training: labels come from label_col, NOT the
+    gopher heuristic — docs the heuristic would label identically still
+    separate by the curated label's vocabulary."""
+    from deeptime_spark.operators.text import quality_classifier_scores_df
+
+    # all docs pass/fail gopher identically (same length/shape); only the
+    # curated label distinguishes wiki-style from spam-style vocabulary
+    wiki = "the national library archive holds many historic records about "
+    spam = "click here buy now cheap deal winner prize claim free offer "
+    rows = [(i, (wiki * 4) + f"w{i}", 1) for i in range(8)] + [
+        (100 + i, (spam * 4) + f"s{i}", 0) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, curated int")
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores_df(df, label_col="curated").collect()
+    }
+    assert all(out[i]["pred_good"] == 1 for i in range(8))
+    assert all(out[100 + i]["pred_good"] == 0 for i in range(8))
+    # layout-independent under the curated pathway too
+    out2 = {
+        r["doc_id"]: r["log_odds"]
+        for r in quality_classifier_scores_df(
+            df.repartition(5, "doc_id"), label_col="curated"
+        ).collect()
+    }
+    assert all(out[k]["log_odds"] == out2[k] for k in out)
