@@ -388,3 +388,29 @@ def test_quality_classifier_single_arrow_stage(spark):
     n_py = len(re.findall(r"\(\d+\) (?:Arrow|Batch)EvalPython|\(\d+\) MapInPandas", plan))
     assert n_py == 1, plan[:1500]
     assert "Join" not in plan
+
+
+def test_web_host_stats_is_jvm_only_single_agg(spark):
+    """The crawl layer's claim (web.py module docstring): pure codegen
+    string/regex chains — no Python evaluation — and host_stats is ONE
+    hash aggregation over the scan (normalize+host fuse into the map
+    side; the only exchange is the groupBy(host) plus its AQE read)."""
+    plan = plan_of(entrymod._q_web_host_stats(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_exchanges(plan) <= 2  # partial agg -> shuffle -> final agg
+    # column pruning: only doc_id (url synthesis) + text reach the scan
+    scan = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in scan and "text" in scan and "lang" not in scan
+
+
+def test_vamp_score_covariance_path_stays_arrow(spark):
+    """vamp_score_events' distributed stage is the covariance
+    aggregation; scoring itself is driver math over a literal frame, so
+    the returned plan must be a local scan of literals (no Spark jobs at
+    transform time beyond the fit that already ran)."""
+    df = entrymod._q_vamp_score_events(spark, SF)
+    plan = plan_of(df)
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    rows = {r["score_kind"]: r["score"] for r in df.collect()}
+    # VAMP-r >= 1 by construction (1 + sum sigma^r, sigma >= 0)
+    assert rows["vamp1"] >= 1.0 and rows["vamp2"] >= 1.0

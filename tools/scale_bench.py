@@ -57,6 +57,10 @@ QUERIES = [
     # trajectory ops over events
     "event_transition_counts", "event_moments", "event_sliding_avg",
     "hmm_viterbi_events",
+    # round-5: estimator pipelines (covariance/counting-bound) + the
+    # heaviest TPC-H join tree + the web layer
+    "tica_events", "tram_events", "vamp_score_events",
+    "q9_product_profit", "web_host_stats",
 ]
 
 
@@ -121,8 +125,11 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     dirs = {k: build_dir(spark, k) for k in ks}
+    # optional subset: SPARK_GRAFT_SCALE_QUERIES="tica_events,tram_events"
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "")
+    run_list = [q for q in QUERIES if q in set(only.split(","))] if only else QUERIES
     results: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in run_list:
         fn = qs.get(name)
         if fn is None:
             continue
