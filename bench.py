@@ -141,11 +141,17 @@ def main() -> None:
             simhash_signatures_df,
         )
 
+        from deeptime_spark.operators.dedup import verify_candidates_jaccard
+
         tiny = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(48).cache()
         tiny.count()
-        minhash_lsh_candidates(tiny, n_hashes=32, bands=8).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        tiny_cands = minhash_lsh_candidates(tiny, n_hashes=32, bands=8).persist()
+        tiny_cands.count()
+        # ...including the verification shapes (cached-candidate scan,
+        # semi-join + n-gram regex pass, pair join + array set algebra)
+        verify_candidates_jaccard(
+            tiny_cands, tiny, threshold=0.2, candidates_materialized=True
+        ).write.format("noop").mode("overwrite").save()
         simhash_signatures_df(tiny).write.format("noop").mode("overwrite").save()
         tiny.unpersist()
         spark.catalog.clearCache()
