@@ -2426,6 +2426,79 @@ def _q_web_host_stats(spark, sf_dir):
     )
 
 
+def _q_event_pivot(spark, sf_dir):
+    """Pivot/crosstab surface: per-user event-type matrix (counts +
+    integer-cent value sums) via Spark's native pivot — Catalyst rewrites
+    it to ONE hash aggregation with CASE projections (no per-type scan);
+    the oracle replays exactly that rewrite as FILTERed aggregates."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.withColumn("_cents", F.round(F.col("value") * 100).cast("long"))
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_cents").alias("cents"))
+    )
+    sel = [F.col("user_id")]
+    for t in types:
+        sel.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        sel.append(
+            F.coalesce(F.col(f"{t}_cents"), F.lit(0)).cast("long").alias(f"{t}_cents")
+        )
+    return out.select(*sel)
+
+
+def _q_event_resample(spark, sf_dir):
+    """Time-series resampling with GAP FILLING: per-user hourly buckets
+    over each user's [first, last] hour, empty buckets emitted as zero
+    rows — the downsample-and-regularize step a feature pipeline needs
+    before lag/window ops. Spark-first: the dense grid is
+    sequence()/explode per user (no driver loop, no cross join); the
+    sparse hourly aggregate left-joins onto it."""
+    ev = _read(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.col("user_id"), F.date_trunc("hour", F.col("ts")).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    return grid.join(agg, ["user_id", "bucket"], "left").select(
+        "user_id",
+        F.col("bucket").cast("long").alias("bucket_s"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+    )
+
+
+def _q_event_json_stats(spark, sf_dir):
+    """Semi-structured column surface: JSON path extraction
+    (get_json_object, JVM-side Jackson) + typed aggregation over the
+    events.props payload — no Python, no UDF; the oracle uses DuckDB's
+    independent JSON parser."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("k_sum"),
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02 and r04 each recorded
@@ -2493,6 +2566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vamp_score_events": _q_vamp_score_events,
         "web_host_stats": _q_web_host_stats,
         # ---------------- past the 50-slot window ----------------
+        # round-5 relational additions (pivot, gap-filled resample, JSON)
+        "event_pivot": _q_event_pivot,
+        "event_resample": _q_event_resample,
+        "event_json_stats": _q_event_json_stats,
         # r02-green lag/text/dedup/similarity block
         "event_two_step_counts": _q_event_two_step_counts,
         "event_timeshifted": _q_event_timeshifted,
@@ -2623,6 +2700,47 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM o GROUP BY user_id
+""",
+        "event_pivot": r"""
+SELECT user_id,
+  COUNT(*) FILTER (event_type='click') AS click_n,
+  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='click'), 0) AS click_cents,
+  COUNT(*) FILTER (event_type='error') AS error_n,
+  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='error'), 0) AS error_cents,
+  COUNT(*) FILTER (event_type='purchase') AS purchase_n,
+  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='purchase'), 0) AS purchase_cents,
+  COUNT(*) FILTER (event_type='signup') AS signup_n,
+  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='signup'), 0) AS signup_cents,
+  COUNT(*) FILTER (event_type='view') AS view_n,
+  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='view'), 0) AS view_cents
+FROM events
+GROUP BY user_id
+""",
+        "event_resample": r"""
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         SUM(CAST(round(value*100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM spans
+)
+SELECT g.user_id,
+       CAST(epoch(g.bucket) AS BIGINT) AS bucket_s,
+       COALESCE(a.n, 0) AS n,
+       COALESCE(a.cents, 0) AS cents
+FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.bucket = g.bucket
+""",
+        "event_json_stats": r"""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
 """,
         "web_host_stats": r"""
 WITH u AS (
