@@ -1,0 +1,119 @@
+"""Training-shard sink: materialize a packed corpus as size-bounded
+parquet shards plus an audit manifest.
+
+The last mile of a training-data pipeline: after filter/dedup/mix/pack,
+the corpus must land on disk as (a) shards bounded in token mass so a
+data loader can stream them, (b) under a DETERMINISTIC doc->shard
+assignment so reruns, incremental audits, and resumed jobs see the same
+layout, and (c) with a manifest recording per shard exactly what went in
+(doc count, token mass, id range) — the artifact a training run's data
+card points at.
+
+Spark-first shape: assignment reuses ``pack_documents``' per-source
+prefix sum (operators/chunking.py — the only sequential dependency is
+per shard-source, so parallelism is the source count, scalable via
+``docs_per_shard`` sub-sharding); documents are kept WHOLE (first-fit by
+token offset: shard k of a source holds the docs whose offset lands in
+[k*budget, (k+1)*budget)), so a shard's token mass is ≤ budget + one
+document. The write is ``repartition(shard)`` + ``partitionBy`` — one
+task per shard, one file per shard, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deeptime_spark.operators.chunking import pack_documents
+
+MANIFEST_SUFFIX = "_manifest"
+
+
+def assign_training_shards(
+    df: DataFrame,
+    budget: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    docs_per_shard: int | None = None,
+) -> DataFrame:
+    """Document -> shard assignment (no I/O): the input plus
+    ``shard_key`` (``<source>[#sub]-<seq>``) and ``n_tokens``.
+
+    Deterministic function of (id, source, text) — layout-independent,
+    so the assignment can be recomputed for audit without the written
+    output."""
+    packed = pack_documents(
+        df,
+        budget=budget,
+        text_col=text_col,
+        id_col=id_col,
+        shard_col=source_col,
+        docs_per_shard=docs_per_shard,
+    ).select(
+        F.col(id_col),
+        F.col("shard"),
+        F.col("n_tokens"),
+        F.col("pack_first").alias("shard_seq"),
+    )
+    return df.join(packed, id_col).withColumn(
+        "shard_key",
+        F.concat_ws("-", F.col("shard"), F.col("shard_seq").cast("string")),
+    )
+
+
+def shard_manifest(assigned: DataFrame) -> DataFrame:
+    """Per-shard audit rows from an ``assign_training_shards`` frame:
+    (shard_key, n_docs, n_tokens, min/max doc id). One hash aggregation."""
+    return assigned.groupBy("shard_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    budget: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    docs_per_shard: int | None = None,
+) -> DataFrame:
+    """Write the corpus as one parquet directory per shard plus a
+    manifest at ``<path>_manifest``. Returns the manifest DataFrame.
+
+    ``repartition("shard_key")`` clusters each shard into one task so
+    ``partitionBy`` emits one file per shard (the data-loader contract);
+    at cluster scale the shard count >> cores, so this is a plain hash
+    exchange, not a bottleneck."""
+    assigned = assign_training_shards(
+        df, budget, text_col, id_col, source_col, docs_per_shard
+    )
+    (
+        assigned.drop("shard", "shard_seq")
+        .repartition("shard_key")
+        .write.mode("overwrite")
+        .partitionBy("shard_key")
+        .parquet(path)
+    )
+    manifest = shard_manifest(assigned)
+    manifest.write.mode("overwrite").parquet(path + MANIFEST_SUFFIX)
+    return manifest
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shards: list[str] | None = None
+) -> DataFrame:
+    """Read shards back; ``shards`` restricts to named shard_keys via
+    partition pruning (the directory layout IS the index)."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.where(F.col("shard_key").isin(shards))
+    return df
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path + MANIFEST_SUFFIX)

@@ -107,3 +107,65 @@ def test_bucketed_table_elides_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bdb.traj_b")
         spark.sql("DROP DATABASE IF EXISTS bdb")
+
+
+def test_training_shards_roundtrip(spark, tmp_path):
+    """Write/read round trip of the training-shard sink: every doc lands
+    exactly once, shard token mass is bounded by budget + one document,
+    the manifest matches the data, and the assignment is deterministic
+    under a hostile repartition."""
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.sources.shards import (
+        assign_training_shards,
+        read_manifest,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "shards")
+    budget = 512
+    manifest = write_training_shards(docs, path, budget=budget)
+    m = manifest.collect()
+
+    back = read_training_shards(spark, path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    # token-mass bound: <= budget + (largest single doc in the shard)
+    per_doc_max = {
+        r["shard_key"]: r["mx"]
+        for r in back.groupBy("shard_key").agg(F.max("n_tokens").alias("mx")).collect()
+    }
+    for r in m:
+        assert r["shard_tokens"] <= budget + per_doc_max[r["shard_key"]]
+
+    # manifest equals a recount of the written data
+    recount = {
+        (r["shard_key"], r["n_docs"], r["shard_tokens"])
+        for r in back.groupBy("shard_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+        .collect()
+    }
+    assert {(r["shard_key"], r["n_docs"], r["shard_tokens"]) for r in m} == recount
+
+    # stored manifest round-trips; partition pruning by shard_key works
+    stored = read_manifest(spark, path)
+    assert stored.count() == len(m)
+    one = m[0]["shard_key"]
+    only = read_training_shards(spark, path, shards=[one])
+    assert only.select("shard_key").distinct().collect()[0][0] == one
+
+    # deterministic assignment: hostile repartition gives identical keys
+    a1 = {
+        (r["doc_id"], r["shard_key"])
+        for r in assign_training_shards(docs, budget=budget).select("doc_id", "shard_key").collect()
+    }
+    a2 = {
+        (r["doc_id"], r["shard_key"])
+        for r in assign_training_shards(docs.repartition(7, "doc_id"), budget=budget)
+        .select("doc_id", "shard_key")
+        .collect()
+    }
+    assert a1 == a2
