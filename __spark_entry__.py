@@ -2517,6 +2517,32 @@ def _q_shard_manifest(spark, sf_dir):
     )
 
 
+def _q_web_extract_text(spark, sf_dir):
+    """WET-style HTML->text extraction, oracle-covered end to end:
+    deterministic HTML is wrapped around each document's text in BOTH
+    engines (title with entity, style/script elements with content,
+    comment, br/div/p structure, encoded entities), then
+    extract_text_from_html runs the real operators. The whole regex
+    chain is RE2-safe by design (web.py module docstring), so the DuckDB
+    oracle replays it verbatim and the value hash pins every step."""
+    from deeptime_spark.operators.web import extract_text_from_html
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " &amp; Co</title><style>p { color: red; }</style>"
+            "<script>var x = 1 < 2;</script></head><body><!-- nav -->"
+            "<h1>Heading</h1><p>"
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><br><div>footer &lt;end&gt;</div></body></html>"),
+    )
+    ext = extract_text_from_html(docs.select("doc_id", html.alias("html")))
+    return ext.select("doc_id", "title", F.col("text").alias("extracted"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02 and r04 each recorded
@@ -2589,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_resample": _q_event_resample,
         "event_json_stats": _q_event_json_stats,
         "shard_manifest": _q_shard_manifest,
+        "web_extract_text": _q_web_extract_text,
         # r02-green lag/text/dedup/similarity block
         "event_two_step_counts": _q_event_two_step_counts,
         "event_timeshifted": _q_event_timeshifted,
@@ -2719,6 +2746,36 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM o GROUP BY user_id
+""",
+        "web_extract_text": r"""
+WITH h AS (
+  SELECT doc_id,
+    '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+    ' &amp; Co</title><style>p { color: red; }</style>' ||
+    '<script>var x = 1 < 2;</script></head><body><!-- nav -->' ||
+    '<h1>Heading</h1><p>' || coalesce(text, '') ||
+    '</p><br><div>footer &lt;end&gt;</div></body></html>' AS html
+  FROM documents
+), s1 AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>([^<]*)', 1), '\s+', ' ', 'g')) AS title,
+    regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS c
+  FROM h
+), s2 AS (SELECT doc_id, title, regexp_replace(c, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS c FROM s1
+), s3 AS (SELECT doc_id, title, regexp_replace(c, '(?s)<!--.*?-->', ' ', 'g') AS c FROM s2
+), s4 AS (SELECT doc_id, title, regexp_replace(c, '(?is)<!doctype[^>]*>|<\?[^>]*\?>', ' ', 'g') AS c FROM s3
+), s5 AS (SELECT doc_id, title, regexp_replace(c,
+    '(?i)<br\s*/?>|</(?:p|div|li|tr|h1|h2|h3|h4|h5|h6|title|blockquote)\s*>', chr(10), 'g') AS c FROM s4
+), s6 AS (SELECT doc_id, title, regexp_replace(c, '(?s)<[^>]*>', ' ', 'g') AS c FROM s5
+), s7 AS (SELECT doc_id, title,
+    replace(replace(replace(replace(replace(replace(c,
+      '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS c
+  FROM s6
+), s8 AS (SELECT doc_id, title, regexp_replace(c, '[ \t\f]+', ' ', 'g') AS c FROM s7
+), s9 AS (SELECT doc_id, title, regexp_replace(c, ' ?\n ?', chr(10), 'g') AS c FROM s8
+), s10 AS (SELECT doc_id, title, regexp_replace(c, '\n{2,}', chr(10), 'g') AS c FROM s9
+)
+SELECT doc_id, title, trim(c) AS extracted FROM s10
 """,
         "shard_manifest": r"""
 WITH t AS (
