@@ -2543,6 +2543,48 @@ def _q_web_extract_text(spark, sf_dir):
     return ext.select("doc_id", "title", F.col("text").alias("extracted"))
 
 
+def _q_streaming_c4_replay(spark, sf_dir):
+    """Stateless corpus-prep under Structured Streaming: replay the
+    documents table as 4 micro-batches through the C4 line rules
+    (operators/text.py:c4_line_filter — pure codegen projection, so
+    micro-batching is invisible) and emit the same per-doc rows as the
+    batch doc_c4_filter query. Batch-equivalence is ROW-FOR-ROW: the
+    oracle is the batch SQL verbatim."""
+    import tempfile
+    import uuid
+
+    from deeptime_spark.operators.text import c4_line_filter
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = tempfile.mkdtemp(prefix="c4_src_")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = c4_line_filter(
+        stream, min_words=5, require_terminal_punct=False, min_kept_lines=1
+    ).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines_total",
+        "n_lines_kept",
+        "passes_c4",
+    )
+    sink = "stream_c4_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="c4_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02 and r04 each recorded
@@ -2690,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_transition_counts": _q_streaming_transition_counts,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_window_counts": _q_streaming_window_counts,
+        "streaming_c4_replay": _q_streaming_c4_replay,
     }
 
 
@@ -3758,6 +3801,9 @@ FROM (
     # the bucketed-sink round trip must reproduce exactly the counts of
     # the original frame — same oracle as the direct counting query
     base["bucketed_traj_counts"] = base["event_transition_counts"]
+    # streaming replay of a stateless stage must equal the batch result
+    # row-for-row — same oracle as the batch query
+    base["streaming_c4_replay"] = base["doc_c4_filter"]
     # estimator-pipeline oracles: independently-recomputed data path +
     # driver-finalize literals (deeptime_spark/oracle_ref.py). Builders are
     # failure-isolated; a raising builder leaves its query rows-only.

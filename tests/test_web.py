@@ -116,3 +116,35 @@ def test_html_to_text_strips_boilerplate(spark):
     assert "var x=1" not in row["x"] and "color:red" not in row["x"]
     assert "Hello & welcome" in row["x"]
     assert "Second line" in row["x"]
+
+
+def test_normalize_url_idempotent_on_generated_urls(spark):
+    """Canonicalization must be IDEMPOTENT: normalize(normalize(u)) ==
+    normalize(u) — the property that makes the normalized URL a stable
+    dedup key. Property-tested over a generated cross-product of scheme
+    case, ports, userinfo, path debris, tracking/normal params, and
+    fragments (batched through one Spark job, not per-example sessions)."""
+    schemes = ["http://", "HTTP://", "https://", "HtTpS://", ""]
+    hosts = ["Example.com", "a.B.co", "user:pw@Host.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["/", "//a//b", "/Path/x", ""]
+    params = [
+        "", "?a=1", "?utm_source=x", "?ref=y&a=1", "?a=1&gclid=2",
+        "?href=a&ref=b", "?utm_a=1&utm_b=2&q=3", "?a=//b//c",
+    ]
+    frags = ["", "#frag", "#a#b"]
+    urls = [
+        s + h + po + pa + q + f
+        for s in schemes
+        for h in hosts
+        for po in ports
+        for pa in paths
+        for q in params
+        for f in frags
+    ]
+    # one pass: v1 = normalize(url), v2 = normalize(v1)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    v1 = df.select(web.normalize_url("url").alias("u1"))
+    rows = v1.select("u1", web.normalize_url("u1").alias("u2")).collect()
+    bad = [(r["u1"], r["u2"]) for r in rows if r["u1"] != r["u2"]]
+    assert not bad, f"{len(bad)} non-idempotent cases, first: {bad[:3]}"
