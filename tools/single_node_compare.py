@@ -226,6 +226,58 @@ def main() -> int:
         results[qname] = {"single_node_s": round(t_single, 3),
                           "engine_s": round(spark_time(qname), 3)}
 
+    # ---- URL normalization + host accounting (web layer, round 5) ----
+    # faithful single-process replica of the normalize_url chain
+    # (Python re, same RE2-safe patterns) over the same synthesized URLs
+    # the web_host_stats query uses.
+    import re
+
+    TP = r"(?:utm_[a-z0-9]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)"
+    p_pre = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)")
+    p_frag = re.compile(r"#.*$")
+    p_mid = re.compile(r"([?&])(?:" + TP + r"=[^&#]*&)+")
+    p_tail = re.compile(r"[?&](?:" + TP + r"=[^&#]*&)*" + TP + r"=[^&#]*$")
+    p_qamp = re.compile(r"\?&")
+    p_trail = re.compile(r"[?&]$")
+    p_slash = re.compile(r"//+")
+    p_auth = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)")
+
+    def single_web_host_stats():
+        stats: dict = {}
+        for i, t in docs:
+            url = (
+                f"HTTP://Site{i % 7}.Example.COM:80//d//{i % 40}"
+                f"/page?utm_source=x&ref=feed&id={i % 9}#frag"
+            )
+            u = url.strip()
+            m = p_pre.match(u)
+            prefix = m.group(1) if m else ""
+            rest = u[len(prefix):]
+            low = prefix.lower()
+            if low.startswith("http://"):
+                low = re.sub(r":80$", "", low)
+            elif low.startswith("https://"):
+                low = re.sub(r":443$", "", low)
+            rest = p_frag.sub("", rest)
+            rest = p_mid.sub(r"\1", rest)
+            rest = p_tail.sub("", rest)
+            rest = p_trail.sub("", p_qamp.sub("?", rest))
+            qpos = rest.find("?")
+            path, q = (rest, "") if qpos < 0 else (rest[:qpos], rest[qpos:])
+            nurl = low + p_slash.sub("/", path) + q
+            am = p_auth.match(u)
+            host = (am.group(1) if am else "").split("@")[-1]
+            host = re.sub(r":[0-9]*$", "", host).lower()
+            ent = stats.setdefault(host, [0, 0, set()])
+            ent[0] += 1
+            ent[1] += len((t or "").lower().split())
+            ent[2].add(nurl)
+        return {h: (c, tk, len(us)) for h, (c, tk, us) in stats.items()}
+
+    t_single, _ = timed(single_web_host_stats)
+    results["web_host_stats"] = {"single_node_s": round(t_single, 3),
+                                 "engine_s": round(spark_time("web_host_stats"), 3)}
+
     print(json.dumps({"sf_dir": sf, "results": results}))
     return 0
 
