@@ -32,6 +32,14 @@ SWEEP = [
     "event_cube",
     "sindy_events",
     "knn_bruteforce",
+    # round-5 additions: pivot, gap-filled resample, JSON agg, shard
+    # assignment, web normalization, SQL-UDF surface (now re-entrant)
+    "event_pivot",
+    "event_resample",
+    "event_json_stats",
+    "shard_manifest",
+    "web_host_stats",
+    "doc_sql_surface",
 ]
 
 

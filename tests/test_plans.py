@@ -414,3 +414,31 @@ def test_vamp_score_covariance_path_stays_arrow(spark):
     rows = {r["score_kind"]: r["score"] for r in df.collect()}
     # VAMP-r >= 1 by construction (1 + sum sigma^r, sigma >= 0)
     assert rows["vamp1"] >= 1.0 and rows["vamp2"] >= 1.0
+
+
+def test_event_resample_grid_is_broadcast_free_single_window(spark):
+    """Gap filling must come from sequence()/explode per user (no driver
+    loop, no cartesian): the plan has a generator (Generate) feeding the
+    left join, and no BatchEvalPython anywhere."""
+    plan = plan_of(entrymod._q_event_resample(spark, SF))
+    assert "Generate" in plan  # sequence+explode dense grid
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_event_pivot_is_single_aggregate(spark):
+    """Native pivot with an explicit value list folds into ONE hash
+    aggregation pass (CASE projections), not one scan per event type."""
+    import re
+
+    plan = plan_of(entrymod._q_event_pivot(spark, SF))
+    # one scan, (user,type) agg -> pivotfirst agg: two exchanges total;
+    # a per-type union would show 5 scans and 5x the exchanges
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert n_exchanges(plan) <= 2
+    assert "pivotfirst" in plan
+
+
+def test_event_json_stats_stays_jvm(spark):
+    plan = plan_of(entrymod._q_event_json_stats(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "get_json_object" in plan or "GetJsonObject" in plan
