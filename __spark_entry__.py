@@ -1452,6 +1452,17 @@ def _q_doc_lm_score(spark, sf_dir):
     return unigram_lm_scores_df(docs, vocab_size=20_000)
 
 
+def _q_doc_lm2_score(spark, sf_dir):
+    """Interpolated bigram-LM quality signal (operators/text.py:
+    bigram_lm_scores_df — the KenLM-perplexity filter axis with bounded
+    pruned model tables). Oracle: full pure-Python replica on the DuckDB
+    corpus (oracle_ref.py:oracle_doc_lm2_score)."""
+    from deeptime_spark.operators.text import bigram_lm_scores_df
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores_df(docs, vocab_size=20_000, bigram_size=100_000)
+
+
 def _q_doc_winnowing(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD'03, operators/
     dedup.py:winnowing_fingerprints_df): substring-level dup detection.
@@ -2658,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_json_stats": _q_event_json_stats,
         "shard_manifest": _q_shard_manifest,
         "web_extract_text": _q_web_extract_text,
+        "doc_lm2_score": _q_doc_lm2_score,
         # r02-green lag/text/dedup/similarity block
         "event_two_step_counts": _q_event_two_step_counts,
         "event_timeshifted": _q_event_timeshifted,

@@ -362,6 +362,115 @@ def unigram_lm_scores_df(
     return toks.mapInPandas(score, schema=schema)
 
 
+def bigram_lm_scores_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    alpha: float = 0.4,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Interpolated BIGRAM language-model quality signal — the
+    KenLM-perplexity axis of CCNet-style filtering, reduced to an
+    exactly-reproducible two-table Spark formulation:
+
+    - **unigram fit** as ``unigram_lm_scores_df`` (one explode +
+      groupBy count; distributed top-``vocab_size`` cut);
+    - **bigram fit**: the same codegen lookahead-regex pass the Gopher
+      repetition rules use (``_word_ngrams_all`` pattern, n=2) -> one
+      groupBy count -> distributed top-``bigram_size`` cut
+      (``orderBy(count desc, gram)`` TakeOrdered — the pruned-LM
+      standard). BOTH model tables are bounded no matter the corpus
+      size: driver memory is O(vocab_size + bigram_size);
+    - **probabilities**: p(w | v) = alpha * c(v,w)/c(v) +
+      (1-alpha) * p_uni(w), with the bigram term dropping to zero when
+      (v,w) was pruned or v is out-of-vocabulary (interpolation keeps
+      the estimate proper: the unigram term is always > 0). Every double
+      is a deterministic function of exact integer counts;
+    - **scoring**: Arrow map over broadcast dicts, log-probs accumulated
+      IN TOKEN ORDER — layout-independent, replayable by the oracle.
+
+    Returns (id, n_tokens, lm2_score) where lm2_score is the mean token
+    log-probability (<= 0; higher = more typical of the corpus).
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    df = spread_for_map_parallelism(df, id_col)
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+
+    counts = (
+        toks.select(F.explode("_toks").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+    )
+    agg = counts.agg(F.sum("count").alias("T")).first()
+    total = int(agg["T"] or 0)
+    vocab_rows = (
+        counts.orderBy(F.desc("count"), F.asc("w")).limit(vocab_size).collect()
+    )
+    V = len(vocab_rows)
+    denom = total + smoothing * (V + 1)
+    c_uni = {r["w"]: int(r["count"]) for r in vocab_rows}
+    p_uni = {w: (c + smoothing) / denom for w, c in c_uni.items()}
+    p_oov = smoothing / denom
+
+    bigram_rows = (
+        df.select(
+            F.explode(_word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), 2)).alias("g")
+        )
+        .groupBy("g")
+        .count()
+        .orderBy(F.desc("count"), F.asc("g"))
+        .limit(bigram_size)
+        .collect()
+    )
+    c_bi = {}
+    for r in bigram_rows:
+        v, _, w = r["g"].partition(" ")
+        if v in c_uni:
+            c_bi[(v, w)] = int(r["count"])
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("lm2_score", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, ns, scores = [], [], []
+            for i, ws in zip(pdf[id_col], pdf["_toks"]):
+                ws = [w for w in ws if w]
+                acc = 0.0
+                for j, w in enumerate(ws):
+                    pu = p_uni.get(w, p_oov)
+                    if j == 0:
+                        acc += math.log(pu)
+                        continue
+                    v = ws[j - 1]
+                    cb = c_bi.get((v, w))
+                    term = alpha * cb / c_uni[v] if cb is not None else 0.0
+                    acc += math.log(term + (1.0 - alpha) * pu)
+                ids.append(int(i))
+                ns.append(len(ws))
+                scores.append(acc / len(ws) if ws else 0.0)
+            yield pd.DataFrame({id_col: ids, "n_tokens": ns, "lm2_score": scores})
+
+    return toks.mapInPandas(score, schema=schema)
+
+
 def _word_ngrams_all(text_col: str | Column, n: int) -> Column:
     """All word n-grams IN ORDER (non-distinct) — the counting base for
     repetition metrics. Same lookahead-regex single pass as word_ngrams."""

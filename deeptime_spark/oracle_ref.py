@@ -1624,6 +1624,58 @@ def oracle_doc_lm_score() -> str:
 _BUILDERS["doc_lm_score"] = oracle_doc_lm_score
 
 
+def oracle_doc_lm2_score() -> str:
+    """Interpolated bigram-LM replica (layer 1 independent of Spark):
+    token and bigram counts from the DuckDB corpus in pure Python, the
+    same pruned-table cuts with the same (count desc, key asc)
+    tie-break, the same interpolation formula, the same in-token-order
+    accumulation — bit-exact because both sides run identical double ops
+    on identical exact-integer operands."""
+    import math
+    from collections import Counter
+
+    vocab_size, bigram_size, alpha, smoothing = 20_000, 100_000, 0.4, 1.0
+    docs = _docs(sf_dir())
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    per_doc = []
+    for doc_id, text in docs:
+        ws = [w for w in _tokens_py(text or "") if w]
+        per_doc.append((doc_id, ws))
+        uni.update(ws)
+        bi.update(" ".join(p) for p in zip(ws, ws[1:]))
+    total = sum(uni.values())
+    vocab = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    c_uni = dict(vocab)
+    V = len(c_uni)
+    denom = total + smoothing * (V + 1)
+    p_uni = {w: (c + smoothing) / denom for w, c in c_uni.items()}
+    p_oov = smoothing / denom
+    big = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_size]
+    c_bi = {}
+    for g, c in big:
+        v, _, w = g.partition(" ")
+        if v in c_uni:
+            c_bi[(v, w)] = c
+    rows = []
+    for doc_id, ws in per_doc:
+        acc = 0.0
+        for j, w in enumerate(ws):
+            pu = p_uni.get(w, p_oov)
+            if j == 0:
+                acc += math.log(pu)
+                continue
+            v = ws[j - 1]
+            cb = c_bi.get((v, w))
+            term = alpha * cb / c_uni[v] if cb is not None else 0.0
+            acc += math.log(term + (1.0 - alpha) * pu)
+        rows.append((doc_id, len(ws), acc / len(ws) if ws else 0.0))
+    return _values_sql(rows, ["doc_id", "n_tokens", "lm2_score"], "bbd")
+
+
+_BUILDERS["doc_lm2_score"] = oracle_doc_lm2_score
+
+
 def oracle_semantic_dedup() -> str:
     """SemDeDup replica: same DeterministicKMeans fit/assignment as
     oracle_kmeans (bit-reproducible by construction), then the identical

@@ -1153,3 +1153,36 @@ def test_quality_classifier_label_col_pathway(spark):
         ).collect()
     }
     assert all(out[k]["log_odds"] == out2[k] for k in out)
+
+
+def test_bigram_lm_scores_context_and_layout(spark):
+    """The bigram term must reward in-corpus word ORDER: a document with
+    corpus-typical bigrams outscores the same unigrams shuffled into
+    atypical order; results are identical under hostile repartitioning
+    and the pruned-table caps leave scores unchanged when they don't
+    bind."""
+    from deeptime_spark.operators.text import bigram_lm_scores_df
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, base) for i in range(20)]
+    rows.append((100, base))                          # typical order
+    rows.append((101, "dog the over fox lazy jumps brown quick the"))  # shuffled
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores_df(df).collect()}
+    assert out[100]["n_tokens"] == out[101]["n_tokens"] == 9
+    assert out[100]["lm2_score"] > out[101]["lm2_score"]
+
+    out2 = {
+        r["doc_id"]: r["lm2_score"]
+        for r in bigram_lm_scores_df(df.repartition(7, "doc_id")).collect()
+    }
+    assert all(out[k]["lm2_score"] == out2[k] for k in out)
+
+    # a binding bigram cap only REMOVES bigram mass (scores drop toward
+    # the unigram-only backoff), never crashes or changes n_tokens
+    capped = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores_df(df, bigram_size=3).collect()
+    }
+    assert all(capped[k]["n_tokens"] == out[k]["n_tokens"] for k in out)
+    assert capped[100]["lm2_score"] <= out[100]["lm2_score"]
