@@ -60,7 +60,7 @@ QUERIES = [
     # round-5: estimator pipelines (covariance/counting-bound) + the
     # heaviest TPC-H join tree + the web layer
     "tica_events", "tram_events", "vamp_score_events",
-    "q9_product_profit", "web_host_stats",
+    "q9_product_profit", "web_host_stats", "doc_lm2_score",
 ]
 
 
