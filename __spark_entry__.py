@@ -2596,6 +2596,54 @@ def _q_streaming_c4_replay(spark, sf_dir):
     return spark.table(sink)
 
 
+def _q_web_corpus_pipeline(spark, sf_dir):
+    """End-to-end crawl -> training-shards composition, every stage the
+    real operator and every stage replayed by the oracle: deterministic
+    HTML synth -> WET-style extraction (web.py) -> C4 line rules
+    (text.py) -> exact dedup with first-occurrence winners -> whole-doc
+    first-fit shard assignment + manifest (sources/shards.py). The
+    single 'web' shard makes the prefix sum sequential here — the demo
+    corpus is one crawl source; production passes docs_per_shard (or
+    real source labels) so parallelism scales with corpus size."""
+    from deeptime_spark.operators.text import c4_line_filter
+    from deeptime_spark.operators.web import extract_text_from_html
+    from deeptime_spark.sources.shards import assign_training_shards, shard_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " &amp; Co</title><style>p { color: red; }</style>"
+            "<script>var x = 1 < 2;</script></head><body><!-- nav -->"
+            "<h1>Heading</h1><p>"
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><br><div>footer &lt;end&gt;</div></body></html>"),
+    )
+    ext = extract_text_from_html(docs.select("doc_id", html.alias("html")))
+    cleaned = c4_line_filter(
+        ext.select("doc_id", "text"),
+        min_words=5,
+        require_terminal_punct=False,
+        min_kept_lines=1,
+    )
+    kept = cleaned.where(F.col("passes_c4").cast("int") == 1).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    survivors = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    assigned = assign_training_shards(
+        survivors.withColumn("source", F.lit("web")), budget=256
+    )
+    return shard_manifest(assigned).select(
+        "shard_key",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("shard_tokens").cast("long").alias("shard_tokens"),
+        F.col("min_doc_id").cast("long").alias("min_doc_id"),
+        F.col("max_doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02 and r04 each recorded
@@ -2670,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _q_shard_manifest,
         "web_extract_text": _q_web_extract_text,
         "doc_lm2_score": _q_doc_lm2_score,
+        "web_corpus_pipeline": _q_web_corpus_pipeline,
         # r02-green lag/text/dedup/similarity block
         "event_two_step_counts": _q_event_two_step_counts,
         "event_timeshifted": _q_event_timeshifted,
@@ -2801,6 +2850,66 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM o GROUP BY user_id
+""",
+        "web_corpus_pipeline": r"""
+WITH h AS (
+  SELECT doc_id,
+    '<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+    ' &amp; Co</title><style>p { color: red; }</style>' ||
+    '<script>var x = 1 < 2;</script></head><body><!-- nav -->' ||
+    '<h1>Heading</h1><p>' || coalesce(text, '') ||
+    '</p><br><div>footer &lt;end&gt;</div></body></html>' AS html
+  FROM documents
+), e1 AS (
+  SELECT doc_id,
+    regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS c
+  FROM h
+), e2 AS (SELECT doc_id, regexp_replace(c, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS c FROM e1
+), e3 AS (SELECT doc_id, regexp_replace(c, '(?s)<!--.*?-->', ' ', 'g') AS c FROM e2
+), e4 AS (SELECT doc_id, regexp_replace(c, '(?is)<!doctype[^>]*>|<\?[^>]*\?>', ' ', 'g') AS c FROM e3
+), e5 AS (SELECT doc_id, regexp_replace(c,
+    '(?i)<br\s*/?>|</(?:p|div|li|tr|h1|h2|h3|h4|h5|h6|title|blockquote)\s*>', chr(10), 'g') AS c FROM e4
+), e6 AS (SELECT doc_id, regexp_replace(c, '(?s)<[^>]*>', ' ', 'g') AS c FROM e5
+), e7 AS (SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(c,
+      '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS c
+  FROM e6
+), e8 AS (SELECT doc_id, regexp_replace(c, '[ \t\f]+', ' ', 'g') AS c FROM e7
+), e9 AS (SELECT doc_id, regexp_replace(c, ' ?\n ?', chr(10), 'g') AS c FROM e8
+), ext AS (
+  SELECT doc_id, trim(regexp_replace(c, '\n{2,}', chr(10), 'g')) AS text FROM e9
+), c4 AS (
+  SELECT doc_id,
+    list_filter(string_split(coalesce(text, ''), chr(10)), l -> length(trim(l)) > 0
+      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(lower(l), 'lorem ipsum')
+      AND NOT contains(lower(l), 'cookie policy')
+      AND NOT contains(lower(l), 'privacy policy')
+      AND NOT contains(lower(l), 'terms of use')
+      AND NOT contains(lower(l), '{')) AS kept
+  FROM ext
+), keptd AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM c4 WHERE len(kept) >= 1
+), surv AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM keptd GROUP BY text
+), tok AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                    x -> x != '')) AS n_tokens
+  FROM surv
+), o AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS tok_offset
+  FROM tok
+)
+SELECT 'web-' || CAST(floor(tok_offset / 256.0) AS BIGINT) AS shard_key,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM o
+GROUP BY 1
 """,
         "web_extract_text": r"""
 WITH h AS (
