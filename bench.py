@@ -89,6 +89,11 @@ HEADLINE = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
+    # round-5 surface: web/crawl layer, bigram-LM scoring, and the
+    # crawl->shards composition
+    "web_host_stats",
+    "doc_lm2_score",
+    "web_corpus_pipeline",
 ]
 
 
