@@ -29,6 +29,16 @@ from pyspark.sql import functions as F
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _rmtree_quiet(*paths: str) -> None:
+    """Best-effort temp-dir cleanup for the streaming replay queries —
+    repeated bench/verify runs in one long-lived session must not
+    accumulate source/checkpoint dirs."""
+    import shutil
+
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # the events table stores TIMESTAMP(NANOS); Spark's reader rejects
@@ -1836,12 +1846,13 @@ def _q_streaming_sessions(spark, sf_dir):
     )
     sess = streaming_session_counts(stream, gap="30 minutes")
     sink = "sessw_" + uuid.uuid4().hex[:8]
+    ckpt_dir = tempfile.mkdtemp(prefix="sess_ckpt_")
     q = (
         sess.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )
     q.awaitTermination()
@@ -1855,6 +1866,7 @@ def _q_streaming_sessions(spark, sf_dir):
         .collect()
     )
     spark.catalog.dropTempView(sink)
+    _rmtree_quiet(src_dir, ckpt_dir)
     return spark.createDataFrame(
         [(int(r["user_id"]), int(r["n_sessions"]), int(r["n_events"])) for r in rows],
         "user_id long, n_sessions long, n_events long",
@@ -1886,12 +1898,13 @@ def _q_streaming_window_counts(spark, sf_dir):
     )
     counts = windowed_event_counts(stream, window_duration="1 hour", watermark="1 hour")
     sink = "winc_" + uuid.uuid4().hex[:8]
+    ckpt_dir = tempfile.mkdtemp(prefix="winc_ckpt_")
     q = (
         counts.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="winc_ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )
     q.awaitTermination()
@@ -1906,6 +1919,7 @@ def _q_streaming_window_counts(spark, sf_dir):
         .collect()
     )
     spark.catalog.dropTempView(sink)
+    _rmtree_quiet(src_dir, ckpt_dir)
     return spark.createDataFrame(
         [
             (int(r["window_start_s"]), int(r["window_end_s"]), str(r["event_type"]), int(r["n"]))
@@ -1941,12 +1955,13 @@ def _q_streaming_dedup_replay(spark, sf_dir):
     )
     kept = streaming_drop_exact_duplicates(stream, text_col="text")
     sink = "stream_dedup_" + uuid.uuid4().hex[:8]
+    ckpt_dir = tempfile.mkdtemp(prefix="dedup_ckpt_")
     q = (
         kept.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )
     q.awaitTermination()
@@ -1959,6 +1974,7 @@ def _q_streaming_dedup_replay(spark, sf_dir):
         .collect()[0]
     )
     spark.catalog.dropTempView(sink)
+    _rmtree_quiet(src_dir, ckpt_dir)
     return spark.createDataFrame(
         [(int(row["n_kept"]), int(row["n_distinct_text"]))],
         "n_kept long, n_distinct_text long",
@@ -1988,12 +2004,13 @@ def _q_streaming_transition_counts(spark, sf_dir):
     )
     out = streaming_transition_counts(stream)
     sink = "stc_" + uuid.uuid4().hex[:8]
+    ckpt_dir = tempfile.mkdtemp(prefix="stc_ckpt_")
     q = (
         out.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stc_ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )
     q.awaitTermination()
@@ -2004,6 +2021,7 @@ def _q_streaming_transition_counts(spark, sf_dir):
         .collect()
     )
     spark.catalog.dropTempView(sink)
+    _rmtree_quiet(src_dir, ckpt_dir)
     return spark.createDataFrame(
         [(int(r["s_from"]), int(r["s_to"]), int(r["n"])) for r in rows],
         "s_from long, s_to long, n long",
@@ -2584,16 +2602,28 @@ def _q_streaming_c4_replay(spark, sf_dir):
         "passes_c4",
     )
     sink = "stream_c4_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="c4_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    ckpt_dir = tempfile.mkdtemp(prefix="c4_ckpt_")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        # the memory sink has fully materialized by now; pin the rows so
+        # the sink view + temp dirs can be dropped (repeated bench/verify
+        # runs in one long-lived session must not accumulate disk or
+        # catalog entries)
+        res = spark.table(sink)
+        schema = res.schema
+        rows = res.collect()
+    finally:
+        spark.catalog.dropTempView(sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
+    return spark.createDataFrame(rows, schema)
 
 
 def _q_web_corpus_pipeline(spark, sf_dir):
@@ -2997,9 +3027,9 @@ FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.bucket = g.bucket
         "event_json_stats": r"""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events
 GROUP BY event_type
 """,

@@ -45,7 +45,8 @@ def logsumexp(df: DataFrame, value_col: str) -> float:
 
     w = Window.partitionBy("_p")
     parts = (
-        df.select(F.spark_partition_id().alias("_p"), F.col(value_col).alias("_v"))
+        df.where(F.col(value_col).isNotNull())
+        .select(F.spark_partition_id().alias("_p"), F.col(value_col).alias("_v"))
         .withColumn("_m", F.max("_v").over(w))
         .groupBy("_p")
         .agg(
@@ -54,6 +55,12 @@ def logsumexp(df: DataFrame, value_col: str) -> float:
         )
         .collect()
     )
+    # SQL max() skips nulls, but an ALL-null partition yields m = NULL and
+    # an empty input yields zero partition rows — match the classic
+    # global-shift formulation: logsumexp of nothing is -inf
+    parts = [r for r in parts if r["m"] is not None]
+    if not parts:
+        return float("-inf")
     gm = max(float(r["m"]) for r in parts)
     total = sum(float(r["s"]) * math.exp(float(r["m"]) - gm) for r in parts)
     return gm + math.log(total)

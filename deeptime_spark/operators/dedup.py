@@ -282,10 +282,13 @@ def verify_candidates_jaccard(
         # BOTH pair joins consume the gram frame; without a cache the
         # semi-join + regex subtree executes once per branch (measured 2x
         # the whole verification cost at sf0.1). persist() is LAZY — it
-        # shares the RDD identity across both join branches, so the DAG
-        # scheduler computes the gram stage exactly once on the FIRST
-        # action over the returned frame (no job runs at construction
-        # time, and a discarded result costs nothing). The frame is
+        # shares the RDD identity across both join branches with no job
+        # at construction time (a discarded result costs nothing). The
+        # two branches CAN schedule gram tasks concurrently before cache
+        # blocks land, recomputing some partitions on the first action —
+        # correctness is unaffected and steady-state reuse still holds;
+        # callers in tight loops that need a hard once-only guarantee
+        # should force materialization (e.g. grams.count()). The frame is
         # candidate-touched docs only — by construction a sliver of the
         # corpus — so MEMORY_AND_DISK is safe at scale. CACHE LIFECYCLE IS
         # THE CALLER'S: unpersist via spark.catalog.clearCache() (the

@@ -573,11 +573,15 @@ def oracle_bpe() -> str:
         ws = [w for w in _tokens_py(text or "") if w]
         per_doc.append((doc_id, ws))
         wc.update(ws)
+    # mirror collect_word_counts defaults exactly: min_count=2 AND the
+    # top_k_words=1_000_000 distributed cut (count desc, word asc) — on a
+    # corpus with >1M distinct kept words the Spark side trains on the
+    # truncated dictionary, so the oracle must too
     counts = [
         (w, n)
         for w, n in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
         if n >= 2
-    ]
+    ][:1_000_000]
     merges = train_bpe_from_counts(counts, n_merges=120, min_pair_count=2)
     ranks = {p: i for i, p in enumerate(merges)}
     cache: dict = {}

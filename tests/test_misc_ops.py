@@ -37,6 +37,22 @@ def test_logsumexp_aggregates(spark, rng):
     assert abs(logsumexp(df, "v") - (m + np.log(np.sum(np.exp(vals - m))))) < 1e-9
 
 
+def test_logsumexp_null_and_empty(spark):
+    """Nulls are skipped (all-null partitions included); empty input is
+    -inf, matching the classic global-shift formulation."""
+    from deeptime_spark.operators.aggregates import logsumexp
+
+    df = spark.createDataFrame(
+        [(None,), (1.0,), (None,), (2.0,)], "v double"
+    ).repartition(4)
+    expected = np.log(np.exp(1.0) + np.exp(2.0))
+    assert abs(logsumexp(df, "v") - expected) < 1e-12
+    assert logsumexp(spark.createDataFrame([], "v double"), "v") == float("-inf")
+    assert logsumexp(
+        spark.createDataFrame([(None,), (None,)], "v double"), "v"
+    ) == float("-inf")
+
+
 def test_koopman_expectation_lag_multiple(spark, rng):
     from deeptime_spark.decomposition.vamp import VAMP
 
