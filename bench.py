@@ -162,27 +162,40 @@ def main() -> None:
         spark.catalog.clearCache()
     except Exception:
         pass
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # keep the bench line parseable even on error
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-        # Session hygiene between queries: a single long-lived local JVM
-        # accumulates cached relations, broadcast blocks, and AQE plan
-        # state across 40+ queries; without this the later (heavier)
-        # queries pay 2-4x in GC pressure that says nothing about their
-        # own plans.  Each query is still timed with a cold cache, which
-        # is the honest per-operator number.
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+    def run_pass(out: dict[str, float]) -> None:
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                out[name] = round(time.time() - t0, 3)
+            except Exception as e:  # keep the bench line parseable even on error
+                out[name] = -1.0
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+            # Session hygiene between queries: a single long-lived local JVM
+            # accumulates cached relations, broadcast blocks, and AQE plan
+            # state across 40+ queries; without this the later (heavier)
+            # queries pay 2-4x in GC pressure that says nothing about their
+            # own plans.  Each query is still timed with a cold cache, which
+            # is the honest per-operator number.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+
+    # Pass 1 (cold): first execution of each plan in this JVM — pays
+    # whole-stage-codegen JIT for every not-yet-warmed operator shape.
+    # Comparable to all prior BENCH_r* records.
+    run_pass(timings)
+    # Pass 2 (warm): same queries, same session — codegen/C2-compiled
+    # plans, hot parquet footer caches. This models a long-lived cluster
+    # session and is the regression-adjudication number: JIT noise that
+    # dominates single-query cold deltas at sf0.1 is gone here.
+    warm_timings: dict[str, float] = {}
+    run_pass(warm_timings)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    warm_total = round(sum(t for t in warm_timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -190,6 +203,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_value": warm_total,
+                "queries_warm": warm_timings,
                 "sf": sf,
             }
         )

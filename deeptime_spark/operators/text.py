@@ -403,36 +403,49 @@ def bigram_lm_scores_df(
     df = spread_for_map_parallelism(df, id_col)
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
 
+    # Model fit in ONE corpus scan + ONE shuffle: unigrams and bigrams
+    # share an explode (bigrams contain a space, whitespace-split tokens
+    # cannot — the space is a free discriminator), the grouped frame is
+    # persisted, and the corpus total + both TakeOrdered cuts are small
+    # actions on that aggregate. Previously this was three corpus
+    # passes (total, vocab cut, bigram pass); counts are identical.
+    grams2 = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), 2)
     counts = (
-        toks.select(F.explode("_toks").alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
+        df.select(
+            F.explode(
+                F.concat(tokens(F.coalesce(F.col(text_col), F.lit(""))), grams2)
+            ).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
         .count()
+        .persist()
     )
-    agg = counts.agg(F.sum("count").alias("T")).first()
+    is_uni = ~F.col("t").contains(" ")
+    agg = counts.where(is_uni).agg(F.sum("count").alias("T")).first()
     total = int(agg["T"] or 0)
     vocab_rows = (
-        counts.orderBy(F.desc("count"), F.asc("w")).limit(vocab_size).collect()
+        counts.where(is_uni)
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(vocab_size)
+        .collect()
     )
     V = len(vocab_rows)
     denom = total + smoothing * (V + 1)
-    c_uni = {r["w"]: int(r["count"]) for r in vocab_rows}
+    c_uni = {r["t"]: int(r["count"]) for r in vocab_rows}
     p_uni = {w: (c + smoothing) / denom for w, c in c_uni.items()}
     p_oov = smoothing / denom
 
     bigram_rows = (
-        df.select(
-            F.explode(_word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), 2)).alias("g")
-        )
-        .groupBy("g")
-        .count()
-        .orderBy(F.desc("count"), F.asc("g"))
+        counts.where(~is_uni)
+        .orderBy(F.desc("count"), F.asc("t"))
         .limit(bigram_size)
         .collect()
     )
+    counts.unpersist()
     c_bi = {}
     for r in bigram_rows:
-        v, _, w = r["g"].partition(" ")
+        v, _, w = r["t"].partition(" ")
         if v in c_uni:
             c_bi[(v, w)] = int(r["count"])
 
@@ -444,29 +457,96 @@ def bigram_lm_scores_df(
         ]
     )
 
+    import numpy as np
+
+    one_minus_alpha = 1.0 - alpha
+    # Driver-side precompute for vectorized scoring (bounded:
+    # O(vocab_size + bigram_size)). Token ids over W = vocab UNION the
+    # bigrams' second words; gid 0 is the OOV sentinel, so an id
+    # comparison replaces every per-token dict probe in the hot path.
+    gid: dict[str, int] = {}
+    for w in c_uni:
+        gid.setdefault(w, len(gid) + 1)
+    for (_, w2) in c_bi:
+        gid.setdefault(w2, len(gid) + 1)
+    pu_g = np.full(len(gid) + 1, p_oov, np.float64)
+    for w, p in p_uni.items():
+        pu_g[gid[w]] = p
+    # interpolation bigram term precomputed per pruned entry with the
+    # SAME scalar IEEE ops as the reference formula: alpha*c(v,w)/c(v)
+    n_ids = np.int64(len(gid) + 1)
+    bi_keys = np.empty(len(c_bi), np.int64)
+    bi_terms = np.empty(len(c_bi), np.float64)
+    for k, ((v, w2), cb) in enumerate(c_bi.items()):
+        bi_keys[k] = gid[v] * n_ids + gid[w2]
+        bi_terms[k] = alpha * cb / c_uni[v]
+    order = np.argsort(bi_keys)
+    bi_keys = bi_keys[order]
+    bi_terms = bi_terms[order]
+
     def score(batches):
         import pandas as pd
 
+        # Vectorized scoring: token->id via pd.factorize + one dict probe
+        # per UNIQUE token, bigram terms via sorted-key searchsorted (no
+        # per-pair Python), interpolation elementwise (IEEE-identical to
+        # the scalar formula). Only the log itself stays scalar: math.log
+        # and np.log differ by 1 ulp on ~20% of doubles (libm vs numpy's
+        # SIMD log, measured on this platform), and the oracle replays
+        # the scalar sequence — so the accumulation loop keeps math.log,
+        # in token order, bit-exact by construction.
+        oov = 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, ns, scores = [], [], []
-            for i, ws in zip(pdf[id_col], pdf["_toks"]):
-                ws = [w for w in ws if w]
+            tok_lists = [[w for w in ws if w] for ws in pdf["_toks"]]
+            lens = [len(ws) for ws in tok_lists]
+            flat: list = []
+            for ws in tok_lists:
+                flat.extend(ws)
+            ids = [int(i) for i in pdf[id_col]]
+            if not flat:
+                yield pd.DataFrame(
+                    {id_col: ids, "n_tokens": lens, "lm2_score": [0.0] * len(ids)}
+                )
+                continue
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            g_of_u = np.fromiter(
+                (gid.get(u, oov) for u in uniques), np.int64, len(uniques)
+            )
+            g = g_of_u[codes]
+            pu = pu_g[g]
+            # per-position value whose log enters the sum: first token of
+            # each doc contributes log(p_uni); later tokens contribute
+            # log(alpha*c(v,w)/c(v) + (1-alpha)*p_uni(w)), with the
+            # bigram term zero when (v,w) was pruned or v is OOV
+            vals = np.empty(len(flat), np.float64)
+            if len(flat) > 1:
+                pk = g[:-1] * n_ids + g[1:]
+                idx = np.searchsorted(bi_keys, pk)
+                idx[idx == len(bi_keys)] = 0
+                hit = bi_keys[idx] == pk if len(bi_keys) else np.zeros(len(pk), bool)
+                term = np.where(hit, bi_terms[idx] if len(bi_terms) else 0.0, 0.0)
+                vals[1:] = term + one_minus_alpha * pu[1:]
+            # doc-start positions overwrite the (boundary-crossing) pair
+            # value with the plain unigram probability (empty docs have
+            # no start position — and would index past the end)
+            starts = np.cumsum([0] + lens[:-1])
+            starts = starts[np.asarray(lens) > 0]
+            vals[starts] = pu[starts]
+            log = math.log
+            scores = []
+            pos = 0
+            for n in lens:
+                if n == 0:
+                    scores.append(0.0)
+                    continue
                 acc = 0.0
-                for j, w in enumerate(ws):
-                    pu = p_uni.get(w, p_oov)
-                    if j == 0:
-                        acc += math.log(pu)
-                        continue
-                    v = ws[j - 1]
-                    cb = c_bi.get((v, w))
-                    term = alpha * cb / c_uni[v] if cb is not None else 0.0
-                    acc += math.log(term + (1.0 - alpha) * pu)
-                ids.append(int(i))
-                ns.append(len(ws))
-                scores.append(acc / len(ws) if ws else 0.0)
-            yield pd.DataFrame({id_col: ids, "n_tokens": ns, "lm2_score": scores})
+                for v in vals[pos : pos + n].tolist():
+                    acc += log(v)
+                scores.append(acc / n)
+                pos += n
+            yield pd.DataFrame({id_col: ids, "n_tokens": lens, "lm2_score": scores})
 
     return toks.mapInPandas(score, schema=schema)
 
