@@ -2546,6 +2546,81 @@ def _q_shard_manifest(spark, sf_dir):
     )
 
 
+def _q_shards_roundtrip(spark, sf_dir):
+    """Training-shard SINK/SCAN round-trip under the oracle gate
+    (sources/shards.py:write_training_shards/read_training_shards):
+    the corpus is physically written as one parquet file per shard plus
+    the manifest, read back through the partition-column layout, and
+    re-aggregated from the round-tripped ROWS — so the emitted values
+    prove the on-disk artifact, not just the assignment math
+    (shard_manifest covers that). ``pruned_docs`` additionally exercises
+    the partition-pruned restricted read (shards=[...] -> directory
+    pruning): it counts docs seen when reading ONLY the seq-0 shard of
+    each source. ``manifest_match`` pins read-back == written manifest
+    (1 everywhere, or the value hash fails). The oracle replays the
+    deterministic assignment in DuckDB."""
+    import tempfile
+
+    from deeptime_spark.sources.shards import (
+        read_manifest,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="shards_rt_")
+    out_dir = tmp + "/shards"
+    try:
+        write_training_shards(docs, out_dir, budget=512)
+        back = read_training_shards(spark, out_dir)
+        agg = back.groupBy("shard_key").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        man = read_manifest(spark, out_dir).select(
+            "shard_key",
+            F.col("n_docs").alias("m_docs"),
+            F.col("shard_tokens").alias("m_tokens"),
+        )
+        seq0 = [
+            r["shard_key"]
+            for r in man.select("shard_key").collect()
+            if r["shard_key"].endswith("-0")
+        ]
+        pruned = (
+            read_training_shards(spark, out_dir, shards=seq0)
+            .groupBy("shard_key")
+            .agg(F.count(F.lit(1)).alias("pruned_docs"))
+        )
+        res = (
+            agg.join(man, "shard_key")
+            .join(pruned, "shard_key", "left")
+            .select(
+                "shard_key",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                "shard_tokens",
+                "min_doc_id",
+                "max_doc_id",
+                (
+                    (F.col("n_docs") == F.col("m_docs"))
+                    & (F.col("shard_tokens") == F.col("m_tokens"))
+                )
+                .cast("long")
+                .alias("manifest_match"),
+                F.coalesce(F.col("pruned_docs"), F.lit(0))
+                .cast("long")
+                .alias("pruned_docs"),
+            )
+        )
+        schema = res.schema
+        rows = res.collect()
+    finally:
+        _rmtree_quiet(tmp)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_web_extract_text(spark, sf_dir):
     """WET-style HTML->text extraction, oracle-covered end to end:
     deterministic HTML is wrapped around each document's text in BOTH
@@ -2694,8 +2769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm2_score": _q_doc_lm2_score,
         "web_corpus_pipeline": _q_web_corpus_pipeline,
         "streaming_c4_replay": _q_streaming_c4_replay,
+        # --- NEW round-6: shard sink/scan round-trip (slot 8) ---
+        "shards_roundtrip": _q_shards_roundtrip,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
-        # (slots 8-26) ---
+        # (slots 9-27) ---
         "event_two_step_counts": _q_event_two_step_counts,
         "event_timeshifted": _q_event_timeshifted,
         "event_sliding_avg": _q_event_sliding_avg,
@@ -2991,6 +3068,35 @@ SELECT shard || '-' || CAST(floor(tok_offset / 512.0) AS BIGINT) AS shard_key,
        MAX(doc_id) AS max_doc_id
 FROM o
 GROUP BY 1
+""",
+        # the round-trip emits the same deterministic assignment PLUS the
+        # consistency flag (always 1 when the sink/scan is faithful) and
+        # the pruned-read count (n_docs for seq-0 shards, else 0)
+        "shards_roundtrip": r"""
+WITH t AS (
+  SELECT doc_id, source AS shard,
+         len(list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                         x -> x != '')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS tok_offset
+  FROM t
+), m AS (
+  SELECT shard, CAST(floor(tok_offset / 512.0) AS BIGINT) AS seq,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         MIN(doc_id) AS min_doc_id,
+         MAX(doc_id) AS max_doc_id
+  FROM o
+  GROUP BY 1, 2
+)
+SELECT shard || '-' || CAST(seq AS VARCHAR) AS shard_key,
+       n_docs, shard_tokens, min_doc_id, max_doc_id,
+       CAST(1 AS BIGINT) AS manifest_match,
+       CASE WHEN seq = 0 THEN n_docs ELSE CAST(0 AS BIGINT) END AS pruned_docs
+FROM m
 """,
         "event_pivot": r"""
 SELECT user_id,
