@@ -2483,7 +2483,11 @@ def _q_event_resample(spark, sf_dir):
     rows — the downsample-and-regularize step a feature pipeline needs
     before lag/window ops. Spark-first: the dense grid is
     sequence()/explode per user (no driver loop, no cross join); the
-    sparse hourly aggregate left-joins onto it."""
+    sparse hourly aggregate left-joins onto it. The grid is CHUNKED in
+    two levels (days, then hours within each day clipped to [lo, hi])
+    so no single row ever materializes one array element per hour of a
+    user's lifetime — a multi-year-span user at production scale costs
+    max(span_days, 24) elements per row instead of span_hours."""
     ev = _read(spark, sf_dir, "events")
     agg = (
         ev.groupBy(
@@ -2497,9 +2501,27 @@ def _q_event_resample(spark, sf_dir):
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
-    grid = spans.select(
+    days = spans.select(
         "user_id",
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("lo")),
+                F.date_trunc("day", F.col("hi")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    grid = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("day"), F.col("lo")),
+                F.least(F.col("day") + F.expr("INTERVAL 23 HOURS"), F.col("hi")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
     )
     return grid.join(agg, ["user_id", "bucket"], "left").select(
         "user_id",

@@ -61,6 +61,9 @@ QUERIES = [
     # heaviest TPC-H join tree + the web layer
     "tica_events", "tram_events", "vamp_score_events",
     "q9_product_profit", "web_host_stats", "doc_lm2_score",
+    # round-6: the stage compositions that had only been scaled
+    # individually (crawl->shards, sink assignment), gap-filled resample
+    "web_corpus_pipeline", "shard_manifest", "event_resample",
 ]
 
 
