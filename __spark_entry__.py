@@ -884,6 +884,30 @@ def _q_bpe_tokens(spark, sf_dir):
     )
 
 
+def _q_token_pack_sequences(spark, sf_dir):
+    """Tokenize-and-pack (operators/bpe.py:pack_token_sequences): BPE
+    merges trained on the corpus, every document encoded, and the
+    per-source token streams packed into fixed 64-symbol training
+    sequences with documents straddling boundaries — the Megatron-style
+    data-prep step between a cleaned corpus and a training run. Emits
+    per-sequence audit rows with the md5 of the space-joined symbols, so
+    the value hash pins every token of every sequence; the oracle
+    replays tokenization, training, encoding, and packing end to end
+    (oracle_ref.py:oracle_token_pack)."""
+    from deeptime_spark.operators.bpe import pack_token_sequences, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=120, min_count=2)
+    return pack_token_sequences(docs, merges, seq_len=64).select(
+        "shard",
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("first_doc_id").cast("long").alias("first_doc_id"),
+        F.md5(F.concat_ws(" ", "toks")).alias("tok_md5"),
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -2791,10 +2815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm2_score": _q_doc_lm2_score,
         "web_corpus_pipeline": _q_web_corpus_pipeline,
         "streaming_c4_replay": _q_streaming_c4_replay,
-        # --- NEW round-6: shard sink/scan round-trip (slot 8) ---
+        # --- NEW round-6: shard sink/scan round-trip + tokenize-and-pack
+        # (slots 8-9) ---
         "shards_roundtrip": _q_shards_roundtrip,
+        "token_pack_sequences": _q_token_pack_sequences,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
-        # (slots 9-27) ---
+        # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,
         "event_timeshifted": _q_event_timeshifted,
         "event_sliding_avg": _q_event_sliding_avg,

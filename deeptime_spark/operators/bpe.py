@@ -232,3 +232,136 @@ def bpe_token_counts_df(
             yield pd.DataFrame({id_col: ids, "n_words": nw, "n_bpe_tokens": nb})
 
     return src.mapInPandas(enc, schema=schema)
+
+
+def bpe_encode_df(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(id, *extra_cols, toks: array<string>) — the full BPE symbol
+    sequence per document (words encoded independently, symbols
+    concatenated in word order; each word ends with the </w> marker, the
+    classic Sennrich formulation). Broadcast ranks, one Arrow map,
+    per-batch LRU over distinct words — the same execution shape as
+    ``bpe_token_counts_df`` but materializing the symbols for downstream
+    packing/sinks rather than just counting them."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    fields = [StructField(id_col, LongType())]
+    fields += [df.schema[c] for c in extra_cols]
+    fields += [StructField("toks", ArrayType(StringType()))]
+    schema = StructType(fields)
+
+    src = spread_for_map_parallelism(
+        df.select(id_col, *extra_cols, text_col), id_col
+    )
+
+    def enc(batches):
+        r = bc.value
+        cache: dict[str, list] = {}
+
+        def toks_of(w: str) -> list:
+            v = cache.get(w)
+            if v is None:
+                v = encode_word(w, r)
+                cache[w] = v
+            return v
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict = {id_col: [int(i) for i in pdf[id_col]]}
+            for c in extra_cols:
+                out[c] = list(pdf[c])
+            toks_col = []
+            for t in pdf[text_col]:
+                ws = [w for w in (t or "").lower().strip(" ").split() if w]
+                syms: list = []
+                for w in ws:
+                    syms.extend(toks_of(w))
+                toks_col.append(syms)
+            out["toks"] = toks_col
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(enc, schema=schema)
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    seq_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Tokenize-and-pack: BPE-encode every document and pack the token
+    stream into fixed-length training sequences — the Megatron-style
+    data-prep step between a cleaned corpus and a training run.
+
+    Semantics (deterministic, layout-independent): within each shard
+    (``shard_col`` group), documents concatenate in ``id_col`` order
+    into one token stream; sequence k of a shard holds stream positions
+    [k*seq_len, (k+1)*seq_len) — documents STRADDLE sequence boundaries
+    (no padding waste), the final sequence of a shard may be short.
+
+    Spark shape — two shuffles plus one Arrow encode stage, each
+    justified: (1) a per-shard window computes each document's token
+    OFFSET via prefix sum over exact per-doc counts (the array rides the
+    same exchange, so no extra join); parallelism is the shard count,
+    exactly as ``pack_documents`` — sub-shard upstream for more;
+    (2) posexplode assigns every token its stream position, and a
+    groupBy on (shard, seq_idx) gathers each sequence — per-group
+    payload is bounded by ``seq_len``, and this shuffle of the tokenized
+    corpus is the irreducible one (it IS the packing job). No driver
+    materialization anywhere; output rows are bounded at seq_len tokens.
+
+    Returns (shard, seq_idx, n_tokens, n_docs, first_doc_id, toks).
+    """
+    from pyspark.sql import Window
+
+    enc = bpe_encode_df(df, merges, text_col, id_col, extra_cols=(shard_col,))
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    with_off = (
+        enc.withColumn("_n", F.size("toks"))
+        .withColumn("_off", F.sum("_n").over(w) - F.col("_n"))
+    )
+    pos = with_off.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        F.posexplode("toks").alias("_i", "tok"),
+        F.col("_off"),
+    ).select(
+        "shard",
+        id_col,
+        "tok",
+        (F.col("_off") + F.col("_i")).alias("_pos"),
+    )
+    return (
+        pos.groupBy(
+            "shard", F.expr(f"_pos div {int(seq_len)}").alias("seq_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(id_col).alias("first_doc_id"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("tok")))
+            ).alias("_st"),
+        )
+        .withColumn("toks", F.transform("_st", lambda s: s["tok"]))
+        .drop("_st")
+    )

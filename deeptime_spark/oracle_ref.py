@@ -1680,6 +1680,75 @@ def oracle_doc_lm2_score() -> str:
 _BUILDERS["doc_lm2_score"] = oracle_doc_lm2_score
 
 
+def oracle_token_pack() -> str:
+    """Tokenize-and-pack replay (layer 1 independent of Spark): word
+    counts and merge training exactly as oracle_bpe (shared finalize —
+    the merge loop and greedy encoder are deterministic functions of the
+    exact-integer dictionary), then per-source doc_id-ordered token
+    streams chopped into 64-symbol sequences; the md5 over space-joined
+    symbols matches Spark's md5(concat_ws(' ', toks)) byte for byte."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from deeptime_spark.operators.bpe import encode_word, train_bpe_from_counts
+
+    con = duckdb.connect()
+    rows_in = con.execute(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_dir()}/documents.parquet') ORDER BY source, doc_id"
+    ).fetchall()
+    wc: Counter = Counter()
+    per_doc = []
+    for doc_id, src, text in rows_in:
+        ws = [w for w in _tokens_py(text or "") if w]
+        per_doc.append((int(doc_id), str(src), ws))
+        wc.update(ws)
+    counts = [
+        (w, n)
+        for w, n in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n >= 2
+    ][:1_000_000]
+    merges = train_bpe_from_counts(counts, n_merges=120, min_pair_count=2)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache: dict = {}
+    by_src: defaultdict = defaultdict(list)
+    for doc_id, src, ws in per_doc:
+        by_src[src].append((doc_id, ws))
+    rows = []
+    for src, docs_ in by_src.items():
+        docs_.sort()
+        stream: list = []
+        for doc_id, ws in docs_:
+            for w in ws:
+                syms = cache.get(w)
+                if syms is None:
+                    syms = encode_word(w, ranks)
+                    cache[w] = syms
+                stream.extend((doc_id, s) for s in syms)
+        for k in range(0, len(stream), 64):
+            chunk = stream[k : k + 64]
+            toks = [s for _, s in chunk]
+            dids = [d for d, _ in chunk]
+            rows.append(
+                (
+                    src,
+                    k // 64,
+                    len(chunk),
+                    len(set(dids)),
+                    min(dids),
+                    hashlib.md5(" ".join(toks).encode()).hexdigest(),
+                )
+            )
+    return _values_sql(
+        rows,
+        ["shard", "seq_idx", "n_tokens", "n_docs", "first_doc_id", "tok_md5"],
+        "sbbbbs",
+    )
+
+
+_BUILDERS["token_pack_sequences"] = oracle_token_pack
+
+
 def oracle_semantic_dedup() -> str:
     """SemDeDup replica: same DeterministicKMeans fit/assignment as
     oracle_kmeans (bit-reproducible by construction), then the identical

@@ -1186,3 +1186,53 @@ def test_bigram_lm_scores_context_and_layout(spark):
     }
     assert all(capped[k]["n_tokens"] == out[k]["n_tokens"] for k in out)
     assert capped[100]["lm2_score"] <= out[100]["lm2_score"]
+
+
+def test_pack_token_sequences_semantics(spark):
+    """Tokenize-and-pack: documents concatenate in doc_id order within a
+    shard, straddle sequence boundaries without padding, the last
+    sequence may be short, and results are layout-independent."""
+    from deeptime_spark.operators.bpe import (
+        bpe_encode_df,
+        pack_token_sequences,
+        train_bpe,
+    )
+
+    rows = [
+        (1, "aaa bb aaa", "s1"),
+        (2, "bb bb cc", "s1"),
+        (3, "aaa aaa aaa aaa", "s1"),
+        (10, "cc dd", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    merges = train_bpe(df, n_merges=10, min_count=1)
+    enc = {
+        r["doc_id"]: list(r["toks"])
+        for r in bpe_encode_df(df, merges, extra_cols=("source",)).collect()
+    }
+    # reference pack: concatenate per shard in doc_id order, chop at 4
+    expected = {}
+    for shard, ids in (("s1", [1, 2, 3]), ("s2", [10])):
+        stream = [(d, t) for d in ids for t in enc[d]]
+        for k in range(0, len(stream), 4):
+            chunk = stream[k : k + 4]
+            expected[(shard, k // 4)] = (
+                [t for _, t in chunk],
+                len({d for d, _ in chunk}),
+                min(d for d, _ in chunk),
+            )
+
+    for layout in (df, df.repartition(5, "doc_id"), df.coalesce(1)):
+        got = {
+            (r["shard"], r["seq_idx"]): (
+                list(r["toks"]),
+                r["n_docs"],
+                r["first_doc_id"],
+            )
+            for r in pack_token_sequences(layout, merges, seq_len=4).collect()
+        }
+        assert got == expected
+    # boundary facts the reference pack must exhibit for the test to
+    # mean anything: at least one straddling sequence and a short tail
+    assert any(n > 1 for (toks, n, _) in expected.values())
+    assert any(len(toks) < 4 for (toks, n, _) in expected.values())
