@@ -2617,7 +2617,11 @@ def _q_shards_roundtrip(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="shards_rt_")
     out_dir = tmp + "/shards"
     try:
-        write_training_shards(docs, out_dir, budget=512)
+        # budget sized so the shard count stays moderate across sf dirs
+        # (~20 at sf0.001/0.01, ~80 at sf0.1): the round-trip should
+        # measure the sink/scan path, not local-FS metadata churn from
+        # hundreds of one-file directories
+        write_training_shards(docs, out_dir, budget=4096)
         back = read_training_shards(spark, out_dir)
         agg = back.groupBy("shard_key").agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -3132,7 +3136,7 @@ WITH t AS (
                                       ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS tok_offset
   FROM t
 ), m AS (
-  SELECT shard, CAST(floor(tok_offset / 512.0) AS BIGINT) AS seq,
+  SELECT shard, CAST(floor(tok_offset / 4096.0) AS BIGINT) AS seq,
          COUNT(*) AS n_docs,
          CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
          MIN(doc_id) AS min_doc_id,

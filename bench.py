@@ -94,6 +94,10 @@ HEADLINE = [
     "web_host_stats",
     "doc_lm2_score",
     "web_corpus_pipeline",
+    # round-6: physical shard sink/scan round-trip and the
+    # tokenize-and-pack training-sequence builder
+    "shards_roundtrip",
+    "token_pack_sequences",
 ]
 
 
