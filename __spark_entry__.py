@@ -908,6 +908,56 @@ def _q_token_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_doc_hll_shingles(spark, sf_dir):
+    """Deterministic HyperLogLog distinct counting
+    (operators/sketches.py): per-language approximate distinct 5-shingle
+    count next to the exact count. The distributed part is one codegen
+    xxhash64 pass + per-register min + an exact DECIMAL register sum
+    (order-independent), so the driver finish sees one row per language;
+    the oracle replays the hash, register state, and finish arithmetic
+    bit-for-bit (oracle_ref.py:oracle_doc_hll_shingles). Unlike
+    approx_count_distinct's opaque HLL++ state this sketch is
+    layout-independent and value-pinnable — and mergeable across shards
+    by max(rho)."""
+    from deeptime_spark.operators.sketches import hll_count_distinct
+    from deeptime_spark.operators.text import shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.select("lang", F.explode(shingles(F.col("text"), 5)).alias("v"))
+    est = hll_count_distinct(vals, "v", ["lang"], p=12)
+    exact = {
+        r["lang"]: r["n"]
+        for r in vals.groupBy("lang")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    rows = [
+        (d["lang"], int(d["n_registers"]), round(float(d["est_distinct"]), 6), int(exact[d["lang"]]))
+        for d in est
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, n_registers long, est_distinct double, exact_distinct long"
+    )
+
+
+def _q_doc_bloom_decontaminate(spark, sf_dir):
+    """Fixed-memory Bloom-filter decontamination
+    (operators/sketches.py:bloom_decontaminate): word 8-grams of the
+    probe split (doc_id % 20 == 0) folded into a 2^16-bit k=4 filter —
+    represented as the broadcastable set-bit-position relation, bounded
+    by m_bits regardless of probe-corpus size — probed with a codegen
+    explode + broadcast semi-join + count==k check. No false negatives
+    by construction; the oracle replays the double-hashed positions and
+    membership per gram (oracle_ref.py:oracle_doc_bloom_decontaminate)."""
+    from deeptime_spark.operators.sketches import bloom_decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 20 == 0)
+    return bloom_decontaminate(docs, probes, n=8, m_bits=1 << 16, k=4).select(
+        "doc_id", "n_grams", "n_bloom_hits", "contaminated"
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -2823,6 +2873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (slots 8-9) ---
         "shards_roundtrip": _q_shards_roundtrip,
         "token_pack_sequences": _q_token_pack_sequences,
+        # --- NEW round-6: sketch layer — deterministic HLL + Bloom
+        # decontamination (slots 10-11) ---
+        "doc_hll_shingles": _q_doc_hll_shingles,
+        "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

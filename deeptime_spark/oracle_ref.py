@@ -1898,3 +1898,97 @@ def oracle_doc_decontaminate() -> str:
 
 
 _BUILDERS["doc_decontaminate"] = oracle_doc_decontaminate
+
+
+# ----------------------------------------------------------- sketches
+
+
+def _hll_py(values, p: int = 12):
+    """Replica of operators/sketches.py hll_registers + hll_estimate_rows:
+    xxhash64(seed 42) -> top-p register index, low-(64-p) sub-hash,
+    rho = leading zeros + 1, exact integer register sum, Flajolet
+    estimate with linear-counting small-range correction."""
+    import math
+
+    from deeptime_spark.spark_hashes import xxhash64
+
+    M64 = (1 << 64) - 1
+    W = 64 - p
+    m = 1 << p
+    regs: dict = {}
+    for v in values:
+        h = xxhash64(v.encode()) & M64
+        idx = h >> W
+        w = h & ((1 << W) - 1)
+        rho = (W - w.bit_length() + 1) if w else (W + 1)
+        if rho > regs.get(idx, 0):
+            regs[idx] = rho
+    S = sum(1 << (W + 1 - rho) for rho in regs.values())
+    V = m - len(regs)
+    Z = V + S / float(1 << (W + 1))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    E = alpha * m * m / Z
+    if E <= 2.5 * m and V > 0:
+        E = m * math.log(m / V)
+    return len(regs), E
+
+
+def oracle_doc_hll_shingles() -> str:
+    """Per-lang HLL distinct 5-shingle estimates next to the exact
+    count, replayed value-for-value (same hash, same integer register
+    sum, same driver-side finish arithmetic)."""
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows_in = con.execute(
+        f"SELECT lang, text FROM read_parquet('{sf}/documents.parquet') ORDER BY lang"
+    ).fetchall()
+    sets: dict = {}
+    for lang, text in rows_in:
+        sets.setdefault(lang, set()).update(_shingle_set(_norm_text(text or "")))
+    rows = []
+    for lang in sorted(sets):
+        n_reg, est = _hll_py(sets[lang])
+        rows.append((lang, n_reg, round(est, 6), len(sets[lang])))
+    return _values_sql(
+        rows, ["lang", "n_registers", "est_distinct", "exact_distinct"], "sbdb"
+    )
+
+
+_BUILDERS["doc_hll_shingles"] = oracle_doc_hll_shingles
+
+
+def oracle_doc_bloom_decontaminate() -> str:
+    """Bloom decontamination replica: word 8-grams of probe docs
+    (doc_id % 20 == 0) folded into a 2^16-bit k=4 filter via
+    Kirsch-Mitzenmacher double hashing off xxhash64, per-doc count of
+    bloom-positive grams."""
+    sf = sf_dir()
+    docs = _docs(sf)
+    m_bits, k = 1 << 16, 4
+    M64 = (1 << 64) - 1
+
+    from deeptime_spark.spark_hashes import xxhash64
+
+    def positions(g: str):
+        h = xxhash64(g.encode()) & M64
+        h1 = h & 0xFFFFFFFF
+        h2 = h >> 32
+        return {(h1 + i * h2 + i * i) % m_bits for i in range(k)}
+
+    grams = {i: _word_ngram_set(t, 8) for i, t in docs}
+    pos_cache = {g: positions(g) for gs in grams.values() for g in gs}
+    bits: set = set()
+    for i, _ in docs:
+        if i % 20 == 0:
+            for g in grams[i]:
+                bits |= pos_cache[g]
+    rows = []
+    for i, _ in docs:
+        hits = sum(1 for g in grams[i] if pos_cache[g] <= bits)
+        rows.append((i, len(grams[i]), hits, int(hits >= 1)))
+    return _values_sql(
+        rows, ["doc_id", "n_grams", "n_bloom_hits", "contaminated"], "bbbb"
+    )
+
+
+_BUILDERS["doc_bloom_decontaminate"] = oracle_doc_bloom_decontaminate

@@ -442,3 +442,30 @@ def test_event_json_stats_stays_jvm(spark):
     plan = plan_of(entrymod._q_event_json_stats(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "get_json_object" in plan or "GetJsonObject" in plan
+
+
+def test_hll_registers_single_shuffle_no_python(spark):
+    """HLL sketch build: one hash-partial-agg shuffle (the groupBy on
+    (group, reg_idx) with map-side partial min), zero Python eval — the
+    per-value path is pure codegen xxhash64 + bit ops."""
+    from deeptime_spark.operators.sketches import hll_registers
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    regs = hll_registers(docs, "text", ["lang"], p=12)
+    plan = plan_of(regs)
+    assert "EvalPython" not in plan
+    assert n_exchanges(plan) == 1, plan[:1500]
+
+
+def test_bloom_probe_broadcast_no_python(spark):
+    """Bloom membership: the set-bit relation joins as a broadcast
+    (left_semi), never a shuffle of the corpus side for the join; no
+    Python eval anywhere."""
+    from deeptime_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bits = bloom_build(docs.limit(50), "text", 1 << 14, 4)
+    probed = bloom_probe(docs, bits, "text", ["doc_id"], 1 << 14, 4)
+    plan = plan_of(probed)
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:1500]
