@@ -958,6 +958,32 @@ def _q_doc_bloom_decontaminate(spark, sf_dir):
     )
 
 
+def _q_doc_cms_word_counts(spark, sf_dir):
+    """Count-min frequency sketch (operators/sketches.py:cms_build):
+    every word occurrence in the corpus folded into a 4x4096-cell sketch
+    (bounded state, exact integer cells, mergeable by cell-wise sum),
+    then the exact top-20 words point-queried against it — cms_est >=
+    exact_n always, equality unless a cell collides. The oracle replays
+    tokenization, the double-hashed cells, and the min-over-rows
+    estimate (oracle_ref.py:oracle_doc_cms_word_counts)."""
+    from deeptime_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " ")
+    toks = docs.select(F.explode(F.split(norm, " ")).alias("w")).where(F.col("w") != "")
+    sketch = cms_build(toks, "w", width=4096, depth=4)
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("w"))
+        .limit(20)
+    )
+    est = cms_estimate(top, sketch, "w", width=4096, depth=4)
+    return top.join(est, "w").select(
+        F.col("w").alias("word"), "exact_n", F.col("cms_est").cast("long").alias("cms_est")
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -2877,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination (slots 10-11) ---
         "doc_hll_shingles": _q_doc_hll_shingles,
         "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
+        "doc_cms_word_counts": _q_doc_cms_word_counts,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

@@ -94,10 +94,13 @@ HEADLINE = [
     "web_host_stats",
     "doc_lm2_score",
     "web_corpus_pipeline",
-    # round-6: physical shard sink/scan round-trip and the
-    # tokenize-and-pack training-sequence builder
+    # round-6: physical shard sink/scan round-trip, the tokenize-and-pack
+    # training-sequence builder, and the sketch layer
     "shards_roundtrip",
     "token_pack_sequences",
+    "doc_hll_shingles",
+    "doc_bloom_decontaminate",
+    "doc_cms_word_counts",
 ]
 
 

@@ -1,6 +1,7 @@
-"""Mergeable sketches: HyperLogLog distinct counting and Bloom-filter
-membership — the fixed-memory primitives a 100 TB corpus pipeline needs
-when exact ``COUNT(DISTINCT)`` / exact probe-set semi-joins stop fitting.
+"""Mergeable sketches: HyperLogLog distinct counting, Bloom-filter
+membership, and count-min frequency estimation — the fixed-memory
+primitives a 100 TB corpus pipeline needs when exact ``COUNT(DISTINCT)``
+/ exact probe-set semi-joins / exact frequency tables stop fitting.
 
 Both sketches are **deterministic by construction** (every hash is Spark's
 ``xxhash64``, bit-exactly replicated in :mod:`deeptime_spark.spark_hashes`),
@@ -57,6 +58,9 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "bloom_decontaminate",
+    "cms_positions",
+    "cms_build",
+    "cms_estimate",
 ]
 
 _MASK32 = 0xFFFFFFFF
@@ -231,38 +235,37 @@ def bloom_probe(
     out_col: str = "bloom_hit",
 ) -> DataFrame:
     """Membership probe: appends ``out_col`` (1 = possibly-inserted,
-    0 = definitely-not) to the distinct ``(*key_cols, value_col)`` rows of
-    ``df``.  A row hits iff ALL its distinct positions appear in ``bits``
-    — implemented as explode → broadcast ``left_semi`` join →
-    ``count == size`` (duplicate positions from double-hash collisions are
-    de-duplicated first so the count is well-defined).  No false
-    negatives, false-positive rate ``(1 - e^{-kn/m})^k``."""
-    base = df.select(*key_cols, value_col).distinct()
-    pos = base.select(
+    0 = definitely-not) to ``(*key_cols, value_col)``.  A row hits iff
+    ALL ``k`` of its positions appear in ``bits`` — implemented as ``k``
+    broadcast LEFT joins (one per hash) whose null-flags AND together,
+    so the probe side is **map-only**: no explode, no distinct, no
+    shuffle of the corpus relation, which is what keeps the probe linear
+    when the filter saturates (an explode + groupBy(count==k)
+    formulation re-shuffles every surviving position row — measurably
+    superlinear on duplicate-dense corpora).  No false negatives,
+    false-positive rate ``(1 - e^{-kn/m})^k``."""
+    h = F.xxhash64(F.col(value_col).cast("string"))
+    probe = df.select(
         *key_cols,
         value_col,
-        F.array_distinct(bloom_bit_positions(value_col, m_bits, k)).alias("_ps"),
-    ).select(
-        *key_cols,
-        value_col,
-        F.size("_ps").alias("_np"),
-        F.explode("_ps").alias("pos"),
+        h.bitwiseAND(F.lit(_MASK32)).alias("_h1"),
+        F.shiftrightunsigned(h, 32).alias("_h2"),
     )
-    present = (
-        pos.join(F.broadcast(bits), "pos", "left_semi")
-        .groupBy(*key_cols, value_col, "_np")
-        .agg(F.count(F.lit(1)).alias("_nh"))
-    )
-    hits = present.select(
-        *key_cols,
-        value_col,
-        (F.col("_nh") == F.col("_np")).cast("long").alias(out_col),
-    )
-    return base.join(hits, [*key_cols, value_col], "left").select(
-        *key_cols,
-        value_col,
-        F.coalesce(F.col(out_col), F.lit(0)).alias(out_col),
-    )
+    flags = []
+    for i in range(k):
+        b_i = F.broadcast(bits.select(F.col("pos").alias(f"_bp{i}")))
+        probe = probe.join(
+            b_i,
+            F.pmod(
+                F.col("_h1") + F.lit(i) * F.col("_h2") + F.lit(i * i),
+                F.lit(m_bits),
+            )
+            == F.col(f"_bp{i}"),
+            "left",
+        )
+        flags.append(F.col(f"_bp{i}").isNotNull())
+    hit = reduce(lambda a, b: a & b, flags).cast("long").alias(out_col)
+    return probe.select(*key_cols, value_col, hit)
 
 
 def bloom_decontaminate(
@@ -317,4 +320,75 @@ def bloom_decontaminate(
             .cast("long")
             .alias("contaminated"),
         )
+    )
+
+
+# ----------------------------------------------------------- count-min
+
+
+def cms_positions(value_col: str | Column, width: int, depth: int) -> Column:
+    """Array of ``depth`` (row, col) cells for a value — row r probes
+    column ``(h_lo32 + r * h_hi32 + r^2) mod width`` (same
+    Kirsch–Mitzenmacher scheme as the Bloom filter, one xxhash64)."""
+    if width <= 0 or depth <= 0:
+        raise ValueError("width and depth must be positive")
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = F.xxhash64(c.cast("string"))
+    h1 = h.bitwiseAND(F.lit(_MASK32))
+    h2 = F.shiftrightunsigned(h, 32)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(h1 + F.lit(r) * h2 + F.lit(r * r), F.lit(width)).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str | Column,
+    width: int = 1 << 12,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch as a relation ``(row, col, cnt)`` — at most
+    ``depth * width`` rows regardless of stream length, built in one
+    explode + hash-aggregate pass with map-side partials.  Counts are
+    exact integers, so the sketch is deterministic and mergeable by
+    cell-wise sum (``groupBy(row, col).sum``).  ``weight_col`` counts
+    each value row with a long weight instead of 1 (e.g. token mass)."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cell = F.explode(cms_positions(value_col, width, depth)).alias("_c")
+    return (
+        df.select(cell, w.alias("_w"))
+        .select(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"), "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch for each distinct value in ``df``:
+    ``min`` over the value's ``depth`` cells (a never-undercounting
+    estimate: ``true <= est <= true + eps * N`` w.h.p.).  The sketch is
+    bounded by ``depth * width`` cells, so it joins as a broadcast; an
+    absent cell means 0."""
+    base = df.select(value_col).distinct()
+    probes = base.select(
+        value_col, F.explode(cms_positions(value_col, width, depth)).alias("_c")
+    ).select(value_col, F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )

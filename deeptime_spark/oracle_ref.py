@@ -1992,3 +1992,39 @@ def oracle_doc_bloom_decontaminate() -> str:
 
 
 _BUILDERS["doc_bloom_decontaminate"] = oracle_doc_bloom_decontaminate
+
+
+def oracle_doc_cms_word_counts() -> str:
+    """Count-min replica: tokenize with the trim/lower/collapse mirror,
+    fold every occurrence into the 4x4096 cell map via the same
+    double-hashed positions, point-query the exact top-20 words
+    (count desc, word asc)."""
+    sf = sf_dir()
+    docs = _docs(sf)
+    width, depth = 4096, 4
+    M64 = (1 << 64) - 1
+
+    from collections import Counter
+
+    from deeptime_spark.spark_hashes import xxhash64
+
+    counts: Counter = Counter()
+    for _, t in docs:
+        n = _norm_text(t or "")
+        counts.update(w for w in n.split(" ") if w)
+
+    def cells(w: str):
+        h = xxhash64(w.encode()) & M64
+        h1, h2 = h & 0xFFFFFFFF, h >> 32
+        return [(r, (h1 + r * h2 + r * r) % width) for r in range(depth)]
+
+    sketch: Counter = Counter()
+    for w, c in counts.items():
+        for cell in cells(w):
+            sketch[cell] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = [(w, c, min(sketch[cell] for cell in cells(w))) for w, c in top]
+    return _values_sql(rows, ["word", "exact_n", "cms_est"], "sbb")
+
+
+_BUILDERS["doc_cms_word_counts"] = oracle_doc_cms_word_counts

@@ -1,5 +1,5 @@
-"""Sketch layer: deterministic HLL distinct counting and Bloom-filter
-membership (operators/sketches.py)."""
+"""Sketch layer: deterministic HLL distinct counting, Bloom-filter
+membership, and count-min frequency estimation (operators/sketches.py)."""
 
 import math
 
@@ -157,3 +157,58 @@ def test_bloom_decontaminate_flags_probe_docs(spark):
 def test_bloom_validation(spark):
     with pytest.raises(ValueError):
         bloom_build(_vals_df(spark, 5), "v", m_bits=0, k=4)
+
+
+# ------------------------------------------------------------ count-min
+
+from deeptime_spark.operators.sketches import cms_build, cms_estimate
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("v")  # 50 values x 40 each
+    )
+    sketch = cms_build(df, "v", width=1 << 12, depth=4)
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(df, sketch, "v", 1 << 12, 4).collect()
+    }
+    assert set(est) == {str(i) for i in range(50)}
+    for v in est.values():
+        assert v >= 40  # never undercounts
+        assert v <= 120  # sparse sketch: collisions rare at 50 values / 4096 cells
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "v string, wt long"
+    )
+    sketch = cms_build(df, "v", 1 << 10, 3, weight_col="wt")
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(df, sketch, "v", 1 << 10, 3).collect()
+    }
+    assert est["a"] >= 12 and est["b"] >= 1
+
+
+def test_cms_merge_by_cellwise_sum(spark):
+    a = spark.range(500).select((F.col("id") % 10).cast("string").alias("v"))
+    b = spark.range(300).select((F.col("id") % 10).cast("string").alias("v"))
+    merged = (
+        cms_build(a, "v", 1 << 10, 4)
+        .unionByName(cms_build(b, "v", 1 << 10, 4))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = cms_build(a.unionAll(b), "v", 1 << 10, 4)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_cms_sketch_bounded(spark):
+    df = spark.range(50000).select(F.col("id").cast("string").alias("v"))
+    assert cms_build(df, "v", 256, 3).count() <= 256 * 3
+
+
+def test_cms_validation(spark):
+    with pytest.raises(ValueError):
+        cms_build(spark.range(3).select(F.col("id").cast("string").alias("v")), "v", 0, 2)

@@ -64,6 +64,10 @@ QUERIES = [
     # round-6: the stage compositions that had only been scaled
     # individually (crawl->shards, sink assignment), gap-filled resample
     "web_corpus_pipeline", "shard_manifest", "event_resample",
+    # round-6: tokenize-and-pack, the physical shard round-trip, and the
+    # sketch layer (HLL distinct + Bloom decontamination)
+    "token_pack_sequences", "shards_roundtrip",
+    "doc_hll_shingles", "doc_bloom_decontaminate", "doc_cms_word_counts",
 ]
 
 
