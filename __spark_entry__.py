@@ -984,6 +984,24 @@ def _q_doc_cms_word_counts(spark, sf_dir):
     )
 
 
+def _q_doc_bm25_search(spark, sf_dir):
+    """BM25 full-text top-15 (operators/retrieval.py:bm25_search): the
+    tf relation is filtered to the 5 query terms before any aggregation,
+    pivoted to one column per term, and scored in one codegen expression
+    whose only transcendental (the idf log) is a driver-computed double
+    literal — so every distributed op is +,*,/ over exact inputs and the
+    oracle's Python replay is bit-exact
+    (oracle_ref.py:oracle_doc_bm25_search). Top-k via TakeOrdered with a
+    total (score desc, doc_id asc) order."""
+    from deeptime_spark.operators.retrieval import bm25_search
+
+    docs = _read(spark, sf_dir, "documents")
+    res = bm25_search(docs, "hash join fast scan table", k=15)
+    return res.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score"), "n_matched"
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -2904,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hll_shingles": _q_doc_hll_shingles,
         "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
         "doc_cms_word_counts": _q_doc_cms_word_counts,
+        "doc_bm25_search": _q_doc_bm25_search,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

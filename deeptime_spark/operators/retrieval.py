@@ -1,0 +1,142 @@
+"""Full-text retrieval over a document corpus: TF/DF statistics and
+BM25 top-k scoring — the "find the docs about X" primitive a corpus
+curation pipeline needs for audits, targeted decontamination, and
+building eval slices.
+
+Spark shape (designed for a 100 TB corpus):
+
+* ``term_stats`` is ONE tokenize pass (codegen split + explode) feeding
+  three hash aggregates with map-side partials; the per-term document
+  frequency table is ``O(vocab)``.
+* ``bm25_search`` never materializes a score for the whole vocabulary:
+  the tf relation is filtered to the query's terms FIRST (an ``isin``
+  over a handful of literals — predicate-pushdown-friendly), pivoted to
+  one column per query term, and scored in a single codegen expression.
+  The final top-k is ``orderBy().limit(k)`` = TakeOrdered, never a
+  global sort.
+* Determinism for the oracle gate: the only transcendental (the idf
+  ``log``) is computed on the DRIVER over the ≤ |query| collected
+  df rows and enters the plan as double literals; everything distributed
+  is +, *, / over exact inputs, and the per-doc score sums the terms in
+  sorted-term order inside one expression — bit-exact across engines.
+
+The reference has no retrieval surface; this extends the LLM-corpus
+layer (operators/text.py, dedup.py) the same way the sketch module does.
+"""
+
+from __future__ import annotations
+
+import math
+import re as _re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tokenize_counts", "term_stats", "bm25_search"]
+
+_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _norm_tokens_py(text: str) -> list[str]:
+    """Driver-side mirror of the token pipeline below (trim/lower,
+    collapse whitespace, drop empties)."""
+    n = _WS.sub(" ", (text or "").lower().strip(" "))
+    return [t for t in n.split(" ") if t]
+
+
+def tokenize_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(doc, term) frequency relation ``(id_col, term, tf)`` from one
+    codegen normalize/split/explode pass + one hash aggregate."""
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("term")
+    ).where(F.col("term") != "")
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def term_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, doc_len, doc_freq): the three relations BM25 needs.
+    ``doc_len`` is ``(id, dl)``; ``doc_freq`` is ``(term, df)`` —
+    O(vocab) rows, the table an index would persist."""
+    tf = tokenize_counts(docs, text_col, id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, dl, dfreq
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k: ``(id_col, score, n_matched)`` for the ``k``
+    best-scoring documents (ties broken by ascending id, so the result
+    is total-ordered and layout-independent).
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the
+    Robertson–Sparck-Jones form used by Lucene).
+    """
+    terms = sorted(set(_norm_tokens_py(query)))
+    if not terms:
+        raise ValueError("query has no terms after normalization")
+    if {id_col, "dl"} & set(terms):
+        raise ValueError(
+            f"query terms collide with internal column names: {sorted({id_col, 'dl'} & set(terms))}"
+        )
+    tf, dl, dfreq = term_stats(docs, text_col, id_col)
+
+    # global stats: one tiny agg action (2 longs) + |terms| df rows
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).first()
+    n_docs, total = int(g["n"]), int(g["total"] or 0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = total / float(n_docs)
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in dfreq.where(F.col("term").isin(terms)).collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5))
+        for t in terms
+    }
+
+    # pivot the query terms to columns; score in ONE expression with the
+    # terms in sorted order (fixed fp summation order)
+    hits = (
+        tf.where(F.col("term").isin(terms))
+        .groupBy(id_col)
+        .pivot("term", terms)
+        .agg(F.first("tf"))
+        .join(dl, id_col)
+    )
+    score = F.lit(0.0)
+    matched = F.lit(0)
+    norm_len = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+    for t in terms:
+        tf_c = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+        score = score + F.lit(idf[t]) * (
+            tf_c * F.lit(k1 + 1.0) / (tf_c + F.lit(k1) * norm_len)
+        )
+        matched = matched + (tf_c > 0).cast("int")
+    return (
+        hits.select(
+            F.col(id_col),
+            score.alias("score"),
+            matched.cast("long").alias("n_matched"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

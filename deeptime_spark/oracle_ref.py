@@ -2028,3 +2028,54 @@ def oracle_doc_cms_word_counts() -> str:
 
 
 _BUILDERS["doc_cms_word_counts"] = oracle_doc_cms_word_counts
+
+
+def oracle_doc_bm25_search() -> str:
+    """BM25 replica: same tokenization mirror, same driver-computed idf
+    doubles, same sorted-term fp summation order — bit-exact with the
+    codegen score expression."""
+    import math
+
+    sf = sf_dir()
+    docs = _docs(sf)
+    k1, b, k = 1.2, 0.75, 15
+    terms = sorted(set("hash join fast scan table".split()))
+    tf_by_doc: dict = {}
+    dl: dict = {}
+    dfreq: dict = {}
+    for i, t in docs:
+        toks = _tokens_py(t or "")
+        toks = [x for x in toks if x]
+        dl[i] = len(toks)
+        counts: dict = {}
+        for x in toks:
+            counts[x] = counts.get(x, 0) + 1
+        tf_by_doc[i] = counts
+        for x in counts:
+            dfreq[x] = dfreq.get(x, 0) + 1
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / float(n_docs)
+    idf = {
+        t: math.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5))
+        for t in terms
+    }
+    scored = []
+    for i, _ in docs:
+        counts = tf_by_doc[i]
+        if not any(t in counts for t in terms):
+            continue  # doc never enters the pivoted hits relation
+        s = 0.0
+        matched = 0
+        norm_len = (1.0 - b) + b * (dl[i] / avgdl)
+        for t in terms:
+            tf_c = float(counts.get(t, 0))
+            s = s + idf[t] * (tf_c * (k1 + 1.0) / (tf_c + k1 * norm_len))
+            if tf_c > 0:
+                matched += 1
+        scored.append((i, s, matched))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    rows = [(i, _spark_round(s, 6), m) for i, s, m in scored[:k]]
+    return _values_sql(rows, ["doc_id", "score", "n_matched"], "bdb")
+
+
+_BUILDERS["doc_bm25_search"] = oracle_doc_bm25_search

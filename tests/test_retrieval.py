@@ -1,0 +1,69 @@
+"""BM25 retrieval (operators/retrieval.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deeptime_spark.operators.retrieval import bm25_search, term_stats, tokenize_counts
+
+
+def _corpus(spark):
+    rows = [
+        (0, "spark shuffle join hash join", "s"),
+        (1, "hash hash hash join", "s"),
+        (2, "completely unrelated words here", "s"),
+        (3, "join", "s"),
+        (4, "the hash join of the hash join is a hash join", "s"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_term_stats_counts(spark):
+    tf, dl, dfreq = term_stats(_corpus(spark))
+    tfm = {(r["doc_id"], r["term"]): r["tf"] for r in tf.collect()}
+    assert tfm[(1, "hash")] == 3 and tfm[(0, "join")] == 2
+    dlm = {r["doc_id"]: r["dl"] for r in dl.collect()}
+    assert dlm[3] == 1 and dlm[4] == 11
+    dfm = {r["term"]: r["df"] for r in dfreq.collect()}
+    assert dfm["join"] == 4 and dfm["hash"] == 3
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    res = bm25_search(_corpus(spark), "hash join", k=5).collect()
+    ids = [r["doc_id"] for r in res]
+    assert 2 not in ids  # no query term -> never scored
+    assert set(ids) == {0, 1, 3, 4}
+    # scores strictly ordered, n_matched consistent
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    nm = {r["doc_id"]: r["n_matched"] for r in res}
+    assert nm[3] == 1 and nm[0] == 2
+
+
+def test_bm25_layout_invariance(spark):
+    docs = _corpus(spark)
+    a = [tuple(r) for r in bm25_search(docs, "hash join", k=5).collect()]
+    b = [tuple(r) for r in bm25_search(docs.repartition(7), "hash join", k=5).collect()]
+    assert a == b
+
+
+def test_bm25_unknown_term_contributes_zero(spark):
+    # a term absent from the corpus gets idf of log(1 + (N+0.5)/0.5) but
+    # tf=0 everywhere -> contributes nothing; ranking equals hash-join-only
+    a = [r["doc_id"] for r in bm25_search(_corpus(spark), "hash join", k=5).collect()]
+    b = [r["doc_id"] for r in bm25_search(_corpus(spark), "hash join zzzmissing", k=5).collect()]
+    assert a == b
+
+
+def test_bm25_validation(spark):
+    with pytest.raises(ValueError):
+        bm25_search(_corpus(spark), "   ")
+    with pytest.raises(ValueError):
+        bm25_search(_corpus(spark), "hash dl")  # internal column collision
+
+
+def test_tokenize_counts_normalizes(spark):
+    docs = spark.createDataFrame(
+        [(0, "  Hash\tJOIN  hash  ", "s")], "doc_id long, text string, source string"
+    )
+    tfm = {(r["doc_id"], r["term"]): r["tf"] for r in tokenize_counts(docs).collect()}
+    assert tfm == {(0, "hash"): 2, (0, "join"): 1}
