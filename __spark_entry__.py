@@ -2845,6 +2845,64 @@ def _q_streaming_c4_replay(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_streaming_hll_replay(spark, sf_dir):
+    """Stateful sketching under Structured Streaming: the HLL register
+    build (operators/sketches.py:hll_registers) is a plain streaming
+    aggregation — min(w) per (lang, register) in complete mode — so
+    replaying the documents table as 4 micro-batches must land on
+    exactly the batch register state (the sketch is a commutative
+    monoid; micro-batch boundaries are invisible by construction). The
+    driver finish then runs on the final register relation and the
+    oracle replays hash, registers, and estimate bit-for-bit
+    (oracle_ref.py:oracle_streaming_hll)."""
+    import tempfile
+    import uuid
+
+    from deeptime_spark.operators.sketches import hll_estimate_rows
+    from deeptime_spark.operators.text import shingles
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    src_dir = tempfile.mkdtemp(prefix="hll_src_")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    from deeptime_spark.operators.sketches import hll_registers
+
+    regs = hll_registers(
+        stream.select("lang", F.explode(shingles(F.col("text"), 5)).alias("v")),
+        "v",
+        ["lang"],
+        p=12,
+    )
+    sink = "stream_hll_" + uuid.uuid4().hex[:8]
+    ckpt_dir = tempfile.mkdtemp(prefix="hll_ckpt_")
+    try:
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        final_regs = spark.table(sink)
+        est = hll_estimate_rows(final_regs, ["lang"], p=12)
+    finally:
+        spark.catalog.dropTempView(sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
+    rows = [
+        (d["lang"], int(d["n_registers"]), round(float(d["est_distinct"]), 6))
+        for d in est
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, n_registers long, est_distinct double"
+    )
+
+
 def _q_web_corpus_pipeline(spark, sf_dir):
     """End-to-end crawl -> training-shards composition, every stage the
     real operator and every stage replayed by the oracle: deterministic
@@ -2923,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
         "doc_cms_word_counts": _q_doc_cms_word_counts,
         "doc_bm25_search": _q_doc_bm25_search,
+        "streaming_hll_replay": _q_streaming_hll_replay,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

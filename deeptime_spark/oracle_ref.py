@@ -2079,3 +2079,24 @@ def oracle_doc_bm25_search() -> str:
 
 
 _BUILDERS["doc_bm25_search"] = oracle_doc_bm25_search
+
+
+def oracle_streaming_hll() -> str:
+    """Streaming HLL replay: same replica as doc_hll_shingles minus the
+    exact column (the streaming query emits sketch state + estimate)."""
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows_in = con.execute(
+        f"SELECT lang, text FROM read_parquet('{sf}/documents.parquet') ORDER BY lang"
+    ).fetchall()
+    sets: dict = {}
+    for lang, text in rows_in:
+        sets.setdefault(lang, set()).update(_shingle_set(_norm_text(text or "")))
+    rows = []
+    for lang in sorted(sets):
+        n_reg, est = _hll_py(sets[lang])
+        rows.append((lang, n_reg, round(est, 6)))
+    return _values_sql(rows, ["lang", "n_registers", "est_distinct"], "sbd")
+
+
+_BUILDERS["streaming_hll_replay"] = oracle_streaming_hll
