@@ -1002,6 +1002,23 @@ def _q_doc_bm25_search(spark, sf_dir):
     )
 
 
+def _q_doc_sparse_cosine(spark, sf_dir):
+    """All-pairs sparse cosine near-duplicates
+    (operators/retrieval.py:sparse_cosine_pairs): rare-word-trigram
+    inverted index (df <= 10; 11x candidate pruning vs all-pairs at
+    sf0.01) -> capped join-free bucket pair expansion -> EXACT
+    verification on integer tf vectors, so the dot and squared norms
+    are exact integers and the cosine is bit-reproducible. The oracle
+    replays index, candidates, and cosine arithmetic
+    (oracle_ref.py:oracle_doc_sparse_cosine)."""
+    from deeptime_spark.operators.retrieval import sparse_cosine_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, threshold=0.9, ngram_n=3, max_df=10, max_bucket=64
+    ).select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -2982,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cms_word_counts": _q_doc_cms_word_counts,
         "doc_bm25_search": _q_doc_bm25_search,
         "streaming_hll_replay": _q_streaming_hll_replay,
+        "doc_sparse_cosine": _q_doc_sparse_cosine,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

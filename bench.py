@@ -101,6 +101,7 @@ HEADLINE = [
     "doc_hll_shingles",
     "doc_bloom_decontaminate",
     "doc_cms_word_counts",
+    "doc_bm25_search",
 ]
 
 

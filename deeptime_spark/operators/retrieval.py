@@ -32,7 +32,7 @@ import re as _re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize_counts", "term_stats", "bm25_search"]
+__all__ = ["tokenize_counts", "term_stats", "bm25_search", "sparse_cosine_pairs"]
 
 _WS = _re.compile(r"[ \t\n\x0b\f\r]+")
 
@@ -139,4 +139,85 @@ def bm25_search(
         )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    ngram_n: int = 3,
+    max_df: int = 10,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over raw term-frequency
+    vectors: ``(id_a, id_b, cosine)`` for every candidate pair with
+    ``cosine >= threshold`` — the term-based near-duplicate/similar-doc
+    complement to the embedding ANN family.
+
+    Candidate generation is an inverted index over word ``ngram_n``-grams
+    restricted to grams with document frequency ``<= max_df`` (rare-gram
+    pruning: near-identical documents always share rare grams, while
+    boilerplate-frequency grams would generate quadratic candidates —
+    the same recall contract as MinHash-LSH banding: a pair sharing NO
+    rare gram is not considered).  Pair expansion reuses the dedup
+    module's capped join-free bucket expansion.  Verification is EXACT
+    and bit-reproducible: the tf vectors are integer counts, so the
+    pair dot (one shuffled double join restricted to candidate ids +
+    an integer sum) and the squared norms are exact integers; cosine is
+    ``dot / (sqrt(n2_a) * sqrt(n2_b))`` — IEEE-deterministic ops over
+    exact inputs, replayable by the oracle to the last bit.
+
+    100 TB shape: gram df table is O(gram vocab); candidate volume is
+    bounded by ``max_bucket^2 / 2`` per rare gram; the verification
+    joins touch only candidate documents (left_semi restriction).
+    """
+    from deeptime_spark.operators.dedup import _bucket_pairs
+    from deeptime_spark.operators.text import word_ngrams
+
+    tf = tokenize_counts(docs, text_col, id_col)
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("g")
+    )
+    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_gdf"))
+    rare = grams.join(gdf.where(F.col("_gdf") <= max_df), "g")
+    cand = (
+        _bucket_pairs(rare, ["g"], id_col, [], max_bucket)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionAll(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    tfv = tf.join(ids, id_col, "left_semi")
+    norms = tfv.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("_n2"))
+    ta = tfv.select(
+        F.col(id_col).alias("id_a"), F.col("term").alias("_t"), F.col("tf").alias("_tfa")
+    )
+    tb = tfv.select(
+        F.col(id_col).alias("id_b"), F.col("term").alias("_t"), F.col("tf").alias("_tfb")
+    )
+    dot = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_tfa") * F.col("_tfb")).alias("_dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("_n2").alias("_n2a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("_n2").alias("_n2b"))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_dot").cast("double")
+                / (F.sqrt(F.col("_n2a").cast("double")) * F.sqrt(F.col("_n2b").cast("double")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
     )

@@ -2100,3 +2100,49 @@ def oracle_streaming_hll() -> str:
 
 
 _BUILDERS["streaming_hll_replay"] = oracle_streaming_hll
+
+
+def oracle_doc_sparse_cosine() -> str:
+    """Sparse-cosine replica: rare word-trigram inverted index
+    (df <= 10, bucket cap 64 by ascending id), exact integer tf dot +
+    sqrt-norm cosine, threshold 0.9 — same arithmetic as the codegen
+    expression."""
+    import math
+    from itertools import combinations
+
+    sf = sf_dir()
+    docs = _docs(sf)
+    max_df, max_bucket, threshold = 10, 64, 0.9
+    tf: dict = {}
+    for i, t in docs:
+        counts: dict = {}
+        for x in _tokens_py(t or ""):
+            if x:
+                counts[x] = counts.get(x, 0) + 1
+        tf[i] = counts
+    inv: dict = {}
+    for i, t in docs:
+        for g in _word_ngram_set(t or "", 3):
+            inv.setdefault(g, []).append(i)
+    cand = set()
+    for g, ids in inv.items():
+        if len(ids) > max_df:
+            continue
+        for a, b in combinations(sorted(ids)[:max_bucket], 2):
+            cand.add((a, b))
+    n2 = {i: sum(v * v for v in c.values()) for i, c in tf.items()}
+    rows = []
+    for a, b in sorted(cand):
+        ca, cb = tf[a], tf[b]
+        if len(ca) > len(cb):
+            ca, cb = cb, ca
+        dot = sum(v * cb.get(k, 0) for k, v in ca.items())
+        if dot == 0:
+            continue  # no shared term -> absent from the inner-join result
+        cos = float(dot) / (math.sqrt(float(n2[a])) * math.sqrt(float(n2[b])))
+        if cos >= threshold:
+            rows.append((a, b, _spark_round(cos, 6)))
+    return _values_sql(rows, ["id_a", "id_b", "cosine"], "bbd")
+
+
+_BUILDERS["doc_sparse_cosine"] = oracle_doc_sparse_cosine

@@ -469,3 +469,25 @@ def test_bloom_probe_broadcast_no_python(spark):
     plan = plan_of(probed)
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_cms_build_single_shuffle_no_python(spark):
+    """Count-min build: one explode + hash-aggregate with map-side
+    partials — a single exchange, no Python eval."""
+    from deeptime_spark.operators.sketches import cms_build
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(cms_build(docs, "text", 1 << 12, 4))
+    assert "EvalPython" not in plan
+    assert n_exchanges(plan) == 1, plan[:1500]
+
+
+def test_bm25_topk_is_take_ordered_not_global_sort(spark):
+    """BM25 top-k must compile to TakeOrderedAndProject (limit-pushed
+    ordering), never a full Sort+Exchange of the scored relation."""
+    from deeptime_spark.operators.retrieval import bm25_search
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(bm25_search(docs, "hash join fast scan table", k=15))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "EvalPython" not in plan

@@ -67,3 +67,45 @@ def test_tokenize_counts_normalizes(spark):
     )
     tfm = {(r["doc_id"], r["term"]): r["tf"] for r in tokenize_counts(docs).collect()}
     assert tfm == {(0, "hash"): 2, (0, "join"): 1}
+
+
+# ----------------------------------------------------- sparse cosine
+
+from deeptime_spark.operators.retrieval import sparse_cosine_pairs
+
+
+def test_sparse_cosine_finds_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base, "s"),
+        (1, base + " iota", "s"),          # near-dup of 0
+        (2, "totally different words entirely", "s"),
+        (3, base, "s"),                     # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sparse_cosine_pairs(docs, threshold=0.8, ngram_n=3, max_df=10).collect()
+    }
+    assert (0, 3) in out and abs(out[(0, 3)] - 1.0) < 1e-12
+    assert (0, 1) in out and 0.8 < out[(0, 1)] < 1.0
+    assert not any(2 in p for p in out)
+
+
+def test_sparse_cosine_layout_invariance(spark):
+    rows = [(i, f"common prefix words here tail{i % 3} tail{i % 3} end", "s") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, sparse_cosine_pairs(docs, 0.5, 3, 20).collect()))
+    b = sorted(map(tuple, sparse_cosine_pairs(docs.repartition(5), 0.5, 3, 20).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_sparse_cosine_rare_gram_contract(spark):
+    # two docs share ONLY a gram whose df exceeds max_df -> no candidate
+    common = "the quick brown"
+    rows = [(i, common + f" unique{i} only{i} here{i}", "s") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sparse_cosine_pairs(docs, threshold=0.0, ngram_n=3, max_df=3).collect()
+    # every 3-gram containing 'the quick brown' appears in all 8 docs (df=8>3)
+    # except the per-doc unique tails (df=1) which no pair shares
+    assert out == []
