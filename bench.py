@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_bloom_decontaminate",
     "doc_cms_word_counts",
     "doc_bm25_search",
+    "doc_sparse_cosine",
 ]
 
 

@@ -182,17 +182,21 @@ def sparse_cosine_pairs(
     )
     gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_gdf"))
     rare = grams.join(gdf.where(F.col("_gdf") <= max_df), "g")
+    # lazy persists: cand feeds BOTH the id restriction and the dot join,
+    # tfv feeds the norms and both sides of the dot join — without them
+    # the gram/tokenize subtrees re-execute up to 3x
     cand = (
         _bucket_pairs(rare, ["g"], id_col, [], max_bucket)
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
     ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionAll(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    tfv = tf.join(ids, id_col, "left_semi")
+    tfv = tf.join(ids, id_col, "left_semi").persist()
     norms = tfv.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("_n2"))
     ta = tfv.select(
         F.col(id_col).alias("id_a"), F.col("term").alias("_t"), F.col("tf").alias("_tfa")

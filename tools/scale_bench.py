@@ -68,7 +68,7 @@ QUERIES = [
     # sketch layer (HLL distinct + Bloom decontamination)
     "token_pack_sequences", "shards_roundtrip",
     "doc_hll_shingles", "doc_bloom_decontaminate", "doc_cms_word_counts",
-    "doc_bm25_search",
+    "doc_bm25_search", "doc_sparse_cosine",
 ]
 
 
