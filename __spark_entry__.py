@@ -1019,6 +1019,52 @@ def _q_doc_sparse_cosine(spark, sf_dir):
     ).select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def _q_corpus_profile(spark, sf_dir):
+    """Data-card profiling (operators/profile.py:profile_table): one
+    WIDE aggregate pass over the documents table emits per-column row /
+    null / exact-distinct counts, min/max, and integer-scaled average
+    rendered length — the audit a 100 TB ingestion publishes beside its
+    manifest. Pure-SQL DuckDB oracle (one UNION ALL branch per column),
+    no replica needed."""
+    from deeptime_spark.operators.profile import profile_table
+
+    docs = _read(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _q_corpus_snapshot_diff(spark, sf_dir):
+    """Snapshot audit diff (operators/profile.py:snapshot_diff): a
+    deterministic second snapshot is derived from the documents table
+    (doc_id%17==0 removed, doc_id%13==0 edited, doc_id%19==0 re-added
+    under offset ids), then classified added/removed/changed/unchanged
+    via the digest-only full-outer join — the shuffle carries
+    (id, 32-byte md5), never document payloads. Pure-SQL DuckDB oracle
+    replays the simulation and the CASE."""
+    from deeptime_spark.operators.profile import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    new = (
+        docs.where(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 19 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            )
+        )
+    )
+    diff = snapshot_diff(docs, new, "doc_id", ["text", "lang", "source", "n_chars"])
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3000,6 +3046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": _q_doc_bm25_search,
         "streaming_hll_replay": _q_streaming_hll_replay,
         "doc_sparse_cosine": _q_doc_sparse_cosine,
+        "corpus_profile": _q_corpus_profile,
+        "corpus_snapshot_diff": _q_corpus_snapshot_diff,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,
@@ -3358,6 +3406,44 @@ SELECT g.user_id,
        COALESCE(a.n, 0) AS n,
        COALESCE(a.cents, 0) AS cents
 FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.bucket = g.bucket
+""",
+        "corpus_profile": "\nUNION ALL\n".join(
+            f"""
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value,
+       CAST(COALESCE((SUM(length(CAST({c} AS VARCHAR))) * 100)
+                // NULLIF(COUNT({c}), 0), 0) AS BIGINT) AS avg_len_x100
+FROM documents"""
+            for c in ("doc_id", "text", "lang", "source", "n_chars")
+        ),
+        "corpus_snapshot_diff": r"""
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 19 = 0
+), d AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE
+           WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.text IS NOT DISTINCT FROM n.text
+            AND o.lang IS NOT DISTINCT FROM n.lang
+            AND o.source IS NOT DISTINCT FROM n.source
+            AND o.n_chars IS NOT DISTINCT FROM n.n_chars THEN 'unchanged'
+           ELSE 'changed'
+         END AS status
+  FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM d GROUP BY status
 """,
         "event_json_stats": r"""
 SELECT event_type,

@@ -1,0 +1,110 @@
+"""Dataset profiling: the per-column summary a data card / ingestion
+audit needs, computed in one pass per table.
+
+``profile_table`` emits one tidy row per column — row count, null count,
+exact distinct count, min/max (rendered as strings so the relation is
+uniform), and average string length — the numbers a 100 TB ingestion job
+publishes next to its manifest so downstream consumers can sanity-check
+a drop before training on it.
+
+Spark shape: ONE wide aggregate over the table (every per-column
+statistic is a codegen aggregate expression in the same pass — no
+per-column scans), plus one exact ``count_distinct`` per column in the
+same aggregate (Spark rewrites multiple distinct aggregates with
+`expand`, still a single scan).  The wide single-row result is then
+unpivoted driver-side into the tidy per-column relation (a ~n_columns
+transpose of scalars, not data).  For cardinality at the
+trillions-of-rows scale, swap the exact distinct for the HLL sketch in
+operators/sketches.py — same relation shape, bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table", "snapshot_diff"]
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One tidy row per column:
+    ``(column, n_rows, n_null, n_distinct, min_value, max_value,
+    avg_len_x100)``.
+
+    ``min_value`` / ``max_value`` are the column's own min/max cast to
+    string AFTER the aggregation (so numeric columns compare
+    numerically, not lexically).  ``avg_len_x100`` is the average
+    rendered-string length scaled to an exact integer
+    (``sum(length)*100 div count``) — division-free determinism for the
+    oracle gate.  NULL-only columns yield NULL min/max and 0 length.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(f"`{c}`")
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(col).alias(f"_dist_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+            F.sum(F.length(col.cast("string"))).alias(f"_len_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    n = int(row["_n"])
+    out = []
+    for c in cols:
+        tot_len = row[f"_len_{c}"]
+        n_nonnull = n - int(row[f"_null_{c}"])
+        out.append(
+            (
+                c,
+                n,
+                int(row[f"_null_{c}"]),
+                int(row[f"_dist_{c}"]),
+                row[f"_min_{c}"],
+                row[f"_max_{c}"],
+                (int(tot_len) * 100) // n_nonnull if (tot_len is not None and n_nonnull) else 0,
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows long, n_null long, n_distinct long, "
+        "min_value string, max_value string, avg_len_x100 long",
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Audit diff between two corpus snapshots: every id classified as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    Content equality is md5 over the concatenated (NULL-sentineled)
+    content columns, so the diff never ships full payloads through the
+    join — at 100 TB the shuffle carries (id, 32-byte digest) per side.
+    One full-outer join on the id; the status is a codegen CASE.
+    Returns ``(id_col, status)``; aggregate downstream for the summary
+    a manifest delta publishes.
+    """
+    content_cols = content_cols or [c for c in old.columns if c != id_col]
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols],
+        )
+    )
+    o = old.select(F.col(id_col).alias("_id"), digest.alias("_ho"))
+    n = new.select(F.col(id_col).alias("_id"), digest.alias("_hn"))
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "_id", "full_outer").select(
+        F.col("_id").alias(id_col), status.alias("status")
+    )
