@@ -1065,6 +1065,43 @@ def _q_corpus_snapshot_diff(spark, sf_dir):
     )
 
 
+def _q_doc_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (operators/mixing.py:leakage_safe_split): near-dup clusters from the
+    verified pair graph, every member assigned by its cluster
+    representative's hash so no cluster can span splits. Emits per-split
+    doc/cluster counts plus the cross-split leak count — pinned 0 not by
+    assumption but by a real countDistinct-per-rep check. Oracle replays
+    union-find, rep hashing, and the bucket thresholds
+    (oracle_ref.py:oracle_doc_leakage_split)."""
+    from deeptime_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        verify_candidates_jaccard,
+    )
+    from deeptime_spark.operators.mixing import leakage_safe_split
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8).persist()
+    cands.count()
+    pairs = verify_candidates_jaccard(
+        cands, docs, threshold=0.2, candidates_materialized=True
+    )
+    assigned = leakage_safe_split(
+        docs, pairs.select("id_a", "id_b"), train_pct=90, val_pct=5, seed=7
+    ).persist()
+    leaks = (
+        assigned.groupBy("cluster_rep")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .where(F.col("_ns") > 1)
+        .count()
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").alias("n_clusters"),
+        F.lit(leaks).cast("long").alias("leaked_clusters"),
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3048,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sparse_cosine": _q_doc_sparse_cosine,
         "corpus_profile": _q_corpus_profile,
         "corpus_snapshot_diff": _q_corpus_snapshot_diff,
+        "doc_leakage_split": _q_doc_leakage_split,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

@@ -124,3 +124,50 @@ def stratified_sample(
     else:
         rate = F.lit(default_ppm)
     return docs.where(deterministic_keep(F.col(key_col), rate, salt))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deterministic train/val/test assignment that can NOT leak across
+    near-duplicate clusters: every document is assigned by hashing its
+    duplicate-cluster REPRESENTATIVE (the component minimum from the
+    verified near-dup pair graph; singleton docs represent themselves),
+    so all members of a cluster land in the same split by construction —
+    the standard guard against eval contamination by paraphrase/clone
+    (pairs come from any of the dedup family's verified-pair pipelines).
+
+    Content-addressed like the rest of the mixing surface: the split is
+    a pure function of (cluster rep, seed) via xxhash64 — layout- and
+    rerun-independent, offline-auditable in any engine with the hash
+    replica. Returns ``docs`` + ``(cluster_rep, split)``.
+    """
+    from deeptime_spark.operators.dedup import connected_components
+
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("invalid split percentages")
+    cc = connected_components(pairs, id_a, id_b).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_rep")
+    )
+    rep = F.coalesce(F.col("cluster_rep"), F.col(id_col))
+    bucket = F.pmod(
+        F.xxhash64(
+            F.concat(rep.cast("string"), F.lit(":"), F.lit(str(seed)))
+        ),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.join(cc, id_col, "left").withColumn(
+        "cluster_rep", rep
+    ).withColumn("split", split)

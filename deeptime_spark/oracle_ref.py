@@ -2146,3 +2146,54 @@ def oracle_doc_sparse_cosine() -> str:
 
 
 _BUILDERS["doc_sparse_cosine"] = oracle_doc_sparse_cosine
+
+
+def oracle_doc_leakage_split() -> str:
+    """Leakage-safe split replica: union-find over the verified pair set
+    (same machinery as oracle_dedup_components), cluster rep = component
+    min (singletons self), split = xxhash64(f'{rep}:7') bucket with
+    90/5/5 thresholds."""
+    sf = sf_dir()
+    pairs, _ = _minhash_candidates(sf)
+    grams = {i: _word_ngram_set(t) for i, t in _docs(sf)}
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        ga, gb = grams[a], grams[b]
+        if len(ga & gb) / max(len(ga | gb), 1) >= 0.2:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    from deeptime_spark.spark_hashes import xxhash64
+
+    stats: dict = {}
+    split_by_rep: dict = {}
+    for i, _ in _docs(sf):
+        rep = find(i) if i in parent else i
+        # Python % on the SIGNED hash == Spark pmod (non-negative result)
+        bucket = xxhash64(f"{rep}:7".encode()) % 100
+        split = "train" if bucket < 90 else ("val" if bucket < 95 else "test")
+        s = stats.setdefault(split, [0, set()])
+        s[0] += 1
+        s[1].add(rep)
+        split_by_rep.setdefault(rep, set()).add(split)
+    leaks = sum(1 for v in split_by_rep.values() if len(v) > 1)
+    rows = [
+        (split, n, len(reps), leaks)
+        for split, (n, reps) in sorted(stats.items())
+    ]
+    return _values_sql(
+        rows, ["split", "n_docs", "n_clusters", "leaked_clusters"], "sbbb"
+    )
+
+
+_BUILDERS["doc_leakage_split"] = oracle_doc_leakage_split

@@ -78,3 +78,60 @@ def test_null_keys_never_sampled(spark):
     kept = mixing.sample_deterministic(df, 1_000_000)  # rate = 100%
     ids = [r["doc_id"] for r in kept.collect()]
     assert None not in ids and sorted(ids) == [1, 2]
+
+
+# ------------------------------------------------- leakage-safe split
+
+
+def test_leakage_safe_split_clusters_never_span(spark):
+    from deeptime_spark.operators.mixing import leakage_safe_split
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "s") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    # chain 0-1-2 one cluster; 10-11 another
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, train_pct=60, val_pct=20, seed=3)
+    rows = {r["doc_id"]: (r["cluster_rep"], r["split"]) for r in out.collect()}
+    assert rows[0][1] == rows[1][1] == rows[2][1]
+    assert rows[0][0] == rows[1][0] == rows[2][0] == 0
+    assert rows[10][1] == rows[11][1]
+    assert rows[50][0] == 50  # singleton represents itself
+    # splits roughly follow 60/20/20 across 200 mostly-singleton docs
+    from collections import Counter
+
+    c = Counter(s for _, s in rows.values())
+    assert 0.4 < c["train"] / 200 < 0.8
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_leakage_safe_split_deterministic_across_layouts(spark):
+    from deeptime_spark.operators.mixing import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "s") for i in range(50)], "doc_id long, text string, source string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    a = sorted(map(tuple, leakage_safe_split(docs, pairs).select("doc_id", "split").collect()))
+    b = sorted(
+        map(
+            tuple,
+            leakage_safe_split(docs.repartition(7), pairs).select("doc_id", "split").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_leakage_safe_split_validation(spark):
+    import pytest as _pytest
+
+    from deeptime_spark.operators.mixing import leakage_safe_split
+
+    docs = spark.createDataFrame([(1, "t", "s")], "doc_id long, text string, source string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, train_pct=80, val_pct=30)
