@@ -1102,6 +1102,34 @@ def _q_doc_leakage_split(spark, sf_dir):
     )
 
 
+def _q_event_kmv_quantiles(spark, sf_dir):
+    """Deterministic bottom-k reservoir + quantile sketch
+    (operators/sketches.py:bottomk_sample/bottomk_quantiles): the 256
+    rows with the smallest xxhash64(event_id) per event_type form a
+    content-addressed uniform sample (Spark's WindowGroupLimit pushes
+    the per-partition partial top-k BEFORE the shuffle — plan-pinned);
+    nearest-rank quantiles of the sampled values are exact copies of
+    input doubles, so the oracle replays sample membership and quantile
+    selection bit-for-bit (oracle_ref.py:oracle_event_kmv_quantiles)."""
+    from deeptime_spark.operators.sketches import bottomk_quantiles
+
+    events = _read(spark, sf_dir, "events")
+    rows = bottomk_quantiles(
+        events, "event_id", "value", ["event_type"], k=256,
+        quantiles=(0.25, 0.5, 0.75, 0.9),
+    )
+    out = [
+        (d["event_type"], int(d["n_sample"]), float(d["q25"]), float(d["q50"]),
+         float(d["q75"]), float(d["q90"]))
+        for d in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_sample long, q25 double, q50 double, "
+        "q75 double, q90 double",
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3086,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _q_corpus_profile,
         "corpus_snapshot_diff": _q_corpus_snapshot_diff,
         "doc_leakage_split": _q_doc_leakage_split,
+        "event_kmv_quantiles": _q_event_kmv_quantiles,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

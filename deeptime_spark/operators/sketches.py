@@ -61,6 +61,8 @@ __all__ = [
     "cms_positions",
     "cms_build",
     "cms_estimate",
+    "bottomk_sample",
+    "bottomk_quantiles",
 ]
 
 _MASK32 = 0xFFFFFFFF
@@ -392,3 +394,74 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+# ------------------------------------------------- bottom-k (KMV) sample
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic uniform sample without replacement: the ``k`` rows
+    with the smallest ``xxhash64(key)`` per group — a content-addressed
+    reservoir (KMV bottom-k sketch).  Reruns, layout changes, and
+    incremental recomputes all pick the SAME sample; two shards' samples
+    merge by re-applying bottom-k to their union (the sketch is a
+    monoid under that combine).
+
+    Spark shape: ``row_number`` over (hash, key) per group + ``<= k``
+    filter.  Spark's rank-limit pushdown (WindowGroupLimit) inserts a
+    per-partition partial top-k BEFORE the shuffle, so each map task
+    ships at most ``k`` rows per group — pinned in tests/test_plans.py.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols or [])
+    payload_cols = list(payload_cols or [c for c in df.columns if c not in group_cols])
+    h = F.xxhash64(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(*group_cols, *payload_cols)
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.9),
+) -> list[dict]:
+    """Approximate per-group quantiles of ``value_col`` from the
+    deterministic bottom-k sample: nearest-rank (ceil) quantiles of the
+    sorted sample values, computed on the driver over the ≤ ``k * groups``
+    collected sample rows.  Error is the sampling error of a uniform
+    k-sample — distribution-free, and reproducible to the last bit
+    because the sample itself is content-addressed."""
+    import math as _math
+
+    group_cols = list(group_cols or [])
+    sample = bottomk_sample(df, key_col, group_cols, k, [value_col])
+    by_group: dict = {}
+    for r in sample.collect():
+        gkey = tuple(r[c] for c in group_cols)
+        by_group.setdefault(gkey, []).append(r[value_col])
+    out = []
+    for gkey in sorted(by_group):
+        vals = sorted(by_group[gkey])
+        n = len(vals)
+        d = dict(zip(group_cols, gkey))
+        d["n_sample"] = n
+        for q in quantiles:
+            d[f"q{int(q * 100)}"] = vals[max(_math.ceil(q * n) - 1, 0)]
+        out.append(d)
+    return out

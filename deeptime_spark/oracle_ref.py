@@ -2197,3 +2197,35 @@ def oracle_doc_leakage_split() -> str:
 
 
 _BUILDERS["doc_leakage_split"] = oracle_doc_leakage_split
+
+
+def oracle_event_kmv_quantiles() -> str:
+    """Bottom-k sample replica: order every event by (signed
+    xxhash64(str(event_id)), event_id), keep 256 per type, nearest-rank
+    quantiles of the sampled values — the values are exact copies of
+    the parquet doubles, no arithmetic."""
+    import math
+
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows_in = con.execute(
+        f"SELECT event_type, event_id, value FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    by_type: dict = {}
+    for et, eid, v in rows_in:
+        by_type.setdefault(et, []).append((xxhash64(str(int(eid)).encode()), int(eid), float(v)))
+    out = []
+    for et in sorted(by_type):
+        sample = sorted(by_type[et])[:256]
+        vals = sorted(v for _, _, v in sample)
+        n = len(vals)
+        qs = [vals[max(math.ceil(q * n) - 1, 0)] for q in (0.25, 0.5, 0.75, 0.9)]
+        out.append((et, n, *qs))
+    return _values_sql(
+        out, ["event_type", "n_sample", "q25", "q50", "q75", "q90"], "sbdddd"
+    )
+
+
+_BUILDERS["event_kmv_quantiles"] = oracle_event_kmv_quantiles

@@ -491,3 +491,14 @@ def test_bm25_topk_is_take_ordered_not_global_sort(spark):
     plan = plan_of(bm25_search(docs, "hash join fast scan table", k=15))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_bottomk_sample_uses_window_group_limit(spark):
+    """Bottom-k sampling must plan with WindowGroupLimit (partial top-k
+    before the shuffle) — each map task ships at most k rows per group."""
+    from deeptime_spark.operators.sketches import bottomk_sample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(bottomk_sample(ev, "event_id", ["event_type"], k=64, payload_cols=["value"]))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "EvalPython" not in plan

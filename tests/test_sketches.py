@@ -212,3 +212,59 @@ def test_cms_sketch_bounded(spark):
 def test_cms_validation(spark):
     with pytest.raises(ValueError):
         cms_build(spark.range(3).select(F.col("id").cast("string").alias("v")), "v", 0, 2)
+
+
+# --------------------------------------------- bottom-k (KMV) sampling
+
+from deeptime_spark.operators.sketches import bottomk_quantiles, bottomk_sample
+
+
+def test_bottomk_sample_matches_python_order(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("payload")
+    )
+    got = sorted(r["key"] for r in bottomk_sample(df, "key", [], k=50).collect())
+    exp = sorted(
+        sorted(range(500), key=lambda i: (xxhash64(str(i).encode()), i))[:50]
+    )
+    assert got == exp
+
+
+def test_bottomk_sample_is_merge_stable(spark):
+    # bottom-k of the union == bottom-k of (bottom-k(A) U bottom-k(B))
+    a = spark.range(0, 300).select(F.col("id").alias("key"))
+    b = spark.range(300, 600).select(F.col("id").alias("key"))
+    merged = bottomk_sample(
+        bottomk_sample(a, "key", [], 40).unionAll(bottomk_sample(b, "key", [], 40)),
+        "key", [], 40,
+    )
+    full = bottomk_sample(a.unionAll(b), "key", [], 40)
+    assert sorted(r["key"] for r in merged.collect()) == sorted(
+        r["key"] for r in full.collect()
+    )
+
+
+def test_bottomk_layout_invariance(spark):
+    df = spark.range(1000).select(F.col("id").alias("key"))
+    a = sorted(r["key"] for r in bottomk_sample(df, "key", [], 64).collect())
+    b = sorted(r["key"] for r in bottomk_sample(df.repartition(11), "key", [], 64).collect())
+    assert a == b
+
+
+def test_bottomk_quantiles_near_truth(spark):
+    # uniform values 0..9999: sampled quantiles should sit near the true ones
+    df = spark.range(10000).select(
+        F.col("id").alias("key"), F.col("id").cast("double").alias("v")
+    )
+    rows = bottomk_quantiles(df, "key", "v", [], k=512, quantiles=(0.5,))
+    q50 = rows[0]["q50"]
+    assert rows[0]["n_sample"] == 512
+    assert abs(q50 - 5000) < 800  # ~4% sampling error band at k=512
+
+
+def test_bottomk_validation(spark):
+    import pytest as _pytest
+
+    df = spark.range(5).select(F.col("id").alias("key"))
+    with _pytest.raises(ValueError):
+        bottomk_sample(df, "key", [], k=0)

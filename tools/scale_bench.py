@@ -69,6 +69,8 @@ QUERIES = [
     "token_pack_sequences", "shards_roundtrip",
     "doc_hll_shingles", "doc_bloom_decontaminate", "doc_cms_word_counts",
     "doc_bm25_search", "doc_sparse_cosine",
+    # round-6 late: profiling, snapshot diff, leakage-safe split
+    "corpus_profile", "corpus_snapshot_diff", "doc_leakage_split",
 ]
 
 
