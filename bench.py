@@ -103,6 +103,9 @@ HEADLINE = [
     "doc_cms_word_counts",
     "doc_bm25_search",
     "doc_sparse_cosine",
+    "corpus_profile",
+    "corpus_snapshot_diff",
+    "event_kmv_quantiles",
 ]
 
 
