@@ -1130,6 +1130,40 @@ def _q_event_kmv_quantiles(spark, sf_dir):
     )
 
 
+def _q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental dedup against a PERSISTED signature index
+    (operators/dedup.py:write_signature_index/probe_signature_index):
+    the corpus' old split (doc_id%3 != 0) is signed once and written as
+    a band_idx-partitioned parquet index; the new delta (doc_id%3 == 0)
+    is signed and band-joined against the stored relation — the
+    production daily-delta pattern that never re-signs the corpus. The
+    emitted est_jaccard is an exact integer ratio; the oracle replays
+    signatures, banding, bucket joins, and agreement
+    (oracle_ref.py:oracle_doc_incremental_dedup)."""
+    import tempfile
+
+    from deeptime_spark.operators.dedup import (
+        probe_signature_index,
+        write_signature_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="sig_idx_")
+    idx = tmp + "/index"
+    try:
+        write_signature_index(old, idx, n_hashes=32, bands=8)
+        res = probe_signature_index(spark, new, idx, threshold=0.5, n_hashes=32, bands=8).select(
+            "new_id", "old_id", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
+        )
+        schema = res.schema
+        rows = res.collect()
+    finally:
+        _rmtree_quiet(tmp)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3115,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": _q_corpus_snapshot_diff,
         "doc_leakage_split": _q_doc_leakage_split,
         "event_kmv_quantiles": _q_event_kmv_quantiles,
+        "doc_incremental_dedup": _q_doc_incremental_dedup,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

@@ -1092,3 +1092,107 @@ def drop_duplicate_lines_across_docs(
             .alias("n_lines_dropped"),
         )
     )
+
+
+# --------------------------------------- persistent signature index
+
+
+def _banded_signature_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, minhash, band_idx, band_hash) — the LSH banding relation
+    (same expressions as minhash_lsh_candidates' banding stage)."""
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    sig = minhash_signatures_df(df, text_col, id_col, n_hashes, shingle_k)
+    return sig.select(
+        id_col,
+        "minhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("minhash", i * r + 1, r).cast("string"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def write_signature_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> None:
+    """Persist the banded MinHash signature relation as a parquet index.
+
+    The production incremental-dedup pattern: sign the existing corpus
+    ONCE, then probe each incoming delta against the stored index —
+    at 100 TB re-signing the full corpus per delta is the cost that
+    kills naive pipelines; the index read is |corpus| x n_hashes longs,
+    and the band join touches only matching buckets. Partitioned by
+    band_idx so a partial-band probe (or a band-parallel compaction)
+    prunes directories; for co-located band joins at cluster scale,
+    bucketBy(band_hash) into a table is the zero-exchange upgrade."""
+    _banded_signature_rows(df, text_col, id_col, n_hashes, bands, shingle_k).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(path)
+
+
+def probe_signature_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-duplicates of a NEW document batch against the stored index:
+    ``(new_id, old_id, est_jaccard)`` for pairs sharing any LSH band
+    with signature agreement >= threshold.
+
+    Only the delta is signed (the index side is a parquet scan); the
+    band join is an equi-join on (band_idx, band_hash) — when the delta
+    is small Spark broadcasts it, so the index streams once with no
+    shuffle. est_jaccard is matching-components/n_hashes — an exact
+    integer ratio, bit-reproducible."""
+    old = spark.read.parquet(path).select(
+        F.col(id_col).alias("old_id"),
+        F.col("minhash").alias("_mh_old"),
+        "band_idx",
+        "band_hash",
+    )
+    new = _banded_signature_rows(
+        new_docs, text_col, id_col, n_hashes, bands, shingle_k
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.col("minhash").alias("_mh_new"),
+        "band_idx",
+        "band_hash",
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("_mh_new", "_mh_old", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(n_hashes)
+    return (
+        new.join(old, ["band_idx", "band_hash"])
+        .dropDuplicates(["new_id", "old_id"])
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "old_id", "est_jaccard")
+    )

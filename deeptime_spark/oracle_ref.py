@@ -2229,3 +2229,38 @@ def oracle_event_kmv_quantiles() -> str:
 
 
 _BUILDERS["event_kmv_quantiles"] = oracle_event_kmv_quantiles
+
+
+def oracle_doc_incremental_dedup() -> str:
+    """Incremental-dedup replica: same signatures/banding as
+    oracle_minhash_bands (_minhash_sigs), buckets split into old
+    (doc_id%3 != 0) and new (doc_id%3 == 0) membership, (new, old)
+    pairs for every shared bucket (NO cap — the probe join has none),
+    est = exact agreement ratio, threshold 0.5."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sf = sf_dir()
+    sigs = _minhash_sigs(sf, 32)
+    bands, r = 8, 4
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            block = sig[b * r : (b + 1) * r]
+            key_str = "[" + ", ".join(str(int(v)) for v in block) + "]"
+            buckets.setdefault((b, xxhash64(key_str.encode())), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        new_ids = [i for i in members if i % 3 == 0]
+        old_ids = [i for i in members if i % 3 != 0]
+        for n in new_ids:
+            for o in old_ids:
+                pairs.add((n, o))
+    rows = []
+    for n, o in sorted(pairs):
+        est = float(np.sum(sigs[n] == sigs[o])) / 32.0
+        if est >= 0.5:
+            rows.append((n, o, _spark_round(est, 6)))
+    return _values_sql(rows, ["new_id", "old_id", "est_jaccard"], "bbd")
+
+
+_BUILDERS["doc_incremental_dedup"] = oracle_doc_incremental_dedup

@@ -1236,3 +1236,62 @@ def test_pack_token_sequences_semantics(spark):
     # mean anything: at least one straddling sequence and a short tail
     assert any(n > 1 for (toks, n, _) in expected.values())
     assert any(len(toks) < 4 for (toks, n, _) in expected.values())
+
+
+# ------------------------------------------ persistent signature index
+
+
+def test_signature_index_roundtrip_matches_direct(spark, tmp_path):
+    """Probing a written index must find the same (new, old) near-dup
+    pairs as direct in-memory banding over the combined corpus."""
+    from deeptime_spark.operators.dedup import (
+        _banded_signature_rows,
+        probe_signature_index,
+        write_signature_index,
+    )
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + (f" tail{i}" if i % 2 else ""), "s") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    old = docs.where("doc_id % 3 != 0")
+    new = docs.where("doc_id % 3 = 0")
+    idx = str(tmp_path / "idx")
+    write_signature_index(old, idx, n_hashes=32, bands=8)
+    got = {
+        (r["new_id"], r["old_id"])
+        for r in probe_signature_index(spark, new, idx, threshold=0.3, n_hashes=32, bands=8).collect()
+    }
+    # direct reference: band rows of both sides joined in memory
+    nb = _banded_signature_rows(new, n_hashes=32, bands=8).select(
+        F.col("doc_id").alias("new_id"), F.col("minhash").alias("_a"), "band_idx", "band_hash"
+    )
+    ob = _banded_signature_rows(old, n_hashes=32, bands=8).select(
+        F.col("doc_id").alias("old_id"), F.col("minhash").alias("_b"), "band_idx", "band_hash"
+    )
+    est = F.size(
+        F.filter(F.zip_with("_a", "_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    ) / F.lit(32)
+    exp = {
+        (r["new_id"], r["old_id"])
+        for r in nb.join(ob, ["band_idx", "band_hash"])
+        .dropDuplicates(["new_id", "old_id"])
+        .where(est >= 0.3)
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_signature_index_partitioned_by_band(spark, tmp_path):
+    import os
+
+    from deeptime_spark.operators.dedup import write_signature_index
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with words", "s") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    idx = str(tmp_path / "idx")
+    write_signature_index(docs, idx, n_hashes=32, bands=8)
+    subdirs = {d for d in os.listdir(idx) if d.startswith("band_idx=")}
+    assert len(subdirs) == 8
