@@ -106,6 +106,7 @@ HEADLINE = [
     "corpus_profile",
     "corpus_snapshot_diff",
     "event_kmv_quantiles",
+    "doc_incremental_dedup",
 ]
 
 

@@ -417,6 +417,11 @@ def bottomk_sample(
     filter.  Spark's rank-limit pushdown (WindowGroupLimit) inserts a
     per-partition partial top-k BEFORE the shuffle, so each map task
     ships at most ``k`` rows per group — pinned in tests/test_plans.py.
+
+    ``key_col`` must be unique per row within each group: the total
+    order is (hash(key), key), so duplicate keys make membership among
+    those duplicates tie-broken arbitrarily (everything else stays
+    deterministic).
     """
     if k <= 0:
         raise ValueError("k must be positive")
