@@ -278,6 +278,69 @@ def main() -> int:
     results["web_host_stats"] = {"single_node_s": round(t_single, 3),
                                  "engine_s": round(spark_time("web_host_stats"), 3)}
 
+    # ---- HLL distinct shingles per lang (r6 sketch layer) -------------
+    # single-node reference: numpy-vectorized XXH64 over the shingle
+    # sets (the best honest one-core implementation — the same
+    # vectorized hash kernel the oracle replicas use), then register
+    # max-rho + the Flajolet finish.
+    docs_lang = con.execute(
+        f"SELECT lang, text FROM read_parquet('{sf_single}/documents.parquet')"
+    ).fetchall()
+
+    def single_hll(p=12):
+        import math
+
+        from deeptime_spark.spark_hashes import xxhash64, xxhash64_fixed
+
+        W, m = 64 - p, 1 << p
+        sets: dict = {}
+        for lang, t in docs_lang:
+            sets.setdefault(lang, set()).update(
+                oracle_ref._shingle_set(oracle_ref._norm_text(t or ""))
+            )
+        out = {}
+        for lang, sh in sets.items():
+            by_len: dict = {}
+            for s in sh:
+                b = s.encode()
+                by_len.setdefault(len(b), []).append(b)
+            hs = []
+            for L, items in by_len.items():
+                if L < 32:
+                    arr = np.frombuffer(b"".join(items), dtype=np.uint8).reshape(len(items), L)
+                    hs.append(xxhash64_fixed(arr).astype(np.uint64))
+                else:
+                    hs.append(np.array([xxhash64(b) for b in items]).astype(np.uint64))
+            h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+            idx = (h >> np.uint64(W)).astype(np.int64)
+            w = (h & np.uint64((1 << W) - 1)).astype(np.uint64)
+            rho = np.where(w == 0, W + 1, W - np.floor(np.log2(np.maximum(w, 1))).astype(np.int64))
+            regs = np.zeros(m, dtype=np.int64)
+            np.maximum.at(regs, idx, rho)
+            Z = np.sum(np.power(2.0, -regs.astype(np.float64)))
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+            E = alpha * m * m / Z
+            V = int(np.sum(regs == 0))
+            if E <= 2.5 * m and V > 0:
+                E = m * math.log(m / V)
+            out[lang] = E
+        return out
+
+    t_single, _ = timed(single_hll)
+    results["doc_hll_shingles"] = {"single_node_s": round(t_single, 3),
+                                   "engine_s": round(spark_time("doc_hll_shingles"), 3)}
+
+    # ---- BM25 top-k (r6 retrieval layer) ------------------------------
+    # single-node reference: the full oracle replica (tokenize, df/dl
+    # tables, idf, score, top-k) — plain Python over the corpus.
+    def single_bm25():
+        return oracle_ref.oracle_doc_bm25_search()
+
+    oracle_ref._docs(sf_single)  # exclude the one-time data load from the timing
+    t_single, _ = timed(single_bm25)
+    results["doc_bm25_search"] = {"single_node_s": round(t_single, 3),
+                                  "engine_s": round(spark_time("doc_bm25_search"), 3)}
+
     print(json.dumps({"sf_dir": sf, "results": results}))
     return 0
 
