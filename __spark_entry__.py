@@ -1164,6 +1164,50 @@ def _q_doc_incremental_dedup(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_streaming_incremental_dedup(spark, sf_dir):
+    """Streaming face of the incremental-dedup index
+    (streaming/accumulate.py:streaming_probe_signature_index): the old
+    split's signature index is written once; the new split arrives as 4
+    micro-batches and each is signed + probed inside foreachBatch, with
+    matches appended to parquet. Probing is per-document independent,
+    so the union of per-batch results MUST equal the one-shot batch
+    probe — the oracle is the batch replica verbatim
+    (oracle_doc_incremental_dedup)."""
+    import tempfile
+
+    from deeptime_spark.operators.dedup import write_signature_index
+    from deeptime_spark.streaming.accumulate import streaming_probe_signature_index
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="sig_stream_")
+    idx, src, out, ckpt = (tmp + s for s in ("/index", "/src", "/out", "/ckpt"))
+    try:
+        write_signature_index(old, idx, n_hashes=32, bands=8)
+        new.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_probe_signature_index(
+            spark, stream, idx, out, threshold=0.5, n_hashes=32, bands=8,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(out).select(
+            "new_id", "old_id", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
+        )
+        schema = res.schema
+        rows = res.collect()
+    finally:
+        _rmtree_quiet(tmp)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3150,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_leakage_split": _q_doc_leakage_split,
         "event_kmv_quantiles": _q_event_kmv_quantiles,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,

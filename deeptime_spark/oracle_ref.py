@@ -2264,3 +2264,7 @@ def oracle_doc_incremental_dedup() -> str:
 
 
 _BUILDERS["doc_incremental_dedup"] = oracle_doc_incremental_dedup
+
+
+# streaming replay of the index probe must equal the batch probe
+_BUILDERS["streaming_incremental_dedup"] = oracle_doc_incremental_dedup

@@ -203,3 +203,41 @@ def streaming_session_counts(
         stream_df.groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def streaming_probe_signature_index(
+    spark,
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    checkpoint: Optional[str] = None,
+):
+    """Incremental dedup over a DOCUMENT STREAM: each micro-batch of
+    arriving documents is signed and probed against the persisted
+    signature index (operators/dedup.py:probe_signature_index) inside
+    ``foreachBatch``, and the matches append to ``out_path`` as parquet.
+
+    This is the streaming face of the daily-delta pattern: the index is
+    static (signed once), per-batch work is proportional to the batch,
+    and because probing is per-document independent the union of
+    per-batch results equals the one-shot batch probe — the equivalence
+    the harness query pins against the batch oracle.  Returns the
+    started StreamingQuery (``availableNow`` trigger)."""
+    from deeptime_spark.operators.dedup import probe_signature_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        probe_signature_index(
+            spark, batch_df, index_path, threshold, n_hashes=n_hashes, bands=bands
+        ).write.mode("append").parquet(out_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
