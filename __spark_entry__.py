@@ -1208,6 +1208,19 @@ def _q_streaming_incremental_dedup(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_doc_novelty(spark, sf_dir):
+    """Contribution/novelty scoring (operators/text.py:novelty_scores):
+    per-doc fraction of distinct word trigrams first seen in THIS doc
+    (lowest-id owner), integer-scaled to ppm with integer DIV so the
+    result is exact. One explode + one min-agg + one join back — the
+    first-owner table is O(gram vocab). PURE-SQL DuckDB oracle (list
+    comprehension replay of the gram extraction)."""
+    from deeptime_spark.operators.text import novelty_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return novelty_scores(docs, n=3)
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3195,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_kmv_quantiles": _q_event_kmv_quantiles,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "streaming_incremental_dedup": _q_streaming_incremental_dedup,
+        "doc_novelty": _q_doc_novelty,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,
@@ -3591,6 +3605,31 @@ WITH new AS (
 SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id
 FROM d GROUP BY status
+""",
+        "doc_novelty": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text,''))), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), gr AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t)-1)) AS u(i)
+  WHERE len(t) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS g
+  FROM toks WHERE len(t) < 3
+), fo AS (
+  SELECT g, MIN(doc_id) AS first_owner FROM gr GROUP BY g
+), pd AS (
+  SELECT gr.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN fo.first_owner = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM gr JOIN fo USING (g) GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
+FROM pd
 """,
         "event_json_stats": r"""
 SELECT event_type,

@@ -880,3 +880,43 @@ def quality_classifier_scores_df(
             )
 
     return src.mapInPandas(score, schema=schema)
+
+
+def novelty_scores(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of the document's distinct
+    word ``n``-grams whose FIRST corpus occurrence (lowest id) is this
+    document — the contribution-scoring signal dedup-aware samplers use
+    to down-weight documents that mostly restate earlier ones (a 0.0
+    score = every gram already seen in an earlier doc; 1.0 = all new).
+
+    Spark shape: one gram explode, one ``min(id)`` hash aggregate over
+    grams (map-side partials; the first-owner table is O(gram vocab)),
+    one join back, one per-doc count — no self-joins, no windows over
+    the corpus.  The ratio is emitted integer-scaled
+    (``novel * 1e6 div total``) so the result is exact and
+    engine-portable.  Returns ``(id, n_grams, n_novel, novelty_ppm)``.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    first_owner = grams.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    per_doc = (
+        grams.join(first_owner, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long")).alias("n_novel"),
+        )
+    )
+    # integer DIV, not fp division + cast: exact and engine-portable
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        F.expr("(n_novel * 1000000L) DIV n_grams").alias("novelty_ppm"),
+    )

@@ -1295,3 +1295,32 @@ def test_signature_index_partitioned_by_band(spark, tmp_path):
     write_signature_index(docs, idx, n_hashes=32, bands=8)
     subdirs = {d for d in os.listdir(idx) if d.startswith("band_idx=")}
     assert len(subdirs) == 8
+
+
+def test_novelty_scores_first_occurrence_semantics(spark):
+    from deeptime_spark.operators.text import novelty_scores
+
+    rows = [
+        (1, "alpha beta gamma delta", "s"),      # all grams first-seen here
+        (2, "alpha beta gamma delta", "s"),      # exact clone -> novelty 0
+        (3, "alpha beta gamma epsilon zeta", "s"),  # partial overlap
+        (4, "xy", "s"),                          # <3 tokens -> whole-text gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in novelty_scores(docs, n=3).collect()}
+    assert out[1]["novelty_ppm"] == 1_000_000
+    assert out[2]["novelty_ppm"] == 0
+    assert out[4]["n_grams"] == 1 and out[4]["novelty_ppm"] == 1_000_000
+    # doc 3: grams = {a b g, b g e, g e z}; 'alpha beta gamma' seen in doc 1
+    assert out[3]["n_grams"] == 3 and out[3]["n_novel"] == 2
+    assert out[3]["novelty_ppm"] == 666_666
+
+
+def test_novelty_layout_invariance(spark):
+    from deeptime_spark.operators.text import novelty_scores
+
+    rows = [(i, f"w{i%4} w{(i+1)%4} w{(i+2)%4} w{(i+3)%4}", "s") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, novelty_scores(docs).collect()))
+    b = sorted(map(tuple, novelty_scores(docs.repartition(7)).collect()))
+    assert a == b
