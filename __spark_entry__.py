@@ -1221,6 +1221,22 @@ def _q_doc_novelty(spark, sf_dir):
     return novelty_scores(docs, n=3)
 
 
+def _q_event_funnel(spark, sf_dir):
+    """Ordered funnel (operators/stats.py:funnel_stages): deepest
+    view -> click -> purchase stage per user under strict temporal
+    progression with a 1-day conversion window, summarized as users per
+    stage. One conditional min(ts) aggregate per step over shrinking
+    user sets — no windows over the event stream, no per-user sorting.
+    PURE-SQL DuckDB oracle (same CTE chain)."""
+    from deeptime_spark.operators.stats import funnel_stages
+
+    events = _read(spark, sf_dir, "events")
+    st = funnel_stages(
+        events, ["view", "click", "purchase"], max_gap_seconds=86400
+    )
+    return st.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3209,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "doc_novelty": _q_doc_novelty,
+        "event_funnel": _q_event_funnel,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,
@@ -3630,6 +3647,25 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(n_novel AS BIGINT) AS n_novel,
        CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
 FROM pd
+""",
+        "event_funnel": r"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+         AND e.ts <= s1.t + INTERVAL 86400 SECOND GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+         AND e.ts <= s2.t + INTERVAL 86400 SECOND GROUP BY 1)
+SELECT stage, COUNT(*) AS n_users FROM (
+  SELECT u.user_id,
+         CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                   WHEN s2.user_id IS NOT NULL THEN 2
+                   WHEN s1.user_id IS NOT NULL THEN 1
+                   ELSE 0 END AS BIGINT) AS stage
+  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)
+) GROUP BY stage
 """,
         "event_json_stats": r"""
 SELECT event_type,

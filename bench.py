@@ -107,6 +107,8 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "event_kmv_quantiles",
     "doc_incremental_dedup",
+    "doc_novelty",
+    "event_funnel",
 ]
 
 

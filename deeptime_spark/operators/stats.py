@@ -125,3 +125,64 @@ def confidence_interval_df(
         F.percentile(F.col(value_col), F.lit(1.0 - lo)).alias("ci_hi"),
         F.mean(F.col(value_col)).alias("ci_mean"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the deepest stage of
+    ``steps`` reached by STRICT temporal progression — stage ``i`` is
+    reached iff an event of type ``steps[i-1]`` occurs strictly after
+    the earliest time stage ``i-1`` was reached (first-touch
+    semantics; simultaneous events do not advance the funnel), and,
+    with ``max_gap_seconds``, no later than that many seconds after it
+    (standard conversion-window semantics).
+    Returns ``(user_col, stage)`` with stage 0 = none of the steps.
+
+    Spark shape: one conditional ``min(ts)`` aggregate per step, each
+    chained through an equi-join on the user key — |steps| hash
+    aggregates over progressively SHRINKING user sets, no windows over
+    the event stream and no per-user sorting; at 100 TB each stage is
+    a map-side-partial min on the already-filtered event subset.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    users = events.select(user_col).distinct()
+    stage_frames = []
+    cur = None
+    for i, step in enumerate(steps):
+        e = events.where(F.col(type_col) == step)
+        if cur is None:
+            nxt = e.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cond = F.col(ts_col) > F.col("_t")
+            if max_gap_seconds is not None:
+                # conversion window: the step must land within max_gap
+                # of the previous stage's first touch
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col("_t")
+                    + F.expr(f"INTERVAL {int(max_gap_seconds)} SECOND")
+                )
+            nxt = (
+                e.join(cur, user_col)
+                .where(cond)
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        stage_frames.append(
+            nxt.select(user_col, F.lit(i + 1).alias(f"_s{i + 1}"))
+        )
+        cur = nxt
+    out = users
+    for i, sf in enumerate(stage_frames):
+        out = out.join(sf, user_col, "left")
+    stage = F.lit(0)
+    for i in range(len(steps)):
+        stage = F.when(F.col(f"_s{i + 1}").isNotNull(), F.lit(i + 1)).otherwise(stage)
+    return out.select(user_col, stage.cast("long").alias("stage"))

@@ -169,3 +169,48 @@ def test_approx_sketches_within_bounds(spark):
     assert abs(row["approx_users"] - row["exact_users"]) <= 0.06 * row["exact_users"]
     for a, e in zip(row["approx_q"], row["exact_q"]):
         assert abs(a - e) <= max(0.05 * abs(e), 1e-9)
+
+
+# ------------------------------------------------------- funnel stages
+
+
+def test_funnel_strict_progression_and_window(spark):
+    import datetime as dt
+
+    from deeptime_spark.operators.stats import funnel_stages
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return (uid, typ, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # user 1: full funnel in order
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # user 2: purchase BEFORE click -> stops at stage 2
+        ev(2, "view", 0), ev(2, "purchase", 5), ev(2, "click", 10),
+        # user 3: click only -> stage 0 (no view)
+        ev(3, "click", 0),
+        # user 4: simultaneous view+click -> strict > blocks stage 2
+        ev(4, "view", 0), ev(4, "click", 0),
+        # user 5: click arrives after the conversion window
+        ev(5, "view", 0), ev(5, "click", 120),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    st = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(
+            df, ["view", "click", "purchase"], max_gap_seconds=3600
+        ).collect()
+    }
+    assert st == {1: 3, 2: 2, 3: 0, 4: 1, 5: 1}
+
+
+def test_funnel_validation(spark):
+    import pytest as _pytest
+
+    from deeptime_spark.operators.stats import funnel_stages
+
+    df = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    with _pytest.raises(ValueError):
+        funnel_stages(df, [])
