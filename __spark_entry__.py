@@ -1237,6 +1237,19 @@ def _q_event_funnel(spark, sf_dir):
     return st.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def _q_event_retention(spark, sf_dir):
+    """Cohort retention (operators/stats.py:retention_cohorts): users
+    cohorted by first active day; per (cohort_day, offset in {0,1,7}),
+    the count active exactly that many days later. One user-day dedup
+    aggregate, one min-day cohort aggregate, one join, one count —
+    O(user-days) after the first dedup, no event self-joins. PURE-SQL
+    DuckDB oracle."""
+    from deeptime_spark.operators.stats import retention_cohorts
+
+    events = _read(spark, sf_dir, "events")
+    return retention_cohorts(events, offsets=[0, 1, 7])
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3226,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "doc_novelty": _q_doc_novelty,
         "event_funnel": _q_event_funnel,
+        "event_retention": _q_event_retention,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,
@@ -3647,6 +3661,19 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(n_novel AS BIGINT) AS n_novel,
        CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
 FROM pd
+""",
+        "event_retention": r"""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort FROM act GROUP BY 1
+)
+SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
+       CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN first f USING (user_id)
+WHERE a.day - f.cohort IN (0, 1, 7)
+GROUP BY 1, 2
 """,
         "event_funnel": r"""
 WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -109,6 +109,7 @@ HEADLINE = [
     "doc_incremental_dedup",
     "doc_novelty",
     "event_funnel",
+    "event_retention",
 ]
 
 

@@ -186,3 +186,44 @@ def funnel_stages(
     for i in range(len(steps)):
         stage = F.when(F.col(f"_s{i + 1}").isNotNull(), F.lit(i + 1)).otherwise(stage)
     return out.select(user_col, stage.cast("long").alias("stage"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    offsets: list[int] = (0, 1, 7),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by their FIRST active day;
+    for each cohort day and each ``offsets`` day-offset, the number of
+    cohort users active exactly ``offset`` days later.  Returns
+    ``(cohort_day, day_offset, n_users)`` — the classic retention
+    triangle, one row per (cohort, offset).
+
+    Spark shape: the distinct (user, day) activity relation (one
+    dedup aggregate — map-side partials collapse same-day events), a
+    min-day aggregate for the cohort, one equi-join on the user, and a
+    count per (cohort, offset).  No windows, no self-joins over raw
+    events; everything after the first dedup is O(user-days).
+    """
+    act = events.select(
+        F.col(user_col), F.to_date(F.col(ts_col)).alias("_day")
+    ).distinct()
+    first = act.groupBy(user_col).agg(F.min("_day").alias("_cohort"))
+    offs = [int(o) for o in offsets]
+    return (
+        act.join(first, user_col)
+        .select(
+            F.col("_cohort"),
+            F.datediff(F.col("_day"), F.col("_cohort")).alias("day_offset"),
+            F.col(user_col),
+        )
+        .where(F.col("day_offset").isin(offs))
+        .groupBy("_cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("_cohort").cast("string").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_users",
+        )
+    )

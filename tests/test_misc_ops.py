@@ -214,3 +214,31 @@ def test_funnel_validation(spark):
     df = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
     with _pytest.raises(ValueError):
         funnel_stages(df, [])
+
+
+def test_retention_cohorts_semantics(spark):
+    import datetime as dt
+
+    from deeptime_spark.operators.stats import retention_cohorts
+
+    def ev(uid, day):
+        return (uid, "view", dt.datetime(2026, 1, day, 12, 0))
+
+    rows = [
+        ev(1, 1), ev(1, 2), ev(1, 8),    # cohort d1: active at offsets 0,1,7
+        ev(2, 1), ev(2, 3),              # cohort d1: offsets 0,2(ignored)
+        ev(3, 2), ev(3, 3),              # cohort d2: offsets 0,1
+        ev(1, 1),                        # same-day duplicate: no double count
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(df, offsets=[0, 1, 7]).collect()
+    }
+    assert got == {
+        ("2026-01-01", 0): 2,
+        ("2026-01-01", 1): 1,
+        ("2026-01-01", 7): 1,
+        ("2026-01-02", 0): 1,
+        ("2026-01-02", 1): 1,
+    }

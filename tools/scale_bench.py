@@ -71,7 +71,7 @@ QUERIES = [
     "doc_bm25_search", "doc_sparse_cosine",
     # round-6 late: profiling, snapshot diff, leakage-safe split
     "corpus_profile", "corpus_snapshot_diff", "doc_leakage_split",
-    "event_kmv_quantiles", "doc_incremental_dedup", "doc_novelty", "event_funnel",
+    "event_kmv_quantiles", "doc_incremental_dedup", "doc_novelty", "event_funnel", "event_retention",
 ]
 
 
