@@ -502,3 +502,45 @@ def test_bottomk_sample_uses_window_group_limit(spark):
     plan = plan_of(bottomk_sample(ev, "event_id", ["event_type"], k=64, payload_cols=["value"]))
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_funnel_stages_no_python_no_event_windows(spark):
+    """Funnel: chained conditional min aggregates — no window operator
+    over the event stream, no Python eval."""
+    from deeptime_spark.operators.stats import funnel_stages
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(funnel_stages(ev, ["view", "click", "purchase"], max_gap_seconds=3600))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan, plan[:1500]
+
+
+def test_retention_cohorts_no_python(spark):
+    from deeptime_spark.operators.stats import retention_cohorts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(retention_cohorts(ev))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan, plan[:1500]
+
+
+def test_novelty_scores_no_python_bounded_exchanges(spark):
+    """Novelty: gram explode + min-agg + join back — pure codegen, and
+    the exchange count stays fixed (scan-side partials do the work)."""
+    from deeptime_spark.operators.text import novelty_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(novelty_scores(docs))
+    assert "EvalPython" not in plan
+    assert n_exchanges(plan) <= 4, plan[:1500]
+
+
+def test_snapshot_diff_digest_only_join(spark):
+    """Snapshot diff: the join inputs project (id, md5) only — document
+    payloads must not flow through the exchange."""
+    from deeptime_spark.operators.profile import snapshot_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(snapshot_diff(docs, docs.limit(100)))
+    assert "EvalPython" not in plan
+    assert "text#" not in plan.split("Join")[-1][:400]  # no payload past the join
