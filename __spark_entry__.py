@@ -1250,6 +1250,26 @@ def _q_event_retention(spark, sf_dir):
     return retention_cohorts(events, offsets=[0, 1, 7])
 
 
+def _q_event_top_spenders(spark, sf_dir):
+    """Grouped top-k: the 3 highest-value users per event type by
+    integer-cent totals, ranked with a total (cents desc, user asc)
+    order. The per-group limit compiles to WindowGroupLimit (partial
+    top-k before the shuffle); sums are exact BIGINT cents. PURE-SQL
+    DuckDB oracle."""
+    events = _read(spark, sf_dir, "events")
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), F.col("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", F.col("rank").cast("long").alias("rank"), "user_id", "cents")
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3240,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": _q_doc_novelty,
         "event_funnel": _q_event_funnel,
         "event_retention": _q_event_retention,
+        "event_top_spenders": _q_event_top_spenders,
         # --- r02-green lag/text/dedup/similarity block, 3 rounds stale
         # (slots 10-28) ---
         "event_two_step_counts": _q_event_two_step_counts,
@@ -3661,6 +3682,20 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(n_novel AS BIGINT) AS n_novel,
        CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
 FROM pd
+""",
+        "event_top_spenders": r"""
+WITH totals AS (
+  SELECT event_type, user_id,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC, user_id) AS rank
+  FROM totals
+)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, cents
+FROM ranked WHERE rank <= 3
 """,
         "event_retention": r"""
 WITH act AS (
