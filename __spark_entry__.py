@@ -36,7 +36,17 @@ def _rmtree_quiet(*paths: str) -> None:
     import shutil
 
     for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
+        if p:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _drop_view_quiet(spark: SparkSession, sink: str | None) -> None:
+    """finally-block sink cleanup: tolerate a sink that was never created."""
+    if sink:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2223,36 +2233,39 @@ def _q_streaming_sessions(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     src_dir = tempfile.mkdtemp(prefix="sess_src_")
-    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    sess = streaming_session_counts(stream, gap="30 minutes")
-    sink = "sessw_" + uuid.uuid4().hex[:8]
-    ckpt_dir = tempfile.mkdtemp(prefix="sess_ckpt_")
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
-    q.awaitTermination()
-    rows = (
-        spark.table(sink)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.sum("n_events").alias("n_events"),
+    sink = ckpt_dir = None
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
-        .collect()
-    )
-    spark.catalog.dropTempView(sink)
-    _rmtree_quiet(src_dir, ckpt_dir)
+        sess = streaming_session_counts(stream, gap="30 minutes")
+        sink = "sessw_" + uuid.uuid4().hex[:8]
+        ckpt_dir = tempfile.mkdtemp(prefix="sess_ckpt_")
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .collect()
+        )
+    finally:
+        _drop_view_quiet(spark, sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
     return spark.createDataFrame(
         [(int(r["user_id"]), int(r["n_sessions"]), int(r["n_events"])) for r in rows],
         "user_id long, n_sessions long, n_events long",
@@ -2275,37 +2288,40 @@ def _q_streaming_window_counts(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events").select("event_type", "ts")
     src_dir = tempfile.mkdtemp(prefix="winc_src_")
-    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    counts = windowed_event_counts(stream, window_duration="1 hour", watermark="1 hour")
-    sink = "winc_" + uuid.uuid4().hex[:8]
-    ckpt_dir = tempfile.mkdtemp(prefix="winc_ckpt_")
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
-    q.awaitTermination()
-    rows = (
-        spark.table(sink)
-        .select(
-            F.unix_timestamp("window_start").alias("window_start_s"),
-            F.unix_timestamp("window_end").alias("window_end_s"),
-            "event_type",
-            "n",
+    sink = ckpt_dir = None
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
-        .collect()
-    )
-    spark.catalog.dropTempView(sink)
-    _rmtree_quiet(src_dir, ckpt_dir)
+        counts = windowed_event_counts(stream, window_duration="1 hour", watermark="1 hour")
+        sink = "winc_" + uuid.uuid4().hex[:8]
+        ckpt_dir = tempfile.mkdtemp(prefix="winc_ckpt_")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.table(sink)
+            .select(
+                F.unix_timestamp("window_start").alias("window_start_s"),
+                F.unix_timestamp("window_end").alias("window_end_s"),
+                "event_type",
+                "n",
+            )
+            .collect()
+        )
+    finally:
+        _drop_view_quiet(spark, sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
     return spark.createDataFrame(
         [
             (int(r["window_start_s"]), int(r["window_end_s"]), str(r["event_type"]), int(r["n"]))
@@ -2333,34 +2349,37 @@ def _q_streaming_dedup_replay(spark, sf_dir):
     # FileStreamSource requires a directory; expose the single parquet
     # file through a temp dir of symlinks (no data copy).
     src_dir = tempfile.mkdtemp(prefix="dedup_src_")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    kept = streaming_drop_exact_duplicates(stream, text_col="text")
-    sink = "stream_dedup_" + uuid.uuid4().hex[:8]
-    ckpt_dir = tempfile.mkdtemp(prefix="dedup_ckpt_")
-    q = (
-        kept.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
-    q.awaitTermination()
-    row = (
-        spark.table(sink)
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.count_distinct("text").alias("n_distinct_text"),
+    sink = ckpt_dir = None
+    try:
+        os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
-        .collect()[0]
-    )
-    spark.catalog.dropTempView(sink)
-    _rmtree_quiet(src_dir, ckpt_dir)
+        kept = streaming_drop_exact_duplicates(stream, text_col="text")
+        sink = "stream_dedup_" + uuid.uuid4().hex[:8]
+        ckpt_dir = tempfile.mkdtemp(prefix="dedup_ckpt_")
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        row = (
+            spark.table(sink)
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.count_distinct("text").alias("n_distinct_text"),
+            )
+            .collect()[0]
+        )
+    finally:
+        _drop_view_quiet(spark, sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
     return spark.createDataFrame(
         [(int(row["n_kept"]), int(row["n_distinct_text"]))],
         "n_kept long, n_distinct_text long",
@@ -2381,33 +2400,36 @@ def _q_streaming_transition_counts(spark, sf_dir):
 
     traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
     src_dir = tempfile.mkdtemp(prefix="stc_src_")
-    traj.repartition(4, "traj_id").write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    out = streaming_transition_counts(stream)
-    sink = "stc_" + uuid.uuid4().hex[:8]
-    ckpt_dir = tempfile.mkdtemp(prefix="stc_ckpt_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
-    q.awaitTermination()
-    rows = (
-        spark.table(sink)
-        .groupBy("s_from", "s_to")
-        .agg(F.sum("n").alias("n"))
-        .collect()
-    )
-    spark.catalog.dropTempView(sink)
-    _rmtree_quiet(src_dir, ckpt_dir)
+    sink = ckpt_dir = None
+    try:
+        traj.repartition(4, "traj_id").write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_transition_counts(stream)
+        sink = "stc_" + uuid.uuid4().hex[:8]
+        ckpt_dir = tempfile.mkdtemp(prefix="stc_ckpt_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.table(sink)
+            .groupBy("s_from", "s_to")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+    finally:
+        _drop_view_quiet(spark, sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
     return spark.createDataFrame(
         [(int(r["s_from"]), int(r["s_to"]), int(r["n"])) for r in rows],
         "s_from long, s_to long, n long",
@@ -3591,22 +3613,22 @@ FROM m
         "event_pivot": r"""
 SELECT user_id,
   COUNT(*) FILTER (event_type='click') AS click_n,
-  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='click'), 0) AS click_cents,
+  CAST(COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='click'), 0) AS BIGINT) AS click_cents,
   COUNT(*) FILTER (event_type='error') AS error_n,
-  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='error'), 0) AS error_cents,
+  CAST(COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='error'), 0) AS BIGINT) AS error_cents,
   COUNT(*) FILTER (event_type='purchase') AS purchase_n,
-  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='purchase'), 0) AS purchase_cents,
+  CAST(COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='purchase'), 0) AS BIGINT) AS purchase_cents,
   COUNT(*) FILTER (event_type='signup') AS signup_n,
-  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='signup'), 0) AS signup_cents,
+  CAST(COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='signup'), 0) AS BIGINT) AS signup_cents,
   COUNT(*) FILTER (event_type='view') AS view_n,
-  COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='view'), 0) AS view_cents
+  CAST(COALESCE(SUM(CAST(round(value*100) AS BIGINT)) FILTER (event_type='view'), 0) AS BIGINT) AS view_cents
 FROM events
 GROUP BY user_id
 """,
         "event_resample": r"""
 WITH agg AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
-         SUM(CAST(round(value*100) AS BIGINT)) AS cents
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ), spans AS (
   SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
@@ -3623,7 +3645,7 @@ FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.bucket = g.bucket
         "corpus_profile": "\nUNION ALL\n".join(
             f"""
 SELECT '{c}' AS "column", COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT {c}) AS n_distinct,
        CAST(MIN({c}) AS VARCHAR) AS min_value,
        CAST(MAX({c}) AS VARCHAR) AS max_value,
@@ -3686,7 +3708,7 @@ FROM pd
         "event_top_spenders": r"""
 WITH totals AS (
   SELECT event_type, user_id,
-         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ), ranked AS (
   SELECT event_type, user_id, cents,
@@ -3732,7 +3754,7 @@ SELECT stage, COUNT(*) AS n_users FROM (
         "event_json_stats": r"""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events

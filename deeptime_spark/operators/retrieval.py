@@ -90,10 +90,12 @@ def bm25_search(
     terms = sorted(set(_norm_tokens_py(query)))
     if not terms:
         raise ValueError("query has no terms after normalization")
-    if {id_col, "dl"} & set(terms):
-        raise ValueError(
-            f"query terms collide with internal column names: {sorted({id_col, 'dl'} & set(terms))}"
-        )
+    # pivot columns are positional aliases _t0.._tn (sorted-term order),
+    # so arbitrary query tokens (backticks, dots, 'dl') can never break
+    # column resolution; only a pathological id_col can collide
+    alias = {t: f"_t{i}" for i, t in enumerate(terms)}
+    if id_col in set(alias.values()) | {"dl"}:
+        raise ValueError(f"id_col {id_col!r} collides with internal column names")
     tf, dl, dfreq = term_stats(docs, text_col, id_col)
 
     # global stats: one tiny agg action (2 longs) + |terms| df rows
@@ -113,12 +115,16 @@ def bm25_search(
         for t in terms
     }
 
-    # pivot the query terms to columns; score in ONE expression with the
-    # terms in sorted order (fixed fp summation order)
+    # pivot the query terms to positional columns; score in ONE expression
+    # with the terms in sorted order (fixed fp summation order)
+    term_key = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(alias[t]))]
+    )[F.col("term")]
     hits = (
         tf.where(F.col("term").isin(terms))
+        .withColumn("_tkey", term_key)
         .groupBy(id_col)
-        .pivot("term", terms)
+        .pivot("_tkey", [alias[t] for t in terms])
         .agg(F.first("tf"))
         .join(dl, id_col)
     )
@@ -126,7 +132,7 @@ def bm25_search(
     matched = F.lit(0)
     norm_len = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
     for t in terms:
-        tf_c = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+        tf_c = F.coalesce(F.col(alias[t]), F.lit(0)).cast("double")
         score = score + F.lit(idf[t]) * (
             tf_c * F.lit(k1 + 1.0) / (tf_c + F.lit(k1) * norm_len)
         )

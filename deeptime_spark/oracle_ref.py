@@ -1926,7 +1926,11 @@ def _hll_py(values, p: int = 12):
     S = sum(1 << (W + 1 - rho) for rho in regs.values())
     V = m - len(regs)
     Z = V + S / float(1 << (W + 1))
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # share the engine's alpha (has the m=16/32/64 special cases) so the
+    # bit-exact-replica claim holds for every accepted p, not just p>=7
+    from deeptime_spark.operators.sketches import _hll_alpha
+
+    alpha = _hll_alpha(m)
     E = alpha * m * m / Z
     if E <= 2.5 * m and V > 0:
         E = m * math.log(m / V)

@@ -58,7 +58,16 @@ def test_bm25_validation(spark):
     with pytest.raises(ValueError):
         bm25_search(_corpus(spark), "   ")
     with pytest.raises(ValueError):
-        bm25_search(_corpus(spark), "hash dl")  # internal column collision
+        bm25_search(_corpus(spark), "hash join", id_col="_t0")
+
+
+def test_bm25_awkward_tokens_resolve(spark):
+    # positional pivot aliases: tokens named like internal columns or
+    # containing backticks must not break column resolution
+    rows = [(0, "dl `tick` doc_id dl", "s"), (1, "unrelated", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = bm25_search(docs, "dl `tick`", k=2).collect()
+    assert res[0]["doc_id"] == 0 and res[0]["n_matched"] >= 1
 
 
 def test_tokenize_counts_normalizes(spark):

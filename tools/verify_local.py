@@ -88,6 +88,20 @@ def main() -> int:
             a, b = normalize(sdf), normalize(odf)
             for c in a.columns:
                 av, bv = a[c].to_numpy(), b[c].to_numpy()
+                # The driver hashes raw values, so an int-vs-float dtype
+                # divergence (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64
+                # vs Spark BIGINT) is a real failure even when the numbers
+                # coincide.  Flag it BEFORE any float coercion.
+                kind = lambda k: {"i": "int", "u": "int", "f": "float"}.get(k, k)
+                if kind(av.dtype.kind) != kind(bv.dtype.kind) and (
+                    "int" in (kind(av.dtype.kind), kind(bv.dtype.kind))
+                    or "float" in (kind(av.dtype.kind), kind(bv.dtype.kind))
+                ):
+                    problems.append(
+                        f"col {c}: dtype-kind mismatch spark={av.dtype} "
+                        f"oracle={bv.dtype} (driver hashes these differently)"
+                    )
+                    continue
                 if av.dtype.kind == "f" or bv.dtype.kind == "f":
                     av = av.astype(float)
                     bv = bv.astype(float)
