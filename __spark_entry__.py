@@ -3243,15 +3243,14 @@ def _q_web_corpus_pipeline(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
-    # FIRST ~50 queries in declaration order (r02 and r04 each recorded
-    # exactly 50). Round-6 rotation (see COVERAGE.md): slots 0-7 hold the
-    # 8 late-round-5 queries that have NEVER been driver-run (all verified
-    # oracle-green locally and by the round-5 judge); slots 8-26 hold the
-    # r02-green lag/text/dedup/similarity block, now three rounds stale;
-    # slots 27-48 the r04-green estimator wall (two rounds stale); slot 49
-    # the oldest corpus-pipeline green. Past 50: r05-green blocks (freshest
-    # evidence) — rotated back in round 7.
-    return {
+    # FIRST ~50 queries in declaration order (r02, r04, and r06 each
+    # recorded exactly 50), so the dict below keeps its stable logical
+    # grouping and _WINDOW_ORDER (computed from CORRECTNESS_r0*.json
+    # staleness — see tools/plan_window.py) moves this round's 50 to the
+    # front: slots 0-4 the five r06 hash-reds (oracle HUGEINT typing,
+    # fixed this round), slots 5-49 the 45 queries whose last driver
+    # green is r04 (every other query has r05/r06 evidence).
+    q = {
         # --- late-round-5 additions, never driver-run (slots 0-7) ---
         "event_pivot": _q_event_pivot,
         "event_resample": _q_event_resample,
@@ -3415,6 +3414,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_window_counts": _q_streaming_window_counts,
     }
+    missing = [k for k in _WINDOW_ORDER if k not in q]
+    assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
+    head = {k: q[k] for k in _WINDOW_ORDER}
+    return head | {k: v for k, v in q.items() if k not in head}
+
+
+# Round-7 driver window (slots 0-49): five oracle-typing fixes first,
+# then the 45 r04-stale greens, oldest-evidence-first.  Recomputed each
+# round by tools/plan_window.py from CORRECTNESS_r0*.json.
+_WINDOW_ORDER = [
+    "event_pivot", "event_resample", "event_json_stats", "corpus_profile",
+    "event_top_spenders",
+    "bayes_hmm_events", "tpt_events", "effective_counts_events",
+    "koopman_weights_events", "regspace_events", "msm_longtail_events",
+    "multimodal_features", "kernel_gram_events", "tica_events",
+    "kmeans_embeddings", "hmm_viterbi_events", "embedding_whiten",
+    "msm_pi_events", "msm_its_events", "msm_ck_events", "pcca_events",
+    "sindy_events", "semantic_dedup", "doc_chunks", "doc_packing",
+    "corpus_clean_pipeline", "doc_decontaminate", "doc_span_dedup",
+    "doc_c4_filter", "doc_line_dedup", "ivfpq_topk", "domain_mixture",
+    "doc_stratified_sample", "doc_pii_scrub", "corpus_prep_pipeline",
+    "dedup_verified_pairs", "dedup_components", "doc_gopher_quality",
+    "doc_gopher_repetition", "doc_winnowing", "doc_lm_score",
+    "event_session_range_join", "event_range_frame", "event_cube",
+    "event_value_percentiles", "purchase_and_signup_users",
+    "streaming_dedup_replay", "streaming_transition_counts",
+    "streaming_sessions", "streaming_window_counts",
+]
 
 
 def oracle_sql() -> dict[str, str]:
