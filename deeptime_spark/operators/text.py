@@ -362,6 +362,56 @@ def unigram_lm_scores_df(
     return toks.mapInPandas(score, schema=schema)
 
 
+def _lm2_fit_frame(
+    df: DataFrame, text_col: str, vocab_size: int, bigram_size: int
+) -> DataFrame:
+    """The bigram-LM model fit as ONE corpus scan + ONE shuffle + ONE
+    action: unigrams and bigrams share an explode (bigrams contain a
+    space, whitespace-split tokens cannot — the space is a free
+    discriminator), and the corpus token total plus both TakeOrdered
+    cuts are a 3-way union over the SAME grouped frame, so Catalyst's
+    ReusedExchange computes the scan+shuffle once and the whole model
+    arrives in a single collect (three separate actions previously cost
+    a job-scheduling round-trip each; plan pinned in tests/
+    test_plans.py). Rows: (t, count, _kind) with _kind in
+    {'u' vocab, 'b' bigram, 'T' total}."""
+    grams2 = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), 2)
+    counts = (
+        df.select(
+            F.explode(
+                F.concat(tokens(F.coalesce(F.col(text_col), F.lit(""))), grams2)
+            ).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .count()
+    )
+    is_uni = ~F.col("t").contains(" ")
+    # NO where() on the branches: a filter on the grouping key would be
+    # pushed below the aggregation, making the branch exchanges differ
+    # and defeating ReusedExchange. The kind split happens ABOVE the
+    # shared agg — a projection for the cuts, a conditional sum for the
+    # total — so both branches consume the identical exchange.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_kind").orderBy(F.desc("count"), F.asc("t"))
+    cap = max(vocab_size, bigram_size)
+    cuts = (
+        counts.withColumn("_kind", F.when(is_uni, F.lit("u")).otherwise(F.lit("b")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)  # simple bound -> WindowGroupLimit
+        .where(
+            ((F.col("_kind") == "u") & (F.col("_rn") <= vocab_size))
+            | ((F.col("_kind") == "b") & (F.col("_rn") <= bigram_size))
+        )
+        .select("t", "count", "_kind")
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum(F.when(is_uni, F.col("count"))), F.lit(0)).alias("count")
+    ).select(F.lit("").alias("t"), "count", F.lit("T").alias("_kind"))
+    return cuts.unionByName(tot)
+
+
 def bigram_lm_scores_df(
     df: DataFrame,
     text_col: str = "text",
@@ -394,55 +444,22 @@ def bigram_lm_scores_df(
     Returns (id, n_tokens, lm2_score) where lm2_score is the mean token
     log-probability (<= 0; higher = more typical of the corpus).
     """
-    import math
-
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     from deeptime_spark.operators.layout import spread_for_map_parallelism
 
     df = spread_for_map_parallelism(df, id_col)
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-
-    # Model fit in ONE corpus scan + ONE shuffle: unigrams and bigrams
-    # share an explode (bigrams contain a space, whitespace-split tokens
-    # cannot — the space is a free discriminator), the grouped frame is
-    # persisted, and the corpus total + both TakeOrdered cuts are small
-    # actions on that aggregate. Previously this was three corpus
-    # passes (total, vocab cut, bigram pass); counts are identical.
-    grams2 = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), 2)
-    counts = (
-        df.select(
-            F.explode(
-                F.concat(tokens(F.coalesce(F.col(text_col), F.lit(""))), grams2)
-            ).alias("t")
-        )
-        .where(F.col("t") != "")
-        .groupBy("t")
-        .count()
-        .persist()
-    )
-    is_uni = ~F.col("t").contains(" ")
-    agg = counts.where(is_uni).agg(F.sum("count").alias("T")).first()
-    total = int(agg["T"] or 0)
-    vocab_rows = (
-        counts.where(is_uni)
-        .orderBy(F.desc("count"), F.asc("t"))
-        .limit(vocab_size)
-        .collect()
-    )
+    fit_rows = _lm2_fit_frame(df, text_col, vocab_size, bigram_size).collect()
+    vocab_rows = [r for r in fit_rows if r["_kind"] == "u"]
+    bigram_rows = [r for r in fit_rows if r["_kind"] == "b"]
+    total = int(next(r["count"] for r in fit_rows if r["_kind"] == "T"))
     V = len(vocab_rows)
     denom = total + smoothing * (V + 1)
     c_uni = {r["t"]: int(r["count"]) for r in vocab_rows}
     p_uni = {w: (c + smoothing) / denom for w, c in c_uni.items()}
     p_oov = smoothing / denom
 
-    bigram_rows = (
-        counts.where(~is_uni)
-        .orderBy(F.desc("count"), F.asc("t"))
-        .limit(bigram_size)
-        .collect()
-    )
-    counts.unpersist()
     c_bi = {}
     for r in bigram_rows:
         v, _, w = r["t"].partition(" ")
@@ -490,27 +507,42 @@ def bigram_lm_scores_df(
         # Vectorized scoring: token->id via pd.factorize + one dict probe
         # per UNIQUE token, bigram terms via sorted-key searchsorted (no
         # per-pair Python), interpolation elementwise (IEEE-identical to
-        # the scalar formula). Only the log itself stays scalar: math.log
-        # and np.log differ by 1 ulp on ~20% of doubles (libm vs numpy's
-        # SIMD log, measured on this platform), and the oracle replays
-        # the scalar sequence — so the accumulation loop keeps math.log,
-        # in token order, bit-exact by construction.
+        # the scalar formula), and the log accumulation through the
+        # SHARED mean_logprob_segments helper — the oracle replica calls
+        # the exact same helper on an identically-ordered vals array, so
+        # both sides stay bit-identical without a scalar Python loop.
         oov = 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            tok_lists = [[w for w in ws if w] for ws in pdf["_toks"]]
-            lens = [len(ws) for ws in tok_lists]
-            flat: list = []
-            for ws in tok_lists:
-                flat.extend(ws)
+            raw = [np.asarray(ws, dtype=object) for ws in pdf["_toks"]]
+            lens_raw = np.fromiter((len(ws) for ws in raw), np.int64, len(raw))
             ids = [int(i) for i in pdf[id_col]]
-            if not flat:
+            flat_raw = (
+                np.concatenate(raw) if lens_raw.sum() else np.empty(0, object)
+            )
+            # split() can emit empty strings (e.g. empty text): drop them
+            # and shrink the per-doc lengths by each doc's empty count
+            keep = flat_raw != ""
+            if bool(keep.all()):
+                flat, lens_arr = flat_raw, lens_raw
+            else:
+                flat = flat_raw[keep]
+                dropped = np.zeros(len(raw), np.int64)
+                nzr = lens_raw > 0
+                if nzr.any():
+                    starts_raw = np.concatenate(([0], np.cumsum(lens_raw)[:-1]))
+                    dropped[nzr] = np.add.reduceat(
+                        (~keep).astype(np.int64), starts_raw[nzr]
+                    )
+                lens_arr = lens_raw - dropped
+            lens = lens_arr.tolist()
+            if not len(flat):
                 yield pd.DataFrame(
                     {id_col: ids, "n_tokens": lens, "lm2_score": [0.0] * len(ids)}
                 )
                 continue
-            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            codes, uniques = pd.factorize(flat)
             g_of_u = np.fromiter(
                 (gid.get(u, oov) for u in uniques), np.int64, len(uniques)
             )
@@ -531,24 +563,35 @@ def bigram_lm_scores_df(
             # doc-start positions overwrite the (boundary-crossing) pair
             # value with the plain unigram probability (empty docs have
             # no start position — and would index past the end)
-            starts = np.cumsum([0] + lens[:-1])
-            starts = starts[np.asarray(lens) > 0]
-            vals[starts] = pu[starts]
-            log = math.log
-            scores = []
-            pos = 0
-            for n in lens:
-                if n == 0:
-                    scores.append(0.0)
-                    continue
-                acc = 0.0
-                for v in vals[pos : pos + n].tolist():
-                    acc += log(v)
-                scores.append(acc / n)
-                pos += n
+            starts = np.concatenate(([0], np.cumsum(lens_arr)[:-1]))
+            vals[starts[lens_arr > 0]] = pu[starts[lens_arr > 0]]
+            scores = mean_logprob_segments(vals, lens_arr)
             yield pd.DataFrame({id_col: ids, "n_tokens": lens, "lm2_score": scores})
 
     return toks.mapInPandas(score, schema=schema)
+
+
+def mean_logprob_segments(vals, lens_arr) -> "list[float]":
+    """Per-document mean token log-probability over a flat probability
+    array segmented by ``lens_arr`` (empty docs score 0.0).
+
+    ``np.log`` elementwise, then per-segment ``np.add.reduceat`` (numpy's
+    pairwise reduce — deterministic for a given segment, independent of
+    how segments are batched) divided by the segment length. BOTH the
+    Arrow scorer and the oracle replica (oracle_ref.py:
+    oracle_doc_lm2_score) call this one helper, which is what makes the
+    engine/oracle comparison bit-exact — neither side may re-implement
+    the accumulation."""
+    import numpy as np
+
+    lens_arr = np.asarray(lens_arr, dtype=np.int64)
+    out = np.zeros(len(lens_arr), dtype=np.float64)
+    nz = lens_arr > 0
+    if nz.any():
+        starts = np.concatenate(([0], np.cumsum(lens_arr)[:-1]))
+        logs = np.log(np.asarray(vals, dtype=np.float64))
+        out[nz] = np.add.reduceat(logs, starts[nz]) / lens_arr[nz]
+    return out.tolist()
 
 
 def _word_ngrams_all(text_col: str | Column, n: int) -> Column:

@@ -1661,19 +1661,30 @@ def oracle_doc_lm2_score() -> str:
         v, _, w = g.partition(" ")
         if v in c_uni:
             c_bi[(v, w)] = c
-    rows = []
-    for doc_id, ws in per_doc:
-        acc = 0.0
+    # per-position probabilities in token order (scalar IEEE ops bit-equal
+    # to the engine's vectorized elementwise formula), accumulated through
+    # the SHARED helper — see text.py:mean_logprob_segments for why both
+    # sides must use the same segmented reduce
+    from deeptime_spark.operators.text import mean_logprob_segments
+
+    vals: list = []
+    lens: list = []
+    for _, ws in per_doc:
+        lens.append(len(ws))
         for j, w in enumerate(ws):
             pu = p_uni.get(w, p_oov)
             if j == 0:
-                acc += math.log(pu)
+                vals.append(pu)
                 continue
             v = ws[j - 1]
             cb = c_bi.get((v, w))
             term = alpha * cb / c_uni[v] if cb is not None else 0.0
-            acc += math.log(term + (1.0 - alpha) * pu)
-        rows.append((doc_id, len(ws), acc / len(ws) if ws else 0.0))
+            vals.append(term + (1.0 - alpha) * pu)
+    scores = mean_logprob_segments(vals, lens)
+    rows = [
+        (doc_id, n, s)
+        for (doc_id, _), n, s in zip(per_doc, lens, scores)
+    ]
     return _values_sql(rows, ["doc_id", "n_tokens", "lm2_score"], "bbd")
 
 

@@ -544,3 +544,22 @@ def test_snapshot_diff_digest_only_join(spark):
     plan = plan_of(snapshot_diff(docs, docs.limit(100)))
     assert "EvalPython" not in plan
     assert "text#" not in plan.split("Join")[-1][:400]  # no payload past the join
+
+
+def test_lm2_fit_single_exchange_reused(spark):
+    """The bigram-LM fit must compute its scan+shuffle ONCE: the union
+    (windowed vocab/bigram cuts + conditional-sum total) over the
+    grouped frame reuses the aggregation exchange instead of
+    re-scanning/re-exploding the corpus per branch, and the cuts use
+    WindowGroupLimit (partial per-partition top-k), not a global sort."""
+    from deeptime_spark.operators.text import _lm2_fit_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    frame = _lm2_fit_frame(docs, "text", 100, 200)
+    frame.collect()  # AQE: reuse is visible in the executed plan
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1, final[:2000]
+    assert final.count("Generate explode") == 1, final[:2000]
+    assert "WindowGroupLimit" in final
+    assert "EvalPython" not in final
