@@ -531,6 +531,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     local_threshold: int = 2_000_000,
+    mode: str = "label",
 ) -> DataFrame:
     """Distributed connected components over a pair graph by iterative
     min-label propagation — the missing last step of a dedup pipeline
@@ -558,9 +559,21 @@ def connected_components(
     2/round, bit-identical output. The distributed loop is the path for
     genuinely huge pair graphs; set ``local_threshold=0`` to force it.
 
+    ``mode="star"`` switches the distributed loop to the
+    large-star/small-star edge contraction of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" (SoCC'14) — the
+    alternation whose round count is logarithmic in component DIAMETER
+    with per-round cost O(|E|), the safe choice for adversarial
+    long-path graphs where plain propagation would need O(d) rounds
+    (the default ``"label"`` mode's pointer doubling already gets
+    O(log n), so "star" is an alternative with a formal bound, not a
+    fix). Output is bit-identical across modes.
+
     Returns (node, component) for every node incident to an edge, where
     ``component`` is the minimum node id in the component.
     """
+    if mode not in ("label", "star"):
+        raise ValueError(f"mode must be 'label' or 'star', got {mode!r}")
     spark = edges.sparkSession
     # materialize the (possibly expensive) upstream pair pipeline exactly
     # ONCE via persist+count. Never limit().collect() an unpersisted
@@ -579,6 +592,11 @@ def connected_components(
         return spark.createDataFrame(
             sorted(comp.items()), "node long, component long"
         )
+    if mode == "star":
+        try:
+            return _cc_star(e0, max_iter)
+        finally:
+            e0.unpersist()
     sym = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -640,6 +658,119 @@ def connected_components(
     finally:
         sym.unpersist()
         e0.unpersist()
+
+
+def _cc_star(e0: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.
+    SoCC'14, Algorithms 3-4; cf. the public reference implementations in
+    GraphFrames). Each alternation is two groupBy-min + join rounds over
+    the current edge set; edges monotonically contract toward stars
+    rooted at each component's minimum id, in O(log d) alternations.
+
+    Star ops per the paper, over edges held canonically (a < b):
+
+    - **large-star**: for each node u, with m = min(neighbors(u) + [u]),
+      connect every neighbor v > u to m;
+    - **small-star**: for each node u over larger-to-smaller directed
+      edges, with m = min(smaller-neighbors(u) + [u]), connect u and its
+      smaller neighbors to m.
+
+    Convergence = edge-set fixpoint, detected by an exact-count +
+    hash-xor signature (xxhash64 over the canonical pair: a false
+    positive needs two DIFFERENT edge sets in consecutive rounds with
+    equal count and equal 64-bit hash xors — and by the paper's
+    potential-function argument an unchanged set off the fixpoint is
+    impossible, so matching signatures certify the fixpoint).
+    Returns (node, component) for every node incident to an input edge,
+    component = min node id — bit-identical to mode="label"."""
+    spark = e0.sparkSession
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        e0.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        # count + XOR of per-edge hashes: a valid set signature because
+        # the edge frame is distinct canonical pairs (and it cannot
+        # overflow, unlike SUM under ANSI arithmetic)
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(r["n"]), int(r["h"])
+
+    prev = _sig(edges)
+    converged = prev[0] == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        # large-star: m(u) = min over u and ALL neighbors; attach the
+        # strictly-larger neighbors to m
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("_mb"))
+        m = F.least(F.col("a"), F.col("_mb"))
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("_u"), m.alias("_v"))
+        )
+        edges = (
+            large.where(F.col("_u") != F.col("_v"))
+            .select(
+                F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: over larger->smaller edges, attach u and its
+        # smaller neighbors to m(u) = min over them and u
+        down = edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        mins2 = down.groupBy("a").agg(F.min("b").alias("_mb"))
+        m2 = F.least(F.col("a"), F.col("_mb"))
+        small = (
+            down.join(mins2, "a")
+            .select(F.col("b").alias("_u"), m2.alias("_v"))
+            .union(
+                mins2.select(F.col("a").alias("_u"), F.least("a", "_mb").alias("_v"))
+            )
+        )
+        edges = (
+            small.where(F.col("_u") != F.col("_v"))
+            .select(
+                F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _sig(edges)
+        if sig == prev:
+            converged = True
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"star connected components did not converge in {max_iter} "
+            "alternations (the Kiveris bound is O(log d); raise max_iter)"
+        )
+    # at the fixpoint every edge is (root=a, child=b); roots and
+    # self-loop-only nodes fall out of the left join
+    labels = edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
 
 
 def duplicate_clusters(

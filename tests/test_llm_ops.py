@@ -454,6 +454,42 @@ def test_connected_components_long_chain_converges_fast(spark):
     assert all(r["component"] == 0 for r in got)
 
 
+def test_connected_components_star_mode_equivalence(spark):
+    """mode="star" (Kiveris large-star/small-star) must be bit-identical
+    to the default label-propagation mode on mixed graph shapes."""
+    from deeptime_spark.operators.dedup import connected_components
+
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21),
+             (5, 6), (6, 5), (30, 31), (31, 32), (32, 30), (7, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(4)
+    lab = {r["node"]: r["component"]
+           for r in connected_components(df, local_threshold=0).collect()}
+    star = {r["node"]: r["component"]
+            for r in connected_components(df, local_threshold=0, mode="star").collect()}
+    assert star == lab
+    # local fast path is identical regardless of mode
+    loc = {r["node"]: r["component"]
+           for r in connected_components(df, mode="star").collect()}
+    assert loc == star
+
+
+def test_connected_components_star_long_path_log_rounds(spark):
+    """A 300-node path (diameter 300) must converge in O(log d)
+    alternations — 12 is far above log2(300) ~ 8.2 but far below the
+    O(d) a naive propagation would need."""
+    import pytest
+
+    from deeptime_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(8)
+    got = connected_components(df, max_iter=12, local_threshold=0, mode="star").collect()
+    assert len(got) == 301
+    assert all(r["component"] == 0 for r in got)
+    with pytest.raises(ValueError):
+        connected_components(df, mode="frobnicate")
+
+
 def test_gopher_quality_rules(spark):
     from deeptime_spark.operators.text import gopher_quality
 
