@@ -1280,6 +1280,101 @@ def _q_event_top_spenders(spark, sf_dir):
     )
 
 
+def _q_doc_prefix_dup(spark, sf_dir):
+    """Prefix-duplicate groups (operators/dedup.py:prefix_duplicates):
+    documents sharing a normalized 32-char prefix — the template/
+    boilerplate/truncation family exact dedup misses. The corpus is
+    documents plus deterministic continuation variants (doc_id % 7,
+    +2M ids, appended tail) so prefix families exist at every sf; one
+    hash shuffle on md5(prefix), no global sort. PURE-SQL oracle."""
+    from deeptime_spark.operators.dedup import prefix_duplicates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" :: appended continuation tail")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(variants)
+    groups = prefix_duplicates(
+        corpus, prefix_chars=32, min_copies=2, max_group_ids=8
+    )
+    return groups.select(
+        "prefix_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.array_join(
+            F.transform(F.col("doc_ids"), lambda x: x.cast("string")), ","
+        ).alias("member_ids"),
+    )
+
+
+def _q_doc_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (operators/dedup.py:
+    verify_candidates_containment over winnowing_candidates): excerpts
+    (first 200 chars of every doc_id % 11 doc, +3M ids) are planted into
+    the corpus and recovered as contained-but-not-similar pairs —
+    substring fingerprints generate the candidates (resemblance-biased
+    MinHash bands would miss them), exact trigram containment verifies.
+    Oracle replays fingerprints, capped buckets, and the containment
+    arithmetic value-for-value (oracle_ref.py:oracle_doc_containment)."""
+    from deeptime_spark.operators.dedup import (
+        verify_candidates_containment,
+        winnowing_candidates,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        F.substring(F.col("text"), 1, 200).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    # materialize the candidate set ONCE (same rationale as
+    # dedup_verified_pairs): the verifier consumes it in two joins plus
+    # the gram-restriction semi-join — unpersisted, the fingerprint
+    # kernel re-executes per consumer. Fingerprint granularity k=16/w=64
+    # (79-char shared-substring guarantee) keeps candidates at the
+    # containment scale: the default k=8/w=16 fires on every shared
+    # 23-char phrase of this templated corpus (3.2M candidate pairs,
+    # 68 s); the coarse setting recovers every planted excerpt with
+    # ~1.7k candidates
+    cands = winnowing_candidates(corpus, k=16, w=64, min_shared=2).persist()
+    cands.count()
+    verified = verify_candidates_containment(
+        cands, corpus, threshold=0.6, candidates_materialized=True
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+def _q_event_anomaly_mad(spark, sf_dir):
+    """Robust per-type outlier profile (operators/stats.py:
+    mad_anomalies): median/MAD rule with the 1.4826 consistency
+    constant over integer event cents — two exact-percentile hash aggs
+    + broadcast joins back, engine-reproducible because the median
+    interpolation weights are binary-exact on integers. PURE-SQL DuckDB
+    oracle (quantile_cont matches Spark's exact percentile)."""
+    from deeptime_spark.operators.stats import mad_anomalies
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    out = mad_anomalies(ev, "vc", ("event_type",), z_threshold=3.5)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.round(F.max("rob_z"), 6).alias("max_rob_z"),
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3413,6 +3508,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_transition_counts": _q_streaming_transition_counts,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_window_counts": _q_streaming_window_counts,
+        # --- NEW round-7 (past slot 50; driver evidence in r08): prefix
+        # families, asymmetric containment, robust anomaly profile ---
+        "doc_prefix_dup": _q_doc_prefix_dup,
+        "doc_containment_pairs": _q_doc_containment_pairs,
+        "event_anomaly_mad": _q_event_anomaly_mad,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -3731,6 +3831,51 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(n_novel AS BIGINT) AS n_novel,
        CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
 FROM pd
+""",
+        "doc_prefix_dup": r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' :: appended continuation tail'
+  FROM documents WHERE doc_id % 7 = 0
+), h AS (
+  SELECT md5(substr(lower(trim(coalesce(text, ''))), 1, 32)) AS prefix_hash,
+         doc_id
+  FROM corpus
+)
+SELECT prefix_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_id,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 8), ',') AS member_ids
+FROM h
+GROUP BY prefix_hash
+HAVING COUNT(*) >= 2
+""",
+        "event_anomaly_mad": r"""
+WITH v AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events
+), m AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS med FROM v GROUP BY 1
+), d AS (
+  SELECT v.event_type, vc, med, abs(CAST(vc AS DOUBLE) - med) AS adev
+  FROM v JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1
+), s AS (
+  SELECT d.event_type, med, mad, adev,
+         CASE WHEN mad > 0 THEN adev / (1.4826 * mad) END AS rob_z,
+         CASE WHEN mad > 0 THEN adev / (1.4826 * mad) > 3.5
+              ELSE adev > 0 END AS isa
+  FROM d JOIN md USING (event_type)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       round(MIN(med), 6) AS med,
+       round(MIN(mad), 6) AS mad,
+       round(MAX(rob_z), 6) AS max_rob_z
+FROM s
+GROUP BY event_type
 """,
         "event_top_spenders": r"""
 WITH totals AS (

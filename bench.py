@@ -110,6 +110,10 @@ HEADLINE = [
     "doc_novelty",
     "event_funnel",
     "event_retention",
+    # round-7: prefix families, asymmetric containment, robust anomaly
+    "doc_prefix_dup",
+    "doc_containment_pairs",
+    "event_anomaly_mad",
 ]
 
 

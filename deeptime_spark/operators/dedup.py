@@ -307,6 +307,107 @@ def verify_candidates_jaccard(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def verify_candidates_containment(
+    candidates: DataFrame, docs: DataFrame, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    candidates_materialized: bool = False,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT verification of candidate pairs — the
+    asymmetric companion of ``verify_candidates_jaccard`` for the
+    quote/subset/boilerplate-inclusion case, where a small document
+    living inside a large one has high containment but low Jaccard
+    (Broder's resemblance-vs-containment distinction, "On the
+    resemblance and containment of documents", SEQUENCES'97).
+
+    ``containment_a = |grams(A) ∩ grams(B)| / |grams(A)|`` (and
+    symmetrically ``containment_b``); a pair is kept when EITHER
+    direction reaches ``threshold``. Same execution shape as the Jaccard
+    verifier: grams built once per candidate-touched document in one
+    codegen regex pass, per-pair work is JVM array set algebra, the two
+    joins broadcast at scale. Candidate SOURCE matters for recall:
+    MinHash-LSH bands are resemblance-biased and can miss
+    contained-but-dissimilar pairs — feed ``winnowing_candidates``
+    (substring fingerprints) when hunting containment.
+    """
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+    from deeptime_spark.operators.text import word_ngrams
+
+    doc_side = docs
+    if candidates_materialized:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        doc_side = docs.join(cand_ids, id_col, "left_semi")
+    doc_side = spread_for_map_parallelism(doc_side, id_col)
+    grams = doc_side.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+    )
+    if candidates_materialized:
+        # same lazy-persist contract as verify_candidates_jaccard: both
+        # pair joins consume the gram frame; lifecycle is the caller's
+        grams = grams.persist()
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    out = (
+        candidates.join(
+            grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("_grams", "_ga"),
+            "id_a",
+        )
+        .join(
+            grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("_grams", "_gb"),
+            "id_b",
+        )
+        .withColumn("containment_a", inter / F.greatest(F.size("_ga"), F.lit(1)))
+        .withColumn("containment_b", inter / F.greatest(F.size("_gb"), F.lit(1)))
+        .drop("_ga", "_gb")
+    )
+    return out.where(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    )
+
+
+def prefix_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 64,
+    min_copies: int = 2,
+    max_group_ids: int = 32,
+    normalize: bool = True,
+) -> DataFrame:
+    """Prefix-duplicate groups: documents sharing their first
+    ``prefix_chars`` characters (optionally whitespace-trimmed +
+    lowercased first). Catches template/boilerplate families and
+    truncation variants that exact dedup misses and whole-document
+    MinHash undercounts.
+
+    Equivalent to sorted-neighbor LCP >= ``prefix_chars`` clustering —
+    two docs share an L-char prefix iff they land in the same
+    ``substr(text, 1, L)`` group — but runs as ONE hash shuffle on
+    ``md5(prefix)`` instead of a global sort: the groupBy form
+    partitions uniformly at 100 TB where a total ordering would need a
+    range exchange. Output matches ``exact_duplicates``:
+    (prefix_hash, n_copies, canonical_id, doc_ids)."""
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    if normalize:
+        base = F.lower(F.trim(base))
+    prefix = F.substring(base, 1, prefix_chars)
+    hashed = df.select(F.md5(prefix).alias("prefix_hash"), F.col(id_col))
+    aggs = [F.count("*").alias("n_copies"), F.min(id_col).alias("canonical_id")]
+    if max_group_ids > 0:
+        aggs.append(
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_group_ids).alias(
+                "doc_ids"
+            )
+        )
+    return (
+        hashed.groupBy("prefix_hash")
+        .agg(*aggs)
+        .where(F.col("n_copies") >= min_copies)
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash(text_col: str | Column = "text", bits: int = 64) -> Column:

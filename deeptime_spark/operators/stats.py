@@ -227,3 +227,54 @@ def retention_cohorts(
             "n_users",
         )
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple = ("event_type",),
+    z_threshold: float = 3.5,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier flags via the median/MAD rule (Iglewicz &
+    Hoaglin, "How to Detect and Handle Outliers", 1993): a row is
+    anomalous when ``|x - median| / (scale * MAD) > z_threshold`` with
+    the 1.4826 consistency constant making the score comparable to a
+    z-score under normality — the standard robust alternative to
+    mean/stddev, which a single extreme value corrupts.
+
+    Spark shape: two exact-``percentile`` hash aggregations (group
+    medians, then medians of absolute deviations) and two joins back;
+    the per-group stat frames are O(|groups|) rows so both joins
+    broadcast at scale, and the data rows are scanned twice with no
+    global sort. With exact-integer inputs the median interpolation uses
+    binary-exact half weights, so scores are engine-reproducible.
+
+    Degenerate groups (MAD = 0, i.e. more than half the values
+    identical): ``rob_z`` is null and any nonzero deviation is flagged.
+    Returns the input columns plus (med, mad, rob_z, is_anomaly).
+    """
+    groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    med_df = df.groupBy(*groups).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    dev = df.join(F.broadcast(med_df), groups).withColumn(
+        "_absdev", F.abs(v - F.col("med"))
+    )
+    mad_df = dev.groupBy(*groups).agg(
+        F.percentile("_absdev", F.lit(0.5)).alias("mad")
+    )
+    out = dev.join(F.broadcast(mad_df), groups).withColumn(
+        "rob_z",
+        F.when(
+            F.col("mad") > 0,
+            F.col("_absdev") / (F.lit(scale) * F.col("mad")),
+        ),
+    )
+    return out.withColumn(
+        "is_anomaly",
+        F.when(F.col("mad") > 0, F.col("rob_z") > F.lit(z_threshold)).otherwise(
+            F.col("_absdev") > 0
+        ),
+    ).drop("_absdev")

@@ -895,6 +895,53 @@ def oracle_dedup_verified_pairs() -> str:
     return _values_sql(rows, ["id_a", "id_b", "jaccard"], "bbd")
 
 
+def oracle_doc_containment() -> str:
+    """Containment-pair replica: the excerpt-planted corpus, winnowing
+    fingerprints (shared winnowing_fingerprints_numpy kernel — integer
+    rolling hashes, engine-independent), capped fingerprint buckets with
+    per-pair shared counts, then exact trigram containment in both
+    directions (len(A∩B)/len(A) — same int/int IEEE division as the
+    Spark expression)."""
+    from collections import Counter
+
+    from deeptime_spark.operators.dedup import winnowing_fingerprints_numpy
+
+    corpus = []
+    for doc_id, text in _docs(sf_dir()):
+        corpus.append((doc_id, text or ""))
+        if doc_id % 11 == 0:
+            corpus.append((doc_id + 3_000_000, (text or "")[:200]))
+    buckets: dict = {}
+    for doc_id, text in corpus:
+        for fp in winnowing_fingerprints_numpy(text, k=16, w=64).tolist():
+            buckets.setdefault(fp, []).append(doc_id)
+    shared: Counter = Counter()
+    for members in buckets.values():
+        ids = sorted(set(members))[:256]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                shared[(ids[i], ids[j])] += 1
+    grams = {i: _word_ngram_set(t) for i, t in corpus}
+    rows = []
+    for (a, b), n_shared in sorted(shared.items()):
+        if n_shared < 2:
+            continue
+        ga, gb = grams[a], grams[b]
+        inter = len(ga & gb)
+        ca = inter / max(len(ga), 1)
+        cb = inter / max(len(gb), 1)
+        if max(ca, cb) >= 0.6:
+            rows.append((a, b, n_shared, _spark_round(ca, 6), _spark_round(cb, 6)))
+    return _values_sql(
+        rows,
+        ["id_a", "id_b", "n_shared", "containment_a", "containment_b"],
+        "bbbdd",
+    )
+
+
+_BUILDERS["doc_containment_pairs"] = oracle_doc_containment
+
+
 def oracle_doc_fingerprint() -> str:
     from deeptime_spark.spark_hashes import xxhash64
 

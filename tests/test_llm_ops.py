@@ -1360,3 +1360,70 @@ def test_novelty_layout_invariance(spark):
     a = sorted(map(tuple, novelty_scores(docs).collect()))
     b = sorted(map(tuple, novelty_scores(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_verify_candidates_containment_asymmetric(spark):
+    """A short doc fully contained in a long one: containment ~1 in the
+    small->large direction while Jaccard is low."""
+    from deeptime_spark.operators.dedup import (
+        verify_candidates_containment,
+        verify_candidates_jaccard,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different content here now")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in verify_candidates_containment(cands, docs, threshold=0.5).collect()}
+    assert (1, 2) in rows and (1, 3) not in rows
+    r = rows[(1, 2)]
+    assert r["containment_a"] == 1.0  # every trigram of small is in big
+    assert r["containment_b"] < 0.2
+    # the Jaccard verifier would reject the same pair at any real threshold
+    jac = verify_candidates_jaccard(cands, docs, threshold=0.5).collect()
+    assert not jac
+
+
+def test_prefix_duplicates_groups_and_normalize(spark):
+    from deeptime_spark.operators.dedup import prefix_duplicates
+
+    head = "breaking news: markets rally on strong earnings beat today"
+    docs = spark.createDataFrame(
+        [
+            (1, head + " tail one with extra words"),
+            (2, "  " + head.upper() + " different continuation entirely"),
+            (3, head + " third variant of the same template"),
+            (4, "unrelated document about something else entirely ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = prefix_duplicates(docs, prefix_chars=len(head)).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["n_copies"] == 3 and g["canonical_id"] == 1
+    assert sorted(g["doc_ids"]) == [1, 2, 3]
+    # without normalization the upper-cased copy falls out of the group
+    raw = prefix_duplicates(docs, prefix_chars=len(head), normalize=False).collect()
+    assert raw[0]["n_copies"] == 2
+
+
+def test_mad_anomalies_flags_and_degenerate_group(spark):
+    from deeptime_spark.operators.stats import mad_anomalies
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 100]]
+    rows += [("b", 5.0)] * 6 + [("b", 9.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = mad_anomalies(df, "value", ("grp",), z_threshold=3.5)
+    a = [r for r in out.collect() if r["grp"] == "a"]
+    flagged = [r["value"] for r in a if r["is_anomaly"]]
+    assert flagged == [100.0]
+    assert all(r["rob_z"] is not None for r in a)
+    # group b: MAD = 0 (most values identical) -> any deviation flagged,
+    # rob_z null
+    b = {r["value"]: r for r in out.collect() if r["grp"] == "b"}
+    assert b[9.0]["is_anomaly"] and b[9.0]["rob_z"] is None
+    assert not b[5.0]["is_anomaly"]

@@ -72,6 +72,8 @@ QUERIES = [
     # round-6 late: profiling, snapshot diff, leakage-safe split
     "corpus_profile", "corpus_snapshot_diff", "doc_leakage_split",
     "event_kmv_quantiles", "doc_incremental_dedup", "doc_novelty", "event_funnel", "event_retention",
+    # round-7: prefix families, asymmetric containment, robust anomaly
+    "doc_prefix_dup", "doc_containment_pairs", "event_anomaly_mad",
 ]
 
 
@@ -145,6 +147,18 @@ def main() -> None:
         if fn is None:
             continue
         results[name] = {}
+        # warm pass: one untimed run at the smallest multiple so the x1
+        # base excludes whole-stage-codegen JIT / Arrow worker spin-up.
+        # Cold x1 bases produced slopes < 1 (x8 "faster" than x1) in the
+        # r04-r06 tables — warm-session artifacts, not real sublinearity.
+        # Set SPARK_GRAFT_SCALE_COLD=1 to keep the old cold-base behavior.
+        if not os.environ.get("SPARK_GRAFT_SCALE_COLD"):
+            try:
+                fn(spark, dirs[ks[0]]).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         for k in ks:
             t0 = time.time()
             try:
