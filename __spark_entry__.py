@@ -1375,6 +1375,68 @@ def _q_event_anomaly_mad(spark, sf_dir):
     )
 
 
+def _q_event_pagerank(spark, sf_dir):
+    """Distributed PageRank (operators/graph.py:pagerank) on a 211-node
+    link multigraph synthesized deterministically from event_id — skewed
+    in-degrees, self-loops dropped, duplicate edges as multiplicity. 15
+    fixed power iterations, damping 0.85: the edge relation is
+    normalized once and cached hash-partitioned on src, so each
+    iteration shuffles only the O(|V|) ranks frame; ranks are
+    localCheckpointed per round (lineage truncation). Oracle is a dense
+    numpy replica of the same arithmetic
+    (oracle_ref.py:oracle_event_pagerank)."""
+    from deeptime_spark.operators.graph import pagerank
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    edges = ev.select(
+        (F.col("event_id") % 211).alias("src"),
+        ((F.col("event_id") * 31 + F.expr("event_id div 211")) % 211).alias(
+            "dst"
+        ),
+    ).where(F.col("src") != F.col("dst"))
+    pr = pagerank(edges, n_iter=15, damping=0.85)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+def _q_doc_edit_pairs(spark, sf_dir):
+    """Edit-distance similarity self-join (operators/editsim.py:
+    edit_distance_pairs, PassJoin segment blocking + threshold-banded
+    Levenshtein verify) over 20-char document titles plus planted
+    single-edit variants (a deletion family at doc_id % 13, +4M ids; a
+    substitution family at doc_id % 17, +5M ids). Identical strings
+    collapse to their min id before pairing, so every output pair is a
+    genuine 1-2 edit near-match. PURE-SQL oracle: DuckDB levenshtein
+    over the distinct-title self-join with the length-difference
+    filter."""
+    from deeptime_spark.operators.editsim import edit_distance_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    title = F.substring(F.lower(F.trim(F.col("text"))), 1, 20)
+    base = docs.select("doc_id", title.alias("title"))
+    dele = base.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(4_000_000)).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 7), F.substring("title", 9, 20)
+        ).alias("title"),
+    )
+    sub = base.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 4), F.lit("z"), F.substring("title", 6, 20)
+        ).alias("title"),
+    )
+    corpus = base.unionByName(dele).unionByName(sub)
+    pairs = edit_distance_pairs(
+        corpus, max_distance=2, text_col="title", id_col="doc_id"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("long").alias("distance")
+    )
+
+
 def _q_sindy_events(spark, sf_dir):
     """SINDy on the event value series (SURVEY §2.10): per-trajectory
     window FD derivative -> polynomial library -> ONE gramian aggregate
@@ -3513,6 +3575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prefix_dup": _q_doc_prefix_dup,
         "doc_containment_pairs": _q_doc_containment_pairs,
         "event_anomaly_mad": _q_event_anomaly_mad,
+        "event_pagerank": _q_event_pagerank,
+        "doc_edit_pairs": _q_doc_edit_pairs,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -3526,6 +3590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW_ORDER = [
     "event_pivot", "event_resample", "event_json_stats", "corpus_profile",
     "event_top_spenders",
+    # never-driver-run round-7 additions (priority per rotation contract)
+    "event_pagerank", "doc_edit_pairs",
     "bayes_hmm_events", "tpt_events", "effective_counts_events",
     "koopman_weights_events", "regspace_events", "msm_longtail_events",
     "multimodal_features", "kernel_gram_events", "tica_events",
@@ -3540,7 +3606,8 @@ _WINDOW_ORDER = [
     "event_session_range_join", "event_range_frame", "event_cube",
     "event_value_percentiles", "purchase_and_signup_users",
     "streaming_dedup_replay", "streaming_transition_counts",
-    "streaming_sessions", "streaming_window_counts",
+    # streaming_sessions / streaming_window_counts (r04-green) rotated out
+    # to make room for the two round-7 additions; re-window them round 8.
 ]
 
 
@@ -3876,6 +3943,28 @@ SELECT event_type,
        round(MAX(rob_z), 6) AS max_rob_z
 FROM s
 GROUP BY event_type
+""",
+        "doc_edit_pairs": r"""
+WITH base AS (
+  SELECT doc_id, coalesce(substr(lower(trim(text)), 1, 20), '') AS title
+  FROM documents
+), corpus AS (
+  SELECT doc_id, title FROM base
+  UNION ALL
+  SELECT doc_id + 4000000, substr(title, 1, 7) || substr(title, 9, 20)
+  FROM base WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, substr(title, 1, 4) || 'z' || substr(title, 6, 20)
+  FROM base WHERE doc_id % 17 = 0
+), d AS (
+  SELECT MIN(doc_id) AS id, title FROM corpus GROUP BY title
+)
+SELECT CAST(a.id AS BIGINT) AS id_a,
+       CAST(b.id AS BIGINT) AS id_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+FROM d a JOIN d b
+  ON a.id < b.id AND abs(length(a.title) - length(b.title)) <= 2
+WHERE levenshtein(a.title, b.title) <= 2
 """,
         "event_top_spenders": r"""
 WITH totals AS (

@@ -942,6 +942,49 @@ def oracle_doc_containment() -> str:
 _BUILDERS["doc_containment_pairs"] = oracle_doc_containment
 
 
+def oracle_event_pagerank() -> str:
+    """Dense power-iteration replica of operators/graph.py:pagerank on
+    the event-synthesized 211-node multigraph: multiplicity-summed
+    weights row-normalized to a stochastic matrix, 15 fixed iterations,
+    damping 0.85, dangling mass = 1 - Σcontrib redistributed uniformly —
+    the exact arithmetic of the Spark loop (integer-valued weight sums
+    and their ratios are IEEE-exact; per-iteration sums differ only in
+    association order, bounded ~1e-15, absorbed by round 6)."""
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT event_id FROM read_parquet('{sf_dir()}/events.parquet')"
+        ).fetchall()
+    ]
+    n_nodes = 211
+    W = np.zeros((n_nodes, n_nodes))
+    present = set()
+    for i in ids:
+        s = i % n_nodes
+        d = (i * 31 + i // n_nodes) % n_nodes
+        if s != d:
+            W[s, d] += 1.0
+            present.add(s)
+            present.add(d)
+    nodes = sorted(present)
+    idx = {v: k for k, v in enumerate(nodes)}
+    M = W[np.ix_(nodes, nodes)]
+    out_w = M.sum(axis=1)
+    P = np.divide(M, out_w[:, None], out=np.zeros_like(M), where=out_w[:, None] > 0)
+    N = len(nodes)
+    damping, r = 0.85, np.full(N, 1.0 / N)
+    for _ in range(15):
+        c = P.T @ r
+        dangling = max(0.0, 1.0 - float(c.sum()))
+        r = (1.0 - damping) / N + damping * (c + dangling / N)
+    rows = [(v, _spark_round(float(r[idx[v]]))) for v in nodes]
+    return _values_sql(rows, ["node", "rank"], "bd")
+
+
+_BUILDERS["event_pagerank"] = oracle_event_pagerank
+
+
 def oracle_doc_fingerprint() -> str:
     from deeptime_spark.spark_hashes import xxhash64
 

@@ -1,0 +1,156 @@
+"""PageRank (operators/graph.py) and edit-distance similarity join
+(operators/editsim.py) — graph-rank + PassJoin blocking, both validated
+against dense/brute-force replicas."""
+
+import numpy as np
+import pytest
+
+from deeptime_spark.operators.editsim import edit_distance_pairs
+from deeptime_spark.operators.graph import pagerank
+
+
+def _dense_pagerank(edges, weights=None, damping=0.85, n_iter=20):
+    """Driver-side dense replica of the documented semantics."""
+    w = {}
+    nodes = set()
+    for k, (s, d) in enumerate(edges):
+        nodes.add(s)
+        nodes.add(d)
+        w[(s, d)] = w.get((s, d), 0.0) + (1.0 if weights is None else weights[k])
+    nodes = sorted(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for (s, d), ww in w.items():
+        M[idx[s], idx[d]] = ww
+    out = M.sum(axis=1)
+    P = np.divide(M, out[:, None], out=np.zeros_like(M), where=out[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        c = P.T @ r
+        dangling = max(0.0, 1.0 - float(c.sum()))
+        r = (1.0 - damping) / n + damping * (c + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _levenshtein(a, b):
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+def test_pagerank_matches_dense_random_graph(spark, rng):
+    edges = [(int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(300)]
+    edges = [(s, d) for s, d in edges if s != d]
+    expected = _dense_pagerank(edges, n_iter=12)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+    assert set(got) == set(expected)
+    for v, e in expected.items():
+        assert got[v] == pytest.approx(e, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_and_weights(spark):
+    # 0->1->2, 2 dangling; duplicate edge = multiplicity
+    edges = [(0, 1), (0, 1), (1, 2)]
+    expected = _dense_pagerank(edges, n_iter=8)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    for v, e in expected.items():
+        assert got[v] == pytest.approx(e, abs=1e-12)
+
+    # explicit weights: (0,1) weight 3 == three duplicate rows
+    wdf = spark.createDataFrame(
+        [(0, 1, 3.0), (1, 2, 1.0)], "src long, dst long, w double"
+    )
+    got_w = {
+        r["node"]: r["rank"]
+        for r in pagerank(wdf, weight_col="w", n_iter=8).collect()
+    }
+    exp_w = _dense_pagerank([(0, 1), (1, 2)], weights=[3.0, 1.0], n_iter=8)
+    for v, e in exp_w.items():
+        assert got_w[v] == pytest.approx(e, abs=1e-12)
+
+
+def test_pagerank_star_graph_analytic(spark):
+    # hub 0 <- leaves 1..9; hub dangles back uniformly via dangling mass
+    edges = [(i, 0) for i in range(1, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=40).collect()}
+    expected = _dense_pagerank(edges, n_iter=40)
+    for v, e in expected.items():
+        assert got[v] == pytest.approx(e, abs=1e-12)
+    assert got[0] > max(got[i] for i in range(1, 10))
+
+
+def test_pagerank_validates_params(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
+
+
+def _brute_pairs(strings, tau):
+    out = set()
+    ids = sorted(strings)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = _levenshtein(strings[a], strings[b])
+            if d <= tau:
+                out.add((a, b, d))
+    return out
+
+
+def test_edit_pairs_matches_bruteforce_random(spark, rng):
+    # random 6-12 char strings over a 4-letter alphabet => dense near-matches
+    alpha = "abcd"
+    strings = {}
+    for i in range(120):
+        n = int(rng.integers(6, 13))
+        strings[i] = "".join(alpha[int(x)] for x in rng.integers(0, 4, n))
+    # collapse duplicates to min id exactly like distinct_texts=True
+    seen = {}
+    for i in sorted(strings):
+        seen.setdefault(strings[i], i)
+    uniq = {i: s for s, i in seen.items()}
+    expected = _brute_pairs(uniq, 2)
+    df = spark.createDataFrame(list(strings.items()), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_pairs(df, max_distance=2).collect()
+    }
+    assert got == expected
+
+
+def test_edit_pairs_short_strings_and_nulls(spark):
+    rows = [(1, "ab"), (2, "b"), (3, "abcd"), (4, None), (5, ""), (6, "abcde")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_pairs(df, max_distance=2).collect()
+    }
+    strings = {1: "ab", 2: "b", 3: "abcd", 4: "", 6: "abcde"}  # 5 dup of "" -> 4
+    assert got == _brute_pairs(strings, 2)
+
+
+def test_edit_pairs_tau1(spark):
+    rows = [(1, "kitten"), (2, "sitten"), (3, "sitting"), (4, "kitten!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_pairs(df, max_distance=1).collect()
+    }
+    assert got == {(1, 2, 1), (1, 4, 1)}
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, max_distance=0)
