@@ -1378,12 +1378,13 @@ def _q_event_anomaly_mad(spark, sf_dir):
 def _q_event_pagerank(spark, sf_dir):
     """Distributed PageRank (operators/graph.py:pagerank) on a 211-node
     link multigraph synthesized deterministically from event_id — skewed
-    in-degrees, self-loops dropped, duplicate edges as multiplicity. 15
-    fixed power iterations, damping 0.85: the edge relation is
-    normalized once and cached hash-partitioned on src, so each
-    iteration shuffles only the O(|V|) ranks frame; ranks are
-    localCheckpointed per round (lineage truncation). Oracle is a dense
-    numpy replica of the same arithmetic
+    in-degrees, self-loops dropped, duplicate edges as multiplicity. 10
+    fixed power iterations, damping 0.85: below the broadcast threshold
+    the normalized edge relation is scanned from cache and the O(|V|)
+    rank/contribution frames ride broadcast joins, so one iteration is
+    ONE job with no driver round-trip; ranks are localCheckpointed per
+    round (lineage truncation). Oracle is a dense numpy replica of the
+    same arithmetic
     (oracle_ref.py:oracle_event_pagerank)."""
     from deeptime_spark.operators.graph import pagerank
 
@@ -1394,7 +1395,7 @@ def _q_event_pagerank(spark, sf_dir):
             "dst"
         ),
     ).where(F.col("src") != F.col("dst"))
-    pr = pagerank(edges, n_iter=15, damping=0.85)
+    pr = pagerank(edges, n_iter=10, damping=0.85)
     return pr.select(
         F.col("node").cast("long").alias("node"),
         F.round("rank", 6).alias("rank"),
@@ -3585,8 +3586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-7 driver window (slots 0-49): five oracle-typing fixes first,
-# then the 45 r04-stale greens, oldest-evidence-first.  Recomputed each
-# round by tools/plan_window.py from CORRECTNESS_r0*.json.
+# then the two never-driver-run round-7 additions (slots 5-6), then 43
+# r04-stale greens oldest-evidence-first (streaming_sessions /
+# streaming_window_counts rotated past the window to make room).
+# Recomputed each round by tools/plan_window.py from CORRECTNESS_r0*.json.
 _WINDOW_ORDER = [
     "event_pivot", "event_resample", "event_json_stats", "corpus_profile",
     "event_top_spenders",

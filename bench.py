@@ -114,6 +114,8 @@ HEADLINE = [
     "doc_prefix_dup",
     "doc_containment_pairs",
     "event_anomaly_mad",
+    "event_pagerank",
+    "doc_edit_pairs",
 ]
 
 

@@ -16,8 +16,11 @@ Scale shape (the part that matters at 10^9 edges):
   ranks-to-edges join reuses the cached layout and only shuffles the
   O(|V|) ranks frame — the O(|E|) side never moves again.
 - Each iteration is join -> groupBy(dst).sum — both partial-aggregated
-  map-side; no driver data path except one 1-row scalar per iteration
-  (the dangling-mass total, unavoidable in every faithful PageRank).
+  map-side. The dangling-mass total (1 - Σcontrib) is NOT collected to
+  the driver: it rides as a broadcast single-row aggregate crossJoined
+  into the rank update, so one iteration is exactly ONE Spark job (the
+  eager localCheckpoint; the broadcast-exchange subjob materializes the
+  persisted contrib frame as a side effect).
 - Ranks are ``localCheckpoint``ed every iteration: a self-dependent
   iterative plan otherwise accumulates lineage that Catalyst re-analyzes
   quadratically (same rationale as connected_components,
@@ -42,6 +45,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 20,
     partitions: int | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """PageRank by power iteration over an edge DataFrame.
 
@@ -53,6 +57,16 @@ def pagerank(
     their rank uniformly, so ranks sum to 1 each iteration (the
     Brin & Page '98 random-surfer chain, handled as in Langville &
     Meyer, "Deep Inside PageRank", 2004).
+
+    When ``|V| <= broadcast_threshold`` the per-iteration rank and
+    contribution frames are broadcast into their joins: a
+    ``localCheckpoint``ed frame carries no size statistics, so Catalyst
+    would otherwise plan full shuffle joins for O(|V|)-row relations
+    that fit in one broadcast. Above the threshold (the true web-scale
+    regime, where |V| itself is distributed-sized) the shuffle path is
+    kept: ``trans`` stays cache-partitioned on ``src`` so only the
+    O(|V|) ranks frame moves. Set ``broadcast_threshold=0`` to force
+    the shuffle path.
 
     Returns (node, rank) — unnormalized by |V| so scores are the
     stationary probabilities themselves.
@@ -73,13 +87,6 @@ def pagerank(
     # column-stochastic transition probability p.
     agg = e0.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     out_w = agg.groupBy("src").agg(F.sum("w").alias("out_w"))
-    n_part = partitions or edges.sparkSession.sparkContext.defaultParallelism
-    trans = (
-        agg.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-        .repartition(n_part, "src")
-        .persist()
-    )
     nodes = (
         e0.select(F.col("src").alias("node"))
         .union(e0.select(F.col("dst").alias("node")))
@@ -87,25 +94,51 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # also materializes the persisted node set
+    small = n <= broadcast_threshold
+    trans = agg.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    if not small:
+        # shuffle regime: pin the O(|E|) side hash-partitioned on src so
+        # every iteration's join reuses the cached layout and only the
+        # O(|V|) ranks frame moves
+        n_part = partitions or spark.sparkContext.defaultParallelism
+        trans = trans.repartition(n_part, "src")
+    elif partitions:
+        trans = trans.repartition(partitions, "src")
+    # small regime: keep the AQE-coalesced agg output (a ≤|V|² relation
+    # collapses to a handful of partitions — per-iteration scan cost is
+    # task-count-bound, not data-bound)
+    trans = trans.persist()
     trans.count()
     teleport = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     try:
         for _ in range(n_iter):
+            r_side = F.broadcast(ranks) if small else ranks
             contrib = (
-                trans.join(ranks, trans.src == ranks.node)
+                trans.join(r_side, trans.src == ranks.node)
                 .groupBy("dst")
                 .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
                 .persist()  # consumed twice: dangling scalar + rank join
             )
             # Σ contrib = Σ rank over non-dangling nodes; total rank is 1,
-            # so the dangling mass is the complement — one scalar row,
-            # the only driver touch per iteration.
-            sum_c = contrib.agg(F.sum("c")).collect()[0][0] or 0.0
-            dangling = max(0.0, 1.0 - sum_c)
+            # so the dangling mass is the complement. One broadcast row —
+            # the broadcast-exchange subjob materializes `contrib` into
+            # the cache before the main stage re-reads it.
+            dang = F.broadcast(
+                contrib.agg(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0)),
+                    ).alias("_dm")
+                )
+            )
+            c_side = F.broadcast(contrib) if small else contrib
             new_ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                nodes.join(c_side, nodes.node == contrib.dst, "left")
+                .crossJoin(dang)
                 .select(
                     "node",
                     (
@@ -113,7 +146,7 @@ def pagerank(
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("c"), F.lit(0.0))
-                            + F.lit(dangling / n)
+                            + F.col("_dm") / F.lit(float(n))
                         )
                     ).alias("rank"),
                 )

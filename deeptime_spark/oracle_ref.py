@@ -945,7 +945,7 @@ _BUILDERS["doc_containment_pairs"] = oracle_doc_containment
 def oracle_event_pagerank() -> str:
     """Dense power-iteration replica of operators/graph.py:pagerank on
     the event-synthesized 211-node multigraph: multiplicity-summed
-    weights row-normalized to a stochastic matrix, 15 fixed iterations,
+    weights row-normalized to a stochastic matrix, 10 fixed iterations,
     damping 0.85, dangling mass = 1 - Σcontrib redistributed uniformly —
     the exact arithmetic of the Spark loop (integer-valued weight sums
     and their ratios are IEEE-exact; per-iteration sums differ only in
@@ -974,7 +974,7 @@ def oracle_event_pagerank() -> str:
     P = np.divide(M, out_w[:, None], out=np.zeros_like(M), where=out_w[:, None] > 0)
     N = len(nodes)
     damping, r = 0.85, np.full(N, 1.0 / N)
-    for _ in range(15):
+    for _ in range(10):
         c = P.T @ r
         dangling = max(0.0, 1.0 - float(c.sum()))
         r = (1.0 - damping) / N + damping * (c + dangling / N)
