@@ -563,3 +563,45 @@ def test_lm2_fit_single_exchange_reused(spark):
     assert final.count("Generate explode") == 1, final[:2000]
     assert "WindowGroupLimit" in final
     assert "EvalPython" not in final
+
+
+def test_edit_pairs_no_cartesian_no_python(spark):
+    """PassJoin edit-distance self-join: the long path must be an
+    equi-join on (L, i, sub) segment keys — never a CartesianProduct —
+    and the whole pipeline (segment arithmetic, substring keys, banded
+    levenshtein verify) stays JVM-side. The short bucket is the only
+    nested-loop join and must be broadcast."""
+    from deeptime_spark.operators.editsim import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.substring(F.lower("text"), 1, 20).alias("t")
+    )
+    pairs = edit_distance_pairs(docs, max_distance=2, text_col="t")
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EvalPython" not in plan
+    # short-bucket nested loop (if planned) must be the broadcast kind
+    if "NestedLoopJoin" in plan:
+        assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pagerank_trans_normalization_shapes(spark):
+    """PageRank pre-loop normalization: multiplicity sum + out-weight
+    division must plan with partial (map-side) aggregation and no
+    Python eval. (The iteration loop executes eagerly per round via
+    localCheckpoint, so its per-iteration broadcast regime is covered
+    by the equivalence tests + bench timing rather than a plan string.)"""
+    from pyspark.sql import functions as F2
+
+    edges = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            (F2.col("event_id") % 211).alias("src"),
+            ((F2.col("event_id") * 31) % 211).alias("dst"),
+        )
+        .where("src != dst")
+    )
+    agg = edges.groupBy("src", "dst").agg(F2.count(F2.lit(1)).alias("w"))
+    plan = plan_of(agg)
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan

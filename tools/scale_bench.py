@@ -72,8 +72,11 @@ QUERIES = [
     # round-6 late: profiling, snapshot diff, leakage-safe split
     "corpus_profile", "corpus_snapshot_diff", "doc_leakage_split",
     "event_kmv_quantiles", "doc_incremental_dedup", "doc_novelty", "event_funnel", "event_retention",
-    # round-7: prefix families, asymmetric containment, robust anomaly
+    # round-7: prefix families, asymmetric containment, robust anomaly,
+    # iterative graph rank, segment-blocked edit-distance join (replica
+    # offsets multiply the planted near-match families linearly)
     "doc_prefix_dup", "doc_containment_pairs", "event_anomaly_mad",
+    "event_pagerank", "doc_edit_pairs",
 ]
 
 
