@@ -1375,6 +1375,37 @@ def _q_event_anomaly_mad(spark, sf_dir):
     )
 
 
+def _q_event_cusum(spark, sf_dir):
+    """Two-sided CUSUM change detection per event type (operators/
+    stats.py:cusum_changepoints, Page 1954): the max(0,·) reset
+    recursion rewritten as prefix-sum minus running extremum — two
+    window functions over one (type, ts, event_id) sort, exact integer
+    cents end-to-end, summarized per type. PURE-SQL oracle replays the
+    identical window algebra."""
+    from deeptime_spark.operators.stats import cusum_changepoints
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = cusum_changepoints(
+        ev,
+        "cents",
+        order_cols=("ts", "event_id"),
+        group_cols=("event_type",),
+        drift=100,
+        threshold=10_000,
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("cusum_pos").alias("max_cusum_pos"),
+        F.max("cusum_neg").alias("max_cusum_neg"),
+        F.sum(F.col("is_alarm").cast("long")).alias("n_alarms"),
+    )
+
+
 def _q_event_pagerank(spark, sf_dir):
     """Distributed PageRank (operators/graph.py:pagerank) on a 211-node
     link multigraph synthesized deterministically from event_id — skewed
@@ -1399,6 +1430,52 @@ def _q_event_pagerank(spark, sf_dir):
     return pr.select(
         F.col("node").cast("long").alias("node"),
         F.round("rank", 6).alias("rank"),
+    )
+
+
+def _q_doc_pmi_collocations(spark, sf_dir):
+    """Top-50 word-bigram collocations by PMI over the documents corpus
+    (operators/text.py:pmi_collocations — Church & Hanks 1990):
+    unigrams and bigrams share one scan+shuffle, min_count bounds the
+    bigram relation before the unigram joins, TakeOrdered cut. The
+    compared column is the PMI *ratio* (a fixed tree of IEEE ops over
+    exact BIGINT counts — bit-exact across engines, unlike ln). PURE-SQL
+    oracle."""
+    from deeptime_spark.operators.text import pmi_collocations
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    out = pmi_collocations(docs, min_count=5, top_k=50)
+    return out.select(
+        "w1",
+        "w2",
+        F.col("c12").cast("long").alias("c12"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        F.round("pmi_ratio", 6).alias("pmi_ratio"),
+    )
+
+
+def _q_event_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py:hits) on the same
+    deterministic 211-node event multigraph as event_pagerank — 8
+    L1-normalized half-step pairs. Per iteration the O(|V|) score frame
+    broadcasts into the cached edge relation and each half-step is one
+    job. Oracle is a dense numpy replica
+    (oracle_ref.py:oracle_event_hits)."""
+    from deeptime_spark.operators.graph import hits
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    edges = ev.select(
+        (F.col("event_id") % 211).alias("src"),
+        ((F.col("event_id") * 31 + F.expr("event_id div 211")) % 211).alias(
+            "dst"
+        ),
+    ).where(F.col("src") != F.col("dst"))
+    hs = hits(edges, n_iter=8)
+    return hs.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
     )
 
 
@@ -3578,6 +3655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomaly_mad": _q_event_anomaly_mad,
         "event_pagerank": _q_event_pagerank,
         "doc_edit_pairs": _q_doc_edit_pairs,
+        "event_hits": _q_event_hits,
+        "doc_pmi_collocations": _q_doc_pmi_collocations,
+        "event_cusum": _q_event_cusum,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -3946,6 +4026,68 @@ SELECT event_type,
        round(MAX(rob_z), 6) AS max_rob_z
 FROM s
 GROUP BY event_type
+""",
+        "event_cusum": r"""
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), c AS (
+  SELECT *, CAST(floor((SUM(cents) OVER (PARTITION BY event_type)) * 1.0
+                       / (COUNT(*) OVER (PARTITION BY event_type)))
+                 AS BIGINT) AS ctr
+  FROM v
+), p AS (
+  SELECT event_type, ts, event_id,
+         SUM(cents - ctr - 100) OVER w AS pp,
+         SUM(cents - ctr + 100) OVER w AS pn
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+), s AS (
+  SELECT event_type,
+         pp - LEAST(0, MIN(pp) OVER w) AS sp,
+         GREATEST(0, MAX(pn) OVER w) - pn AS sn
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(sp) AS BIGINT) AS max_cusum_pos,
+       CAST(MAX(sn) AS BIGINT) AS max_cusum_neg,
+       CAST(SUM(CASE WHEN sp > 10000 OR sn > 10000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms
+FROM s GROUP BY event_type
+""",
+        "doc_pmi_collocations": r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), uni AS (
+  SELECT u.w AS w, COUNT(*) AS c FROM t, UNNEST(toks) AS u(w) GROUP BY 1
+), bi AS (
+  SELECT toks[CAST(i AS BIGINT) + 1] AS w1, toks[CAST(i AS BIGINT) + 2] AS w2
+  FROM t, UNNEST(range(len(toks) - 1)) AS r(i)
+), bic AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), tot AS (
+  SELECT CAST((SELECT SUM(c) FROM uni) AS BIGINT) AS T,
+         CAST((SELECT COUNT(*) FROM bi) AS BIGINT) AS B
+)
+SELECT w1, w2,
+       CAST(c12 AS BIGINT) AS c12,
+       CAST(u1.c AS BIGINT) AS c1,
+       CAST(u2.c AS BIGINT) AS c2,
+       round((CAST(c12 AS DOUBLE) / B) /
+             ((CAST(u1.c AS DOUBLE) / T) * (CAST(u2.c AS DOUBLE) / T)), 6)
+         AS pmi_ratio
+FROM bic JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, tot
+ORDER BY (CAST(c12 AS DOUBLE) / B) /
+         ((CAST(u1.c AS DOUBLE) / T) * (CAST(u2.c AS DOUBLE) / T)) DESC,
+         w1, w2
+LIMIT 50
 """,
         "doc_edit_pairs": r"""
 WITH base AS (

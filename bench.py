@@ -116,6 +116,9 @@ HEADLINE = [
     "event_anomaly_mad",
     "event_pagerank",
     "doc_edit_pairs",
+    "event_hits",
+    "doc_pmi_collocations",
+    "event_cusum",
 ]
 
 

@@ -46,6 +46,7 @@ def pagerank(
     n_iter: int = 20,
     partitions: int | None = None,
     broadcast_threshold: int = 1_000_000,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over an edge DataFrame.
 
@@ -57,6 +58,13 @@ def pagerank(
     their rank uniformly, so ranks sum to 1 each iteration (the
     Brin & Page '98 random-surfer chain, handled as in Langville &
     Meyer, "Deep Inside PageRank", 2004).
+
+    ``personalization`` (optional) is a (node, weight) DataFrame giving
+    a non-uniform teleport distribution — the personalized PageRank of
+    Haveliwala, "Topic-Sensitive PageRank" (WWW'02). Weights are
+    L1-normalized once; nodes absent from the frame get teleport 0, and
+    the dangling mass is redistributed by the same vector. Ranks still
+    sum to 1 each iteration.
 
     When ``|V| <= broadcast_threshold`` the per-iteration rank and
     contribution frames are broadcast into their joins: a
@@ -111,8 +119,28 @@ def pagerank(
     # task-count-bound, not data-bound)
     trans = trans.persist()
     trans.count()
+    if personalization is not None:
+        # L1-normalize the teleport vector once; pin it onto the node
+        # frame so the per-iteration update is a column expression.
+        pv = personalization.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("weight").cast("double").alias("_w"),
+        )
+        total = pv.agg(F.sum("_w").alias("t"))
+        pv = pv.crossJoin(F.broadcast(total)).select(
+            "node", (F.col("_w") / F.col("t")).alias("pv")
+        )
+        base = (
+            nodes.join(pv, "node", "left")
+            .select("node", F.coalesce(F.col("pv"), F.lit(0.0)).alias("pv"))
+            .persist()
+        )
+        base.count()
+        nodes.unpersist()
+    else:
+        base = nodes
     teleport = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = base.select("node", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     try:
         for _ in range(n_iter):
@@ -136,20 +164,20 @@ def pagerank(
                 )
             )
             c_side = F.broadcast(contrib) if small else contrib
-            new_ranks = (
-                nodes.join(c_side, nodes.node == contrib.dst, "left")
-                .crossJoin(dang)
-                .select(
-                    "node",
-                    (
-                        F.lit(teleport)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("c"), F.lit(0.0))
-                            + F.col("_dm") / F.lit(float(n))
-                        )
-                    ).alias("rank"),
+            if personalization is not None:
+                update = F.lit(1.0 - damping) * F.col("pv") + F.lit(damping) * (
+                    F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("_dm") * F.col("pv")
                 )
+            else:
+                update = F.lit(teleport) + F.lit(damping) * (
+                    F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("_dm") / F.lit(float(n))
+                )
+            new_ranks = (
+                base.join(c_side, base.node == contrib.dst, "left")
+                .crossJoin(dang)
+                .select("node", update.alias("rank"))
             )
             old = ranks
             ranks = new_ranks.localCheckpoint(eager=True)
@@ -157,5 +185,102 @@ def pagerank(
             old.unpersist()
     finally:
         trans.unpersist()
-        nodes.unpersist()
+        base.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    n_iter: int = 20,
+    partitions: int | None = None,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99) by power iteration.
+
+    Per iteration: ``authority(v) = Σ_{u->v} w(u,v)·hub(u)`` then
+    ``hub(u) = Σ_{u->v} w(u,v)·authority(v)``, each half-step
+    L1-normalized (scores sum to 1 — deterministic across engines,
+    unlike max-normalization whose argmax can tie). Duplicate edges are
+    multiplicity; the aggregated edge relation is persisted once and,
+    as in :func:`pagerank`, the O(|V|) score frames broadcast below
+    ``broadcast_threshold`` and shuffle above it.
+
+    Returns (node, hub, authority) over the full node set (nodes with
+    no out-edges have hub 0; no in-edges, authority 0).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    spark = edges.sparkSession
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e0 = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        w.alias("w"),
+    )
+    ew = e0.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    small = n <= broadcast_threshold
+    if not small:
+        n_part = partitions or spark.sparkContext.defaultParallelism
+        ew = ew.repartition(n_part, "src")
+    elif partitions:
+        ew = ew.repartition(partitions, "src")
+    ew = ew.persist()
+    ew.count()
+
+    def _half(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        """One half-step: propagate `scores` across edges from key_in to
+        key_out, L1-normalize. Returns (node, s) over the full node set."""
+        s_side = F.broadcast(scores) if small else scores
+        raw = (
+            ew.join(s_side, ew[key_in] == scores.node)
+            .groupBy(key_out)
+            .agg(F.sum(F.col("w") * F.col("s")).alias("raw"))
+            .persist()
+        )
+        tot = F.broadcast(raw.agg(F.sum("raw").alias("_t")))
+        out = (
+            nodes.join(raw, nodes.node == raw[key_out], "left")
+            .crossJoin(tot)
+            .select(
+                "node",
+                F.when(
+                    F.col("_t") > 0,
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("_t"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("s"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+        raw.unpersist()
+        return out
+
+    hubs = nodes.select("node", F.lit(1.0 / n).alias("s"))
+    hubs = hubs.localCheckpoint(eager=True)
+    auths = None
+    try:
+        for _ in range(n_iter):
+            new_auths = _half(hubs, "src", "dst")
+            if auths is not None:
+                auths.unpersist()
+            auths = new_auths
+            old_h = hubs
+            hubs = _half(auths, "dst", "src")
+            old_h.unpersist()
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+    return (
+        hubs.select("node", F.col("s").alias("hub"))
+        .join(auths.select("node", F.col("s").alias("authority")), "node")
+    )

@@ -278,3 +278,66 @@ def mad_anomalies(
             F.col("_absdev") > 0
         ),
     ).drop("_absdev")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    order_cols: tuple,
+    group_cols: tuple = (),
+    drift: int = 0,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page, "Continuous Inspection
+    Schemes", Biometrika 41, 1954) over integer-valued series, per group.
+
+    The textbook recursion ``S+_t = max(0, S+_{t-1} + (x_t - c) - k)``
+    is a running reset-sum; it is NOT a plain window aggregate, but it
+    equals ``P_t - min_{0<=j<=t} P_j`` (empty prefix included) for the prefix sums
+    ``P_t = Σ(x_i - c - k)`` — so both one-sided statistics become TWO
+    window functions (cumulative sum, running extremum) over the same
+    (group, order) frame: one shuffle, no recursion, no Python, and the
+    whole computation is exact integer arithmetic (engine-portable).
+
+    ``value_col`` must be integer-valued (scale floats to
+    cents/ppm first); the per-group center ``c`` is the floored integer
+    mean ``floor(SUM(x) / COUNT(x))`` (window-computed — no join),
+    ``drift`` is the CUSUM slack ``k`` in the same units.
+
+    Returns the input columns plus (cusum_pos, cusum_neg) and, when
+    ``threshold`` is given, ``is_alarm`` (either side exceeding it).
+    Rows within a group MUST be totally ordered by ``order_cols`` —
+    include a unique id as the last key; a tie would make the running
+    extremum order-dependent.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    base = (
+        Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    )
+    whole = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = base.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    x = F.col(value_col).cast("long")
+    total = F.sum(x).over(whole)
+    cnt = F.count(x).over(whole)
+    # floor of an exact-long quotient: both engines floor() the same
+    # correctly-rounded double (totals < 2^53 by the integer contract)
+    center = F.floor(total / cnt).cast("long")
+    dev = x - center
+    p_pos = F.sum(dev - F.lit(int(drift))).over(run)
+    p_neg = F.sum(dev + F.lit(int(drift))).over(run)
+    # the running extremum must include the EMPTY prefix (P_0 = 0) —
+    # that is the max(0, ·) reset in the recursion
+    s_pos = p_pos - F.least(F.lit(0), F.min(p_pos).over(run))
+    s_neg = F.greatest(F.lit(0), F.max(p_neg).over(run)) - p_neg
+    out = df.withColumn("cusum_pos", s_pos).withColumn("cusum_neg", s_neg)
+    if threshold is not None:
+        out = out.withColumn(
+            "is_alarm",
+            (F.col("cusum_pos") > F.lit(int(threshold)))
+            | (F.col("cusum_neg") > F.lit(int(threshold))),
+        )
+    return out

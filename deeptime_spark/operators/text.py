@@ -963,3 +963,87 @@ def novelty_scores(
         "n_novel",
         F.expr("(n_novel * 1000000L) DIV n_grams").alias("novelty_ppm"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` word-bigram collocations by pointwise mutual
+    information — the classic corpus-analysis signal for multiword
+    expressions (Church & Hanks, "Word Association Norms, Mutual
+    Information, and Lexicography", CL 16(1), 1990), and a vocabulary
+    diagnostic for training corpora (tokenizer-merge candidates,
+    boilerplate phrase discovery).
+
+    Returns (w1, w2, c12, c1, c2, pmi_ratio, pmi) where ``pmi_ratio =
+    P(w1,w2) / (P(w1)·P(w2))`` computed as a fixed expression tree of
+    IEEE divisions/multiplications over exact BIGINT counts (bit-exact
+    across engines, unlike ln), and ``pmi = ln(pmi_ratio)`` for human
+    consumption. Ordered by (pmi_ratio desc, w1, w2) — a total order,
+    so the top-k cut is deterministic under ties.
+
+    Scale shape: unigrams and bigrams share ONE corpus scan + ONE count
+    shuffle (bigrams contain a space, whitespace tokens cannot — the
+    same free discriminator as the bigram-LM fit); the counts relation
+    is persisted because the kind/min_count splits filter on the
+    grouping key, which Catalyst would push below the aggregation and
+    defeat ReusedExchange. ``min_count`` bounds the bigram side BEFORE
+    the two unigram joins, and the final cut is orderBy+limit →
+    TakeOrdered (no global sort). The counts persist is lazy (no action
+    here) and left to session cache management, the same pattern as the
+    sparse-cosine candidate reuse (retrieval.py).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    grams2 = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), 2)
+    counts = (
+        df.select(
+            F.explode(
+                F.concat(tokens(F.coalesce(F.col(text_col), F.lit(""))), grams2)
+            ).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    is_uni = ~F.col("t").contains(" ")
+    tot = F.broadcast(
+        counts.agg(
+            F.coalesce(F.sum(F.when(is_uni, F.col("c"))), F.lit(0)).alias("T"),
+            F.coalesce(F.sum(F.when(~is_uni, F.col("c"))), F.lit(0)).alias("B"),
+        )
+    )
+    big = (
+        counts.where(~is_uni & (F.col("c") >= min_count))
+        .select(
+            F.split(F.col("t"), " ").getItem(0).alias("w1"),
+            F.split(F.col("t"), " ").getItem(1).alias("w2"),
+            F.col("c").alias("c12"),
+        )
+    )
+    u1 = counts.where(is_uni).select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = counts.where(is_uni).select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    ratio = (F.col("c12").cast("double") / F.col("B")) / (
+        (F.col("c1").cast("double") / F.col("T"))
+        * (F.col("c2").cast("double") / F.col("T"))
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            ratio.alias("pmi_ratio"),
+            F.log(ratio).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(top_k)
+    )

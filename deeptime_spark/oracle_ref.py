@@ -985,6 +985,51 @@ def oracle_event_pagerank() -> str:
 _BUILDERS["event_pagerank"] = oracle_event_pagerank
 
 
+def oracle_event_hits() -> str:
+    """Dense replica of operators/graph.py:hits on the event-synthesized
+    211-node multigraph: 8 iterations of a = M'h / Σ, h = Ma / Σ
+    (L1-normalized half-steps), exactly the Spark loop's arithmetic up
+    to fp association order (absorbed by round 6)."""
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT event_id FROM read_parquet('{sf_dir()}/events.parquet')"
+        ).fetchall()
+    ]
+    n_nodes = 211
+    W = np.zeros((n_nodes, n_nodes))
+    present = set()
+    for i in ids:
+        s = i % n_nodes
+        d = (i * 31 + i // n_nodes) % n_nodes
+        if s != d:
+            W[s, d] += 1.0
+            present.add(s)
+            present.add(d)
+    nodes = sorted(present)
+    idx = {v: k for k, v in enumerate(nodes)}
+    M = W[np.ix_(nodes, nodes)]
+    N = len(nodes)
+    h = np.full(N, 1.0 / N)
+    a = np.zeros(N)
+    for _ in range(8):
+        a = M.T @ h
+        t = a.sum()
+        a = a / t if t > 0 else a * 0.0
+        h = M @ a
+        t = h.sum()
+        h = h / t if t > 0 else h * 0.0
+    rows = [
+        (v, _spark_round(float(h[idx[v]])), _spark_round(float(a[idx[v]])))
+        for v in nodes
+    ]
+    return _values_sql(rows, ["node", "hub", "authority"], "bdd")
+
+
+_BUILDERS["event_hits"] = oracle_event_hits
+
+
 def oracle_doc_fingerprint() -> str:
     from deeptime_spark.spark_hashes import xxhash64
 

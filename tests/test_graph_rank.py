@@ -154,3 +154,93 @@ def test_edit_pairs_tau1(spark):
     assert got == {(1, 2, 1), (1, 4, 1)}
     with pytest.raises(ValueError):
         edit_distance_pairs(df, max_distance=0)
+
+
+def _dense_hits(edges, n_iter=20):
+    w = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        w[(s, d)] = w.get((s, d), 0.0) + 1.0
+    nodes = sorted(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for (s, d), ww in w.items():
+        M[idx[s], idx[d]] = ww
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = M.T @ h
+        t = a.sum()
+        a = a / t if t > 0 else a * 0.0
+        h = M @ a
+        t = h.sum()
+        h = h / t if t > 0 else h * 0.0
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_dense_random_graph(spark, rng):
+    edges = [(int(rng.integers(0, 20)), int(rng.integers(0, 20))) for _ in range(150)]
+    edges = [(s, d) for s, d in edges if s != d]
+    expected = _dense_hits(edges, n_iter=10)
+    from deeptime_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=10).collect()
+    }
+    assert set(got) == set(expected)
+    for v, (eh, ea) in expected.items():
+        assert got[v][0] == pytest.approx(eh, abs=1e-12)
+        assert got[v][1] == pytest.approx(ea, abs=1e-12)
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_bipartite_structure(spark):
+    # pure hubs 0,1 point at pure authorities 10,11,12
+    from deeptime_spark.operators.graph import hits
+
+    edges = [(0, 10), (0, 11), (0, 12), (1, 10), (1, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, n_iter=15).collect()}
+    assert got[0][0] > got[1][0] > 0  # 0 links to more authorities
+    assert got[10][1] > got[12][1] > 0  # 10 cited by both hubs
+    for v in (10, 11, 12):
+        assert got[v][0] == 0.0  # authorities have no out-links
+    for v in (0, 1):
+        assert got[v][1] == 0.0
+
+
+def test_personalized_pagerank(spark):
+    from deeptime_spark.operators.graph import pagerank
+
+    # ring 0->1->2->3->0; personalize all teleport onto node 0
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pers = spark.createDataFrame([(0, 2.0)], "node long, weight double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=30, personalization=pers).collect()
+    }
+    # dense replica with teleport vector e_0
+    n = 4
+    import numpy as np2
+
+    P = np2.zeros((4, 4))
+    for s, d in edges:
+        P[s, d] = 1.0
+    pv = np2.array([1.0, 0, 0, 0])
+    r = np2.full(n, 1.0 / n)
+    for _ in range(30):
+        c = P.T @ r
+        dang = max(0.0, 1.0 - c.sum())
+        r = 0.15 * pv + 0.85 * (c + dang * pv)
+    for v in range(4):
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # rank decays with distance from the personalized node
+    assert got[0] > got[1] > got[2] > got[3] or got[0] > got[1]

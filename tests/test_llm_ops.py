@@ -1427,3 +1427,58 @@ def test_mad_anomalies_flags_and_degenerate_group(spark):
     b = {r["value"]: r for r in out.collect() if r["grp"] == "b"}
     assert b[9.0]["is_anomaly"] and b[9.0]["rob_z"] is None
     assert not b[5.0]["is_anomaly"]
+
+
+# ---------------------------------------------------------------- PMI
+
+
+def _brute_pmi(texts, min_count=1, top_k=100):
+    import math
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in (t or "").lower().strip().split() if w]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    T, B = sum(uni.values()), sum(bi.values())
+    rows = []
+    for (w1, w2), c12 in bi.items():
+        if c12 < min_count:
+            continue
+        ratio = (c12 / B) / ((uni[w1] / T) * (uni[w2] / T))
+        rows.append((w1, w2, c12, uni[w1], uni[w2], ratio, math.log(ratio)))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return rows[:top_k]
+
+
+def test_pmi_collocations_matches_bruteforce(spark):
+    from deeptime_spark.operators.text import pmi_collocations
+
+    texts = [
+        "new york is in new york state",
+        "new york city and san francisco",
+        "san francisco fog and new york rain",
+        "the city the state the fog",
+        None,
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["w1"], r["w2"], r["c12"], r["c1"], r["c2"], r["pmi_ratio"])
+        for r in pmi_collocations(df, min_count=2, top_k=10).collect()
+    ]
+    exp = [(w1, w2, c12, c1, c2, pytest.approx(ratio, rel=1e-12))
+           for w1, w2, c12, c1, c2, ratio, _ in _brute_pmi(texts, min_count=2, top_k=10)]
+    assert got == exp
+
+
+def test_pmi_collocations_min_count_and_validation(spark):
+    from deeptime_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame([(0, "a b a b c d")], "doc_id long, text string")
+    rows = pmi_collocations(df, min_count=2, top_k=5).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+    assert rows[0]["c12"] == 2
+    with pytest.raises(ValueError):
+        pmi_collocations(df, min_count=0)

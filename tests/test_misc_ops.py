@@ -242,3 +242,80 @@ def test_retention_cohorts_semantics(spark):
         ("2026-01-02", 0): 1,
         ("2026-01-02", 1): 1,
     }
+
+
+# ---------------------------------------------------------------- CUSUM
+
+
+def _brute_cusum(vals, drift=0):
+    c = sum(vals) // len(vals) if sum(vals) >= 0 else None
+    import math
+
+    c = math.floor(sum(vals) / len(vals))
+    sp = sn = 0
+    out = []
+    for v in vals:
+        sp = max(0, sp + (v - c) - drift)
+        sn = max(0, sn + -(v - c) - drift)
+        out.append((sp, sn))
+    return out
+
+
+def test_cusum_matches_recursion(spark, rng):
+    from deeptime_spark.operators.stats import cusum_changepoints
+
+    vals = [int(v) for v in rng.integers(-50, 50, 200)]
+    # plant a level shift
+    vals = vals + [int(v) + 40 for v in rng.integers(-50, 50, 100)]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v long")
+    got = {
+        r["i"]: (r["cusum_pos"], r["cusum_neg"])
+        for r in cusum_changepoints(
+            df, "v", order_cols=("i",), threshold=200
+        ).collect()
+    }
+    exp = _brute_cusum(vals)
+    for i, e in enumerate(exp):
+        assert got[i] == e, (i, got[i], e)
+    # the planted +40 shift must fire the POSITIVE side only after the
+    # shift point (the pre-shift segment sits below the global mean, so
+    # the negative side may fire earlier — that is correct CUSUM)
+    pos_alarms = [
+        r["i"]
+        for r in cusum_changepoints(df, "v", order_cols=("i",), threshold=500)
+        .where("cusum_pos > 500")
+        .collect()
+    ]
+    assert pos_alarms and min(pos_alarms) >= 200
+
+
+def test_cusum_grouped_and_drift(spark):
+    from deeptime_spark.operators.stats import cusum_changepoints
+
+    rows = [("a", i, v) for i, v in enumerate([0, 0, 10, 10, 10])] + [
+        ("b", i, v) for i, v in enumerate([5, 5, 5, 5, 5])
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    got = {
+        (r["g"], r["i"]): (r["cusum_pos"], r["cusum_neg"])
+        for r in cusum_changepoints(
+            df, "v", order_cols=("i",), group_cols=("g",), drift=1
+        ).collect()
+    }
+
+    def rec(vals, drift):
+        import math
+
+        c = math.floor(sum(vals) / len(vals))
+        sp = sn = 0
+        res = []
+        for v in vals:
+            sp = max(0, sp + (v - c) - drift)
+            sn = max(0, sn + -(v - c) - drift)
+            res.append((sp, sn))
+        return res
+
+    for g, vals in (("a", [0, 0, 10, 10, 10]), ("b", [5, 5, 5, 5, 5])):
+        for i, e in enumerate(rec(vals, 1)):
+            assert got[(g, i)] == e

@@ -77,6 +77,8 @@ QUERIES = [
     # offsets multiply the planted near-match families linearly)
     "doc_prefix_dup", "doc_containment_pairs", "event_anomaly_mad",
     "event_pagerank", "doc_edit_pairs",
+    # round-7 late: HITS, PMI collocations, CUSUM changepoints
+    "event_hits", "doc_pmi_collocations", "event_cusum",
 ]
 
 
