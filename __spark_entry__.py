@@ -1375,6 +1375,51 @@ def _q_event_anomaly_mad(spark, sf_dir):
     )
 
 
+def _q_media_ahash_pairs(spark, sf_dir):
+    """Perceptual image dedup over REAL binary payloads: every third
+    document fabricates a deterministic 16x16 P6 PPM (seed = doc_id),
+    every fifteenth also plants a one-byte-perturbed variant (+7M id).
+    ahash_images (multimodal.py) computes the integer-exact average
+    hash through Arrow mapInPandas; pairs come from the generic
+    pigeonhole Hamming band join (dedup.py:hamming_near_pairs, radius
+    8 -> guaranteed recall). Oracle replays decode+hash+brute pairs in
+    numpy (oracle_ref.py:oracle_media_ahash_pairs)."""
+    from pyspark.sql.types import BinaryType
+
+    from deeptime_spark.operators.dedup import hamming_near_pairs
+    from deeptime_spark.operators.multimodal import ahash_images, synth_ppm
+
+    @F.pandas_udf(BinaryType())
+    def ppm_of(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_ppm(16, 16, seed=int(i)))
+
+    @F.pandas_udf(BinaryType())
+    def ppm_variant(ids: pd.Series) -> pd.Series:
+        def make(i):
+            b = bytearray(synth_ppm(16, 16, seed=int(i)))
+            b[-5] = (b[-5] + 80) % 256
+            return bytes(b)
+
+        return ids.map(make)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    base = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"), ppm_of("doc_id").alias("payload")
+    )
+    variants = docs.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + F.lit(7_000_000)).alias("media_id"),
+        ppm_variant("doc_id").alias("payload"),
+    )
+    media = base.unionByName(variants)
+    sigs = ahash_images(media).where("ok").select("media_id", "ahash")
+    pairs = hamming_near_pairs(
+        sigs, id_col="media_id", sig_col="ahash", max_hamming=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _q_event_cusum(spark, sf_dir):
     """Two-sided CUSUM change detection per event type (operators/
     stats.py:cusum_changepoints, Page 1954): the max(0,·) reset
@@ -3658,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hits": _q_event_hits,
         "doc_pmi_collocations": _q_doc_pmi_collocations,
         "event_cusum": _q_event_cusum,
+        "media_ahash_pairs": _q_media_ahash_pairs,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"

@@ -493,27 +493,29 @@ def simhash_signatures_df(
     return votes.select(F.col(id_col), expr.alias(out_col))
 
 
-def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+def hamming_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "sim",
     max_hamming: int = 3, n_blocks: int | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash with pigeonhole banding: the 64 bits are
-    split into ``n_blocks`` contiguous bands (default ``max_hamming + 1``)
-    and docs are bucketed on each (band_index, band_value). Any pair with
-    Hamming distance <= n_blocks - 1 must agree on at least one full band,
-    so the default gives GUARANTEED recall at radius ``max_hamming``
-    (Gong et al. pigeonhole blocking, as in Google's simhash dedup).
-    Exact Hamming verification runs only inside buckets; one shuffle on
-    the band key; bucket size capped at ``max_bucket`` to bound the
-    self-join against hot bands (boilerplate documents).
-    """
+    """Generic 64-bit-signature Hamming join with pigeonhole banding —
+    the blocking core shared by SimHash text dedup and perceptual image
+    hashing (multimodal.py:ahash_images). ``sigs`` is (id, signature)
+    with the signature a 64-bit integer; bits are split into
+    ``n_blocks`` contiguous bands (default ``max_hamming + 1``) and ids
+    bucketed on each (band_index, band_value). Any pair with Hamming
+    distance <= n_blocks - 1 must agree on at least one full band
+    (pigeonhole), so the default gives GUARANTEED recall at radius
+    ``max_hamming``. Exact Hamming verification runs only inside
+    buckets; one shuffle on the band key; bucket size capped at
+    ``max_bucket`` to bound the self-join against hot bands."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     n_blocks = max(2, min(int(n_blocks), 16))
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    sigs = simhash_signatures_df(df, text_col, id_col)
+    if sig_col != "sim":
+        sigs = sigs.select(F.col(id_col), F.col(sig_col).alias("sim"))
     bands = F.array(
         *[
             F.struct(
@@ -535,6 +537,22 @@ def simhash_near_duplicates(
     ).where(F.col("hamming") <= max_hamming)
     # a pair can collide in several bands: keep one row per pair
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, n_blocks: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with pigeonhole banding (Gong et al.
+    blocking, as in Google's simhash dedup): fingerprints via
+    ``simhash_signatures_df``, then the generic
+    :func:`hamming_near_pairs` band join."""
+    sigs = simhash_signatures_df(df, text_col, id_col)
+    return hamming_near_pairs(
+        sigs, id_col=id_col, sig_col="sim", max_hamming=max_hamming,
+        n_blocks=n_blocks, max_bucket=max_bucket,
+    )
 
 
 # ---------------------------------------------------------------- embeddings

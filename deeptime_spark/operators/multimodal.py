@@ -354,3 +354,77 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         F.lit(64).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+        StructField("ok", BooleanType()),
+    ]
+)
+
+
+def ahash_bytes(payload: bytes, hash_size: int = 8) -> int | None:
+    """Average-hash of one PPM/BMP payload — INTEGER-EXACT end to end.
+
+    The standard perceptual aHash (resize to hash_size², threshold each
+    cell against the mean) reformulated without floats: grayscale is the
+    channel sum r+g+b (a monotone transform of luminance — thresholding
+    is invariant to the scale), the resize is the nearest-neighbor index
+    math of ``resize_image``, and the mean is the floored integer mean
+    ``sum DIV n``. Bits are packed row-major, MSB first, into a SIGNED
+    64-bit integer (two's complement, so bit 63 set -> negative —
+    matches Spark/DuckDB BIGINT semantics). Returns None for payloads
+    that are neither PPM nor BMP."""
+    try:
+        if payload[:2] == b"P6":
+            img = decode_ppm(payload)
+        elif payload[:2] == b"BM":
+            img = decode_bmp(payload)
+        else:
+            return None
+    except Exception:
+        return None
+    gray = img.astype(np.int32).sum(axis=2)  # r+g+b, 0..765
+    small = resize_image(gray, hash_size, hash_size)
+    mean = int(small.sum()) // (hash_size * hash_size)
+    bits = (small > mean).flatten()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def ahash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """(media_id, ahash, ok) over binary image payloads — the perceptual
+    fingerprint stage of an image dedup pipeline, Arrow-batched through
+    mapInPandas with the payload dropped immediately after (binaries
+    never travel past the decode stage). Near-duplicate pairs come from
+    the generic pigeonhole Hamming join
+    (operators/dedup.py:hamming_near_pairs), exactly as SimHash text
+    dedup — the image side only has to produce a 64-bit signature.
+    Integer-exact, so an oracle replica reproduces hashes bit-for-bit.
+    """
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = [
+                ahash_bytes(bytes(p), hash_size) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.array(hs, dtype="Int64"),
+                    "ok": [h is not None for h in hs],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(work, schema=AHASH_SCHEMA)

@@ -1030,6 +1030,47 @@ def oracle_event_hits() -> str:
 _BUILDERS["event_hits"] = oracle_event_hits
 
 
+def oracle_media_ahash_pairs() -> str:
+    """Driver numpy replica of the image-dedup pipeline: same
+    deterministic PPM synthesis (seed = doc_id, one-byte variant at
+    +7M), same integer-exact ahash_bytes, then brute-force Hamming
+    pairs at radius 8 — the banded Spark join has guaranteed recall at
+    that radius, so the sets must match exactly."""
+    from deeptime_spark.operators.multimodal import ahash_bytes, synth_ppm
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir()}/documents.parquet')"
+        ).fetchall()
+    ]
+    sigs = {}
+    for i in ids:
+        if i % 3 == 0:
+            sigs[i] = ahash_bytes(synth_ppm(16, 16, seed=i))
+        if i % 15 == 0:
+            b = bytearray(synth_ppm(16, 16, seed=i))
+            b[-5] = (b[-5] + 80) % 256
+            sigs[i + 7_000_000] = ahash_bytes(bytes(b))
+    keys = sorted(sigs)
+    h = np.array([sigs[k] & 0xFFFFFFFFFFFFFFFF for k in keys], dtype=np.uint64)
+    rows = []
+    for a in range(len(keys)):
+        x = h[a] ^ h[a + 1 :]
+        d = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            d += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        for off in np.nonzero(d <= 8)[0]:
+            b = a + 1 + int(off)
+            rows.append((keys[a], keys[b], int(d[off])))
+    return _values_sql(rows, ["id_a", "id_b", "hamming"], "bbb")
+
+
+_BUILDERS["media_ahash_pairs"] = oracle_media_ahash_pairs
+
+
 def oracle_doc_fingerprint() -> str:
     from deeptime_spark.spark_hashes import xxhash64
 

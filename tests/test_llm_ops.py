@@ -1482,3 +1482,58 @@ def test_pmi_collocations_min_count_and_validation(spark):
     assert rows[0]["c12"] == 2
     with pytest.raises(ValueError):
         pmi_collocations(df, min_count=0)
+
+
+# ---------------------------------------------------------- image aHash
+
+
+def _brute_ahash(payload, hash_size=8):
+    import numpy as np
+
+    from deeptime_spark.operators.multimodal import decode_bmp, decode_ppm
+
+    img = decode_ppm(payload) if payload[:2] == b"P6" else decode_bmp(payload)
+    gray = img.astype(np.int32).sum(axis=2)
+    ys = (np.arange(hash_size) * gray.shape[0]) // hash_size
+    xs = (np.arange(hash_size) * gray.shape[1]) // hash_size
+    small = gray[ys][:, xs]
+    mean = int(small.sum()) // (hash_size * hash_size)
+    h = 0
+    for b in (small > mean).flatten():
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_ahash_images_matches_replica_and_flags_bad(spark):
+    from deeptime_spark.operators.multimodal import ahash_images, synth_ppm
+
+    rows = [(i, synth_ppm(16, 16, seed=i)) for i in range(20)]
+    rows.append((99, b"not an image"))
+    rows.append((98, None))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["ahash"], r["ok"]) for r in ahash_images(df).collect()}
+    for i, p in rows[:20]:
+        assert got[i] == (_brute_ahash(p), True)
+    assert got[99] == (None, False)
+    assert got[98] == (None, False)
+
+
+def test_ahash_near_pairs_finds_planted_variant(spark):
+    from deeptime_spark.operators.dedup import hamming_near_pairs
+    from deeptime_spark.operators.multimodal import ahash_images, synth_ppm
+
+    base = {i: bytearray(synth_ppm(16, 16, seed=i)) for i in range(30)}
+    rows = [(i, bytes(p)) for i, p in base.items()]
+    # variant of image 3: flip one pixel byte near the end
+    v = bytearray(base[3])
+    v[-5] = (v[-5] + 80) % 256
+    rows.append((1003, bytes(v)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sigs = ahash_images(df).where("ok").select("media_id", "ahash")
+    pairs = hamming_near_pairs(
+        sigs, id_col="media_id", sig_col="ahash", max_hamming=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert (3, 1003) in found and found[(3, 1003)] <= 8
+    # random 16x16 images essentially never collide within radius 8
+    assert all(a == 3 and b == 1003 for (a, b) in found), found
