@@ -1378,12 +1378,15 @@ def _q_event_anomaly_mad(spark, sf_dir):
 def _q_media_ahash_pairs(spark, sf_dir):
     """Perceptual image dedup over REAL binary payloads: every third
     document fabricates a deterministic 16x16 P6 PPM (seed = doc_id),
-    every fifteenth also plants a one-byte-perturbed variant (+7M id).
+    every fifteenth also plants a variant (+7M id) whose SAMPLED (0,0)
+    pixel is shifted — a genuine small perceptual edit, hamming 1-3.
     ahash_images (multimodal.py) computes the integer-exact average
     hash through Arrow mapInPandas; pairs come from the generic
     pigeonhole Hamming band join (dedup.py:hamming_near_pairs, radius
-    8 -> guaranteed recall). Oracle replays decode+hash+brute pairs in
-    numpy (oracle_ref.py:oracle_media_ahash_pairs)."""
+    4 -> 5 bands of 12-13 bits, so band buckets stay sparse as the
+    corpus grows — radius 8 would leave 7-bit bands that saturate
+    quadratically). Oracle replays decode+hash+brute pairs in numpy
+    (oracle_ref.py:oracle_media_ahash_pairs)."""
     from pyspark.sql.types import BinaryType
 
     from deeptime_spark.operators.dedup import hamming_near_pairs
@@ -1397,7 +1400,9 @@ def _q_media_ahash_pairs(spark, sf_dir):
     def ppm_variant(ids: pd.Series) -> pd.Series:
         def make(i):
             b = bytearray(synth_ppm(16, 16, seed=int(i)))
-            b[-5] = (b[-5] + 80) % 256
+            o = b.index(b"255\n") + 4  # pixel (0,0) — sampled by the resize
+            for c in range(3):
+                b[o + c] = (b[o + c] + 120) % 256
             return bytes(b)
 
         return ids.map(make)
@@ -1413,7 +1418,7 @@ def _q_media_ahash_pairs(spark, sf_dir):
     media = base.unionByName(variants)
     sigs = ahash_images(media).where("ok").select("media_id", "ahash")
     pairs = hamming_near_pairs(
-        sigs, id_col="media_id", sig_col="ahash", max_hamming=8
+        sigs, id_col="media_id", sig_col="ahash", max_hamming=4
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")

@@ -119,6 +119,7 @@ HEADLINE = [
     "event_hits",
     "doc_pmi_collocations",
     "event_cusum",
+    "media_ahash_pairs",
 ]
 
 

@@ -1032,9 +1032,9 @@ _BUILDERS["event_hits"] = oracle_event_hits
 
 def oracle_media_ahash_pairs() -> str:
     """Driver numpy replica of the image-dedup pipeline: same
-    deterministic PPM synthesis (seed = doc_id, one-byte variant at
-    +7M), same integer-exact ahash_bytes, then brute-force Hamming
-    pairs at radius 8 — the banded Spark join has guaranteed recall at
+    deterministic PPM synthesis (seed = doc_id, sampled-pixel variant
+    at +7M), same integer-exact ahash_bytes, then brute-force Hamming
+    pairs at radius 4 — the banded Spark join has guaranteed recall at
     that radius, so the sets must match exactly."""
     from deeptime_spark.operators.multimodal import ahash_bytes, synth_ppm
 
@@ -1051,7 +1051,9 @@ def oracle_media_ahash_pairs() -> str:
             sigs[i] = ahash_bytes(synth_ppm(16, 16, seed=i))
         if i % 15 == 0:
             b = bytearray(synth_ppm(16, 16, seed=i))
-            b[-5] = (b[-5] + 80) % 256
+            off = b.index(b"255\n") + 4
+            for c in range(3):
+                b[off + c] = (b[off + c] + 120) % 256
             sigs[i + 7_000_000] = ahash_bytes(bytes(b))
     keys = sorted(sigs)
     h = np.array([sigs[k] & 0xFFFFFFFFFFFFFFFF for k in keys], dtype=np.uint64)
@@ -1062,7 +1064,7 @@ def oracle_media_ahash_pairs() -> str:
         while x.any():
             d += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
-        for off in np.nonzero(d <= 8)[0]:
+        for off in np.nonzero(d <= 4)[0]:
             b = a + 1 + int(off)
             rows.append((keys[a], keys[b], int(d[off])))
     return _values_sql(rows, ["id_a", "id_b", "hamming"], "bbb")

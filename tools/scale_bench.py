@@ -79,6 +79,7 @@ QUERIES = [
     "event_pagerank", "doc_edit_pairs",
     # round-7 late: HITS, PMI collocations, CUSUM changepoints
     "event_hits", "doc_pmi_collocations", "event_cusum",
+    "media_ahash_pairs",
 ]
 
 
