@@ -1507,7 +1507,7 @@ def _q_doc_pmi_collocations(spark, sf_dir):
 
 def _q_event_hits(spark, sf_dir):
     """HITS hubs/authorities (operators/graph.py:hits) on the same
-    deterministic 211-node event multigraph as event_pagerank — 8
+    deterministic 211-node event multigraph as event_pagerank — 5
     L1-normalized half-step pairs. Per iteration the O(|V|) score frame
     broadcasts into the cached edge relation and each half-step is one
     job. Oracle is a dense numpy replica
@@ -1521,7 +1521,7 @@ def _q_event_hits(spark, sf_dir):
             "dst"
         ),
     ).where(F.col("src") != F.col("dst"))
-    hs = hits(edges, n_iter=8)
+    hs = hits(edges, n_iter=5)
     return hs.select(
         F.col("node").cast("long").alias("node"),
         F.round("hub", 6).alias("hub"),

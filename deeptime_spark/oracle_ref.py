@@ -987,7 +987,7 @@ _BUILDERS["event_pagerank"] = oracle_event_pagerank
 
 def oracle_event_hits() -> str:
     """Dense replica of operators/graph.py:hits on the event-synthesized
-    211-node multigraph: 8 iterations of a = M'h / Σ, h = Ma / Σ
+    211-node multigraph: 5 iterations of a = M'h / Σ, h = Ma / Σ
     (L1-normalized half-steps), exactly the Spark loop's arithmetic up
     to fp association order (absorbed by round 6)."""
     con = duckdb.connect()
@@ -1013,7 +1013,7 @@ def oracle_event_hits() -> str:
     N = len(nodes)
     h = np.full(N, 1.0 / N)
     a = np.zeros(N)
-    for _ in range(8):
+    for _ in range(5):
         a = M.T @ h
         t = a.sum()
         a = a / t if t > 0 else a * 0.0
