@@ -85,6 +85,28 @@ FLAGSHIPS = {
         "with driver-computed idf literals; the final top-k is "
         "TakeOrderedAndProject — never a global Sort."
     ),
+    "doc_edit_pairs": (
+        "PassJoin edit-distance self-join (r7): segment/probe keys are "
+        "codegen explode + substring arithmetic, the candidate join is an "
+        "equi-join on (L, i, sub) — no CartesianProduct anywhere; the only "
+        "nested-loop join is the broadcast short-string bucket; verification "
+        "is Spark's threshold-banded levenshtein over candidates only."
+    ),
+    "doc_pmi_collocations": (
+        "PMI collocations (r7): unigrams and bigrams share ONE scan + ONE "
+        "count Exchange (persisted); min_count bounds the bigram relation "
+        "before the two unigram joins; the top-k cut is TakeOrdered, not a "
+        "global sort. The compared statistic is an exact-count ratio, so "
+        "no Python evaluation appears anywhere."
+    ),
+    "media_ahash_pairs": (
+        "Perceptual image dedup (r7): ONE ArrowEvalPython/mapInPandas stage "
+        "(decode + integer aHash) dropping payloads immediately; banding is "
+        "codegen shift/mask explode; pair generation is the capped bucket "
+        "self-join; Hamming verify is codegen bit_count(xor). Radius 4 -> "
+        "12-13 bit bands (128-value 7-bit bands measured slope 4.3 and were "
+        "rejected in-round)."
+    ),
     "doc_sparse_cosine": (
         "Sparse cosine (r6): rare-gram inverted index with capped "
         "join-free bucket pair expansion; exact verification joins are "
