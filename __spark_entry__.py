@@ -1375,6 +1375,32 @@ def _q_event_anomaly_mad(spark, sf_dir):
     )
 
 
+def _q_doc_compression_ratio(spark, sf_dir):
+    """Per-source compression-ratio quality profile (operators/text.py:
+    compression_ratio_df): zlib-deflate ratio in ppm per document —
+    the cheap boilerplate/repetition signal — aggregated to integer
+    source-level stats (counts, byte totals, min/max/floored-mean
+    ratio). Integer-exact end to end; the oracle replica runs the
+    identical CPython zlib (oracle_ref.py:oracle_doc_compression)."""
+    from deeptime_spark.operators.text import compression_ratio_df
+
+    docs = _read(spark, sf_dir, "documents")
+    # the UDF carries only (id, text); the source label joins back on id
+    ratios = compression_ratio_df(
+        docs.select("doc_id", "text"), text_col="text", id_col="doc_id"
+    )
+    src = docs.select("doc_id", "source")
+    joined = ratios.join(F.broadcast(src), ratios.id == src.doc_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_compressed").alias("total_compressed"),
+        F.min("ratio_ppm").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").alias("max_ratio_ppm"),
+        F.expr("sum(ratio_ppm) DIV count(1)").alias("mean_ratio_ppm"),
+    )
+
+
 def _q_media_ahash_pairs(spark, sf_dir):
     """Perceptual image dedup over REAL binary payloads: every third
     document fabricates a deterministic 16x16 P6 PPM (seed = doc_id),
@@ -3709,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pmi_collocations": _q_doc_pmi_collocations,
         "event_cusum": _q_event_cusum,
         "media_ahash_pairs": _q_media_ahash_pairs,
+        "doc_compression_ratio": _q_doc_compression_ratio,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"

@@ -120,6 +120,7 @@ HEADLINE = [
     "doc_pmi_collocations",
     "event_cusum",
     "media_ahash_pairs",
+    "doc_compression_ratio",
 ]
 
 

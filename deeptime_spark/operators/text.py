@@ -1047,3 +1047,61 @@ def pmi_collocations(
         .orderBy(F.desc("pmi_ratio"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def compression_ratio_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib-deflate compression ratio — the classic cheap
+    boilerplate/repetition signal for corpus filtering (highly
+    compressible text is template or repeated content; near-ratio-1
+    text is random or already-compressed junk). Used as a quality rule
+    in public corpus pipelines alongside the Gopher repetition rules.
+
+    Returns (id, n_bytes, n_compressed, ratio_ppm) with ``ratio_ppm =
+    n_compressed * 1_000_000 DIV n_bytes`` — integer-exact, so an
+    oracle replica sharing the same zlib build reproduces it
+    bit-for-bit (DEFLATE output for a fixed level is deterministic for
+    a given library build; the oracle replica runs the identical
+    CPython zlib, which pins this). Arrow-batched mapInPandas; the
+    text never travels past the compression stage.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio_ppm", LongType()),
+        ]
+    )
+
+    def work(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nb, nc, rp = [], [], []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                rp.append(len(comp) * 1_000_000 // len(raw) if raw else 0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio_ppm": rp,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(work, schema=schema)

@@ -1073,6 +1073,47 @@ def oracle_media_ahash_pairs() -> str:
 _BUILDERS["media_ahash_pairs"] = oracle_media_ahash_pairs
 
 
+def oracle_doc_compression() -> str:
+    """Driver replica of the compression-ratio profile: the identical
+    CPython zlib at level 6 over utf-8 text, ratio in ppm via integer
+    floor division, aggregated per source — bit-exact because the Spark
+    workers run the same interpreter/zlib build."""
+    import zlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT source, coalesce(text, '') FROM "
+        f"read_parquet('{sf_dir()}/documents.parquet')"
+    ).fetchall()
+    agg: dict = {}
+    for source, text in rows:
+        raw = text.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        rp = len(comp) * 1_000_000 // len(raw) if raw else 0
+        a = agg.setdefault(source, [0, 0, 0, None, None, 0])
+        a[0] += 1
+        a[1] += len(raw)
+        a[2] += len(comp)
+        a[3] = rp if a[3] is None else min(a[3], rp)
+        a[4] = rp if a[4] is None else max(a[4], rp)
+        a[5] += rp
+    out = [
+        (s, a[0], a[1], a[2], a[3], a[4], a[5] // a[0])
+        for s, a in sorted(agg.items())
+    ]
+    return _values_sql(
+        out,
+        [
+            "source", "n_docs", "total_bytes", "total_compressed",
+            "min_ratio_ppm", "max_ratio_ppm", "mean_ratio_ppm",
+        ],
+        "sbbbbbb",
+    )
+
+
+_BUILDERS["doc_compression_ratio"] = oracle_doc_compression
+
+
 def oracle_doc_fingerprint() -> str:
     from deeptime_spark.spark_hashes import xxhash64
 

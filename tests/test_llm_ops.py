@@ -1537,3 +1537,26 @@ def test_ahash_near_pairs_finds_planted_variant(spark):
     assert (3, 1003) in found and found[(3, 1003)] <= 8
     # random 16x16 images essentially never collide within radius 8
     assert all(a == 3 and b == 1003 for (a, b) in found), found
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from deeptime_spark.operators.text import compression_ratio_df
+
+    rows = [
+        (1, "abc " * 500),       # highly compressible boilerplate
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["n_bytes"], r["n_compressed"], r["ratio_ppm"])
+           for r in compression_ratio_df(df).collect()}
+    for i, t in rows:
+        raw = (t or "").encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        exp = (len(raw), len(comp), len(comp) * 1_000_000 // len(raw) if raw else 0)
+        assert got[i] == exp
+    # boilerplate compresses far better than natural text
+    assert got[1][2] < got[2][2]

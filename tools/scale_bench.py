@@ -80,6 +80,7 @@ QUERIES = [
     # round-7 late: HITS, PMI collocations, CUSUM changepoints
     "event_hits", "doc_pmi_collocations", "event_cusum",
     "media_ahash_pairs",
+    "doc_compression_ratio",
 ]
 
 
