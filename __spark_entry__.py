@@ -1401,6 +1401,105 @@ def _q_doc_compression_ratio(spark, sf_dir):
     )
 
 
+def _q_streaming_cusum(spark, sf_dir):
+    """Online CUSUM as a custom stateful streaming operator
+    (streaming/accumulate.py:streaming_cusum, applyInPandasWithState):
+    the event stream is replayed as FOUR TIME-ORDERED file chunks
+    (explicit mtimes + latestFirst=false + maxFilesPerTrigger=1, so
+    per-key rows cross micro-batches in order), per-type state carries
+    (sp, sn, maxima, counts) across batches, and the fixed centers are
+    the batch query's floored per-type means. End-of-stream state ==
+    the one-shot batch CUSUM, so this shares event_cusum's PURE-SQL
+    oracle (update-mode emissions are monotone, so MAX-folding the
+    memory sink recovers the final state)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from deeptime_spark.streaming.accumulate import streaming_cusum
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    centers = {
+        r["event_type"]: int(r["c"])
+        for r in ev.groupBy("event_type")
+        .agg(F.floor(F.sum("cents") / F.count(F.lit(1))).alias("c"))
+        .collect()
+    }
+    w = Window.orderBy("ts", "event_id")
+    n_rows = ev.count()
+    chunked = ev.withColumn(
+        "_chunk", ((F.row_number().over(w) - 1) * 4 / F.lit(n_rows)).cast("int")
+    )
+    src_dir = tempfile.mkdtemp(prefix="cusum_src_")
+    sink = ckpt_dir = None
+    try:
+        for i in range(4):
+            before = set(os.listdir(src_dir))
+            (
+                chunked.where(F.col("_chunk") == i)
+                .drop("_chunk")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src_dir)
+            )
+            for f in set(os.listdir(src_dir)) - before:
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(src_dir, f), (i * 1000, i * 1000))
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src_dir)
+        )
+        out = streaming_cusum(stream, centers, drift=100, threshold=10_000)
+        sink = "cusum_" + uuid.uuid4().hex[:8]
+        ckpt_dir = tempfile.mkdtemp(prefix="cusum_ckpt_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.table(sink)
+            .groupBy("event_type")
+            .agg(
+                F.max("n").alias("n"),
+                F.max("max_cusum_pos").alias("max_cusum_pos"),
+                F.max("max_cusum_neg").alias("max_cusum_neg"),
+                F.max("n_alarms").alias("n_alarms"),
+            )
+            .collect()
+        )
+    finally:
+        _drop_view_quiet(spark, sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
+    return spark.createDataFrame(
+        [
+            (
+                r["event_type"],
+                int(r["n"]),
+                int(r["max_cusum_pos"]),
+                int(r["max_cusum_neg"]),
+                int(r["n_alarms"]),
+            )
+            for r in rows
+        ],
+        "event_type string, n long, max_cusum_pos long, max_cusum_neg long, n_alarms long",
+    )
+
+
 def _q_media_ahash_pairs(spark, sf_dir):
     """Perceptual image dedup over REAL binary payloads: every third
     document fabricates a deterministic 16x16 P6 PPM (seed = doc_id),
@@ -3736,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cusum": _q_event_cusum,
         "media_ahash_pairs": _q_media_ahash_pairs,
         "doc_compression_ratio": _q_doc_compression_ratio,
+        "streaming_cusum": _q_streaming_cusum,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -5167,6 +5267,9 @@ FROM (
     # streaming replay of a stateless stage must equal the batch result
     # row-for-row — same oracle as the batch query
     base["streaming_c4_replay"] = base["doc_c4_filter"]
+    # streaming CUSUM's end-of-stream state is pinned equal to the batch
+    # query (same fixed centers, same total order), so one oracle serves both
+    base["streaming_cusum"] = base["event_cusum"]
     # estimator-pipeline oracles: independently-recomputed data path +
     # driver-finalize literals (deeptime_spark/oracle_ref.py). Builders are
     # failure-isolated; a raising builder leaves its query rows-only.

@@ -29,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -241,3 +242,91 @@ def streaming_probe_signature_index(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("sp", LongType()),
+        StructField("sn", LongType()),
+        StructField("max_sp", LongType()),
+        StructField("max_sn", LongType()),
+        StructField("n", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+_CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("max_cusum_pos", LongType()),
+        StructField("max_cusum_neg", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+
+def streaming_cusum(
+    stream_df: DataFrame,
+    centers: dict,
+    drift: int = 0,
+    threshold: int = 0,
+    key_col: str = "event_type",
+    value_col: str = "cents",
+    order_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Online two-sided CUSUM as a custom stateful streaming operator
+    (applyInPandasWithState): per-key state carries the one-sided
+    statistics (sp, sn), their running maxima, the row count, and the
+    alarm count across micro-batches, updating with the textbook reset
+    recursion row by row. ``centers`` is the fixed per-key target mean
+    (trained on reference data — the standard online-CUSUM setup, since
+    a global mean is not knowable mid-stream).
+
+    In-order contract: like the stateful transition counter, the kernel
+    sorts WITHIN a batch by ``order_cols`` but requires batches to
+    arrive in key-order across triggers (replay with time-ordered file
+    chunks, or partition the replay by key). With the centers fixed to
+    the batch query's floored per-key means, the end-of-stream state
+    equals the one-shot batch CUSUM exactly — the equivalence the
+    harness pins.
+    """
+    drift = int(drift)
+    threshold = int(threshold)
+    centers = {k: int(v) for k, v in centers.items()}
+
+    def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            sp, sn, max_sp, max_sn, n, n_alarms = state.get
+        else:
+            sp = sn = max_sp = max_sn = n = n_alarms = 0
+        c = centers.get(k, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(list(order_cols))
+            for v in pdf[value_col].astype("int64"):
+                d = int(v) - c
+                sp = max(0, sp + d - drift)
+                sn = max(0, sn - d - drift)
+                max_sp = max(max_sp, sp)
+                max_sn = max(max_sn, sn)
+                n += 1
+                if sp > threshold or sn > threshold:
+                    n_alarms += 1
+        state.update((sp, sn, max_sp, max_sn, n, n_alarms))
+        yield pd.DataFrame(
+            {
+                "event_type": [k],
+                "n": [n],
+                "max_cusum_pos": [max_sp],
+                "max_cusum_neg": [max_sn],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -267,3 +267,64 @@ def test_windowed_counts_append_drops_late_rows(spark, tmp_path):
     # and append a spurious (10, 1) row — and the still-open 14:00/15:00
     # windows never emitted
     assert rows == {(10, 2)}, rows
+
+
+def test_streaming_cusum_cross_batch_state(spark, tmp_path):
+    """Per-key CUSUM state must carry across micro-batches: two
+    time-ordered file chunks, final state equals the single-pass
+    recursion with the same fixed center."""
+    import os
+
+    from deeptime_spark.streaming.accumulate import streaming_cusum
+
+    vals = [0, 0, 10, 10, 10, 50, 0, 0, 60, 60]
+    rows = [("a", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, ts long, event_id long, cents long")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for chunk, lo, hi in ((0, 0, 5), (1, 5, 10)):
+        before = set(os.listdir(src))
+        df.where((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f), (chunk * 1000, chunk * 1000))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = streaming_cusum(stream, {"a": 20}, drift=2, threshold=25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table("cusum_test")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("max_cusum_pos").alias("sp"),
+            F.max("max_cusum_neg").alias("sn"),
+            F.max("n_alarms").alias("al"),
+        )
+        .collect()[0]
+    )
+    spark.catalog.dropTempView("cusum_test")
+    # single-pass replica, fixed center 20, drift 2
+    sp = sn = msp = msn = al = 0
+    for v in vals:
+        d = v - 20
+        sp = max(0, sp + d - 2)
+        sn = max(0, sn - d - 2)
+        msp, msn = max(msp, sp), max(msn, sn)
+        if sp > 25 or sn > 25:
+            al += 1
+    assert (final["n"], final["sp"], final["sn"], final["al"]) == (len(vals), msp, msn, al)
