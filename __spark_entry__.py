@@ -2498,6 +2498,33 @@ def _q_kmeans_embeddings(spark, sf_dir):
     return model.transform(emb).select("vec_id", F.col("state").cast("long").alias("cluster"))
 
 
+def _q_embedding_silhouette(spark, sf_dir):
+    """Cluster-quality audit for the kmeans_embeddings fit: simplified
+    silhouette (clustering/metrics.py:simplified_silhouette_df —
+    O(n·k) centroid form) per point, integer-ppm scaled so the
+    per-cluster aggregation is exact, summarized per cluster. Oracle
+    replays the deterministic fit + the identical batch-invariant
+    distance kernel in numpy (oracle_ref.py:oracle_embedding_silhouette)."""
+    from deeptime_spark.clustering.kmeans import DeterministicKMeans
+    from deeptime_spark.clustering.metrics import simplified_silhouette_df
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    model = (
+        DeterministicKMeans(n_clusters=8, seed=42, max_iter=16, order_col="vec_id")
+        .fit(emb)
+        .fetch_model()
+    )
+    sil = simplified_silhouette_df(emb, model.cluster_centers)
+    return sil.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(s_ppm) DIV count(1)").alias("mean_s_ppm"),
+        F.min("s_ppm").alias("min_s_ppm"),
+        F.max("s_ppm").alias("max_s_ppm"),
+    )
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/dedup.py:semantic_duplicates): DeterministicKMeans
@@ -3836,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ahash_pairs": _q_media_ahash_pairs,
         "doc_compression_ratio": _q_doc_compression_ratio,
         "streaming_cusum": _q_streaming_cusum,
+        "embedding_silhouette": _q_embedding_silhouette,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"

@@ -121,6 +121,7 @@ HEADLINE = [
     "event_cusum",
     "media_ahash_pairs",
     "doc_compression_ratio",
+    "embedding_silhouette",
 ]
 
 

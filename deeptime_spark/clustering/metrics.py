@@ -98,3 +98,59 @@ class MetricRegistry:
 
 
 metrics = MetricRegistry()
+
+
+def simplified_silhouette_df(
+    df,
+    centers: np.ndarray,
+    features_col: str = "x",
+    id_col: str = "vec_id",
+):
+    """Simplified silhouette per point (Hruschka et al. 2004; the
+    sklearn "silhouette with centroids" variant): ``a`` is the distance
+    to the own centroid, ``b`` the minimum distance to any other
+    centroid, ``s = (b - a) / max(a, b)`` — O(n·k), the scalable form
+    of the O(n²) silhouette, computable in one broadcast pass.
+
+    Returns (id, cluster, s_ppm) with ``s_ppm = round(s * 1e6)`` as a
+    LONG: per-row fp math over the batch-shape-invariant distance
+    kernel is deterministic, and the integer scaling makes downstream
+    aggregation exact across engines. Arrow-batched pandas UDF with the
+    centers broadcast as a closure constant, same shape as
+    ClusterModel.transform.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.asarray(centers, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cluster", LongType()),
+            StructField("s_ppm", LongType()),
+        ]
+    )
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[features_col].tolist(), dtype=np.float64)
+            D = _euclidean_batch_invariant(X, C)
+            own = np.argmin(D, axis=1)
+            a = D[np.arange(len(X)), own]
+            Dm = D.copy()
+            Dm[np.arange(len(X)), own] = np.inf
+            b = Dm.min(axis=1)
+            denom = np.maximum(a, b)
+            s = np.where(denom > 0, (b - a) / np.where(denom > 0, denom, 1.0), 0.0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "cluster": own.astype(np.int64),
+                    "s_ppm": np.round(s * 1e6).astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, features_col).mapInPandas(work, schema=schema)

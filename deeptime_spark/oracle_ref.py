@@ -1761,6 +1761,43 @@ def oracle_kmeans() -> str:
 _BUILDERS["kmeans_embeddings"] = oracle_kmeans
 
 
+def oracle_embedding_silhouette() -> str:
+    """Replays the deterministic k-means fit, then the identical
+    simplified-silhouette math (batch-invariant distances, per-row ppm
+    rounding, integer aggregation) per cluster."""
+    from deeptime_spark.clustering.kmeans import deterministic_kmeans_numpy
+    from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
+
+    sf = sf_dir()
+    X = _embeddings(sf)
+    sample = X[:4096]
+    centers, _ = deterministic_kmeans_numpy(sample, X, n_clusters=8, seed=42, max_iter=16)
+    D = _euclidean_batch_invariant(X, centers)
+    own = np.argmin(D, axis=1)
+    a = D[np.arange(len(X)), own]
+    Dm = D.copy()
+    Dm[np.arange(len(X)), own] = np.inf
+    b = Dm.min(axis=1)
+    denom = np.maximum(a, b)
+    s = np.where(denom > 0, (b - a) / np.where(denom > 0, denom, 1.0), 0.0)
+    ppm = np.round(s * 1e6).astype(np.int64)
+    rows = []
+    for c in sorted(set(own.tolist())):
+        m = own == c
+        v = ppm[m]
+        tot, cnt = int(v.sum()), int(m.sum())
+        # Spark DIV truncates toward zero; Python // floors — they differ
+        # on negative totals, and silhouettes CAN be negative
+        mean = abs(tot) // cnt * (1 if tot >= 0 else -1)
+        rows.append((int(c), cnt, mean, int(v.min()), int(v.max())))
+    return _values_sql(
+        rows, ["cluster", "n", "mean_s_ppm", "min_s_ppm", "max_s_ppm"], "bbbbb"
+    )
+
+
+_BUILDERS["embedding_silhouette"] = oracle_embedding_silhouette
+
+
 def oracle_dedup_components() -> str:
     """Union-find over the independently-recomputed verified pair set
     (same hash replicas as oracle_dedup_verified_pairs) — components and

@@ -224,3 +224,40 @@ def test_deterministic_kmeans_assignment_layout_invariant(spark):
     }
     want = np.argmin(_euclidean_batch_invariant(X, model.cluster_centers), axis=1)
     assert [got[i] for i in range(len(X))] == list(want)
+
+
+def test_simplified_silhouette_matches_replica_and_sklearnish(spark, rng):
+    """Per-point simplified silhouette equals the numpy replica, and
+    well-separated blobs score near 1 while a point midway between two
+    centroids scores near 0."""
+    import numpy as np
+
+    from deeptime_spark.clustering.metrics import (
+        _euclidean_batch_invariant,
+        simplified_silhouette_df,
+    )
+
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [20.0, 0.0]])
+    X = np.vstack(
+        [c + rng.normal(0, 0.3, size=(30, 2)) for c in centers]
+        + [[[5.0, 5.0]]]  # midway between the first two centroids
+    )
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)], "vec_id long, x array<double>"
+    )
+    got = {
+        r["id"]: (r["cluster"], r["s_ppm"])
+        for r in simplified_silhouette_df(df, centers).collect()
+    }
+    D = _euclidean_batch_invariant(X, centers)
+    own = np.argmin(D, axis=1)
+    a = D[np.arange(len(X)), own]
+    Dm = D.copy()
+    Dm[np.arange(len(X)), own] = np.inf
+    b = Dm.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    for i in range(len(X)):
+        assert got[i] == (int(own[i]), int(np.round(s[i] * 1e6)))
+    blob_scores = [got[i][1] for i in range(90)]
+    assert min(blob_scores) > 800_000  # tight blobs: s near 1
+    assert abs(got[90][1]) < 20_000  # boundary point: s near 0

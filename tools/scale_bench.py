@@ -81,6 +81,7 @@ QUERIES = [
     "event_hits", "doc_pmi_collocations", "event_cusum",
     "media_ahash_pairs",
     "doc_compression_ratio",
+    "embedding_silhouette",
 ]
 
 
