@@ -237,9 +237,13 @@ def hits(
     ew = ew.persist()
     ew.count()
 
-    def _half(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+    def _half(scores: DataFrame, key_in: str, key_out: str, eager: bool):
         """One half-step: propagate `scores` across edges from key_in to
-        key_out, L1-normalize. Returns (node, s) over the full node set."""
+        key_out, L1-normalize. Returns ((node, s) frame, raw cache).
+        With ``eager=False`` the result stays a lazy plan over the
+        persisted ``raw`` — the following half-step materializes it
+        inside its own job, halving the checkpoint-job count per
+        iteration (caller unpersists ``raw`` once the consumer ran)."""
         s_side = F.broadcast(scores) if small else scores
         raw = (
             ew.join(s_side, ew[key_in] == scores.node)
@@ -261,21 +265,34 @@ def hits(
                 .alias("s"),
             )
         )
-        out = out.localCheckpoint(eager=True)
-        raw.unpersist()
-        return out
+        if eager:
+            out = out.localCheckpoint(eager=True)
+        return out, raw
 
     hubs = nodes.select("node", F.lit(1.0 / n).alias("s"))
     hubs = hubs.localCheckpoint(eager=True)
-    auths = None
+    auths = raw_a_last = None
     try:
-        for _ in range(n_iter):
-            new_auths = _half(hubs, "src", "dst")
-            if auths is not None:
+        for it in range(n_iter):
+            last = it == n_iter - 1
+            # auth half-step stays lazy mid-loop: the hub half-step's job
+            # materializes it via the persisted raw cache — one
+            # checkpoint job per iteration, not two. The FINAL auth is
+            # checkpointed for the output join.
+            new_auths, raw_a = _half(hubs, "src", "dst", eager=last)
+            if last:
+                raw_a.unpersist()
+                raw_a_last = None
+            else:
+                raw_a_last = raw_a
+            if auths is not None and auths.is_cached:
                 auths.unpersist()
             auths = new_auths
             old_h = hubs
-            hubs = _half(auths, "dst", "src")
+            hubs, raw_h = _half(auths, "dst", "src", eager=True)
+            raw_h.unpersist()
+            if raw_a_last is not None:
+                raw_a_last.unpersist()
             old_h.unpersist()
     finally:
         ew.unpersist()
