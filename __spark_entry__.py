@@ -1654,6 +1654,32 @@ def _q_event_hits(spark, sf_dir):
     )
 
 
+def _q_event_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py:triangle_counts,
+    Schank-Wagner ordered wedge join) on a 997-nodes-per-block event
+    multigraph: canonical undirected distinct edges, each triangle
+    a<b<c found once by closing (a,b),(b,c) against (a,c) — pure
+    equi-joins + integer counts. Each 10M-id block maps to its own node
+    range, so replicated data grows the GRAPH rather than densifying a
+    fixed one (the realistic weak-scaling regime — a fixed node space
+    would turn 8x edges into ~64x wedges). PURE-SQL oracle mirrors the
+    join algebra."""
+    from deeptime_spark.operators.graph import triangle_counts
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    block = F.expr("event_id div 10000000") * 997
+    edges = ev.select(
+        (F.col("event_id") % 997 + block).alias("src"),
+        (
+            (F.col("event_id") * 31 + F.expr("event_id div 997")) % 997 + block
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return triangle_counts(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
 def _q_doc_edit_pairs(spark, sf_dir):
     """Edit-distance similarity self-join (operators/editsim.py:
     edit_distance_pairs, PassJoin segment blocking + threshold-banded
@@ -3864,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression_ratio": _q_doc_compression_ratio,
         "streaming_cusum": _q_streaming_cusum,
         "embedding_silhouette": _q_embedding_silhouette,
+        "event_triangles": _q_event_triangles,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -4232,6 +4259,33 @@ SELECT event_type,
        round(MAX(rob_z), 6) AS max_rob_z
 FROM s
 GROUP BY event_type
+""",
+        "event_triangles": r"""
+WITH d AS (
+  SELECT event_id % 997 + (event_id // 10000000) * 997 AS s,
+         (event_id * 31 + event_id // 997) % 997
+           + (event_id // 10000000) * 997 AS t
+  FROM events
+), und AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM d WHERE s != t
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT node, COUNT(*) AS c FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+), nodes AS (
+  SELECT a AS node FROM und UNION SELECT b AS node FROM und
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COALESCE(c, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN pn USING (node)
 """,
         "event_cusum": r"""
 WITH v AS (

@@ -122,6 +122,7 @@ HEADLINE = [
     "media_ahash_pairs",
     "doc_compression_ratio",
     "embedding_silhouette",
+    "event_triangles",
 ]
 
 

@@ -301,3 +301,53 @@ def hits(
         hubs.select("node", F.col("s").alias("hub"))
         .join(auths.select("node", F.col("s").alias("authority")), "node")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via the ordered wedge join (the
+    node-iterator / compact-forward algorithm of Schank & Wagner,
+    "Finding, Counting and Listing All Triangles in Large Graphs",
+    WEA 2005 — the same shape used by distributed triangle counting in
+    MapReduce à la Suri & Vassilvitskii, WWW'11).
+
+    Edges are canonicalized to an undirected distinct set with
+    ``a < b`` (direction and multiplicity dropped, self-loops removed);
+    each triangle ``a < b < c`` is found exactly once by joining wedges
+    ``(a,b),(b,c)`` against the closing edge ``(a,c)``. Everything is
+    equi-joins + integer counts: exact, engine-portable, and the wedge
+    relation — the scale bottleneck — is bounded by Σ deg(v)² over the
+    LOWER-id orientation, the standard skew bound (orienting by id
+    caps high-degree hubs' wedge fan-out at their higher-id neighbor
+    count).
+
+    Returns (node, n_triangles) for every node of the edge set
+    (0 for triangle-free nodes).
+    """
+    e0 = edges.select(
+        F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+        F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = e0.distinct().persist()
+    und.count()
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    out = nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+    return out

@@ -244,3 +244,36 @@ def test_personalized_pagerank(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     # rank decays with distance from the personalized node
     assert got[0] > got[1] > got[2] > got[3] or got[0] > got[1]
+
+
+def test_triangle_counts_matches_bruteforce(spark, rng):
+    from itertools import combinations
+
+    from deeptime_spark.operators.graph import triangle_counts
+
+    edges = [(int(rng.integers(0, 15)), int(rng.integers(0, 15))) for _ in range(80)]
+    edges = [(s, d) for s, d in edges if s != d]
+    und = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({v for e in und for v in e})
+    expected = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (b, c), (a, c)} <= und:
+            for v in (a, b, c):
+                expected[v] += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+def test_triangle_counts_known_graph(spark):
+    from deeptime_spark.operators.graph import triangle_counts
+
+    # K4 minus one edge: exactly 2 triangles; nodes 0,1 in both
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+    # duplicate edges and reversed direction must not change counts
+    df2 = spark.createDataFrame(edges + [(1, 0), (2, 0)], "src long, dst long")
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_counts(df2).collect()}
+    assert got2 == got

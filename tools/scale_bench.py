@@ -82,6 +82,7 @@ QUERIES = [
     "media_ahash_pairs",
     "doc_compression_ratio",
     "embedding_silhouette",
+    "event_triangles",
 ]
 
 
