@@ -605,3 +605,40 @@ def test_pagerank_trans_normalization_shapes(spark):
     plan = plan_of(agg)
     assert "EvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_cusum_no_python_single_sort_per_partition(spark):
+    """CUSUM compiles to window functions over one (group, order) sort —
+    no Python eval, no per-row recursion artifact."""
+    plan = plan_of(entrymod._q_event_cusum(spark, SF))
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+    # one exchange for the type partitioning + one for the final groupBy
+    assert n_exchanges(plan) <= 3, plan[:1500]
+
+
+def test_pmi_takeordered_single_explode(spark):
+    """PMI collocations: the top-k cut must be TakeOrderedAndProject and
+    the gram extraction ONE Generate over the shared scan."""
+    plan = plan_of(entrymod._q_doc_pmi_collocations(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "EvalPython" not in plan
+    assert plan.count("(1) Generate") + plan.count(") Generate") <= 2, plan[:1500]
+
+
+def test_compression_ratio_payload_stops_at_udf(spark):
+    """Compression ratio: text must not travel past the Arrow stage —
+    the aggregation join carries only (id, integer stats)."""
+    plan = plan_of(entrymod._q_doc_compression_ratio(spark, SF))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    after_join = plan.split("Join")[-1]
+    assert "text#" not in after_join[:400]
+
+
+def test_triangles_no_cartesian_all_equijoins(spark):
+    """Triangle counting: the wedge closure must plan as equi-joins —
+    never a CartesianProduct or nested loop."""
+    plan = plan_of(entrymod._q_event_triangles(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
