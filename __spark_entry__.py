@@ -1680,6 +1680,29 @@ def _q_event_triangles(spark, sf_dir):
     )
 
 
+def _q_event_communities(spark, sf_dir):
+    """Community detection by deterministic synchronous label
+    propagation (operators/graph.py:label_propagation — Raghavan 2007
+    with min-label tie-break) on the same per-block 997-node event
+    graph as event_triangles, 5 fixed iterations. All-integer label
+    votes, so the numpy replica oracle is exact
+    (oracle_ref.py:oracle_event_communities)."""
+    from deeptime_spark.operators.graph import label_propagation
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    block = F.expr("event_id div 10000000") * 997
+    edges = ev.select(
+        (F.col("event_id") % 997 + block).alias("src"),
+        (
+            (F.col("event_id") * 31 + F.expr("event_id div 997")) % 997 + block
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return label_propagation(edges, n_iter=5).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
 def _q_doc_edit_pairs(spark, sf_dir):
     """Edit-distance similarity self-join (operators/editsim.py:
     edit_distance_pairs, PassJoin segment blocking + threshold-banded
@@ -3891,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cusum": _q_streaming_cusum,
         "embedding_silhouette": _q_embedding_silhouette,
         "event_triangles": _q_event_triangles,
+        "event_communities": _q_event_communities,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"

@@ -123,6 +123,7 @@ HEADLINE = [
     "doc_compression_ratio",
     "embedding_silhouette",
     "event_triangles",
+    "event_communities",
 ]
 
 

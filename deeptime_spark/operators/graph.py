@@ -351,3 +351,64 @@ def triangle_counts(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara, "Near linear time algorithm to detect community
+    structures in large-scale networks", Phys. Rev. E 76, 2007),
+    deterministic variant: every node starts labeled with its own id;
+    each iteration relabels every node with the label carried by the
+    most of its neighbors (edge multiplicity = weight), breaking ties
+    toward the SMALLEST label. Synchronous updates + ordered tie-break
+    make the result partition-layout-independent and exactly
+    replayable, unlike the randomized asynchronous original.
+
+    Each iteration is one join (undirected edge relation x labels) +
+    one (node, label) count + one per-node argmax via a single max() of
+    a (count, -label) struct — all exact integer aggregation, no window
+    sort. Runs a FIXED n_iter (same rationale as :func:`pagerank`).
+    Returns (node, label); connected communities share a label (the
+    smallest id that won the local votes).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    spark = edges.sparkSession
+    e0 = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    und = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    und = und.repartition(n_part, "a").persist()
+    nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    nodes.count()
+    und.count()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    try:
+        for _ in range(n_iter):
+            votes = (
+                und.join(labels, und.b == labels.node)
+                .groupBy("a", "label")
+                .agg(F.sum("w").alias("cnt"))
+            )
+            # argmax by (cnt desc, label asc): max of (cnt, -label)
+            new_labels = (
+                votes.groupBy("a")
+                .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+                .select(F.col("a").alias("node"), (-F.col("m.nl")).alias("label"))
+            )
+            old = labels
+            labels = new_labels.localCheckpoint(eager=True)
+            old.unpersist()
+    finally:
+        und.unpersist()
+        nodes.unpersist()
+    return labels

@@ -1073,6 +1073,43 @@ def oracle_media_ahash_pairs() -> str:
 _BUILDERS["media_ahash_pairs"] = oracle_media_ahash_pairs
 
 
+def oracle_event_communities() -> str:
+    """Exact replica of the deterministic synchronous label propagation
+    (integer weighted votes, min-label tie-break, 5 iterations) on the
+    per-block event graph."""
+    from collections import defaultdict
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT event_id FROM read_parquet('{sf_dir()}/events.parquet')"
+        ).fetchall()
+    ]
+    adj: dict = defaultdict(lambda: defaultdict(int))
+    for i in ids:
+        blk = (i // 10_000_000) * 997
+        s = i % 997 + blk
+        d = (i * 31 + i // 997) % 997 + blk
+        if s != d:
+            adj[s][d] += 1
+            adj[d][s] += 1
+    labels = {v: v for v in adj}
+    for _ in range(5):
+        new = {}
+        for v in adj:
+            votes: dict = defaultdict(int)
+            for u, w in adj[v].items():
+                votes[labels[u]] += w
+            new[v] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    rows = sorted(labels.items())
+    return _values_sql(rows, ["node", "label"], "bb")
+
+
+_BUILDERS["event_communities"] = oracle_event_communities
+
+
 def oracle_doc_compression() -> str:
     """Driver replica of the compression-ratio profile: the identical
     CPython zlib at level 6 over utf-8 text, ratio in ppm via integer

@@ -277,3 +277,50 @@ def test_triangle_counts_known_graph(spark):
     df2 = spark.createDataFrame(edges + [(1, 0), (2, 0)], "src long, dst long")
     got2 = {r["node"]: r["n_triangles"] for r in triangle_counts(df2).collect()}
     assert got2 == got
+
+
+def _brute_lpa(edges, n_iter):
+    from collections import defaultdict
+
+    adj = defaultdict(lambda: defaultdict(int))
+    for s, d in edges:
+        if s != d:
+            adj[s][d] += 1
+            adj[d][s] += 1
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v in adj:
+            votes = defaultdict(int)
+            for u, w in adj[v].items():
+                votes[labels[u]] += w
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_replica(spark, rng):
+    from deeptime_spark.operators.graph import label_propagation
+
+    edges = [(int(rng.integers(0, 30)), int(rng.integers(0, 30))) for _ in range(120)]
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=4).collect()}
+    assert got == _brute_lpa(edges, 4)
+
+
+def test_label_propagation_two_cliques(spark):
+    from itertools import combinations
+
+    from deeptime_spark.operators.graph import label_propagation
+
+    clique1 = list(combinations(range(5), 2))
+    clique2 = list(combinations(range(10, 15), 2))
+    bridge = [(4, 10)]
+    df = spark.createDataFrame(clique1 + clique2 + bridge, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=5).collect()}
+    # each clique converges to one label; the cliques stay distinct
+    c1 = {got[v] for v in range(5)}
+    c2 = {got[v] for v in range(10, 15)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2

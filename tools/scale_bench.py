@@ -83,6 +83,7 @@ QUERIES = [
     "doc_compression_ratio",
     "embedding_silhouette",
     "event_triangles",
+    "event_communities",
 ]
 
 
