@@ -1680,6 +1680,28 @@ def _q_event_triangles(spark, sf_dir):
     )
 
 
+def _q_event_kcore(spark, sf_dir):
+    """k-core extraction (operators/graph.py:k_core, Seidman 1983
+    peeling to the unique fixed point) on the 211-node event multigraph
+    at k=8: two semi-joins + one degree aggregation per round, survivor
+    frame localCheckpointed, one convergence scalar per round. Oracle
+    is the exact python peeling replica
+    (oracle_ref.py:oracle_event_kcore)."""
+    from deeptime_spark.operators.graph import k_core
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    edges = ev.select(
+        (F.col("event_id") % 211).alias("src"),
+        ((F.col("event_id") * 31 + F.expr("event_id div 211")) % 211).alias(
+            "dst"
+        ),
+    ).where(F.col("src") != F.col("dst"))
+    return k_core(edges, k=8).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
 def _q_event_communities(spark, sf_dir):
     """Community detection by deterministic synchronous label
     propagation (operators/graph.py:label_propagation — Raghavan 2007
@@ -3915,6 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_silhouette": _q_embedding_silhouette,
         "event_triangles": _q_event_triangles,
         "event_communities": _q_event_communities,
+        "event_kcore": _q_event_kcore,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"

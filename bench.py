@@ -124,6 +124,7 @@ HEADLINE = [
     "embedding_silhouette",
     "event_triangles",
     "event_communities",
+    "event_kcore",
 ]
 
 

@@ -412,3 +412,80 @@ def label_propagation(
         und.unpersist()
         nodes.unpersist()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree >= k (Seidman, "Network structure and minimum
+    degree", Social Networks 5, 1983) — the standard coreness filter
+    for spam/boilerplate link farms and community scaffolds.
+
+    Iterative peeling as a DataFrame loop: drop nodes with in-core
+    degree < k, recompute degrees over surviving edges, repeat to the
+    fixed point. Each round is two semi-joins (edge endpoints against
+    the survivor set) + one count aggregation; the survivor frame is
+    localCheckpointed (lineage truncation) and the only driver traffic
+    is the one survivor-count scalar that detects convergence — a
+    loop-until-fixed-point needs SOME convergence signal, and one LONG
+    per round is the minimum. Unlike the fixed-iteration rank loops the
+    round count here is data-dependent, but the FIXED POINT is unique
+    (the k-core is), so results are deterministic and exactly
+    replayable by the peeling replica in the oracle.
+
+    Returns (node, degree) for k-core members with their in-core degree.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e0 = edges.select(
+        F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+        F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = e0.distinct().persist()
+    und.count()
+    alive = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    deg = None
+    try:
+        for _ in range(max_iter):
+            live_edges = und.join(
+                alive.select(F.col("node").alias("a")), "a", "left_semi"
+            ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+            deg = (
+                live_edges.select(F.col("a").alias("node"))
+                .union(live_edges.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+                .where(F.col("degree") >= k)
+            )
+            new_alive = deg.select("node").localCheckpoint(eager=True)
+            n_new = new_alive.count()
+            old = alive
+            alive = new_alive
+            old.unpersist()
+            if n_new == n_alive:
+                break
+            n_alive = n_new
+        # final degrees over the fixed-point survivor set
+        live_edges = und.join(
+            alive.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+        out = (
+            live_edges.select(F.col("a").alias("node"))
+            .union(live_edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        return out
+    finally:
+        und.unpersist()

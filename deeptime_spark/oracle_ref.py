@@ -1110,6 +1110,46 @@ def oracle_event_communities() -> str:
 _BUILDERS["event_communities"] = oracle_event_communities
 
 
+def oracle_event_kcore() -> str:
+    """Exact peeling replica of k_core(k=8) on the 211-node event
+    multigraph (distinct undirected edges, iterate drop-degree-<k to
+    the unique fixed point)."""
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT event_id FROM read_parquet('{sf_dir()}/events.parquet')"
+        ).fetchall()
+    ]
+    und = set()
+    for i in ids:
+        s = i % 211
+        d = (i * 31 + i // 211) % 211
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    alive = {v for e in und for v in e}
+    while True:
+        deg: dict = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        new = {v for v in alive if deg.get(v, 0) >= 8}
+        if new == alive:
+            break
+        alive = new
+    rows = sorted((v, deg.get(v, 0)) for v in alive)
+    if not rows:  # an empty k-core is a legal fixed point
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS node, "
+            "CAST(NULL AS BIGINT) AS degree WHERE FALSE"
+        )
+    return _values_sql(rows, ["node", "degree"], "bb")
+
+
+_BUILDERS["event_kcore"] = oracle_event_kcore
+
+
 def oracle_doc_compression() -> str:
     """Driver replica of the compression-ratio profile: the identical
     CPython zlib at level 6 over utf-8 text, ratio in ppm via integer

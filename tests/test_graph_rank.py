@@ -324,3 +324,44 @@ def test_label_propagation_two_cliques(spark):
     c1 = {got[v] for v in range(5)}
     c2 = {got[v] for v in range(10, 15)}
     assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+
+def _brute_kcore(edges, k):
+    from collections import defaultdict
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    alive = {v for e in und for v in e}
+    while True:
+        deg = defaultdict(int)
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        new = {v for v in alive if deg[v] >= k}
+        if new == alive:
+            return {v: deg[v] for v in alive}
+        alive = new
+
+
+def test_k_core_matches_bruteforce(spark, rng):
+    from deeptime_spark.operators.graph import k_core
+
+    edges = [(int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 5):
+        got = {r["node"]: r["degree"] for r in k_core(df, k).collect()}
+        assert got == _brute_kcore(edges, k), k
+
+
+def test_k_core_clique_with_pendant(spark):
+    from itertools import combinations
+
+    from deeptime_spark.operators.graph import k_core
+
+    # K5 plus a pendant chain: 4-core = the clique only
+    edges = list(combinations(range(5), 2)) + [(4, 10), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, 4).collect()}
+    assert got == {v: 4 for v in range(5)}
+    with pytest.raises(ValueError):
+        k_core(df, 0)

@@ -84,6 +84,7 @@ QUERIES = [
     "embedding_silhouette",
     "event_triangles",
     "event_communities",
+    "event_kcore",
 ]
 
 
