@@ -3945,32 +3945,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-7 driver window (slots 0-49): five oracle-typing fixes first,
-# then the two never-driver-run round-7 additions (slots 5-6), then 43
-# r04-stale greens oldest-evidence-first (streaming_sessions /
-# streaming_window_counts rotated past the window to make room).
+# Round-8 driver window (slots 0-49): the 13 round-7 additions with no
+# driver evidence first (slots 0-12), then streaming_sessions /
+# streaming_window_counts (r04-stale, rotated out in r7; slots 13-14),
+# then r05-stale greens oldest-evidence-first.
 # Recomputed each round by tools/plan_window.py from CORRECTNESS_r0*.json.
 _WINDOW_ORDER = [
-    "event_pivot", "event_resample", "event_json_stats", "corpus_profile",
-    "event_top_spenders",
-    # never-driver-run round-7 additions (priority per rotation contract)
-    "event_pagerank", "doc_edit_pairs",
-    "bayes_hmm_events", "tpt_events", "effective_counts_events",
-    "koopman_weights_events", "regspace_events", "msm_longtail_events",
-    "multimodal_features", "kernel_gram_events", "tica_events",
-    "kmeans_embeddings", "hmm_viterbi_events", "embedding_whiten",
-    "msm_pi_events", "msm_its_events", "msm_ck_events", "pcca_events",
-    "sindy_events", "semantic_dedup", "doc_chunks", "doc_packing",
-    "corpus_clean_pipeline", "doc_decontaminate", "doc_span_dedup",
-    "doc_c4_filter", "doc_line_dedup", "ivfpq_topk", "domain_mixture",
-    "doc_stratified_sample", "doc_pii_scrub", "corpus_prep_pipeline",
-    "dedup_verified_pairs", "dedup_components", "doc_gopher_quality",
-    "doc_gopher_repetition", "doc_winnowing", "doc_lm_score",
-    "event_session_range_join", "event_range_frame", "event_cube",
-    "event_value_percentiles", "purchase_and_signup_users",
-    "streaming_dedup_replay", "streaming_transition_counts",
-    # streaming_sessions / streaming_window_counts (r04-green) rotated out
-    # to make room for the two round-7 additions; re-window them round 8.
+    "doc_prefix_dup",  # last green r00
+    "doc_containment_pairs",  # last green r00
+    "event_anomaly_mad",  # last green r00
+    "event_hits",  # last green r00
+    "doc_pmi_collocations",  # last green r00
+    "event_cusum",  # last green r00
+    "media_ahash_pairs",  # last green r00
+    "doc_compression_ratio",  # last green r00
+    "streaming_cusum",  # last green r00
+    "embedding_silhouette",  # last green r00
+    "event_triangles",  # last green r00
+    "event_communities",  # last green r00
+    "event_kcore",  # last green r00
+    "streaming_sessions",  # last green r04
+    "streaming_window_counts",  # last green r04
+    "q2_min_supplier",  # last green r05
+    "q4_priority_exists",  # last green r05
+    "q7_volume_shipping",  # last green r05
+    "q8_market_share",  # last green r05
+    "q9_product_profit",  # last green r05
+    "q12_late_shipments",  # last green r05
+    "q13_order_distribution",  # last green r05
+    "q14_promo_revenue",  # last green r05
+    "q15_top_supplier",  # last green r05
+    "q16_part_supplier_stats",  # last green r05
+    "q17_small_qty_revenue",  # last green r05
+    "q18_large_volume_customers",  # last green r05
+    "q19_or_predicates",  # last green r05
+    "q20_semi_chain",  # last green r05
+    "q21_waiting_supplier",  # last green r05
+    "q22_dormant_customers",  # last green r05
+    "bpe_tokens",  # last green r05
+    "doc_sql_surface",  # last green r05
+    "generator_msm_roundtrip",  # last green r05
+    "doc_quality_classifier",  # last green r05
+    "bucketed_traj_counts",  # last green r05
+    "minhash_bands",  # last green r05
+    "simhash_pairs",  # last green r05
+    "embedding_near_dup",  # last green r05
+    "doc_fingerprint",  # last green r05
+    "lsh_topk",  # last green r05
+    "ivf_topk",  # last green r05
+    "q1_pricing_summary",  # last green r05
+    "q3_top_orders",  # last green r05
+    "q5_supplier_volume",  # last green r05
+    "q6_forecast_revenue",  # last green r05
+    "q10_returned_items",  # last green r05
+    "top_customers",  # last green r05
+    "order_priority_count",  # last green r05
+    "nation_order_volume",  # last green r05
 ]
 
 
