@@ -122,10 +122,14 @@ def pagerank(
     if personalization is not None:
         # L1-normalize the teleport vector once; pin it onto the node
         # frame so the per-iteration update is a column expression.
+        # Normalization runs over GRAPH nodes only (inner join first):
+        # personalization rows for nodes absent from the edge set would
+        # otherwise absorb teleport/dangling mass and break the
+        # ranks-sum-to-1 invariant the docstring promises.
         pv = personalization.select(
             F.col("node").cast("long").alias("node"),
             F.col("weight").cast("double").alias("_w"),
-        )
+        ).join(nodes, "node")
         total = pv.agg(F.sum("_w").alias("t"))
         pv = pv.crossJoin(F.broadcast(total)).select(
             "node", (F.col("_w") / F.col("t")).alias("pv")
@@ -285,8 +289,12 @@ def hits(
                 raw_a_last = None
             else:
                 raw_a_last = raw_a
-            if auths is not None and auths.is_cached:
-                auths.unpersist()
+            # mid-loop auths is a lazy plan and the final-iteration auth
+            # frame is a localCheckpoint whose storage is GC-managed —
+            # unpersist is a no-op either way; kept unconditional so the
+            # intent (release if ever cached) reads plainly.
+            if auths is not None:
+                auths.unpersist(blocking=False)
             auths = new_auths
             old_h = hubs
             hubs, raw_h = _half(auths, "dst", "src", eager=True)
@@ -307,22 +315,33 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
-    """Per-node triangle counts via the ordered wedge join (the
-    node-iterator / compact-forward algorithm of Schank & Wagner,
-    "Finding, Counting and Listing All Triangles in Large Graphs",
-    WEA 2005 — the same shape used by distributed triangle counting in
-    MapReduce à la Suri & Vassilvitskii, WWW'11).
+    """Per-node triangle counts via the DEGREE-ORDERED wedge join (the
+    compact-forward algorithm of Schank & Wagner, "Finding, Counting
+    and Listing All Triangles in Large Graphs", WEA 2005; distributed
+    as in Suri & Vassilvitskii, WWW'11).
 
-    Edges are canonicalized to an undirected distinct set with
-    ``a < b`` (direction and multiplicity dropped, self-loops removed);
-    each triangle ``a < b < c`` is found exactly once by joining wedges
-    ``(a,b),(b,c)`` against the closing edge ``(a,c)``. Everything is
-    equi-joins + integer counts: exact, engine-portable, and the wedge
-    relation — the scale bottleneck — is bounded by Σ deg(v)² over the
-    LOWER-id orientation, the standard skew bound (orienting by id
-    caps high-degree hubs' wedge fan-out at their higher-id neighbor
-    count).
+    Edges are canonicalized to an undirected distinct set (direction,
+    multiplicity, and self-loops dropped), then ORIENTED from the
+    lower-degree endpoint to the higher-degree endpoint (tie broken
+    toward the lower id). Under that total order each triangle
+    ``u ≺ v ≺ w`` has oriented edges ``u→v, u→w, v→w`` and is found
+    exactly once by joining the wedge ``(u→v, u→w)`` with ``v ≺ w``
+    against the closing edge ``v→w``. Degree orientation — not id
+    orientation — is what bounds the wedge relation at O(m^1.5) on ANY
+    graph (the Suri-Vassilvitskii bound): every node's oriented
+    out-degree is at most O(√m), so a power-law hub's wedge fan-out
+    collapses regardless of the ids it happens to carry. Per-node
+    triangle counts are orientation-invariant, so results are identical
+    to any other exact method. Everything is equi-joins + integer
+    counts: exact and engine-portable.
+
+    With ``materialize=True`` (default) the O(|V|)-row result is
+    ``localCheckpoint``ed and the persisted oriented-edge relation is
+    unpersisted before returning — no cached relation outlives the
+    call. ``materialize=False`` returns the lazy plan (caller manages
+    the persisted edge lifetime; used by plan-shape tests).
 
     Returns (node, n_triangles) for every node of the edge set
     (0 for triangle-free nodes).
@@ -331,25 +350,51 @@ def triangle_counts(
         F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
         F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
     ).where(F.col("a") != F.col("b"))
-    und = e0.distinct().persist()
-    und.count()
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    und = e0.distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge u -> v with (deg,id)(u) < (deg,id)(v); dv rides along
+    # so the wedge join can order out-neighbor pairs without re-joining.
+    ori = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    ori.count()
+    e1 = ori.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    e2 = ori.select(F.col("u").alias("x"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    e3 = ori.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedge_lt = (F.col("dy") < F.col("dz")) | (
+        (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z"))
+    )
+    tri = e1.join(e2, "x").where(wedge_lt).join(e3, ["y", "z"])
     per_node = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     nodes = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
+        ori.select(F.col("u").alias("node"))
+        .union(ori.select(F.col("v").alias("node")))
         .distinct()
     )
     out = nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        ori.unpersist()
     return out
 
 
@@ -420,6 +465,8 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    partitions: int | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph in which
     every node has degree >= k (Seidman, "Network structure and minimum
@@ -433,21 +480,37 @@ def k_core(
     localCheckpointed (lineage truncation) and the only driver traffic
     is the one survivor-count scalar that detects convergence — a
     loop-until-fixed-point needs SOME convergence signal, and one LONG
-    per round is the minimum. Unlike the fixed-iteration rank loops the
-    round count here is data-dependent, but the FIXED POINT is unique
-    (the k-core is), so results are deterministic and exactly
-    replayable by the peeling replica in the oracle.
+    per round is the minimum.
 
-    Returns (node, degree) for k-core members with their in-core degree.
+    Scale regime (same switch as :func:`pagerank`): when the initial
+    node count is <= ``broadcast_threshold`` the survivor set is
+    broadcast into BOTH semi-joins — a localCheckpointed frame carries
+    no size statistics, so Catalyst would otherwise shuffle the full
+    O(|E|) edge relation every peel round (and degeneracy-order peeling
+    can need hundreds of rounds on real web graphs). Above the
+    threshold the edge relation is pinned hash-partitioned on ``a`` so
+    the a-side semi-join reuses the cached layout every round and only
+    the O(|V|) survivor frame moves; the b-side semi-join then shuffles
+    only the (shrinking) surviving-edge relation.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixed point — a silent truncation would return nodes
+    with degree < k as core members (mirrors connected_components'
+    non-convergence contract). The fixed point itself is unique (the
+    k-core is), so results are deterministic and exactly replayable by
+    the peeling replica in the oracle.
+
+    Returns (node, degree) for k-core members with their in-core
+    degree, localCheckpointed — no cached relation outlives the call.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    spark = edges.sparkSession
     e0 = edges.select(
         F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
         F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
     ).where(F.col("a") != F.col("b"))
-    und = e0.distinct().persist()
-    und.count()
+    und = e0.distinct()
     alive = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -455,37 +518,52 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_alive = alive.count()
-    deg = None
+    small = n_alive <= broadcast_threshold
+    if not small:
+        n_part = partitions or spark.sparkContext.defaultParallelism
+        und = und.repartition(n_part, "a")
+    elif partitions:
+        und = und.repartition(partitions, "a")
+    und = und.persist()
+    und.count()
+
+    def _live(survivors: DataFrame) -> DataFrame:
+        a_side = survivors.select(F.col("node").alias("a"))
+        b_side = survivors.select(F.col("node").alias("b"))
+        if small:
+            a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
+        return und.join(a_side, "a", "left_semi").join(b_side, "b", "left_semi")
+
+    def _degrees(survivors: DataFrame) -> DataFrame:
+        live = _live(survivors)
+        return (
+            live.select(F.col("a").alias("node"))
+            .union(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    converged = False
     try:
         for _ in range(max_iter):
-            live_edges = und.join(
-                alive.select(F.col("node").alias("a")), "a", "left_semi"
-            ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
-            deg = (
-                live_edges.select(F.col("a").alias("node"))
-                .union(live_edges.select(F.col("b").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("degree"))
-                .where(F.col("degree") >= k)
-            )
+            deg = _degrees(alive).where(F.col("degree") >= k)
             new_alive = deg.select("node").localCheckpoint(eager=True)
             n_new = new_alive.count()
             old = alive
             alive = new_alive
             old.unpersist()
             if n_new == n_alive:
+                converged = True
                 break
             n_alive = n_new
-        # final degrees over the fixed-point survivor set
-        live_edges = und.join(
-            alive.select(F.col("node").alias("a")), "a", "left_semi"
-        ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
-        out = (
-            live_edges.select(F.col("a").alias("node"))
-            .union(live_edges.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
-        return out
+        if not converged:
+            raise RuntimeError(
+                f"k_core did not reach a fixed point in {max_iter} rounds "
+                f"({n_alive} survivors); raise max_iter"
+            )
+        # final degrees over the fixed-point survivor set, materialized
+        # BEFORE the finally-block unpersist so the two semi-joins read
+        # the cached edges (a lazy return would rescan raw input).
+        return _degrees(alive).localCheckpoint(eager=True)
     finally:
         und.unpersist()

@@ -365,3 +365,65 @@ def test_k_core_clique_with_pendant(spark):
     assert got == {v: 4 for v in range(5)}
     with pytest.raises(ValueError):
         k_core(df, 0)
+
+
+def test_k_core_raises_on_max_iter_exhaustion(spark):
+    from deeptime_spark.operators.graph import k_core
+
+    # chain at k=2 peels one endpoint pair per round — needs ~n/2
+    # rounds, so max_iter=2 cannot reach the (empty) fixed point and
+    # must raise rather than return degree<k nodes as core members.
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        k_core(df, 2, max_iter=2)
+    # with enough rounds the chain peels away entirely
+    assert k_core(df, 2, max_iter=20).count() == 0
+
+
+def test_k_core_shuffle_regime_matches_broadcast(spark, rng):
+    from deeptime_spark.operators.graph import k_core
+
+    edges = [(int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    small = {r["node"]: r["degree"] for r in k_core(df, 3).collect()}
+    large = {
+        r["node"]: r["degree"]
+        for r in k_core(df, 3, broadcast_threshold=0, partitions=4).collect()
+    }
+    assert small == large == _brute_kcore(edges, 3)
+
+
+def test_triangle_counts_low_id_hub(spark):
+    from deeptime_spark.operators.graph import triangle_counts
+
+    # node 0 is a hub with LOW id: under id-orientation its wedge
+    # fan-out is ~deg^2; degree-orientation keeps counts exact while
+    # orienting hub edges inward. star 0-(1..20) + rim edges closing
+    # triangles (0, 2i-1, 2i).
+    edges = [(0, i) for i in range(1, 21)] + [(2 * i - 1, 2 * i) for i in range(1, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got[0] == 10
+    for i in range(1, 21):
+        assert got[i] == 1
+
+
+def test_personalized_pagerank_ignores_unknown_nodes(spark):
+    from deeptime_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pers = spark.createDataFrame([(0, 1.0)], "node long, weight double")
+    # weight on a node absent from the edge set must not absorb
+    # teleport mass — normalization runs over graph members only.
+    pers_extra = spark.createDataFrame(
+        [(0, 1.0), (99, 3.0)], "node long, weight double"
+    )
+    base = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10, personalization=pers).collect()}
+    extra = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=10, personalization=pers_extra).collect()
+    }
+    assert base == extra
+    assert sum(extra.values()) == pytest.approx(1.0, abs=1e-9)
