@@ -287,6 +287,7 @@ def cusum_changepoints(
     group_cols: tuple = (),
     drift: int = 0,
     threshold: int | None = None,
+    allow_single_partition: bool = False,
 ) -> DataFrame:
     """Two-sided CUSUM change detection (Page, "Continuous Inspection
     Schemes", Biometrika 41, 1954) over integer-valued series, per group.
@@ -309,10 +310,23 @@ def cusum_changepoints(
     Rows within a group MUST be totally ordered by ``order_cols`` —
     include a unique id as the last key; a tie would make the running
     extremum order-dependent.
+
+    ``group_cols`` is REQUIRED non-empty unless
+    ``allow_single_partition=True``: an ungrouped CUSUM is one global
+    ordered window — Spark plans it as a SINGLE task holding the whole
+    series, which silently serializes at scale. Pass the explicit flag
+    only for series known to be driver-sized.
     """
     from pyspark.sql import Window
 
     groups = list(group_cols)
+    if not groups and not allow_single_partition:
+        raise ValueError(
+            "cusum_changepoints without group_cols runs the whole series "
+            "through ONE task (a single global ordered window); pass "
+            "group_cols, or allow_single_partition=True for a "
+            "driver-sized series"
+        )
     base = (
         Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
     )

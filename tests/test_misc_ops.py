@@ -272,7 +272,8 @@ def test_cusum_matches_recursion(spark, rng):
     got = {
         r["i"]: (r["cusum_pos"], r["cusum_neg"])
         for r in cusum_changepoints(
-            df, "v", order_cols=("i",), threshold=200
+            df, "v", order_cols=("i",), threshold=200,
+            allow_single_partition=True,
         ).collect()
     }
     exp = _brute_cusum(vals)
@@ -283,7 +284,10 @@ def test_cusum_matches_recursion(spark, rng):
     # the negative side may fire earlier — that is correct CUSUM)
     pos_alarms = [
         r["i"]
-        for r in cusum_changepoints(df, "v", order_cols=("i",), threshold=500)
+        for r in cusum_changepoints(
+            df, "v", order_cols=("i",), threshold=500,
+            allow_single_partition=True,
+        )
         .where("cusum_pos > 500")
         .collect()
     ]
@@ -319,3 +323,13 @@ def test_cusum_grouped_and_drift(spark):
     for g, vals in (("a", [0, 0, 10, 10, 10]), ("b", [5, 5, 5, 5, 5])):
         for i, e in enumerate(rec(vals, 1)):
             assert got[(g, i)] == e
+
+
+def test_cusum_requires_groups_or_explicit_single_partition(spark):
+    import pytest
+
+    from deeptime_spark.operators.stats import cusum_changepoints
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "i long, v long")
+    with pytest.raises(ValueError, match="ONE task"):
+        cusum_changepoints(df, "v", order_cols=("i",))
