@@ -365,40 +365,73 @@ def unigram_lm_scores_df(
 def _lm2_fit_frame(
     df: DataFrame, text_col: str, vocab_size: int, bigram_size: int
 ) -> DataFrame:
-    """The bigram-LM model fit as ONE corpus scan + ONE shuffle + ONE
-    action: unigrams and bigrams share an explode (bigrams contain a
-    space, whitespace-split tokens cannot — the space is a free
-    discriminator), and the corpus token total plus both TakeOrdered
-    cuts are a 3-way union over the SAME grouped frame, so Catalyst's
-    ReusedExchange computes the scan+shuffle once and the whole model
-    arrives in a single collect (three separate actions previously cost
-    a job-scheduling round-trip each; plan pinned in tests/
-    test_plans.py). Rows: (t, count, _kind) with _kind in
-    {'u' vocab, 'b' bigram, 'T' total}."""
-    grams2 = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), 2)
+    """The bigram-LM model fit as ONE corpus scan with ONE regex pass:
+    each doc explodes into its (n-1) bigrams plus its LAST token —
+    n rows per n-token doc (previously 2n-1 across two regex passes).
+    Unigram counts are then EXACTLY derivable inside the engine: every
+    token instance occurs exactly once as either a bigram's FIRST word
+    or the doc-final token, so
+    ``c_uni(w) = Σ_x c_bi(w,x) + #{docs ending in w}`` — one
+    ``substring_index(t, ' ', 1)`` projection (a no-space last-token
+    row passes through whole) + a re-aggregation over the ~|distinct
+    grams| grouped output, which is orders of magnitude smaller than
+    the token-instance relation that paid the first shuffle. Bigrams
+    contain a space, last tokens cannot — the space is a free
+    discriminator, no marker column.
+
+    The corpus token total and both TakeOrdered cuts consume the SAME
+    grouped frame, so Catalyst's ReusedExchange computes the
+    scan+shuffle once and the whole model arrives in a single collect
+    (plan pinned in tests/test_plans.py). Rows: (t, count, _kind) with
+    _kind in {'u' vocab, 'b' bigram, 'T' total} — byte-identical
+    counts to the two-pass formulation (exact integer identity), so
+    the oracle replica is unchanged."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.regexp_replace(F.trim(F.lower(txt)), r"\s+", " ")
+    grams2 = F.when(
+        ~norm.contains(" "), F.array().cast("array<string>")
+    ).otherwise(
+        F.regexp_extract_all(norm, F.lit(r"(?<!\S)(?=(\S+ \S+))"), 1)
+    )
+    last_tok = F.substring_index(norm, " ", -1)
     counts = (
-        df.select(
-            F.explode(
-                F.concat(tokens(F.coalesce(F.col(text_col), F.lit(""))), grams2)
-            ).alias("t")
-        )
+        df.select(F.explode(F.concat(grams2, F.array(last_tok))).alias("t"))
         .where(F.col("t") != "")
         .groupBy("t")
         .count()
     )
-    is_uni = ~F.col("t").contains(" ")
-    # NO where() on the branches: a filter on the grouping key would be
-    # pushed below the aggregation, making the branch exchanges differ
-    # and defeating ReusedExchange. The kind split happens ABOVE the
-    # shared agg — a projection for the cuts, a conditional sum for the
-    # total — so both branches consume the identical exchange.
+    has_space = F.col("t").contains(" ")
+    # NO where() between `counts` and its consumers: a filter on the
+    # grouping key would be pushed BELOW the aggregation, splitting the
+    # shared exchange and re-running the scan+explode per branch. Both
+    # kinds derive from one small explode over the grouped rows — a
+    # bigram row (v w, c) yields ('b', "v w", c) and the unigram
+    # contribution ('u', v, c); a last-token row (w, c) yields
+    # ('u', w, c) — re-aggregated over the tiny distinct-gram relation.
+    kinded = F.when(
+        has_space,
+        F.array(
+            F.struct(F.lit("b").alias("_kind"), F.col("t").alias("t")),
+            F.struct(
+                F.lit("u").alias("_kind"),
+                F.substring_index(F.col("t"), " ", 1).alias("t"),
+            ),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.lit("u").alias("_kind"), F.col("t").alias("t")))
+    )
+    combined = (
+        counts.select(F.explode(kinded).alias("e"), F.col("count"))
+        .select(F.col("e._kind").alias("_kind"), F.col("e.t").alias("t"), "count")
+        .groupBy("_kind", "t")
+        .agg(F.sum("count").alias("count"))
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_kind").orderBy(F.desc("count"), F.asc("t"))
     cap = max(vocab_size, bigram_size)
     cuts = (
-        counts.withColumn("_kind", F.when(is_uni, F.lit("u")).otherwise(F.lit("b")))
-        .withColumn("_rn", F.row_number().over(w))
+        combined.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)  # simple bound -> WindowGroupLimit
         .where(
             ((F.col("_kind") == "u") & (F.col("_rn") <= vocab_size))
@@ -406,8 +439,10 @@ def _lm2_fit_frame(
         )
         .select("t", "count", "_kind")
     )
+    # T = Σ unigram counts = Σ over ALL grouped rows (each token
+    # instance is counted exactly once in the explode)
     tot = counts.agg(
-        F.coalesce(F.sum(F.when(is_uni, F.col("count"))), F.lit(0)).alias("count")
+        F.coalesce(F.sum("count"), F.lit(0)).alias("count")
     ).select(F.lit("").alias("t"), "count", F.lit("T").alias("_kind"))
     return cuts.unionByName(tot)
 
@@ -448,7 +483,11 @@ def bigram_lm_scores_df(
 
     from deeptime_spark.operators.layout import spread_for_map_parallelism
 
-    df = spread_for_map_parallelism(df, id_col)
+    # 1 MiB floor: the scorer is vectorized numpy, so for sub-MiB
+    # single-file corpora the repartition stage + 32-task scheduling
+    # costs more than it parallelizes; real corpora (and the 100 TB
+    # regime, where spread is a no-op) clear the floor immediately.
+    df = spread_for_map_parallelism(df, id_col, min_bytes_per_partition=1 << 20)
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     fit_rows = _lm2_fit_frame(df, text_col, vocab_size, bigram_size).collect()
     vocab_rows = [r for r in fit_rows if r["_kind"] == "u"]

@@ -560,7 +560,11 @@ def test_lm2_fit_single_exchange_reused(spark):
     plan = frame._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("ReusedExchange") >= 1, final[:2000]
-    assert final.count("Generate explode") == 1, final[:2000]
+    # exactly TWO explodes: the corpus-scan explode (bigrams + last
+    # token, one regex pass) and the tiny kind-split explode over the
+    # already-grouped distinct-gram relation — a third would mean a
+    # branch re-scanned the corpus.
+    assert final.count("Generate explode") == 2, final[:2000]
     assert "WindowGroupLimit" in final
     assert "EvalPython" not in final
 
