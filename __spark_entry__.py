@@ -2398,6 +2398,20 @@ def _q_doc_span_dedup(spark, sf_dir):
     return dedup_token_spans(docs, span_tokens=10)
 
 
+def _q_doc_dup_substrings(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. ACL'22 ExactSubstr,
+    operators/dedup.py:duplicated_substring_spans): SLIDING 20-token
+    shingles, shingles occurring >=2 times anywhere mark their window,
+    overlapping-or-adjacent windows merge into maximal spans per doc
+    (gaps-and-islands). Unlike doc_span_dedup's non-overlapping windows
+    this reports the exact [start, end] token ranges a substring-dedup
+    pass would excise. PURE-SQL oracle."""
+    from deeptime_spark.operators.dedup import duplicated_substring_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_substring_spans(docs, k=20)
+
+
 def _q_doc_c4_filter(spark, sf_dir):
     """C4 line-level cleaning rules (Raffel et al. JMLR'20 §2.2): per-doc
     kept-line tally and the md5 of the reassembled clean text. The
@@ -3897,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_span_dedup": _q_doc_span_dedup,
+        "doc_dup_substrings": _q_doc_dup_substrings,
         "doc_c4_filter": _q_doc_c4_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -3966,6 +3981,7 @@ _WINDOW_ORDER = [
     "event_kcore",  # last green r00
     "streaming_sessions",  # last green r04
     "streaming_window_counts",  # last green r04
+    "doc_dup_substrings",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -4870,6 +4886,38 @@ SELECT source,
       / CAST(n_tokens AS DOUBLE)
     END, CAST('0.0' AS DOUBLE))) AS sampling_rate
 FROM t
+""",
+        "doc_dup_substrings": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, CAST(i AS BIGINT)+1, CAST(i AS BIGINT)+20), ' ') AS g
+  FROM t, UNNEST(range(len(toks) - 20 + 1)) AS r(i)
+  WHERE len(toks) >= 20
+), dup AS (
+  SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM sh WHERE g IN (SELECT g FROM dup)
+), lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 19 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + 20 AS BIGINT) AS n_span_tokens
+FROM isl
+GROUP BY doc_id, island
 """,
         "doc_span_dedup": r"""
 WITH toks AS (

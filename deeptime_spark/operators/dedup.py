@@ -1344,6 +1344,87 @@ def drop_duplicate_lines_across_docs(
     )
 
 
+def duplicated_substring_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_occurrences: int = 2,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Exact duplicated-substring spans — the ExactSubstr dedup of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL'22), re-shaped from a suffix array (a single-machine data
+    structure) to Spark shuffles over SLIDING k-token shingles:
+
+    - every k-token sliding shingle is emitted with its doc position
+      (``posexplode`` over one codegen lookahead-regex pass — no
+      Python);
+    - a shingle occurring >= ``min_occurrences`` times ANYWHERE in the
+      corpus (other docs or elsewhere in the same doc) marks its
+      k-token window duplicated. ``groupBy(shingle).count`` is
+      map-side-combined, so a boilerplate shingle repeated a billion
+      times costs one row per map task before the shuffle; the mark
+      join back onto positions is an AQE-skew-splittable equi-join
+      (same shape as :func:`dedup_token_spans`);
+    - per document, overlapping-or-adjacent duplicated windows merge
+      into MAXIMAL spans (gaps-and-islands: a new island starts where
+      consecutive duplicated start positions differ by more than k),
+      which is exactly the suffix-array method's duplicated-byte-range
+      output quantized to token windows: any duplicated substring of
+      >= k tokens contains a duplicated k-shingle, so every such
+      substring is covered by a reported span.
+
+    The islands window shuffles once keyed by doc id (position count
+    per doc is bounded by doc length — no skew beyond document size).
+
+    ``hash_shingles=True`` keys on ``xxhash64(shingle)`` — 8 bytes of
+    shuffle width per position instead of the k-token text, the right
+    trade at corpus scale (2^-64 collision odds); the default keeps
+    exact strings so results are provably exact.
+
+    Returns (id, span_start, span_end, n_span_tokens): token-index
+    [start, end] inclusive of each maximal duplicated span, one row per
+    span. Docs without duplicated shingles contribute no rows.
+    """
+    from pyspark.sql import Window
+
+    from deeptime_spark.operators.text import _word_ngrams_all
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    grams = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), k)
+    sh = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("_pos", "_g")
+    )
+    key = F.xxhash64("_g") if hash_shingles else F.col("_g")
+    sh = sh.select(F.col(id_col), F.col("_pos"), key.alias("_k"))
+    dup_keys = (
+        sh.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_occurrences)
+        .select("_k")
+    )
+    hits = sh.join(dup_keys, "_k").select(F.col(id_col), F.col("_pos"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    brk = F.when(
+        F.col("_pos") - F.lag("_pos").over(w) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy(id_col, "_island").agg(
+        F.min("_pos").cast("long").alias("span_start"),
+        (F.max("_pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        (F.max("_pos") - F.min("_pos") + F.lit(k)).cast("long").alias("n_span_tokens"),
+    ).drop("_island")
+
+
 # --------------------------------------- persistent signature index
 
 

@@ -1560,3 +1560,70 @@ def test_compression_ratio_matches_zlib(spark):
         assert got[i] == exp
     # boilerplate compresses far better than natural text
     assert got[1][2] < got[2][2]
+
+
+def _brute_dup_substring_spans(docs, k, min_occ=2):
+    from collections import Counter
+
+    toks = {d: t.lower().split() for d, t in docs}
+    shingles = Counter()
+    pos = {}
+    for d, t in toks.items():
+        pos[d] = []
+        for i in range(len(t) - k + 1):
+            g = " ".join(t[i : i + k])
+            shingles[g] += 1
+            pos[d].append((i, g))
+    out = []
+    for d, plist in pos.items():
+        hits = [i for i, g in plist if shingles[g] >= min_occ]
+        if not hits:
+            continue
+        start = prev = hits[0]
+        for i in hits[1:]:
+            if i - prev > k:
+                out.append((d, start, prev + k - 1, prev - start + k))
+                start = i
+            prev = i
+        out.append((d, start, prev + k - 1, prev - start + k))
+    return sorted(out)
+
+
+def test_duplicated_substring_spans_bruteforce(spark, rng):
+    from deeptime_spark.operators.dedup import duplicated_substring_spans
+
+    words = ["w%d" % i for i in range(30)]
+    docs = []
+    for d in range(40):
+        n = int(rng.integers(5, 60))
+        docs.append((d, " ".join(words[int(rng.integers(0, 30))] for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k in (3, 5):
+        got = sorted(
+            tuple(r)
+            for r in duplicated_substring_spans(df, k=k).collect()
+        )
+        assert got == _brute_dup_substring_spans(docs, k), k
+    # hash-keyed variant must agree (collision-free at this size)
+    got_h = sorted(
+        tuple(r)
+        for r in duplicated_substring_spans(df, k=5, hash_shingles=True).collect()
+    )
+    assert got_h == _brute_dup_substring_spans(docs, 5)
+
+
+def test_duplicated_substring_spans_edges(spark):
+    import pytest
+
+    from deeptime_spark.operators.dedup import duplicated_substring_spans
+
+    docs = [(1, "a b c"), (2, ""), (3, None), (4, "a b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in duplicated_substring_spans(df, k=3).collect())
+    assert got == [(1, 0, 2, 3), (4, 0, 2, 3)]
+    # docs shorter than k never emit
+    assert duplicated_substring_spans(df, k=4).count() == 0
+    with pytest.raises(ValueError):
+        duplicated_substring_spans(df, k=0)
+    with pytest.raises(ValueError):
+        duplicated_substring_spans(df, k=3, min_occurrences=1)

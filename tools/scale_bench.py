@@ -85,6 +85,9 @@ QUERIES = [
     "event_triangles",
     "event_communities",
     "event_kcore",
+    # round-8: sliding-shingle exact-substring spans (dup density and
+    # span count both grow with the replica count)
+    "doc_dup_substrings",
 ]
 
 
