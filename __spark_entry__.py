@@ -1012,6 +1012,32 @@ def _q_doc_bm25_search(spark, sf_dir):
     )
 
 
+def _q_doc_hybrid_search(spark, sf_dir):
+    """Hybrid sparse+dense retrieval fused by reciprocal rank
+    (operators/retrieval.py:hybrid_search — Cormack et al. SIGIR'09
+    RRF): BM25 top-50 over documents + exact cosine top-50 over the
+    embedding column (query = vec_id 0's vector), fused as
+    1/(60+rank) sums in fixed source order. Both candidate lists are
+    TakeOrdered plans with total (score desc, id) orders, so the
+    integer ranks — all that fusion consumes — are engine-exact.
+    Oracle replays both rankers and the fixed-order fusion
+    (oracle_ref.py:oracle_doc_hybrid_search)."""
+    from deeptime_spark.operators.retrieval import hybrid_search
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = hybrid_search(
+        docs, emb, "hash join fast scan table", qvec, k=15, k_each=50
+    )
+    return out.select(
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("rank_bm25").cast("long").alias("rank_bm25"),
+        F.col("rank_dense").cast("long").alias("rank_dense"),
+    )
+
+
 def _q_doc_sparse_cosine(spark, sf_dir):
     """All-pairs sparse cosine near-duplicates
     (operators/retrieval.py:sparse_cosine_pairs): rare-word-trigram
@@ -3792,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
         "doc_cms_word_counts": _q_doc_cms_word_counts,
         "doc_bm25_search": _q_doc_bm25_search,
+        "doc_hybrid_search": _q_doc_hybrid_search,
         "streaming_hll_replay": _q_streaming_hll_replay,
         "doc_sparse_cosine": _q_doc_sparse_cosine,
         "corpus_profile": _q_corpus_profile,
@@ -3982,6 +4009,7 @@ _WINDOW_ORDER = [
     "streaming_sessions",  # last green r04
     "streaming_window_counts",  # last green r04
     "doc_dup_substrings",  # NEW round-8: never driver-run
+    "doc_hybrid_search",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

@@ -32,7 +32,7 @@ import re as _re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize_counts", "term_stats", "bm25_search", "sparse_cosine_pairs"]
+__all__ = ["tokenize_counts", "term_stats", "bm25_search", "sparse_cosine_pairs", "rrf_fuse", "hybrid_search"]
 
 _WS = _re.compile(r"[ \t\n\x0b\f\r]+")
 
@@ -230,4 +230,107 @@ def sparse_cosine_pairs(
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, "Reciprocal
+    rank fusion outperforms Condorcet and individual rank learning
+    methods", SIGIR'09): ``score(d) = Σ_i 1/(rrf_k + rank_i(d))`` over
+    the input rankings, items absent from a ranking contributing
+    nothing. The standard hybrid-retrieval combiner (sparse BM25 +
+    dense ANN) — rank-only, so incomparable score scales never matter.
+
+    Each input is a (id, rank) frame of AT MOST the candidate depth
+    (k_each in :func:`hybrid_search`) rows — bounded by parameters, not
+    data, so the outer joins below are driver-scale no matter the
+    corpus. Per-source ranks are pivoted into FIXED positional columns
+    and the score is one expression summing the sources in input
+    order — a fixed fp op tree over exact integer ranks, bit-exact
+    across engines (same determinism contract as bm25_search).
+
+    Returns (id, rrf_score, rank_0..rank_{n-1}) for the top ``k`` by
+    (rrf_score desc, id asc); absent ranks are -1.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias(f"rank_{i}"),
+        )
+        tagged = t if tagged is None else tagged.join(t, id_col, "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+    out = tagged.select(
+        F.col(id_col),
+        score.alias("rrf_score"),
+        *[
+            F.coalesce(F.col(f"rank_{i}"), F.lit(-1)).alias(f"rank_{i}")
+            for i in range(len(rankings))
+        ],
+    )
+    return out.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 top-``k_each`` over the text
+    corpus and exact cosine top-``k_each`` over the embedding column,
+    fused by reciprocal rank (:func:`rrf_fuse`).
+
+    Both candidate lists are produced by TakeOrdered plans (never a
+    global sort), each totally ordered by (score desc, id asc) so the
+    integer ranks — the ONLY thing fusion consumes — are deterministic
+    wherever the underlying scores are (bm25_search and
+    topk_for_vector both carry that contract). Returns
+    (id, rrf_score, rank_bm25, rank_dense); -1 marks absence from that
+    candidate list.
+    """
+    from pyspark.sql import Window
+
+    from deeptime_spark.operators.similarity import topk_for_vector
+
+    sparse = bm25_search(
+        docs, query_text, k=k_each, text_col=text_col, id_col=id_col
+    )
+    # the candidate frames are <= k_each rows: a single-partition rank
+    # window over them is bounded by the parameter, not the corpus
+    w_s = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    sparse = sparse.select(id_col, F.row_number().over(w_s).alias("rank"))
+    dense = topk_for_vector(
+        embeddings, query_vec, k=k_each, id_col=vec_id_col, vec_col=vec_col
+    )
+    w_d = Window.orderBy(F.col("similarity").desc(), F.col(vec_id_col))
+    dense = dense.select(
+        F.col(vec_id_col).alias(id_col), F.row_number().over(w_d).alias("rank")
+    )
+    fused = rrf_fuse([sparse, dense], id_col=id_col, k=k, rrf_k=rrf_k)
+    return fused.select(
+        id_col,
+        "rrf_score",
+        F.col("rank_0").alias("rank_bm25"),
+        F.col("rank_1").alias("rank_dense"),
     )

@@ -2429,6 +2429,90 @@ def oracle_doc_bm25_search() -> str:
 _BUILDERS["doc_bm25_search"] = oracle_doc_bm25_search
 
 
+def _bm25_scored(sf: str, query: str, k1: float = 1.2, b: float = 0.75):
+    """Shared BM25 replica core: fully scored+sorted (doc, score,
+    matched) list for docs hitting >=1 query term — same tokenization
+    mirror, driver-idf doubles, and sorted-term fp summation as
+    retrieval.py:bm25_search."""
+    import math
+
+    docs = _docs(sf)
+    terms = sorted(set(query.split()))
+    tf_by_doc: dict = {}
+    dl: dict = {}
+    dfreq: dict = {}
+    for i, t in docs:
+        toks = [x for x in _tokens_py(t or "") if x]
+        dl[i] = len(toks)
+        counts: dict = {}
+        for x in toks:
+            counts[x] = counts.get(x, 0) + 1
+        tf_by_doc[i] = counts
+        for x in counts:
+            dfreq[x] = dfreq.get(x, 0) + 1
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / float(n_docs)
+    idf = {
+        t: math.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5))
+        for t in terms
+    }
+    scored = []
+    for i, _ in docs:
+        counts = tf_by_doc[i]
+        if not any(t in counts for t in terms):
+            continue
+        s = 0.0
+        matched = 0
+        norm_len = (1.0 - b) + b * (dl[i] / avgdl)
+        for t in terms:
+            tf_c = float(counts.get(t, 0))
+            s = s + idf[t] * (tf_c * (k1 + 1.0) / (tf_c + k1 * norm_len))
+            if tf_c > 0:
+                matched += 1
+        scored.append((i, s, matched))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return scored
+
+
+def oracle_doc_hybrid_search() -> str:
+    """Hybrid RRF replica: BM25 candidate ranks (shared _bm25_scored
+    core), fold-exact dense cosine ranks against the vec_id-0 query
+    vector, then the same fixed-order reciprocal-rank sum as
+    retrieval.py:rrf_fuse (0.0 + sparse term + dense term)."""
+    sf = sf_dir()
+    k, k_each, rrf_k = 15, 50, 60.0
+    sparse_rank = {
+        i: r
+        for r, (i, _, _) in enumerate(
+            _bm25_scored(sf, "hash join fast scan table")[:k_each], start=1
+        )
+    }
+    X = _embeddings(sf)
+    nq = _fold_norm(X[0])
+    dense_scored = sorted(
+        (-(_fold_dot(X[i], X[0]) / (_fold_norm(X[i]) * nq)), i)
+        for i in range(len(X))
+    )
+    dense_rank = {i: r for r, (_, i) in enumerate(dense_scored[:k_each], start=1)}
+    fused = []
+    for i in set(sparse_rank) | set(dense_rank):
+        s = 0.0
+        s = s + (1.0 / (rrf_k + float(sparse_rank[i])) if i in sparse_rank else 0.0)
+        s = s + (1.0 / (rrf_k + float(dense_rank[i])) if i in dense_rank else 0.0)
+        fused.append((i, s))
+    fused.sort(key=lambda r: (-r[1], r[0]))
+    rows = [
+        (i, _spark_round(s, 6), sparse_rank.get(i, -1), dense_rank.get(i, -1))
+        for i, s in fused[:k]
+    ]
+    return _values_sql(
+        rows, ["doc_id", "rrf_score", "rank_bm25", "rank_dense"], "bdbb"
+    )
+
+
+_BUILDERS["doc_hybrid_search"] = oracle_doc_hybrid_search
+
+
 def oracle_streaming_hll() -> str:
     """Streaming HLL replay: same replica as doc_hll_shingles minus the
     exact column (the streaming query emits sketch state + estimate)."""

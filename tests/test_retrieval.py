@@ -118,3 +118,43 @@ def test_sparse_cosine_rare_gram_contract(spark):
     # every 3-gram containing 'the quick brown' appears in all 8 docs (df=8>3)
     # except the per-doc unique tails (df=1) which no pair shares
     assert out == []
+
+
+def test_rrf_fuse_known_rankings(spark):
+    import pytest
+
+    from deeptime_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank long")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62; doc 9: 1/63
+    assert got[1]["rrf_score"] == pytest.approx(1 / 61 + 1 / 62, abs=1e-15)
+    assert got[3]["rrf_score"] == pytest.approx(1 / 63 + 1 / 61, abs=1e-15)
+    assert got[2]["rrf_score"] == pytest.approx(1 / 62, abs=1e-15)
+    assert got[9]["rrf_score"] == pytest.approx(1 / 63, abs=1e-15)
+    # absence marked -1; order by fused score
+    assert got[2]["rank_1"] == -1 and got[9]["rank_0"] == -1
+    order = [r["doc_id"] for r in rrf_fuse([a, b], k=3).collect()]
+    assert order == [1, 3, 2]
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_search_contains_both_modalities(spark):
+    from deeptime_spark.operators.retrieval import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("needle " * (i % 3))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_search(docs, emb, "needle", [1.0, 0.0], k=5, k_each=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert {"doc_id", "rrf_score", "rank_bm25", "rank_dense"} <= set(out.columns)
+    # every returned doc appears in at least one candidate list
+    assert all(r["rank_bm25"] > 0 or r["rank_dense"] > 0 for r in rows)
