@@ -2438,6 +2438,25 @@ def _q_doc_dup_substrings(spark, sf_dir):
     return duplicated_substring_spans(docs, k=20)
 
 
+def _q_doc_substring_excise(spark, sf_dir):
+    """ExactSubstr excision (Lee et al. ACL'22, operators/dedup.py:
+    drop_duplicated_substrings): non-first occurrences of duplicated
+    20-token sliding shingles merge into maximal spans and are cut,
+    keeping one copy of every duplicated substring corpus-wide. Emits
+    md5 of the reassembled token stream + kept/dropped tallies.
+    PURE-SQL oracle."""
+    from deeptime_spark.operators.dedup import drop_duplicated_substrings
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = drop_duplicated_substrings(docs, k=20)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens_kept",
+        "n_tokens_dropped",
+    )
+
+
 def _q_doc_c4_filter(spark, sf_dir):
     """C4 line-level cleaning rules (Raffel et al. JMLR'20 §2.2): per-doc
     kept-line tally and the md5 of the reassembled clean text. The
@@ -3939,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_dup_substrings": _q_doc_dup_substrings,
+        "doc_substring_excise": _q_doc_substring_excise,
         "doc_c4_filter": _q_doc_c4_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -4010,6 +4030,7 @@ _WINDOW_ORDER = [
     "streaming_window_counts",  # last green r04
     "doc_dup_substrings",  # NEW round-8: never driver-run
     "doc_hybrid_search",  # NEW round-8: never driver-run
+    "doc_substring_excise",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -4946,6 +4967,61 @@ SELECT doc_id,
        CAST(MAX(pos) - MIN(pos) + 20 AS BIGINT) AS n_span_tokens
 FROM isl
 GROUP BY doc_id, island
+""",
+        "doc_substring_excise": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, CAST(i AS BIGINT)+1, CAST(i AS BIGINT)+20), ' ') AS g
+  FROM t, UNNEST(range(len(toks) - 20 + 1)) AS r(i)
+  WHERE len(toks) >= 20
+), marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM sh
+), hits AS (
+  SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1
+), lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 19 AS e
+  FROM isl GROUP BY doc_id, island
+), covered AS (
+  SELECT DISTINCT doc_id, s + CAST(j AS BIGINT) AS pos
+  FROM spans, UNNEST(range(e - s + 1)) AS u(j)
+), tk AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS pos, toks[CAST(j AS BIGINT) + 1] AS tok
+  FROM t, UNNEST(range(len(toks))) AS u(j)
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tk ANTI JOIN covered c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+), re AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), nt AS (
+  SELECT doc_id, len(toks) AS n_total FROM t
+)
+SELECT d.doc_id,
+       md5(COALESCE(re.clean_text, '')) AS clean_md5,
+       CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(COALESCE(nt.n_total, 0) - COALESCE(re.n_kept, 0) AS BIGINT) AS n_tokens_dropped
+FROM documents d
+LEFT JOIN nt ON d.doc_id = nt.doc_id
+LEFT JOIN re ON d.doc_id = re.doc_id
 """,
         "doc_span_dedup": r"""
 WITH toks AS (

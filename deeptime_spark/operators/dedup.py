@@ -1425,6 +1425,107 @@ def duplicated_substring_spans(
     ).drop("_island")
 
 
+def drop_duplicated_substrings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """ExactSubstr EXCISION (Lee et al. ACL'22): every occurrence of a
+    duplicated k-token shingle except its globally FIRST occurrence
+    (smallest (doc_id, position)) marks its window for removal;
+    overlapping-or-adjacent marked windows merge into maximal spans
+    (same gaps-and-islands as :func:`duplicated_substring_spans`) and
+    the covered tokens are cut, keeping one copy of every duplicated
+    substring corpus-wide. Output text is the whitespace-normalized
+    lowercased token stream re-joined with single spaces (the same
+    normalization every token-level op here applies).
+
+    Scale shape: shingle keying/first-occurrence pick is
+    ``groupBy(key).agg(min(struct(doc,pos)), count)`` — map-side
+    combined; span covers explode to at most (span length) rows per
+    span, i.e. proportional to the text actually being removed; the
+    reassembly is one sort-collect per doc (bounded by doc length),
+    the drop_duplicate_lines_across_docs shape. A kept first
+    occurrence may itself overlap another excised span — greedy span
+    removal is approximate in that standard way, but deterministic.
+
+    Returns (id, clean_text, n_tokens_kept, n_tokens_dropped) for
+    EVERY input doc.
+    """
+    from deeptime_spark.operators.text import _word_ngrams_all, tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grams = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), k)
+    sh = docs.select(F.col(id_col), F.posexplode(grams).alias("_pos", "_g"))
+    key = F.xxhash64("_g") if hash_shingles else F.col("_g")
+    sh = sh.select(F.col(id_col), F.col("_pos"), key.alias("_k"))
+    firsts = sh.groupBy("_k").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))
+        ).alias("_w"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    hits = sh.join(firsts, "_k").where(
+        (F.col("_cnt") >= 2)
+        & ~((F.col(id_col) == F.col("_w.d")) & (F.col("_pos") == F.col("_w.p")))
+    ).select(F.col(id_col), F.col("_pos"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    brk = F.when(F.col("_pos") - F.lag("_pos").over(w) > k, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    spans = (
+        hits.withColumn("_brk", brk)
+        .withColumn(
+            "_island",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("_pos").alias("_s"),
+            (F.max("_pos") + F.lit(k - 1)).alias("_e"),
+        )
+    )
+    covered = spans.select(
+        F.col(id_col), F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("_j")
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_j", "_tok")
+    ).where(F.col("_tok") != "")
+    kept = toks.join(covered, [id_col, "_j"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_j", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    n_toks = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        docs.select(id_col)
+        .join(n_toks, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+            (
+                F.coalesce("_n_total", F.lit(0))
+                - F.coalesce("n_tokens_kept", F.lit(0))
+            ).cast("long").alias("n_tokens_dropped"),
+        )
+    )
+
+
 # --------------------------------------- persistent signature index
 
 

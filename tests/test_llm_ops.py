@@ -1627,3 +1627,28 @@ def test_duplicated_substring_spans_edges(spark):
         duplicated_substring_spans(df, k=0)
     with pytest.raises(ValueError):
         duplicated_substring_spans(df, k=3, min_occurrences=1)
+
+
+def test_drop_duplicated_substrings_keeps_first(spark):
+    from deeptime_spark.operators.dedup import drop_duplicated_substrings
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e z"),   # later copy of "a b c d e" -> excised
+        (3, "p q r s t"),
+        (4, ""),
+        (5, "a b c d e"),         # another later copy -> fully excised
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in drop_duplicated_substrings(df, k=3).collect()}
+    assert got[1] == ("a b c d e f g h", 8, 0)
+    assert got[2] == ("x y z", 3, 5)
+    assert got[3] == ("p q r s t", 5, 0)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 5)
+    # hash-keyed variant identical
+    got_h = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in drop_duplicated_substrings(df, k=3, hash_shingles=True).collect()
+    }
+    assert got_h == got

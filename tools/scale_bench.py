@@ -87,7 +87,7 @@ QUERIES = [
     "event_kcore",
     # round-8: sliding-shingle exact-substring spans (dup density and
     # span count both grow with the replica count)
-    "doc_dup_substrings",
+    "doc_dup_substrings", "doc_substring_excise",
 ]
 
 
