@@ -1576,6 +1576,34 @@ def _q_media_ahash_pairs(spark, sf_dir):
     )
 
 
+def _q_event_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key for multi-column scan pruning
+    (operators/layout.py:zorder_repartition — the public Delta Lake
+    OPTIMIZE ZORDER semantics re-expressed as shift/or codegen):
+    power-of-two bucketization of (user_id, cents) by driver-collected
+    min/max, bit interleave, range repartition + in-partition sort.
+    The query verifies the key arithmetic end-to-end: per coarse
+    z-prefix (top 8 of 32 key bits), row count and both dimensions'
+    min/max — the footer stats a pruned scan would consult. All
+    integer shifts — PURE-SQL oracle."""
+    from deeptime_spark.operators.layout import zorder_repartition
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    keyed = zorder_repartition(ev, ["user_id", "cents"], bits=16)
+    return keyed.groupBy(
+        F.shiftright("_zkey", 24).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
 def _q_event_cusum(spark, sf_dir):
     """Two-sided CUSUM change detection per event type (operators/
     stats.py:cusum_changepoints, Page 1954): the max(0,·) reset
@@ -3993,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hits": _q_event_hits,
         "doc_pmi_collocations": _q_doc_pmi_collocations,
         "event_cusum": _q_event_cusum,
+        "event_zorder": _q_event_zorder,
         "media_ahash_pairs": _q_media_ahash_pairs,
         "doc_compression_ratio": _q_doc_compression_ratio,
         "streaming_cusum": _q_streaming_cusum,
@@ -4031,6 +4060,7 @@ _WINDOW_ORDER = [
     "doc_dup_substrings",  # NEW round-8: never driver-run
     "doc_hybrid_search",  # NEW round-8: never driver-run
     "doc_substring_excise",  # NEW round-8: never driver-run
+    "event_zorder",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -4067,6 +4097,46 @@ _WINDOW_ORDER = [
     "order_priority_count",  # last green r05
     "nation_order_volume",  # last green r05
 ]
+
+
+def _zorder_oracle_sql(bits: int = 16, prefix_shift: int = 24) -> str:
+    """Pure-SQL replica of the event_zorder pipeline: min/max CTE,
+    power-of-two shift bucketization (shift amount via the binary-digit
+    count of the span — integer-exact, no log2), and the Morton
+    interleave generated as an explicit shift/or sum."""
+    interleave = " | ".join(
+        f"(((bu >> {b}) & 1) << {2 * b}) | (((bc >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), b AS (
+  SELECT MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+         MIN(cents) AS lo_c, MAX(cents) AS hi_c
+  FROM e
+), s AS (
+  SELECT lo_u, lo_c,
+    CASE WHEN hi_u - lo_u <= 0 THEN 0
+         ELSE GREATEST(length(printf('%b', hi_u - lo_u)) - {bits}, 0) END AS s_u,
+    CASE WHEN hi_c - lo_c <= 0 THEN 0
+         ELSE GREATEST(length(printf('%b', hi_c - lo_c)) - {bits}, 0) END AS s_c
+  FROM b
+), k AS (
+  SELECT e.user_id, e.cents,
+         ((e.user_id - lo_u) >> s_u) AS bu,
+         ((e.cents - lo_c) >> s_c) AS bc
+  FROM e, s
+), z AS (
+  SELECT user_id, cents, ({interleave}) AS zkey FROM k
+)
+SELECT zkey >> {prefix_shift} AS zbucket,
+       COUNT(*) AS n,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM z
+GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5581,6 +5651,7 @@ FROM (
     # streaming CUSUM's end-of-stream state is pinned equal to the batch
     # query (same fixed centers, same total order), so one oracle serves both
     base["streaming_cusum"] = base["event_cusum"]
+    base["event_zorder"] = _zorder_oracle_sql()
     # estimator-pipeline oracles: independently-recomputed data path +
     # driver-finalize literals (deeptime_spark/oracle_ref.py). Builders are
     # failure-isolated; a raising builder leaves its query rows-only.
