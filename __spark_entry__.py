@@ -2085,6 +2085,31 @@ def _q_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_embedding_ann_recall(spark, sf_dir):
+    """ANN quality gate (operators/similarity.py:ann_recall): recall@5
+    of the 4-plane/4-table LSH ranking against the exact cosine top-5,
+    per query — the eval loop an index-tuning pipeline runs. Both
+    rankings are the engine's own lsh_topk / brute_force_topk plans;
+    the recall is a bounded left-semi join + two per-query counts.
+    Oracle replays both rankers and the set recall
+    (oracle_ref.py:oracle_embedding_ann_recall)."""
+    from deeptime_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=4)
+    exact = brute_force_topk(emb, queries, k=5)
+    return ann_recall(approx, exact)
+
+
 def _q_ivf_topk(spark, sf_dir):
     from deeptime_spark.operators.similarity import ivf_topk
 
@@ -3954,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_fingerprint": _q_doc_fingerprint,
         "lsh_topk": _q_lsh_topk,
+        "embedding_ann_recall": _q_embedding_ann_recall,
         "ivf_topk": _q_ivf_topk,
         # r05-green relational/stats block
         "q1_pricing_summary": _q_q1_pricing_summary,
@@ -4061,6 +4087,7 @@ _WINDOW_ORDER = [
     "doc_hybrid_search",  # NEW round-8: never driver-run
     "doc_substring_excise",  # NEW round-8: never driver-run
     "event_zorder",  # NEW round-8: never driver-run
+    "embedding_ann_recall",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

@@ -125,6 +125,13 @@ HEADLINE = [
     "event_triangles",
     "event_communities",
     "event_kcore",
+    # round-8: sliding-shingle substring spans + excision, hybrid RRF
+    # retrieval, z-order layout, ANN recall gate
+    "doc_dup_substrings",
+    "doc_substring_excise",
+    "doc_hybrid_search",
+    "event_zorder",
+    "embedding_ann_recall",
 ]
 
 

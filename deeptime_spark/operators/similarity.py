@@ -454,3 +454,38 @@ def ivfpq_topk(
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.col(id_col))
     return survivors.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of an approximate neighbor ranking against the exact one —
+    the standard ANN quality gate (recall@k), computed per query:
+    ``|approx ∩ exact| / |exact|``. Pure set algebra over the two
+    (query, id) relations: one left-semi join + two bounded per-query
+    counts — the frames are at most queries x k rows, so every join is
+    broadcast-scale no matter the corpus the rankings came from.
+
+    Returns (query_id, n_exact, n_hit, recall) for every query present
+    in ``exact`` (a query with no approx rows scores 0.0).
+    """
+    e = exact.select(F.col(query_id_col), F.col(id_col))
+    a = approx.select(F.col(query_id_col), F.col(id_col))
+    hits = e.join(a, [query_id_col, id_col], "left_semi")
+    n_e = e.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_h = hits.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_e.join(n_h, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )

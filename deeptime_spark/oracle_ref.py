@@ -1324,6 +1324,39 @@ def oracle_lsh_topk() -> str:
     return _values_sql(rows, ["query_id", "vec_id", "rank"], "bbb")
 
 
+def oracle_embedding_ann_recall() -> str:
+    """Recall@5 of the 4-plane/4-table LSH ranking vs the exact cosine
+    top-5 — both rankings replayed with the same bucketing and
+    fold-exact cosine replicas the lsh_topk / knn_bruteforce oracles
+    use, then the plain set recall."""
+    sf = sf_dir()
+    X = _embeddings(sf)
+    bucket_ids = _hyperplane_buckets(X, n_planes=4, n_tables=4)
+    q_ids = [i for i in range(len(X)) if i < 5]
+    k = 5
+    rows = []
+    for q in q_ids:
+        nq = _fold_norm(X[q])
+        sims = {
+            i: _fold_dot(X[i], X[q]) / (_fold_norm(X[i]) * nq)
+            for i in range(len(X))
+        }
+        exact = [
+            i for _, i in sorted((-s, i) for i, s in sims.items())[:k]
+        ]
+        cands = set()
+        for t in range(4):
+            for i in range(len(X)):
+                if int(bucket_ids[i, t]) == int(bucket_ids[q, t]):
+                    cands.add(i)
+        approx = [
+            i for _, i in sorted((-sims[i], i) for i in sorted(cands))[:k]
+        ]
+        n_hit = len(set(exact) & set(approx))
+        rows.append((q, k, n_hit, n_hit / float(k)))
+    return _values_sql(rows, ["query_id", "n_exact", "n_hit", "recall"], "bbbd")
+
+
 _BUILDERS.update(
     {
         "minhash_bands": oracle_minhash_bands,
@@ -1332,6 +1365,7 @@ _BUILDERS.update(
         "simhash_pairs": oracle_simhash_pairs,
         "embedding_near_dup": oracle_embedding_near_dup,
         "lsh_topk": oracle_lsh_topk,
+        "embedding_ann_recall": oracle_embedding_ann_recall,
     }
 )
 
