@@ -88,6 +88,8 @@ QUERIES = [
     # round-8: sliding-shingle exact-substring spans (dup density and
     # span count both grow with the replica count)
     "doc_dup_substrings", "doc_substring_excise",
+    # round-8: hybrid RRF retrieval, z-order layout key, ANN recall gate
+    "doc_hybrid_search", "event_zorder", "embedding_ann_recall",
 ]
 
 
