@@ -2681,6 +2681,38 @@ def _q_kmeans_embeddings(spark, sf_dir):
     return model.transform(emb).select("vec_id", F.col("state").cast("long").alias("cluster"))
 
 
+def _q_doc_topic_terms(spark, sf_dir):
+    """Topic labeling for embedding clusters (operators/text.py:
+    cluster_term_lift — BERTopic's c-TF-IDF with the log damping
+    replaced by the exact relevance-lift ratio): the bit-reproducible
+    k-means assignment (vec_id = doc_id) joins the doc relation BEFORE
+    the token explode; per-cluster top-10 terms by lift among terms
+    with cluster tf >= 5. Oracle replays the kmeans fit + counts + the
+    identical division tree (oracle_ref.py:oracle_doc_topic_terms)."""
+    from deeptime_spark.clustering.kmeans import DeterministicKMeans
+    from deeptime_spark.operators.text import cluster_term_lift
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    model = (
+        DeterministicKMeans(n_clusters=8, seed=42, max_iter=16, order_col="vec_id")
+        .fit(emb)
+        .fetch_model()
+    )
+    assign = model.transform(emb).select(
+        F.col("vec_id").alias("doc_id"), F.col("state").cast("long").alias("cluster")
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = cluster_term_lift(docs, assign, min_count=5, top_k=10)
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
 def _q_embedding_silhouette(spark, sf_dir):
     """Cluster-quality audit for the kmeans_embeddings fit: simplified
     silhouette (clustering/metrics.py:simplified_silhouette_df —
@@ -4052,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression_ratio": _q_doc_compression_ratio,
         "streaming_cusum": _q_streaming_cusum,
         "embedding_silhouette": _q_embedding_silhouette,
+        "doc_topic_terms": _q_doc_topic_terms,
         "event_triangles": _q_event_triangles,
         "event_communities": _q_event_communities,
         "event_kcore": _q_event_kcore,
@@ -4088,6 +4121,7 @@ _WINDOW_ORDER = [
     "doc_substring_excise",  # NEW round-8: never driver-run
     "event_zorder",  # NEW round-8: never driver-run
     "embedding_ann_recall",  # NEW round-8: never driver-run
+    "doc_topic_terms",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

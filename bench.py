@@ -132,6 +132,7 @@ HEADLINE = [
     "doc_hybrid_search",
     "event_zorder",
     "embedding_ann_recall",
+    "doc_topic_terms",
 ]
 
 

@@ -1144,3 +1144,71 @@ def compression_ratio_df(
             )
 
     return df.select(id_col, text_col).mapInPandas(work, schema=schema)
+
+
+def cluster_term_lift(
+    docs: DataFrame,
+    assignments: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    min_count: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Class-based term relevance for topic labeling — the c-TF-IDF idea
+    of BERTopic (Grootendorst, "BERTopic: Neural topic modeling with a
+    class-based TF-IDF procedure", 2022), with the log damping replaced
+    by the raw relevance LIFT:
+
+        lift(t, c) = (tf_{t,c} / w_c) / (f_t / T)
+
+    (cluster-relative term frequency over corpus-relative term
+    frequency). Like pmi_ratio, the lift is a fixed tree of IEEE
+    divisions over exact BIGINT counts — bit-exact across engines,
+    which the log-damped original is not; the log's damping only
+    reweights the tail, the lift carries the ranking signal.
+
+    Plan shape: assignments join the DOC relation (one row per doc)
+    BEFORE the token explode, so the join never touches token-instance
+    rows; one explode + one (cluster, term) count with map-side
+    partials; w_c, f_t and T all derive from that grouped relation (no
+    second corpus scan); the per-cluster top-k is a WindowGroupLimit
+    cut, not a global sort.
+
+    Returns (cluster, term, tf, lift) — top ``top_k`` terms per
+    cluster by (lift desc, term asc) among terms with cluster tf >=
+    ``min_count``.
+    """
+    from pyspark.sql import Window
+
+    joined = docs.select(F.col(id_col), F.col(text_col)).join(
+        assignments.select(F.col(id_col), F.col(cluster_col)), id_col
+    )
+    toks = joined.select(
+        F.col(cluster_col), F.explode(tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tfc = toks.groupBy(cluster_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    wc = tfc.groupBy(cluster_col).agg(F.sum("tf").alias("_wc"))
+    ft = tfc.groupBy("term").agg(F.sum("tf").alias("_ft"))
+    tot = tfc.agg(F.sum("tf").alias("_T"))
+    scored = (
+        tfc.where(F.col("tf") >= min_count)
+        .join(wc, cluster_col)
+        .join(ft, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(cluster_col),
+            F.col("term"),
+            F.col("tf"),
+            (
+                (F.col("tf").cast("double") / F.col("_wc").cast("double"))
+                / (F.col("_ft").cast("double") / F.col("_T").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy(cluster_col).orderBy(F.desc("lift"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )

@@ -1872,6 +1872,49 @@ def oracle_kmeans() -> str:
 _BUILDERS["kmeans_embeddings"] = oracle_kmeans
 
 
+def oracle_doc_topic_terms() -> str:
+    """cluster_term_lift replica: the oracle_kmeans assignment (vec_id =
+    doc_id), python token counts, and the identical
+    (tf/w_c)/(f_t/T) division tree, per-cluster top-10 by
+    (lift desc, term)."""
+    from deeptime_spark.clustering.kmeans import deterministic_kmeans_numpy
+    from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
+
+    sf = sf_dir()
+    X = _embeddings(sf)
+    centers, _ = deterministic_kmeans_numpy(X[:4096], X, n_clusters=8, seed=42, max_iter=16)
+    assign = np.argmin(_euclidean_batch_invariant(X, centers), axis=1)
+    docs = _docs(sf)
+    tfc: dict = {}
+    for i, t in docs:
+        if i >= len(assign):
+            continue
+        c = int(assign[i])
+        for x in _tokens_py(t or ""):
+            if x:
+                tfc[(c, x)] = tfc.get((c, x), 0) + 1
+    wc: dict = {}
+    ft: dict = {}
+    for (c, x), n in tfc.items():
+        wc[c] = wc.get(c, 0) + n
+        ft[x] = ft.get(x, 0) + n
+    T = sum(wc.values())
+    per_cluster: dict = {}
+    for (c, x), n in tfc.items():
+        if n < 5:
+            continue
+        lift = (float(n) / float(wc[c])) / (float(ft[x]) / float(T))
+        per_cluster.setdefault(c, []).append((-lift, x, n))
+    rows = []
+    for c in sorted(per_cluster):
+        for neg, x, n in sorted(per_cluster[c])[:10]:
+            rows.append((c, x, n, _spark_round(-neg, 6)))
+    return _values_sql(rows, ["cluster", "term", "tf", "lift"], "bsbd")
+
+
+_BUILDERS["doc_topic_terms"] = oracle_doc_topic_terms
+
+
 def oracle_embedding_silhouette() -> str:
     """Replays the deterministic k-means fit, then the identical
     simplified-silhouette math (batch-invariant distances, per-row ppm

@@ -1652,3 +1652,31 @@ def test_drop_duplicated_substrings_keeps_first(spark):
         for r in drop_duplicated_substrings(df, k=3, hash_shingles=True).collect()
     }
     assert got_h == got
+
+
+def test_cluster_term_lift_known_corpus(spark):
+    import pytest
+
+    from deeptime_spark.operators.text import cluster_term_lift
+
+    # cluster 0 is about cats, cluster 1 about dogs; "the" is uniform
+    docs = [
+        (0, "the cat cat cat sat"), (1, "the cat cat purr purr"),
+        (2, "the dog dog dog ran"), (3, "the dog dog bark bark"),
+    ]
+    asg = [(0, 0), (1, 0), (2, 1), (3, 1)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = spark.createDataFrame(asg, "doc_id long, cluster long")
+    out = cluster_term_lift(df, a, min_count=2, top_k=3).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r["cluster"], []).append((r["term"], r["tf"], r["lift"]))
+    for c in by_c:
+        by_c[c].sort(key=lambda x: (-x[2], x[0]))
+    # cluster-exclusive words all score lift 2.0 ((tf/10) / (tf/20));
+    # ties break by term asc, so each cluster's exclusive vocabulary
+    # leads and the uniform word ("the", lift 1.0) ranks last
+    assert [t for t, _, _ in by_c[0]] == ["cat", "purr", "the"]
+    assert [t for t, _, _ in by_c[1]] == ["bark", "dog", "the"]
+    for t, _, l in by_c[0] + by_c[1]:
+        assert l == pytest.approx(1.0 if t == "the" else 2.0)
