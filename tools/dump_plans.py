@@ -107,6 +107,26 @@ FLAGSHIPS = {
         "12-13 bit bands (128-value 7-bit bands measured slope 4.3 and were "
         "rejected in-round)."
     ),
+    "doc_dup_substrings": (
+        "Sliding-shingle exact-substring spans: ONE Generate explode of the "
+        "k-gram regex pass; the duplicate-key relation comes from a "
+        "partial-aggregated groupBy (map-side combine collapses hot "
+        "boilerplate shingles before the shuffle); the mark join is an "
+        "equi-join (AQE-skew-splittable); the islands merge is one Window "
+        "per doc id. No CartesianProduct, no Python."
+    ),
+    "event_zorder": (
+        "Z-order layout: the key is pure shift/and/or codegen (no fp, no "
+        "UDF); one Exchange rangepartitioning on _zkey (the clustering "
+        "pass), one Sort within partitions, one final aggregate. The min/max "
+        "bounds enter as literals from the single driver agg."
+    ),
+    "doc_hybrid_search": (
+        "Hybrid RRF: both candidate branches end in TakeOrderedAndProject "
+        "(never a global sort); the fusion is a full-outer join of two "
+        "<=k_each-row frames plus one fixed-order arithmetic projection. "
+        "EvalPython must not appear."
+    ),
     "doc_sparse_cosine": (
         "Sparse cosine (r6): rare-gram inverted index with capped "
         "join-free bucket pair expansion; exact verification joins are "
