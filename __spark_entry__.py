@@ -2123,6 +2123,25 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_doc_weighted_sample(spark, sf_dir):
+    """Length-proportional deterministic importance sample
+    (operators/mixing.py:weighted_sample): keep probability
+    n_chars * target / mean(n_chars), capped at 1, against the
+    content-addressed xxhash64 — the token-budget subsetting step of a
+    mixture pipeline. Per-source kept tallies + id/char checksums.
+    Oracle replays the hash + the single driver-scale multiply
+    (oracle_ref.py:oracle_doc_weighted_sample)."""
+    from deeptime_spark.operators.mixing import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = weighted_sample(docs, "n_chars", target_ppm=250_000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+
+
 def _q_doc_pii_scrub(spark, sf_dir):
     """PII redaction audit (CCNet/C4-style scrub): per-class hit counts +
     md5 of the scrubbed text. The synthetic corpus carries no PII, so the
@@ -4050,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "domain_mixture": _q_domain_mixture,
         "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "dedup_verified_pairs": _q_dedup_verified_pairs,
@@ -4122,6 +4142,7 @@ _WINDOW_ORDER = [
     "event_zorder",  # NEW round-8: never driver-run
     "embedding_ann_recall",  # NEW round-8: never driver-run
     "doc_topic_terms",  # NEW round-8: never driver-run
+    "doc_weighted_sample",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

@@ -133,6 +133,7 @@ HEADLINE = [
     "event_zorder",
     "embedding_ann_recall",
     "doc_topic_terms",
+    "doc_weighted_sample",
 ]
 
 

@@ -171,3 +171,50 @@ def leakage_safe_split(
     return docs.join(cc, id_col, "left").withColumn(
         "cluster_rep", rep
     ).withColumn("split", split)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_ppm: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic IMPORTANCE sampling: each row keeps with
+    probability proportional to its weight, scaled so the expected kept
+    fraction is ``target_ppm`` parts-per-million — the
+    quality/length-weighted corpus subsetting step of a data-mixture
+    pipeline (e.g. sample documents proportional to token count to hit
+    a token budget, or proportional to a quality score).
+
+    One agg action computes the mean weight; the per-row keep rate
+    ``min(1e6, weight · target_ppm / mean_w)`` then rides as a single
+    codegen multiply against the same content-addressed hash as
+    :func:`deterministic_keep` — layout/partitioning-independent and
+    exactly replayable (the scale constant is ONE driver-computed
+    double literal). Rows whose weight exceeds ``mean_w · 1e6 /
+    target_ppm`` cap at probability 1, so the realized fraction
+    undershoots on heavy-tailed weights; callers needing the exact
+    budget re-normalize on the survivors. Null keys and
+    null/non-positive weights never pass.
+    """
+    if not 0 < target_ppm <= PPM:
+        raise ValueError(f"target_ppm must be in (0, {PPM}], got {target_ppm}")
+    g = df.agg(F.avg(F.col(weight_col).cast("double")).alias("m")).first()
+    mean_w = float(g["m"] or 0.0)
+    if not mean_w > 0:
+        raise ValueError(f"mean({weight_col}) must be > 0, got {mean_w}")
+    scale = float(target_ppm) / mean_w
+    rate = F.least(
+        F.lit(float(PPM)), F.col(weight_col).cast("double") * F.lit(scale)
+    )
+    key = F.col(key_col)
+    tagged = (
+        F.concat(key.cast("string"), F.lit(f"#{salt}")) if salt else key.cast("string")
+    )
+    h = F.pmod(F.xxhash64(tagged), F.lit(PPM)).cast("double")
+    return df.where(
+        key.isNotNull()
+        & (F.col(weight_col).cast("double") > 0)
+        & (h < rate)
+    )

@@ -1524,6 +1524,40 @@ def oracle_doc_stratified_sample() -> str:
 _BUILDERS["doc_stratified_sample"] = oracle_doc_stratified_sample
 
 
+def oracle_doc_weighted_sample() -> str:
+    """weighted_sample mirror: mean weight via the same exact-long-sum /
+    double division Spark's avg performs, keep test
+    pmod(xxhash64(str(doc_id)), 1e6) < min(1e6, n_chars * scale) with
+    the identical single-multiply scale literal."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, n_chars FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    total = sum(int(n) for _, _, n in rows)
+    mean_w = total / len(rows)
+    scale = 250_000.0 / mean_w
+    agg: dict = {}
+    for doc_id, source, n_chars in rows:
+        w = float(int(n_chars))
+        if w <= 0:
+            continue
+        rate = min(1_000_000.0, w * scale)
+        if float(xxhash64(str(int(doc_id)).encode()) % 1_000_000) < rate:
+            n, s, c = agg.get(source, (0, 0, 0))
+            agg[source] = (n + 1, s + int(doc_id), c + int(n_chars))
+    out = [(src_, n, s, c) for src_, (n, s, c) in sorted(agg.items())]
+    rows_v = [(a, b, c, d) for a, b, c, d in out]
+    return _values_sql(
+        rows_v, ["source", "n_kept", "id_checksum", "chars_kept"], "sbbb"
+    )
+
+
+_BUILDERS["doc_weighted_sample"] = oracle_doc_weighted_sample
+
+
 def oracle_corpus_prep_pipeline() -> str:
     """Python replay of the round-4 composition (C4 line rules -> global
     first-occurrence line dedup -> XXH64-replica stratified sample ->

@@ -135,3 +135,32 @@ def test_leakage_safe_split_validation(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, train_pct=80, val_pct=30)
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    import pytest
+
+    from deeptime_spark.operators.mixing import weighted_sample
+
+    rows = [(i, 1 if i < 4000 else 10) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = weighted_sample(df, "w", target_ppm=200_000)
+    got = {r["doc_id"] for r in kept.collect()}
+    # heavy rows (w=10, ~3.5x mean) keep ~3.5x more often than light
+    light = sum(1 for i in got if i < 4000) / 4000
+    heavy = sum(1 for i in got if i >= 4000) / 1000
+    assert heavy > 2.5 * light
+    # layout-independent: same result after repartition
+    got2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", target_ppm=200_000).collect()
+    }
+    assert got == got2
+    # zero/negative weights and null keys never pass
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, -5), (None, 100), (3, 100)], "doc_id long, w long"
+    )
+    kept2 = {r["doc_id"] for r in weighted_sample(df2, "w", target_ppm=1_000_000).collect()}
+    assert kept2 == {3}
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", target_ppm=0)
