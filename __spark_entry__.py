@@ -3806,6 +3806,102 @@ def _q_streaming_c4_replay(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_streaming_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters under Structured Streaming
+    (streaming/accumulate.py:streaming_heavy_hitters,
+    applyInPandasWithState): the documents table replays as FOUR
+    TIME-ORDERED doc-id-range file chunks; the stream explodes words
+    with positions and per-lang state holds <=20 (item, lower-bound)
+    counters + the row total across batches. The summary is a pure
+    function of the processed row sequence, so the oracle replays the
+    identical MG loop in doc-id order
+    (oracle_ref.py:oracle_streaming_heavy_hitters)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from deeptime_spark.operators.text import tokens
+    from deeptime_spark.streaming.accumulate import streaming_heavy_hitters
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    w = Window.orderBy("doc_id")
+    n_rows = docs.count()
+    chunked = docs.withColumn(
+        "_chunk", ((F.row_number().over(w) - 1) * 4 / F.lit(n_rows)).cast("int")
+    )
+    src_dir = tempfile.mkdtemp(prefix="hh_src_")
+    sink = ckpt_dir = None
+    try:
+        for i in range(4):
+            before = set(os.listdir(src_dir))
+            (
+                chunked.where(F.col("_chunk") == i)
+                .drop("_chunk")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src_dir)
+            )
+            for f in set(os.listdir(src_dir)) - before:
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(src_dir, f), (i * 1000, i * 1000))
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src_dir)
+        )
+        words = stream.select(
+            "lang", "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+        ).where(F.col("term") != "")
+        out = streaming_heavy_hitters(words, k=20)
+        sink = "hh_" + uuid.uuid4().hex[:8]
+        ckpt_dir = tempfile.mkdtemp(prefix="hh_ckpt_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        final = (
+            spark.table(sink)
+            .groupBy("lang")
+            .agg(
+                F.max_by(F.struct("items", "counts"), "n").alias("_s"),
+                F.max("n").alias("n_stream"),
+            )
+            .select(
+                "lang",
+                F.arrays_zip(F.col("_s.items"), F.col("_s.counts")).alias("_z"),
+                "n_stream",
+            )
+            .select("lang", F.explode("_z").alias("_e"), "n_stream")
+            .select(
+                "lang",
+                F.col("_e.items").alias("term"),
+                F.col("_e.counts").cast("long").alias("count_lb"),
+                F.col("n_stream").cast("long").alias("n_stream"),
+            )
+        )
+        rows = final.collect()
+    finally:
+        if sink:
+            _drop_view_quiet(spark, sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
+    return spark.createDataFrame(
+        [
+            (r["lang"], r["term"], int(r["count_lb"]), int(r["n_stream"]))
+            for r in rows
+        ],
+        "lang string, term string, count_lb long, n_stream long",
+    )
+
+
 def _q_streaming_hll_replay(spark, sf_dir):
     """Stateful sketching under Structured Streaming: the HLL register
     build (operators/sketches.py:hll_registers) is a plain streaming
@@ -3943,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": _q_doc_bm25_search,
         "doc_hybrid_search": _q_doc_hybrid_search,
         "streaming_hll_replay": _q_streaming_hll_replay,
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         "doc_sparse_cosine": _q_doc_sparse_cosine,
         "corpus_profile": _q_corpus_profile,
         "corpus_snapshot_diff": _q_corpus_snapshot_diff,
@@ -4143,6 +4240,7 @@ _WINDOW_ORDER = [
     "embedding_ann_recall",  # NEW round-8: never driver-run
     "doc_topic_terms",  # NEW round-8: never driver-run
     "doc_weighted_sample",  # NEW round-8: never driver-run
+    "streaming_heavy_hitters",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

@@ -1558,6 +1558,45 @@ def oracle_doc_weighted_sample() -> str:
 _BUILDERS["doc_weighted_sample"] = oracle_doc_weighted_sample
 
 
+def oracle_streaming_heavy_hitters() -> str:
+    """Misra-Gries replica: the summary is a pure function of the
+    processed row sequence, and the harness replays doc-id-ordered
+    chunks with within-batch (doc_id, pos) sort — so one pass over the
+    corpus in doc-id order with the identical counter loop reproduces
+    the end-of-stream state exactly."""
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, doc_id, text FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    k = 20
+    ctrs: dict = {}
+    ns: dict = {}
+    for lang, _, text in rows:
+        ctr = ctrs.setdefault(lang, {})
+        for x in _tokens_py(text or ""):
+            if not x:
+                continue
+            ns[lang] = ns.get(lang, 0) + 1
+            if x in ctr:
+                ctr[x] += 1
+            elif len(ctr) < k:
+                ctr[x] = 1
+            else:
+                for y in list(ctr):
+                    ctr[y] -= 1
+                    if ctr[y] == 0:
+                        del ctr[y]
+    out = []
+    for lang in sorted(ctrs):
+        for x, c in sorted(ctrs[lang].items(), key=lambda kv: (-kv[1], kv[0])):
+            out.append((lang, x, c, ns.get(lang, 0)))
+    return _values_sql(out, ["lang", "term", "count_lb", "n_stream"], "ssbb")
+
+
+_BUILDERS["streaming_heavy_hitters"] = oracle_streaming_heavy_hitters
+
+
 def oracle_corpus_prep_pipeline() -> str:
     """Python replay of the round-4 composition (C4 line rules -> global
     first-occurrence line dedup -> XXH64-replica stratified sample ->

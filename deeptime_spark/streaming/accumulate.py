@@ -330,3 +330,94 @@ def streaming_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    stream_df: DataFrame,
+    k: int = 20,
+    key_col: str = "lang",
+    item_col: str = "term",
+    order_cols: tuple = ("doc_id", "pos"),
+) -> DataFrame:
+    """Streaming heavy hitters by the Misra-Gries summary (Misra &
+    Gries, "Finding repeated elements", Sci. Comput. Program. 1982) as
+    a custom stateful operator: per stream key, state holds at most
+    ``k`` (item, lower-bound count) counters plus the processed-row
+    total. A seen item increments its counter; an unseen item takes a
+    free slot, else EVERY counter decrements (zeros evicted) — the
+    classic guarantee that any item with true frequency > n/(k+1)
+    survives, with count underestimated by at most n/(k+1). State is
+    O(k) per key regardless of stream length — the bounded-memory
+    contract that makes this a streaming operator at all.
+
+    In-order contract (same as :func:`streaming_cusum`): rows sort
+    WITHIN a batch by ``order_cols``; batches must arrive key-ordered
+    across triggers (time-ordered file-chunk replay). The summary is a
+    pure function of the processed row SEQUENCE, so batch boundaries
+    are invisible and an end-of-stream replay equals the one-pass
+    batch run row for row.
+
+    Emits per key per batch: (key, items, counts, n) with counters
+    ordered (count desc, item asc). n is monotone — fold a memory sink
+    with max_by(n) to recover the final summary.
+    """
+    from pyspark.sql.types import ArrayType
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (kk,) = key
+        if state.exists:
+            items, counts, n = state.get
+            ctr = dict(zip(list(items), [int(c) for c in counts]))
+            n = int(n)
+        else:
+            ctr = {}
+            n = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(list(order_cols))
+            for x in pdf[item_col].astype(str):
+                n += 1
+                if x in ctr:
+                    ctr[x] += 1
+                elif len(ctr) < k:
+                    ctr[x] = 1
+                else:
+                    for y in list(ctr):
+                        ctr[y] -= 1
+                        if ctr[y] == 0:
+                            del ctr[y]
+        ordered = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(([x for x, _ in ordered], [c for _, c in ordered], n))
+        yield pd.DataFrame(
+            {
+                key_col: [kk],
+                "items": [[x for x, _ in ordered]],
+                "counts": [[c for _, c in ordered]],
+                "n": [n],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -328,3 +328,80 @@ def test_streaming_cusum_cross_batch_state(spark, tmp_path):
         if sp > 25 or sn > 25:
             al += 1
     assert (final["n"], final["sp"], final["sn"], final["al"]) == (len(vals), msp, msn, al)
+
+
+def test_streaming_heavy_hitters_matches_sequential_mg(spark, tmp_path):
+    """Cross-batch Misra-Gries: two time-ordered chunks must end in the
+    same summary as the one-pass sequential loop, and the MG guarantee
+    (any item with f > n/(k+1) survives with count >= f - n/(k+1))
+    must hold."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.streaming.accumulate import streaming_heavy_hitters
+
+    seq = (["hot"] * 30 + ["warm"] * 12 + [f"cold{i}" for i in range(40)]) * 2
+    rows = [("x", i, 0, t) for i, t in enumerate(seq)]
+    k = 4
+
+    def brute_mg(items):
+        ctr = {}
+        for x in items:
+            if x in ctr:
+                ctr[x] += 1
+            elif len(ctr) < k:
+                ctr[x] = 1
+            else:
+                for y in list(ctr):
+                    ctr[y] -= 1
+                    if ctr[y] == 0:
+                        del ctr[y]
+        return ctr
+
+    expected = brute_mg(seq)
+    df = spark.createDataFrame(rows, "lang string, doc_id long, pos long, term string")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    half = len(rows) // 2
+    for i, part in enumerate([rows[:half], rows[half:]]):
+        before = set(os.listdir(src))
+        spark.createDataFrame(part, df.schema).coalesce(1).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f), (i * 1000, i * 1000))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = streaming_heavy_hitters(stream, k=k)
+    sink = "hh_test_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    last = (
+        spark.table(sink)
+        .groupBy("lang")
+        .agg(F.max_by(F.struct("items", "counts"), "n").alias("s"), F.max("n").alias("n"))
+        .collect()[0]
+    )
+    got = dict(zip(last["s"]["items"], last["s"]["counts"]))
+    assert got == expected
+    n = last["n"]
+    assert n == len(seq)
+    # guarantee: hot (f=60) > n/(k+1) -> present with count >= f - n/(k+1)
+    from collections import Counter
+
+    f = Counter(seq)
+    for item, freq in f.items():
+        if freq > n / (k + 1):
+            assert item in got and got[item] >= freq - n / (k + 1)
