@@ -2888,6 +2888,84 @@ def _q_doc_decontaminate(spark, sf_dir):
     return decontaminate(docs, probes, n=8, min_hits=1)
 
 
+def _q_streaming_interval_join(spark, sf_dir):
+    """Event-time stream-stream join (streaming/accumulate.py:
+    streaming_interval_join): signup events join purchase events of the
+    same user within 1 hour, both streams replayed from the same
+    4-file source with watermarks wider than the data span — so the
+    append-mode sink equals the batch range join exactly, and the
+    per-user rollup shares a PURE-SQL oracle. The watermark is what
+    bounds join state at stream scale (O(key-rate × window))."""
+    import tempfile
+    import uuid
+
+    from deeptime_spark.streaming.accumulate import streaming_interval_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src_dir = tempfile.mkdtemp(prefix="ij_src_")
+    sink = ckpt_dir = None
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        def rd():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+
+        signups = rd().where(F.col("event_type") == "signup")
+        purchases = rd().where(F.col("event_type") == "purchase")
+        joined = streaming_interval_join(
+            signups, purchases, within="1 hour", watermark="3650 days"
+        )
+        sink = "ij_" + uuid.uuid4().hex[:8]
+        ckpt_dir = tempfile.mkdtemp(prefix="ij_ckpt_")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(
+                    (F.unix_micros("r_ts") - F.unix_micros("l_ts"))
+                ).alias("sum_delta_us"),
+                F.min("l_event_id").alias("min_signup_event"),
+                F.max("r_event_id").alias("max_purchase_event"),
+            )
+            .collect()
+        )
+    finally:
+        if sink:
+            _drop_view_quiet(spark, sink)
+        _rmtree_quiet(src_dir, ckpt_dir)
+    return spark.createDataFrame(
+        [
+            (
+                int(r["user_id"]),
+                int(r["n_pairs"]),
+                int(r["sum_delta_us"]),
+                int(r["min_signup_event"]),
+                int(r["max_purchase_event"]),
+            )
+            for r in rows
+        ],
+        "user_id long, n_pairs long, sum_delta_us long, "
+        "min_signup_event long, max_purchase_event long",
+    )
+
+
 def _q_streaming_sessions(spark, sf_dir):
     """Native session_window sessionization on a replayed event stream
     (streaming/accumulate.py:streaming_session_counts). Events are split
@@ -4185,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_transition_counts": _q_streaming_transition_counts,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_interval_join": _q_streaming_interval_join,
         "streaming_window_counts": _q_streaming_window_counts,
         # --- NEW round-7 (past slot 50; driver evidence in r08): prefix
         # families, asymmetric containment, robust anomaly profile ---
@@ -4241,6 +4320,7 @@ _WINDOW_ORDER = [
     "doc_topic_terms",  # NEW round-8: never driver-run
     "doc_weighted_sample",  # NEW round-8: never driver-run
     "streaming_heavy_hitters",  # NEW round-8: never driver-run
+    "streaming_interval_join",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -4360,6 +4440,27 @@ SELECT doc_id, shard,
        CAST(floor(tok_offset / 512.0) != floor((tok_offset + GREATEST(n_tokens - 1, 0)) / 512.0) AS BIGINT)
          AS straddles
 FROM o
+""",
+        "streaming_interval_join": r"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), s AS (
+  SELECT user_id, event_id, us FROM e WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'
+), j AS (
+  SELECT s.user_id, s.event_id AS sid, p.event_id AS pid, p.us - s.us AS d
+  FROM s JOIN p
+    ON s.user_id = p.user_id
+   AND p.us >= s.us
+   AND p.us <= s.us + 3600000000
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(d) AS BIGINT) AS sum_delta_us,
+       CAST(MIN(sid) AS BIGINT) AS min_signup_event,
+       CAST(MAX(pid) AS BIGINT) AS max_purchase_event
+FROM j GROUP BY user_id
 """,
         "streaming_sessions": r"""
 WITH o AS (

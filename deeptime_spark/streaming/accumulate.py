@@ -421,3 +421,51 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time stream-stream INNER join: each left row matches right
+    rows with the same key whose event time falls in
+    ``[left.ts, left.ts + within]`` — the attribution / enrichment
+    shape (signup -> purchase within the window). Both sides carry a
+    watermark, which is what BOUNDS THE JOIN STATE: Spark retains a
+    side's rows only until the other side's watermark passes the join
+    condition's time range, so state is O(key-rate x window), not
+    O(stream). With an ``availableNow`` replay and a watermark wider
+    than the data span nothing is dropped and the result equals the
+    batch range join row for row (the equivalence the harness pins).
+
+    Returns the joined frame with columns ``(key, l_ts, l_event_id,
+    r_ts, r_event_id)`` — append-mode sink; aggregate downstream.
+    """
+    l = (
+        left.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("_k"),
+            F.col(time_col).alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+    )
+    r = (
+        right.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("_rk"),
+            F.col(time_col).alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+        )
+    )
+    cond = (
+        (F.col("_k") == F.col("_rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("_k").alias(key_col), "l_ts", "l_event_id", "r_ts", "r_event_id"
+    )

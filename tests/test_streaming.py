@@ -405,3 +405,65 @@ def test_streaming_heavy_hitters_matches_sequential_mg(spark, tmp_path):
     for item, freq in f.items():
         if freq > n / (k + 1):
             assert item in got and got[item] >= freq - n / (k + 1)
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join with a generous watermark must equal
+    the batch range join on full replay."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.streaming.accumulate import streaming_interval_join
+
+    rows = []
+    for u in range(5):
+        for i in range(6):
+            t = 1_700_000_000_000_000 + u * 10_000_000 + i * 600_000_000
+            rows.append((u, t, u * 100 + i, "signup" if i % 2 == 0 else "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, us long, event_id long, event_type string")
+    df = df.select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_id", "event_type")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def rd():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    joined = streaming_interval_join(
+        rd().where("event_type = 'signup'"),
+        rd().where("event_type = 'purchase'"),
+        within="1 hour",
+        watermark="3650 days",
+    )
+    sink = "ij_test_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.table(sink).collect()
+    }
+    b = spark.read.parquet(src)
+    s = b.where("event_type = 'signup'").select("user_id", F.col("ts").alias("lt"), F.col("event_id").alias("le"))
+    p = b.where("event_type = 'purchase'").select(F.col("user_id").alias("pu"), F.col("ts").alias("rt"), F.col("event_id").alias("re"))
+    batch = {
+        (r["user_id"], r["le"], r["re"])
+        for r in s.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("rt") >= F.col("lt"))
+            & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == batch and got
