@@ -2123,6 +2123,42 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_ivf_index_probe(spark, sf_dir):
+    """Persisted IVF serving path (operators/similarity.py:
+    write_ivf_index / probe_ivf_index): the index is a CELL-PARTITIONED
+    parquet layout + quantizer sidecar, and a probe's nearest-cell set
+    becomes a partition-pruning IN-filter — only n_probe/n_lists of the
+    bytes are read. Same content-addressed sample and seeded Lloyd as
+    ivf_topk, so the ranking is byte-identical and SHARES ivf_topk's
+    oracle replica."""
+    import tempfile
+
+    from deeptime_spark.operators.similarity import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx_dir = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        write_ivf_index(emb, idx_dir, n_lists=16)
+        out = probe_ivf_index(spark, idx_dir, queries, k=5, n_probe=4)
+        rows = out.select(
+            "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+        ).collect()
+    finally:
+        _rmtree_quiet(idx_dir)
+    return spark.createDataFrame(
+        [(int(r["query_id"]), int(r["vec_id"]), int(r["rank"])) for r in rows],
+        "query_id long, vec_id long, rank long",
+    )
+
+
 def _q_doc_weighted_sample(spark, sf_dir):
     """Length-proportional deterministic importance sample
     (operators/mixing.py:weighted_sample): keep probability
@@ -4245,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": _q_domain_mixture,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_weighted_sample": _q_doc_weighted_sample,
+        "ivf_index_probe": _q_ivf_index_probe,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "dedup_verified_pairs": _q_dedup_verified_pairs,
@@ -4321,6 +4358,7 @@ _WINDOW_ORDER = [
     "doc_weighted_sample",  # NEW round-8: never driver-run
     "streaming_heavy_hitters",  # NEW round-8: never driver-run
     "streaming_interval_join",  # NEW round-8: never driver-run
+    "ivf_index_probe",  # NEW round-8: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

@@ -134,6 +134,7 @@ HEADLINE = [
     "embedding_ann_recall",
     "doc_topic_terms",
     "doc_weighted_sample",
+    "ivf_index_probe",
 ]
 
 

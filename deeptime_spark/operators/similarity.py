@@ -489,3 +489,97 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    quantizer_iters: int = 8,
+    quantizer_sample: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index as a CELL-PARTITIONED parquet table plus a
+    quantizer sidecar — the serving-side counterpart of :func:`ivf_topk`
+    (same content-addressed sample, same seeded Lloyd, so a probe over
+    the index returns byte-identical rankings to the in-session
+    operator).
+
+    The physical layout IS the index: ``partitionBy("_cell")`` writes
+    one directory per inverted list, so a probe's
+    ``_cell IN (probed...)`` predicate becomes PARTITION PRUNING — at
+    100 TB the probe reads ``n_probe/n_lists`` of the bytes without any
+    row-level filtering, the same contract as the persisted minhash
+    signature index (operators/dedup.py:write_signature_index).
+    """
+    from deeptime_spark.clustering.cluster_model import ClusterModel
+
+    spark = corpus.sparkSession
+    sample = _content_sample(corpus, id_col, vec_col, quantizer_sample)
+    centers = _lloyd(sample, n_lists, quantizer_iters, seed)
+    km = ClusterModel(centers)
+    assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/lists")
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/quantizer")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a :func:`write_ivf_index` layout: per query, the
+    ``n_probe`` nearest cells (from the tiny quantizer sidecar) become
+    a partition-pruning IN-filter on the cell-partitioned list table;
+    only those directories are scanned, then the same fold-exact cosine
+    + salted two-stage top-k as :func:`ivf_topk`. Identical parameters
+    ⇒ identical ranking to the in-session operator."""
+    qrows = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    ).collect()
+    crows = spark.read.parquet(f"{path}/quantizer").collect()
+    centers = np.zeros((len(crows), len(crows[0]["center"])))
+    for r in crows:
+        centers[int(r["cell"])] = r["center"]
+    probe_rows = []
+    cells = set()
+    for r in qrows:
+        qv = np.asarray(r["_qvec"], dtype=np.float64)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probe_rows.append((r["_qid"], [float(v) for v in qv], int(cell)))
+            cells.add(int(cell))
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("_cell").isin(sorted(cells))
+    )
+    probes = spark.createDataFrame(probe_rows, ["_qid", "_qvec", "_cell"])
+    scored = lists.join(F.broadcast(probes), "_cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity(
+            F.col(vec_col).cast("array<double>"), F.col("_qvec")
+        ).alias("similarity"),
+        F.spark_partition_id().alias("_part"),
+    )
+    w1 = Window.partitionBy(query_id_col, "_part").orderBy(
+        F.desc("similarity"), F.col(id_col)
+    )
+    survivors = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("similarity"), F.col(id_col))
+    return survivors.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )

@@ -1429,6 +1429,10 @@ def oracle_ivf_topk() -> str:
 
 
 _BUILDERS["ivf_topk"] = oracle_ivf_topk
+# the persisted-index probe uses the identical quantizer (content-
+# addressed sample + seeded Lloyd) and scoring, so its expected ranking
+# IS ivf_topk's — one replica serves both harness queries.
+_BUILDERS["ivf_index_probe"] = oracle_ivf_topk
 
 
 def oracle_ivfpq_topk() -> str:

@@ -19,3 +19,39 @@ def test_ann_recall_known_sets(spark):
     exact2 = exact.union(spark.createDataFrame([(2, 7)], "q long, v long"))
     got2 = {r["query_id"]: r for r in ann_recall(approx, exact2).collect()}
     assert got2[2]["n_hit"] == 0 and got2[2]["recall"] == 0.0
+
+
+def test_ivf_index_probe_prunes_partitions_and_matches_in_session(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import (
+        ivf_topk,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, n_lists=8)
+    probe = probe_ivf_index(spark, path, queries, k=5, n_probe=2)
+    # identical quantizer + scoring -> identical ranking to the
+    # in-session operator at the same parameters
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["rank"]) for r in probe.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2).collect()
+    )
+    assert got == want and got
+    # the cell IN-filter must reach the scan as a PARTITION filter —
+    # the probe reads n_probe/n_lists of the index bytes, no row filter
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1][:200]
+    assert "_cell" in seg

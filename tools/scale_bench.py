@@ -90,7 +90,7 @@ QUERIES = [
     "doc_dup_substrings", "doc_substring_excise",
     # round-8: hybrid RRF retrieval, z-order layout key, ANN recall gate
     "doc_hybrid_search", "event_zorder", "embedding_ann_recall",
-    "doc_topic_terms", "doc_weighted_sample",
+    "doc_topic_terms", "doc_weighted_sample", "ivf_index_probe",
 ]
 
 
