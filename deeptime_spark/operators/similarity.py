@@ -537,16 +537,36 @@ def probe_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_batch: int = 4096,
 ) -> DataFrame:
     """Probe a :func:`write_ivf_index` layout: per query, the
     ``n_probe`` nearest cells (from the tiny quantizer sidecar) become
     a partition-pruning IN-filter on the cell-partitioned list table;
     only those directories are scanned, then the same fold-exact cosine
     + salted two-stage top-k as :func:`ivf_topk`. Identical parameters
-    ⇒ identical ranking to the in-session operator."""
-    qrows = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
-    ).collect()
+    ⇒ identical ranking to the in-session operator.
+
+    This is the SERVING path: the query frame is a bounded request
+    batch and is brought to the driver so the probed cell set can be a
+    literal IN-list — that is what makes the scan statically
+    partition-pruned. ``max_batch`` makes the contract explicit and
+    fails loudly instead of silently materializing an unbounded frame;
+    for corpus-scale query sets (all-pairs / batch re-ranking) use
+    :func:`ivf_topk`, which keeps both sides distributed."""
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+        .limit(max_batch + 1)
+        .collect()
+    )
+    if len(qrows) > max_batch:
+        raise ValueError(
+            f"probe_ivf_index is a serving-side probe over a bounded "
+            f"request batch (> {max_batch} query rows); for "
+            f"corpus-scale query sets use ivf_topk, which keeps the "
+            f"query side distributed"
+        )
     crows = spark.read.parquet(f"{path}/quantizer").collect()
     centers = np.zeros((len(crows), len(crows[0]["center"])))
     for r in crows:

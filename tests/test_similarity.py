@@ -55,3 +55,23 @@ def test_ivf_index_probe_prunes_partitions_and_matches_in_session(spark, tmp_pat
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1][:200]
     assert "_cell" in seg
+
+
+def test_ivf_index_probe_rejects_unbounded_query_batches(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx_cap")
+    write_ivf_index(emb, path, n_lists=4)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="bounded request batch"):
+        probe_ivf_index(spark, path, queries, k=3, n_probe=2, max_batch=10)
