@@ -950,6 +950,63 @@ def _q_doc_hll_shingles(spark, sf_dir):
     )
 
 
+def _q_doc_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — the canonical 100 TB pre-aggregation
+    pattern: per-(lang, day) HLL register relations are WRITTEN as a
+    day-partitioned parquet sketch table (bounded: <= n_groups * 2^p
+    rows, independent of corpus size), read back, and merged across
+    days by the HLL monoid (operators/sketches.py:hll_merge, max(rho)
+    per register) into per-lang distinct-shingle estimates — no rescan
+    of the documents. Because max(rho) over days equals the rho of the
+    global min sub-hash, the rolled-up estimate is bit-identical to the
+    one-pass sketch, and the oracle replays it with the same
+    register/finish arithmetic (oracle_ref.py:oracle_doc_hll_rollup).
+    At scale this is the daily-sketch-table -> weekly-rollup contract:
+    each day folds its own partition, history is never rescanned."""
+    import tempfile
+
+    from deeptime_spark.operators.sketches import (
+        hll_estimate_rows,
+        hll_merge,
+        hll_registers,
+    )
+    from deeptime_spark.operators.text import shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.select(
+        "lang",
+        (F.col("doc_id") % 7).alias("day"),
+        F.explode(shingles(F.col("text"), 5)).alias("v"),
+    )
+    daily = hll_registers(vals, "v", ["lang", "day"], p=12)
+    idx_dir = tempfile.mkdtemp(prefix="hll_daily_")
+    try:
+        daily.write.mode("overwrite").partitionBy("day").parquet(idx_dir)
+        stored = spark.read.parquet(idx_dir)
+        ndays = {
+            r["lang"]: r["n"]
+            for r in stored.groupBy("lang")
+            .agg(F.countDistinct("day").alias("n"))
+            .collect()
+        }
+        merged = hll_merge([stored.drop("day")], ["lang"])
+        est = hll_estimate_rows(merged, ["lang"], p=12)
+    finally:
+        _rmtree_quiet(idx_dir)
+    rows = [
+        (
+            d["lang"],
+            int(ndays[d["lang"]]),
+            int(d["n_registers"]),
+            round(float(d["est_distinct"]), 6),
+        )
+        for d in est
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, n_days long, n_registers long, est_distinct double"
+    )
+
+
 def _q_doc_bloom_decontaminate(spark, sf_dir):
     """Fixed-memory Bloom-filter decontamination
     (operators/sketches.py:bloom_decontaminate): word 8-grams of the
@@ -4148,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round-6: sketch layer — deterministic HLL + Bloom
         # decontamination (slots 10-11) ---
         "doc_hll_shingles": _q_doc_hll_shingles,
+        "doc_hll_rollup": _q_doc_hll_rollup,
         "doc_bloom_decontaminate": _q_doc_bloom_decontaminate,
         "doc_cms_word_counts": _q_doc_cms_word_counts,
         "doc_bm25_search": _q_doc_bm25_search,
@@ -4359,6 +4417,7 @@ _WINDOW_ORDER = [
     "streaming_heavy_hitters",  # NEW round-8: never driver-run
     "streaming_interval_join",  # NEW round-8: never driver-run
     "ivf_index_probe",  # NEW round-8: never driver-run
+    "doc_hll_rollup",  # NEW round-8 late: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

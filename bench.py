@@ -99,6 +99,7 @@ HEADLINE = [
     "shards_roundtrip",
     "token_pack_sequences",
     "doc_hll_shingles",
+    "doc_hll_rollup",
     "doc_bloom_decontaminate",
     "doc_cms_word_counts",
     "doc_bm25_search",

@@ -2459,6 +2459,37 @@ def oracle_doc_hll_shingles() -> str:
 _BUILDERS["doc_hll_shingles"] = oracle_doc_hll_shingles
 
 
+def oracle_doc_hll_rollup() -> str:
+    """Persisted-sketch rollup replica: per-(lang, doc_id%7) daily HLL
+    register relations merged across days are BIT-IDENTICAL to the
+    one-pass per-lang sketch — max(rho) over days is the rho of the
+    global min sub-hash because bit_length is monotone — so the merged
+    estimate replays with the same _hll_py finish. n_days counts day
+    buckets that contributed at least one register; every doc yields
+    >= 1 shingle (_shingle_set returns [norm] for short text), so that
+    is simply the distinct doc_id%7 per lang."""
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows_in = con.execute(
+        f"SELECT lang, doc_id, text FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    sets: dict = {}
+    days: dict = {}
+    for lang, doc_id, text in rows_in:
+        sets.setdefault(lang, set()).update(_shingle_set(_norm_text(text or "")))
+        days.setdefault(lang, set()).add(int(doc_id) % 7)
+    rows = []
+    for lang in sorted(sets):
+        n_reg, est = _hll_py(sets[lang])
+        rows.append((lang, len(days[lang]), n_reg, round(est, 6)))
+    return _values_sql(
+        rows, ["lang", "n_days", "n_registers", "est_distinct"], "sbbd"
+    )
+
+
+_BUILDERS["doc_hll_rollup"] = oracle_doc_hll_rollup
+
+
 def oracle_doc_bloom_decontaminate() -> str:
     """Bloom decontamination replica: word 8-grams of probe docs
     (doc_id % 20 == 0) folded into a 2^16-bit k=4 filter via

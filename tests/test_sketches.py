@@ -268,3 +268,25 @@ def test_bottomk_validation(spark):
     df = spark.range(5).select(F.col("id").alias("key"))
     with _pytest.raises(ValueError):
         bottomk_sample(df, "key", [], k=0)
+
+
+def test_hll_rollup_persisted_merge_equals_direct(spark, tmp_path):
+    # the serving pattern behind the doc_hll_rollup harness query:
+    # daily register relations written as a day-partitioned parquet
+    # sketch table, read back and monoid-merged -> bit-identical to the
+    # one-pass sketch over the same rows (max(rho) across days is the
+    # rho of the global min sub-hash)
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7).alias("day"),
+        F.concat(F.lit("x"), (F.col("id") % 900).cast("string")).alias("v"),
+    )
+    daily = hll_registers(df, "v", ["g", "day"], 12)
+    path = str(tmp_path / "sketches")
+    daily.write.mode("overwrite").partitionBy("day").parquet(path)
+    stored = spark.read.parquet(path)
+    merged = hll_merge([stored.drop("day")], ["g"])
+    direct = hll_registers(df, "v", ["g"], 12)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -91,6 +91,7 @@ QUERIES = [
     # round-8: hybrid RRF retrieval, z-order layout key, ANN recall gate
     "doc_hybrid_search", "event_zorder", "embedding_ann_recall",
     "doc_topic_terms", "doc_weighted_sample", "ivf_index_probe",
+    "doc_hll_rollup",
 ]
 
 
