@@ -689,3 +689,53 @@ def test_kcore_small_regime_broadcasts_survivors(spark):
         G.F.broadcast = orig
     # two broadcast survivor sides per peel round, at least one round
     assert len(captured) >= 2
+
+
+def test_zorder_range_exchange_codegen_key(spark):
+    """Z-order layout: the clustering must be ONE range exchange on the
+    interleaved key, and the key arithmetic pure codegen (shift/or) —
+    no Python eval anywhere."""
+    plan = plan_of(entrymod._q_event_zorder(spark, SF))
+    assert "EvalPython" not in plan
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert "_zkey" in plan
+
+
+def test_dup_substrings_no_python_no_cartesian(spark):
+    """ExactSubstr spans: sliding-shingle extraction, duplicate mark,
+    and islands merge must stay JVM-side equi-plan — no Python eval, no
+    cartesian/nested-loop pair step (the mark join is an equi-join on
+    the shingle hash)."""
+    plan = plan_of(entrymod._q_doc_dup_substrings(spark, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+
+
+def test_hll_rollup_scan_reads_registers_only(spark, tmp_path):
+    """Sketch rollup: the merge over the persisted sketch table must
+    read ONLY the register columns (the whole point: the rollup never
+    rescans document text), and the register build itself is one
+    codegen hash-agg — no Python eval."""
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.sketches import hll_merge, hll_registers
+    from deeptime_spark.operators.text import shingles
+
+    docs = entrymod._read(spark, SF, "documents")
+    vals = docs.select(
+        "lang",
+        (F.col("doc_id") % 7).alias("day"),
+        F.explode(shingles(F.col("text"), 5)).alias("v"),
+    )
+    regs = hll_registers(vals, "v", ["lang", "day"], p=12)
+    build_plan = plan_of(regs)
+    assert "EvalPython" not in build_plan
+    path = str(tmp_path / "sketch_table")
+    regs.write.mode("overwrite").partitionBy("day").parquet(path)
+    stored = spark.read.parquet(path)
+    merged = hll_merge([stored.drop("day")], ["lang"])
+    plan = plan_of(merged)
+    assert "text" not in plan.split("ReadSchema", 1)[-1][:300], plan[-800:]
+    assert "reg_idx" in plan and "rho" in plan
+    assert "EvalPython" not in plan
