@@ -133,9 +133,46 @@ FLAGSHIPS = {
         "restricted to candidate ids (left_semi) and both persisted "
         "relations are reused across the dot/norm branches."
     ),
+    "doc_hll_rollup": (
+        "Mergeable-sketch rollup: the register build is one codegen "
+        "hash-agg (map-side partial min, shuffle <= n_groups * 2^p "
+        "rows); the merge scans ONLY the persisted register columns "
+        "(ReadSchema has no text) and is one max-agg Exchange. History "
+        "is never rescanned — the sketch table IS the state."
+    ),
 }
 
 MANUAL_MARKER = "<!-- MANUAL SECTIONS BELOW: preserved by tools/dump_plans.py -->"
+
+
+def _plan_doc_hll_rollup(spark):
+    """The harness query finishes driver-side (its returned frame is a
+    literal), so dump the plan that matters instead: the monoid merge
+    over the persisted day-partitioned sketch table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from deeptime_spark.operators.sketches import hll_merge, hll_registers
+    from deeptime_spark.operators.text import shingles
+
+    docs = entrymod._read(spark, SF, "documents")
+    vals = docs.select(
+        "lang",
+        (F.col("doc_id") % 7).alias("day"),
+        F.explode(shingles(F.col("text"), 5)).alias("v"),
+    )
+    regs = hll_registers(vals, "v", ["lang", "day"], p=12)
+    d = tempfile.mkdtemp(prefix="plans_hll_")  # tmp; OS-reclaimed
+    regs.write.mode("overwrite").partitionBy("day").parquet(d)
+    stored = spark.read.parquet(d)
+    return hll_merge([stored.drop("day")], ["lang"])
+
+
+# harness queries whose returned frame is a driver-side literal dump a
+# purpose-built plan instead
+PLAN_BUILDERS = {"doc_hll_rollup": _plan_doc_hll_rollup}
 
 
 def main() -> int:
@@ -158,7 +195,8 @@ def main() -> int:
         "",
     ]
     for name, claim in FLAGSHIPS.items():
-        df = qs[name](spark, SF)
+        builder = PLAN_BUILDERS.get(name)
+        df = builder(spark) if builder else qs[name](spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
