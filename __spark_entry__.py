@@ -4179,6 +4179,101 @@ def _q_web_corpus_pipeline(spark, sf_dir):
     )
 
 
+def _q_event_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    (operators/stats.py:ewma_by_key): one hash aggregate collects each
+    user's (ts, event_id, value) structs, then array_sort + a codegen
+    F.aggregate left fold runs s_t = 0.75*s + 0.25*x — no window sort of
+    the full relation, no Python. Oracle: DuckDB list_reduce over
+    list(value ORDER BY ts, event_id), the identical IEEE-754 fold."""
+    from deeptime_spark.operators.stats import ewma_by_key
+
+    ev = _read(spark, sf_dir, "events")
+    return ewma_by_key(
+        ev.select("user_id", "ts", "event_id", "value"),
+        value_col="value",
+        order_cols=["ts", "event_id"],
+        group_cols=["user_id"],
+        alpha=0.25,
+    )
+
+
+def _q_doc_quality_curriculum(spark, sf_dir):
+    """Quality-curriculum schedule (operators/mixing.py:
+    curriculum_buckets): rank documents by the composite quality score
+    within each language, ntile into 5 phases (bucket 1 = highest
+    quality), and emit per-phase doc/token totals plus the cumulative
+    token budget phase k trains on. One per-group sort + one tiny
+    aggregate; ANSI ntile, ties broken by doc_id."""
+    from deeptime_spark.operators.mixing import curriculum_buckets
+    from deeptime_spark.operators.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return curriculum_buckets(
+        docs,
+        score_col=quality_score("text"),
+        n_buckets=5,
+        group_cols=["lang"],
+        id_col="doc_id",
+    )
+
+
+def _q_doc_postings_index(spark, sf_dir):
+    """Persisted inverted-index serving path (operators/retrieval.py:
+    write_postings_index / probe_postings_index): postings written
+    term-bucket-partitioned (pmod(xxhash64(term), 16)), so a conjunctive
+    probe's bucket set — computed with the engine-independent xxhash64
+    replica — becomes a statically partition-pruned IN-filter; only the
+    probed directories are read. Exact-integer output (doc_id, n_terms,
+    total_tf); pure-SQL oracle recomputes the AND query from the raw
+    documents table."""
+    import tempfile
+
+    from deeptime_spark.operators.retrieval import (
+        probe_postings_index,
+        write_postings_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="postings_idx_")
+    try:
+        write_postings_index(docs, idx_dir, n_buckets=16)
+        out = probe_postings_index(
+            spark, idx_dir, ["query", "window", "scan"], mode="and"
+        )
+        rows = out.collect()
+    finally:
+        _rmtree_quiet(idx_dir)
+    return spark.createDataFrame(
+        [(int(r["doc_id"]), int(r["n_terms"]), int(r["total_tf"])) for r in rows],
+        "doc_id long, n_terms long, total_tf long",
+    )
+
+
+def _q_corpus_overlap_kmv(spark, sf_dir):
+    """Cross-source shingle-overlap estimation from KMV bottom-k
+    sketches (operators/sketches.py:kmv_sketch / kmv_overlap_pairs,
+    Beyer et al. SIGMOD'07): one corpus-scale distinct on (source,
+    xxhash64(shingle)) + a rank-limit cut builds a k=256 sketch per
+    source; the pair algebra (union bottom-k, tau, matched fraction,
+    Jaccard / union-cardinality / intersection estimates) runs on the
+    O(sources * k) sketch rows only. Unlike HLL this supports
+    INTERSECTION estimates. Oracle: per-source sketch hashes re-derived
+    with the xxhash64 replica as VALUES literals, pair algebra replayed
+    independently in SQL (oracle_ref.py:oracle_corpus_overlap_kmv)."""
+    from deeptime_spark.operators.sketches import kmv_overlap_pairs, kmv_sketch
+    from deeptime_spark.operators.text import shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(shingles("text", k=5)).alias("shingle")
+    )
+    sk = kmv_sketch(sh, "shingle", group_cols=["source"], k=256)
+    return kmv_overlap_pairs(sk, "source", k=256).withColumnsRenamed(
+        {"group_a": "source_a", "group_b": "source_b"}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02, r04, and r06 each
@@ -4379,6 +4474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_triangles": _q_event_triangles,
         "event_communities": _q_event_communities,
         "event_kcore": _q_event_kcore,
+        # --- round-8 late additions: EWMA fold, curriculum schedule,
+        # persisted postings index, KMV set-operation overlap ---
+        "event_ewma": _q_event_ewma,
+        "doc_quality_curriculum": _q_doc_quality_curriculum,
+        "doc_postings_index": _q_doc_postings_index,
+        "corpus_overlap_kmv": _q_corpus_overlap_kmv,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -4418,6 +4519,10 @@ _WINDOW_ORDER = [
     "streaming_interval_join",  # NEW round-8: never driver-run
     "ivf_index_probe",  # NEW round-8: never driver-run
     "doc_hll_rollup",  # NEW round-8 late: never driver-run
+    "event_ewma",  # NEW round-8 late: never driver-run
+    "doc_quality_curriculum",  # NEW round-8 late: never driver-run
+    "doc_postings_index",  # NEW round-8 late: never driver-run
+    "corpus_overlap_kmv",  # NEW round-8 late: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -6030,6 +6135,73 @@ FROM (
     # query (same fixed centers, same total order), so one oracle serves both
     base["streaming_cusum"] = base["event_cusum"]
     base["event_zorder"] = _zorder_oracle_sql()
+    # EWMA: identical IEEE-754 left fold — DuckDB list_reduce over the
+    # deterministically ordered value list, seeded with the first element
+    # exactly like the Spark F.aggregate(slice(...), element_at(1), ...)
+    base["event_ewma"] = r"""
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       list_reduce(CAST(vals AS DOUBLE[]), (acc, x) -> acc * 0.75 + x * 0.25) AS ewma_value
+FROM s
+"""
+    base["doc_quality_curriculum"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, len(toks) AS n_tok,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> list_contains({_sw_list('en')}, t))) / greatest(len(toks), 1) AS stopword_ratio,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1) AS mean_word_length
+  FROM base
+), q AS (
+  SELECT doc_id, lang, n_tok,
+       (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN punct_ratio < 0.3 THEN 1.0 - punct_ratio / 0.3 ELSE 0.0 END
+        + CASE WHEN mean_word_length >= 2.0 AND mean_word_length <= 12.0 THEN 1.0 ELSE 0.0 END
+        + least(stopword_ratio / 0.2, 1.0)) / 4.0 AS quality
+  FROM m
+), r AS (
+  SELECT lang, doc_id, quality, n_tok,
+         ntile(5) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS bucket
+  FROM q
+), per AS (
+  SELECT lang, bucket, count(*) AS n_docs, SUM(n_tok) AS n_tokens,
+         min(quality) AS min_score, max(quality) AS max_score
+  FROM r GROUP BY lang, bucket
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       min_score, max_score
+FROM per
+"""
+    # the index probe must return exactly the conjunctive query answered
+    # from the raw corpus — the persisted layout is an access path, not
+    # a semantic change
+    base["doc_postings_index"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM t WHERE term IN ('query', 'window', 'scan')
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY doc_id HAVING count(*) = 3
+"""
     # estimator-pipeline oracles: independently-recomputed data path +
     # driver-finalize literals (deeptime_spark/oracle_ref.py). Builders are
     # failure-isolated; a raising builder leaves its query rows-only.

@@ -218,3 +218,72 @@ def weighted_sample(
         & (F.col(weight_col).cast("double") > 0)
         & (h < rate)
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: Column | str,
+    n_buckets: int = 10,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    token_col: Column | str | None = None,
+) -> DataFrame:
+    """Quality-curriculum bucketing: rank documents by a quality score
+    within each group and cut the ranking into ``n_buckets`` equal-count
+    phases (bucket 1 = highest quality), with per-bucket document/token
+    totals and the cumulative token budget a curriculum schedule needs
+    ("train phase k on buckets 1..k").
+
+    Deterministic: the ranking orders by (score DESC, id ASC), so ties
+    never depend on layout; bucket boundaries are ANSI ``ntile``
+    (earlier buckets absorb the remainder), identical across engines.
+
+    Spark shape: one window (the irreducible per-group sort — its key
+    cardinality is the group count, and ntile needs a total order) into
+    one hash aggregate of ``n_buckets * groups`` rows; the cumulative
+    sum runs over that tiny aggregate, not the corpus. At 100 TB the
+    sort is the only corpus-scale exchange, and Spark runs it as a
+    range-partitioned sort within groups — no driver materialization.
+
+    Returns (group_cols..., bucket, n_docs, n_tokens, cum_tokens,
+    min_score, max_score).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    group_cols = list(group_cols or [])
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    if token_col is None:
+        from deeptime_spark.operators.text import token_count
+
+        token_col = token_count("text")
+    elif isinstance(token_col, str):
+        token_col = F.col(token_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(id_col),
+        score.alias("_score"),
+        token_col.cast("long").alias("_tok"),
+    ).withColumn("bucket", F.ntile(n_buckets).over(w))
+    per = ranked.groupBy(*group_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.min("_score").alias("min_score"),
+        F.max("_score").alias("max_score"),
+    )
+    cum = Window.partitionBy(*group_cols).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        *group_cols,
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_tokens").over(cum).cast("long").alias("cum_tokens"),
+        "min_score",
+        "max_score",
+    )

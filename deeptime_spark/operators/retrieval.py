@@ -334,3 +334,99 @@ def hybrid_search(
         F.col("rank_0").alias("rank_bm25"),
         F.col("rank_1").alias("rank_dense"),
     )
+
+
+# ------------------------------------------ persisted inverted index
+
+
+def write_postings_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist an inverted (postings) index as a TERM-BUCKET-PARTITIONED
+    parquet table plus a one-row stats sidecar — the serving-side
+    counterpart of :func:`bm25_search`, and the text twin of the
+    cell-partitioned IVF layout (similarity.py:write_ivf_index).
+
+    Layout: ``pmod(xxhash64(term), n_buckets)`` assigns every term a
+    bucket; ``partitionBy("_bucket")`` writes one directory per bucket,
+    so a probe for a bounded term set reads ``|terms| / n_buckets`` of
+    the bytes via PARTITION PRUNING — no row-level scan of the other
+    buckets.  A term's ENTIRE postings list (and therefore its document
+    frequency) lives inside its own bucket, so ranked retrieval needs
+    nothing outside the pruned directories plus the sidecar scalars.
+
+    The stats sidecar records (n_docs, total_terms, n_buckets); n_docs
+    and the derivable avgdl are what BM25-style scoring needs.
+    """
+    spark = docs.sparkSession
+    tf = tokenize_counts(docs, text_col, id_col)
+    bucketed = tf.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(int(n_buckets)))
+    )
+    bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(
+        f"{path}/postings"
+    )
+    stats = tf.agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.sum("tf").alias("total_terms"),
+        F.lit(int(n_buckets)).alias("n_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def probe_postings_index(
+    spark,
+    path: str,
+    terms: list[str],
+    id_col: str = "doc_id",
+    mode: str = "and",
+    max_terms: int = 256,
+) -> DataFrame:
+    """Conjunctive / disjunctive probe over a :func:`write_postings_index`
+    layout: the query terms' buckets (computed with the engine-independent
+    xxhash64 replica, deeptime_spark.spark_hashes) become a literal
+    ``_bucket IN (...)`` predicate — statically partition-pruned, so the
+    scan touches only the probed directories regardless of corpus size.
+
+    Returns ``(id_col, n_terms, total_tf)`` for documents matching ALL
+    terms (``mode="and"``) or ANY term (``mode="or"``) — exact integers.
+
+    This is the SERVING path: ``terms`` is a bounded request (raises
+    above ``max_terms``); for corpus-scale term sets keep the term
+    relation distributed and join it against the postings instead.
+    """
+    from deeptime_spark.spark_hashes import xxhash64 as _xx
+
+    if mode not in ("and", "or"):
+        raise ValueError("mode must be 'and' or 'or'")
+    norm_terms = sorted({t for w in terms for t in _norm_tokens_py(w)})
+    if not norm_terms:
+        raise ValueError("no non-empty query terms")
+    if len(norm_terms) > max_terms:
+        raise ValueError(
+            f"probe_postings_index is a serving-side probe over a bounded "
+            f"term set (> {max_terms} terms); join against the postings "
+            f"relation for corpus-scale term sets"
+        )
+    n_buckets = int(
+        spark.read.parquet(f"{path}/stats").select("n_buckets").head()[0]
+    )
+    buckets = sorted({_xx(t.encode()) % n_buckets for t in norm_terms})
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("_bucket").isin(buckets) & F.col("term").isin(norm_terms)
+    )
+    hits = postings.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("tf").alias("total_tf"),
+    )
+    if mode == "and":
+        hits = hits.where(F.col("n_terms") == len(norm_terms))
+    return hits.select(
+        id_col,
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("total_tf").cast("long").alias("total_tf"),
+    )

@@ -470,3 +470,124 @@ def bottomk_quantiles(
             d[f"q{int(q * 100)}"] = vals[max(_math.ceil(q * n) - 1, 0)]
         out.append(d)
     return out
+
+
+# ------------------------------------------- KMV set operations (overlap)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str | Column,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV (bottom-k) sketch of the DISTINCT ``key_col``
+    values: the ``k`` smallest ``xxhash64(key)`` values per group
+    (Beyer et al., SIGMOD'07 "On Synopses for Distinct-Value Estimation
+    under Multiset Operations").  Returns ``(group_cols..., h)``.
+
+    Unlike HLL registers (union-only), a KMV sketch supports
+    INTERSECTION estimates — see :func:`kmv_overlap_pairs` — because it
+    keeps sample identities, not just extrema.
+
+    Spark shape: distinct on (group, hash) is the one corpus-scale
+    shuffle (map-side combined); the bottom-k cut is a rank-limit
+    window, and Spark's WindowGroupLimit rewrite inserts a partial
+    per-partition top-k BEFORE the second exchange, so it ships at most
+    ``k`` rows per group per task — the same pinned plan shape as
+    ``bottomk_sample``.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    group_cols = list(group_cols or [])
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    hashed = df.select(
+        *group_cols, F.xxhash64(key.cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_overlap_pairs(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every pair of groups from
+    their KMV sketches — the sketch algebra of Beyer et al. SIGMOD'07:
+    the k smallest hashes of ``A ∪ B`` are computable from the two
+    bottom-k sketches alone (any union-bottom-k element is bottom-k in
+    its own set), Jaccard is estimated by the match fraction within
+    that union sketch, and the union cardinality by the k-th smallest
+    value's position in the hash space.
+
+    Returns per unordered pair (group_a < group_b):
+      - ``k_used``      — union-sketch size actually available (= k
+                          unless both sets are tiny);
+      - ``tau``         — the k_used-th smallest hash of A ∪ B (signed);
+      - ``n_common``    — union-sketch members present in BOTH sketches;
+      - ``jaccard_est`` — n_common / k_used;
+      - ``union_est``   — (k_used - 1) * 2^64 / (tau + 2^63), the KMV
+                          distinct-count estimator in unsigned space;
+      - ``intersection_est`` — jaccard_est * union_est.
+
+    Everything is exact integer arithmetic until the three final float
+    expressions, each a fixed IEEE-754 op sequence an independent SQL
+    engine replays bit-identically from the integer columns.
+
+    Spark shape: the sketch relation is O(groups * k) rows; pair
+    expansion is a broadcast join against the O(groups²) pair frame,
+    then one aggregate — nothing here rescans the corpus.
+    """
+    from pyspark.sql import Window
+
+    groups = sketch.select(F.col(group_col)).distinct()
+    pairs = (
+        groups.alias("ga")
+        .crossJoin(groups.alias("gb"))
+        .where(F.col(f"ga.{group_col}") < F.col(f"gb.{group_col}"))
+        .select(
+            F.col(f"ga.{group_col}").alias("group_a"),
+            F.col(f"gb.{group_col}").alias("group_b"),
+        )
+    )
+    tagged = sketch.join(
+        F.broadcast(pairs),
+        (F.col(group_col) == F.col("group_a"))
+        | (F.col(group_col) == F.col("group_b")),
+    )
+    # distinct union hashes per pair; a hash present in both sketches
+    # contributes two rows here
+    union = tagged.groupBy("group_a", "group_b", "h").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy(F.col("h").asc())
+    kept = union.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = kept.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("tau"),
+        F.sum(F.when(F.col("_cnt") == 2, 1).otherwise(0)).alias("n_common"),
+    )
+    ku_d = F.col("k_used").cast("double")
+    jac = F.col("n_common").cast("double") / ku_d
+    union_est = (
+        (ku_d - F.lit(1.0))
+        * F.lit(18446744073709551616.0)
+        / (F.col("tau").cast("double") + F.lit(9223372036854775808.0))
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        F.col("k_used").cast("long").alias("k_used"),
+        F.col("tau").cast("long").alias("tau"),
+        F.col("n_common").cast("long").alias("n_common"),
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("intersection_est"),
+    )

@@ -355,3 +355,63 @@ def cusum_changepoints(
             | (F.col("cusum_neg") > F.lit(int(threshold))),
         )
     return out
+
+
+def ewma_by_key(
+    df: DataFrame,
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the classic
+    smoothing/forecast primitive (Hunter 1986; the reference exposes the
+    equivalent recursive statistic through its trajectory statistics
+    layer, /root/reference/src/deeptime/util/stats.py).
+
+    Semantics: within each group, order rows by ``order_cols`` and fold
+    ``s_0 = x_0; s_t = (1 - alpha) * s_{t-1} + alpha * x_t``; returns one
+    row per group ``(group_cols..., n_events, ewma_value)`` — the
+    fold's final state.
+
+    Spark shape: ONE hash aggregate collects each key's (order, value)
+    structs; ``array_sort`` + ``F.aggregate`` then run the fold as pure
+    codegen expressions — no Python, no second shuffle, no window sort
+    of the full relation.  The recursion is inherently sequential per
+    key, so the per-key series must assemble somewhere; an aggregate
+    buffer is the cheapest place (vs. a window sort of every row).
+    State is O(events-per-key): bounded for dashboard/telemetry keys.
+    For unbounded per-key streams use the incremental form in
+    streaming/accumulate.py (applyInPandasWithState holds only the
+    scalar carry, not the series).
+
+    Float contract (oracle-exact): the fold is a fixed IEEE-754 op
+    sequence — ``acc * (1-alpha) + x * alpha`` left-to-right over the
+    deterministically ordered series — mirrored verbatim by DuckDB's
+    ``list_reduce`` over ``list(value ORDER BY ...)``.  ``alpha`` should
+    be binary-exact (0.25, 0.125, ...) so both engines parse the same
+    literal. Nulls in ``value_col`` are dropped before the fold.
+    """
+    if not order_cols:
+        raise ValueError("order_cols is required for a deterministic fold")
+    group_cols = list(group_cols or [])
+    a = float(alpha)
+    src = df.where(F.col(value_col).isNotNull())
+    agg = src.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("_v"))
+            )
+        ).alias("_s")
+    )
+    vals = F.transform(F.col("_s"), lambda s: s["_v"].cast("double"))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
+    )
+    return agg.select(
+        *group_cols,
+        F.size("_s").cast("long").alias("n_events"),
+        fold.alias("ewma_value"),
+    )

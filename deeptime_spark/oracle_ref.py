@@ -2885,3 +2885,76 @@ _BUILDERS["doc_incremental_dedup"] = oracle_doc_incremental_dedup
 
 # streaming replay of the index probe must equal the batch probe
 _BUILDERS["streaming_incremental_dedup"] = oracle_doc_incremental_dedup
+
+
+def oracle_corpus_overlap_kmv(k: int = 256, shingle_k: int = 5) -> str:
+    """Per-source KMV sketches re-derived with the xxhash64 replica as
+    VALUES literals; the pair algebra (union bottom-k, tau, matched
+    fraction, the three estimates) is replayed INDEPENDENTLY by DuckDB
+    SQL — only the hash values themselves are Python-computed, the set
+    arithmetic and the IEEE-754 estimator expressions are the SQL
+    engine's own."""
+    from deeptime_spark.spark_hashes import xxhash64, xxhash64_fixed
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    per_src: dict = {}
+    for src, text in rows:
+        per_src.setdefault(src, set()).update(
+            _shingle_set(_norm_text(text), shingle_k)
+        )
+    sk_rows = []
+    for src in sorted(per_src):
+        enc = [s.encode() for s in per_src[src]]
+        if enc and all(len(b) == shingle_k for b in enc):
+            arr = np.frombuffer(b"".join(enc), dtype=np.uint8).reshape(
+                len(enc), shingle_k
+            )
+            hs = xxhash64_fixed(arr)
+        else:
+            hs = np.array([xxhash64(b) for b in enc], dtype=np.int64)
+        # Spark's kmv_sketch dedups on the HASH (distinct (source, h)),
+        # orders signed-ascending, keeps the k smallest
+        hs = np.unique(hs.astype(np.int64))
+        sk_rows.extend((src, int(h)) for h in hs[:k])
+    sketch_sql = _values_sql(sk_rows, ["source", "h"], "sb")
+    two64 = "CAST('1.8446744073709552e+19' AS DOUBLE)"
+    two63 = "CAST('9.223372036854776e+18' AS DOUBLE)"
+    return f"""
+WITH sk AS ({sketch_sql}),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a, srcs b WHERE a.source < b.source
+),
+u AS (
+  SELECT p.source_a, p.source_b, s.h, count(*) AS cnt
+  FROM pairs p JOIN sk s ON s.source = p.source_a OR s.source = p.source_b
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+  FROM u
+),
+agg AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS k_used,
+         CAST(max(h) AS BIGINT) AS tau,
+         CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM r WHERE rn <= {int(k)}
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, k_used, tau, n_common,
+  CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
+  (CAST(k_used AS DOUBLE) - 1.0) * {two64} / (CAST(tau AS DOUBLE) + {two63}) AS union_est,
+  (CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE))
+    * ((CAST(k_used AS DOUBLE) - 1.0) * {two64} / (CAST(tau AS DOUBLE) + {two63})) AS intersection_est
+FROM agg
+"""
+
+
+_BUILDERS["corpus_overlap_kmv"] = oracle_corpus_overlap_kmv

@@ -739,3 +739,36 @@ def test_hll_rollup_scan_reads_registers_only(spark, tmp_path):
     assert "text" not in plan.split("ReadSchema", 1)[-1][:300], plan[-800:]
     assert "reg_idx" in plan and "rho" in plan
     assert "EvalPython" not in plan
+
+
+def test_kmv_sketch_partial_topk_before_exchange(spark):
+    """The KMV bottom-k cut must plan with WindowGroupLimit so each map
+    task ships at most k rows per group into the window exchange — the
+    sketch construction's 100 TB claim (operators/sketches.py:kmv_sketch)."""
+    from deeptime_spark.operators.sketches import kmv_sketch
+    from deeptime_spark.operators.text import shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = docs.select("source", F.explode(shingles("text", k=5)).alias("s"))
+    plan = plan_of(kmv_sketch(sh, "s", ["source"], k=64))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_postings_probe_partition_pruned(spark, tmp_path):
+    """A postings probe's bucket IN-list must become static PARTITION
+    pruning on the bucket-partitioned layout — the scan reads only the
+    probed directories (operators/retrieval.py:probe_postings_index)."""
+    from deeptime_spark.operators.retrieval import (
+        probe_postings_index,
+        write_postings_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "pidx")
+    write_postings_index(docs, path, n_buckets=16)
+    out = probe_postings_index(spark, path, ["query", "scan"], mode="and")
+    plan = plan_of(out)
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "_bucket" in seg, plan[:2000]
+    assert "EvalPython" not in plan

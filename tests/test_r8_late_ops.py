@@ -1,0 +1,210 @@
+"""Round-8 late additions: per-key EWMA fold (operators/stats.py),
+curriculum bucketing (operators/mixing.py), the persisted postings
+index (operators/retrieval.py), and KMV set-operation overlap
+estimation (operators/sketches.py)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deeptime_spark.operators.mixing import curriculum_buckets
+from deeptime_spark.operators.retrieval import (
+    probe_postings_index,
+    write_postings_index,
+)
+from deeptime_spark.operators.sketches import kmv_overlap_pairs, kmv_sketch
+from deeptime_spark.operators.stats import ewma_by_key
+from deeptime_spark.spark_hashes import xxhash64
+
+# ------------------------------------------------------------------ EWMA
+
+
+def _ewma_py(xs, alpha):
+    s = xs[0]
+    for x in xs[1:]:
+        s = s * (1.0 - alpha) + x * alpha
+    return s
+
+
+def test_ewma_matches_python_fold_bitexact(spark, rng):
+    rows = []
+    for uid in range(5):
+        for t in range(40):
+            rows.append((uid, t, float(rng.normal())))
+    df = spark.createDataFrame(rows, "user_id int, t int, value double")
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in ewma_by_key(
+            df, "value", order_cols=["t"], group_cols=["user_id"], alpha=0.25
+        ).collect()
+    }
+    by_uid = {}
+    for uid, t, v in rows:
+        by_uid.setdefault(uid, []).append((t, v))
+    for uid, tv in by_uid.items():
+        xs = [v for _, v in sorted(tv)]
+        n, e = got[uid]
+        assert n == len(xs)
+        assert e == _ewma_py(xs, 0.25)  # bit-exact IEEE fold
+
+
+def test_ewma_single_event_and_null_drop(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 7.5), (2, 0, None), (2, 1, 3.0)],
+        "user_id int, t int, value double",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in ewma_by_key(
+            df, "value", order_cols=["t"], group_cols=["user_id"]
+        ).collect()
+    }
+    assert got[1] == (1, 7.5)  # fold seed is the first element
+    assert got[2] == (1, 3.0)  # nulls dropped before the fold
+
+
+def test_ewma_layout_invariant(spark, rng):
+    rows = [(i % 7, i, float(rng.normal())) for i in range(300)]
+    df = spark.createDataFrame(rows, "user_id int, t int, value double")
+    a = ewma_by_key(df.coalesce(1), "value", ["t"], ["user_id"]).collect()
+    b = ewma_by_key(df.repartition(13), "value", ["t"], ["user_id"]).collect()
+    assert {(r["user_id"], r["ewma_value"]) for r in a} == {
+        (r["user_id"], r["ewma_value"]) for r in b
+    }
+
+
+def test_ewma_requires_order(spark):
+    df = spark.createDataFrame([(1, 1.0)], "user_id int, value double")
+    with pytest.raises(ValueError):
+        ewma_by_key(df, "value", order_cols=[], group_cols=["user_id"])
+
+
+# ------------------------------------------------------------ curriculum
+
+
+def test_curriculum_buckets_ntile_and_cumsum(spark):
+    # 10 docs, one group, score = doc_id (descending rank = highest id first)
+    rows = [(i, float(i), 10 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, s double, n long")
+    out = curriculum_buckets(
+        df, "s", n_buckets=4, group_cols=[], id_col="doc_id", token_col="n"
+    ).collect()
+    by_b = {r["bucket"]: r for r in out}
+    # ntile(4) over 10 rows: sizes 3,3,2,2; ranking is score desc
+    assert [by_b[b]["n_docs"] for b in (1, 2, 3, 4)] == [3, 3, 2, 2]
+    assert by_b[1]["max_score"] == 9.0 and by_b[1]["min_score"] == 7.0
+    assert by_b[4]["min_score"] == 0.0
+    total = sum(r["n_tokens"] for r in out)
+    assert by_b[4]["cum_tokens"] == total
+    # cumulative is monotone and bucket-1-prefixed
+    assert by_b[1]["cum_tokens"] == by_b[1]["n_tokens"]
+
+
+def test_curriculum_grouped_and_tie_break(spark):
+    # equal scores -> tie broken by doc_id ascending, per group
+    rows = [("a", i, 1.0, 1) for i in range(4)] + [("b", i, 1.0, 1) for i in range(2)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, s double, n long")
+    out = curriculum_buckets(
+        df, "s", n_buckets=2, group_cols=["lang"], id_col="doc_id", token_col="n"
+    ).collect()
+    a = {r["bucket"]: r["n_docs"] for r in out if r["lang"] == "a"}
+    b = {r["bucket"]: r["n_docs"] for r in out if r["lang"] == "b"}
+    assert a == {1: 2, 2: 2} and b == {1: 1, 2: 1}
+
+
+# -------------------------------------------------------- postings index
+
+
+def test_postings_index_roundtrip_and_pruning(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (0, "fast scan and fast merge"),
+            (1, "scan the window"),
+            (2, "merge scan window scan"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pidx")
+    write_postings_index(docs, path, n_buckets=8)
+    out = {
+        r["doc_id"]: (r["n_terms"], r["total_tf"])
+        for r in probe_postings_index(
+            spark, path, ["scan", "window"], mode="and"
+        ).collect()
+    }
+    assert out == {1: (2, 2), 2: (2, 3)}
+    out_or = {
+        r["doc_id"]: r["total_tf"]
+        for r in probe_postings_index(
+            spark, path, ["scan", "window"], mode="or"
+        ).collect()
+    }
+    assert out_or == {0: 1, 1: 2, 2: 3}
+    # the physical scan must be pruned to the probed buckets
+    probed = {xxhash64(t.encode()) % 8 for t in ("scan", "window")}
+    lists = spark.read.parquet(f"{path}/postings").where(
+        F.col("_bucket").isin(sorted(probed))
+    )
+    plan = lists._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or lists.count() > 0  # smoke: prunable layout
+
+
+def test_postings_probe_contract(spark, tmp_path):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    path = str(tmp_path / "pidx2")
+    write_postings_index(docs, path, n_buckets=4)
+    with pytest.raises(ValueError):
+        probe_postings_index(spark, path, ["a"], mode="xor")
+    with pytest.raises(ValueError):
+        probe_postings_index(spark, path, ["   "])
+    with pytest.raises(ValueError):
+        probe_postings_index(spark, path, [f"t{i}" for i in range(300)])
+
+
+# ------------------------------------------------------------ KMV overlap
+
+
+def test_kmv_sketch_is_bottomk_of_distinct_hashes(spark):
+    vals = [f"v{i}" for i in range(200)] * 3  # duplicates collapse
+    df = spark.createDataFrame([(v,) for v in vals], "key string")
+    got = sorted(r["h"] for r in kmv_sketch(df, "key", [], k=16).collect())
+    exp = sorted(xxhash64(f"v{i}".encode()) for i in range(200))[:16]
+    assert got == exp
+
+
+def test_kmv_overlap_estimates_match_ground_truth(spark):
+    # two sets with known overlap: A = 0..999, B = 500..1499 (J = 1/3)
+    rows = [("A", f"x{i}") for i in range(1000)] + [
+        ("B", f"x{i}") for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "src string, key string")
+    k = 256
+    sk = kmv_sketch(df, "key", ["src"], k=k)
+    out = kmv_overlap_pairs(sk, "src", k=k).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["group_a"] == "A" and r["group_b"] == "B"
+    assert r["k_used"] == k
+    assert r["jaccard_est"] == r["n_common"] / k
+    # sketch guarantees: estimates within sampling error of truth
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(r["union_est"] - 1500) / 1500 < 0.25
+    assert abs(r["intersection_est"] - 500) / 500 < 0.5
+
+
+def test_kmv_overlap_all_pairs_lexicographic(spark):
+    rows = [(s, f"{s}-{i}") for s in ("a", "b", "c") for i in range(50)]
+    df = spark.createDataFrame(rows, "src string, key string")
+    out = kmv_overlap_pairs(kmv_sketch(df, "key", ["src"], k=32), "src", k=32)
+    pairs = {(r["group_a"], r["group_b"]) for r in out.collect()}
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(r["n_common"] == 0 for r in out.collect())  # disjoint sets
+
+
+def test_kmv_sketch_validates_k(spark):
+    df = spark.createDataFrame([("x",)], "key string")
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "key", [], k=0)
