@@ -136,6 +136,12 @@ HEADLINE = [
     "doc_topic_terms",
     "doc_weighted_sample",
     "ivf_index_probe",
+    # round-8 late: EWMA fold, curriculum schedule, persisted postings
+    # index, KMV set-operation overlap
+    "event_ewma",
+    "doc_quality_curriculum",
+    "doc_postings_index",
+    "corpus_overlap_kmv",
 ]
 
 

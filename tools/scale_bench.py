@@ -92,6 +92,10 @@ QUERIES = [
     "doc_hybrid_search", "event_zorder", "embedding_ann_recall",
     "doc_topic_terms", "doc_weighted_sample", "ivf_index_probe",
     "doc_hll_rollup",
+    # round-8 late: sequential per-key fold, per-group ntile schedule,
+    # bucket-pruned postings probes, sketch-pair overlap algebra
+    "event_ewma", "doc_quality_curriculum", "doc_postings_index",
+    "corpus_overlap_kmv",
 ]
 
 
