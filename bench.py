@@ -142,6 +142,8 @@ HEADLINE = [
     "doc_quality_curriculum",
     "doc_postings_index",
     "corpus_overlap_kmv",
+    "media_phash_pairs",
+    "doc_bpe_fertility",
 ]
 
 

@@ -428,3 +428,103 @@ def ahash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(work, schema=AHASH_SCHEMA)
+
+
+_DCT_SCALE = 1 << 15
+_DCT_CACHE: dict[int, "np.ndarray"] = {}
+
+
+def _dct_matrix_fixed(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis in SIGNED 16-bit fixed point
+    (round(C * 2^15) as int64). Fixed-point makes the downstream hash
+    INTEGER-EXACT: the transform is two int64 matmuls, so the bit
+    pattern never depends on BLAS threading or SIMD width — the same
+    determinism contract as ahash_bytes, extended to a frequency-domain
+    hash. Magnitude bound: |C_fixed| <= 2^13, pixels <= 765, so the
+    transform values stay < 2^50 — no int64 overflow."""
+    m = _DCT_CACHE.get(n)
+    if m is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        c = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        c[0] *= np.sqrt(1.0 / n)
+        c[1:] *= np.sqrt(2.0 / n)
+        m = np.round(c * _DCT_SCALE).astype(np.int64)
+        _DCT_CACHE[n] = m
+    return m
+
+
+def phash_bytes(payload: bytes, hash_size: int = 8, resize_to: int = 32) -> int | None:
+    """Perceptual DCT hash (pHash) of one PPM/BMP payload — the
+    frequency-domain counterpart of :func:`ahash_bytes`, robust to
+    uniform brightness/contrast edits aHash is blind to.
+
+    Classic recipe (Zauner 2010, the public imagehash formulation):
+    grayscale -> resize to ``resize_to``² -> 2-d DCT-II -> keep the
+    top-left ``hash_size``² low-frequency block -> threshold each
+    coefficient against the block median -> pack bits row-major, MSB
+    first, into a SIGNED 64-bit integer.
+
+    INTEGER-EXACT throughout: grayscale is the channel sum, the resize
+    is nearest-neighbor index math, the DCT runs in fixed point
+    (:func:`_dct_matrix_fixed`), and the median test compares
+    ``2*coeff > lo+hi`` of the two middle order statistics — all int64,
+    so an oracle replica reproduces every bit. Returns None for
+    payloads that are neither PPM nor BMP."""
+    try:
+        if payload[:2] == b"P6":
+            img = decode_ppm(payload)
+        elif payload[:2] == b"BM":
+            img = decode_bmp(payload)
+        else:
+            return None
+    except Exception:
+        return None
+    gray = img.astype(np.int64).sum(axis=2)  # r+g+b, 0..765
+    small = resize_image(gray, resize_to, resize_to).astype(np.int64)
+    c = _dct_matrix_fixed(resize_to)
+    freq = c @ small @ c.T
+    low = freq[:hash_size, :hash_size].flatten()
+    n = hash_size * hash_size
+    srt = np.sort(low)
+    med2 = int(srt[n // 2 - 1]) + int(srt[n // 2])  # 2*median, exact int
+    h = 0
+    for v in low:
+        h = (h << 1) | int(2 * int(v) > med2)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def phash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """(media_id, phash, ok) over binary image payloads — same Arrow
+    mapInPandas shape as :func:`ahash_images` (payload dropped at the
+    decode stage, signature rides on); pair generation reuses the
+    pigeonhole Hamming join (operators/dedup.py:hamming_near_pairs)."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("phash", LongType()),
+            StructField("ok", BooleanType()),
+        ]
+    )
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = [
+                phash_bytes(bytes(p), hash_size) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(hs, dtype="Int64"),
+                    "ok": [h is not None for h in hs],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(work, schema=schema)

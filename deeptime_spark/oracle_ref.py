@@ -2958,3 +2958,68 @@ FROM agg
 
 
 _BUILDERS["corpus_overlap_kmv"] = oracle_corpus_overlap_kmv
+
+
+def oracle_media_phash_pairs() -> str:
+    """Driver numpy replica of the spectral image-dedup pipeline: same
+    PPM synthesis and variant planting as the aHash oracle, hashed with
+    the fixed-point-DCT phash_bytes (integer-exact, so the replica
+    reproduces every bit), then brute-force Hamming pairs at radius 4 —
+    the banded join has guaranteed recall there."""
+    from deeptime_spark.operators.multimodal import phash_bytes, synth_ppm
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir()}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    sigs = {}
+    for i in ids:
+        if i % 3 == 0:
+            sigs[i] = phash_bytes(synth_ppm(16, 16, seed=i))
+        if i % 15 == 0:
+            b = bytearray(synth_ppm(16, 16, seed=i))
+            off = b.index(b"255\n") + 4
+            for c in range(3):
+                b[off + c] = (b[off + c] + 120) % 256
+            sigs[i + 7_000_000] = phash_bytes(bytes(b))
+    keys = sorted(sigs)
+    h = np.array([sigs[k] & 0xFFFFFFFFFFFFFFFF for k in keys], dtype=np.uint64)
+    rows = []
+    for a in range(len(keys)):
+        x = h[a] ^ h[a + 1 :]
+        d = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            d += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        for off in np.nonzero(d <= 4)[0]:
+            b = a + 1 + int(off)
+            rows.append((keys[a], keys[b], int(d[off])))
+    return _values_sql(rows, ["id_a", "id_b", "hamming"], "bbb")
+
+
+_BUILDERS["media_phash_pairs"] = oracle_media_phash_pairs
+
+
+def oracle_doc_bpe_fertility() -> str:
+    """Per-language tokenizer fertility: wraps the full per-doc BPE
+    replay (oracle_bpe — word counts, merge loop, greedy encode all
+    re-derived outside Spark) as a CTE, joins the documents table for
+    lang, and lets DuckDB do the aggregation and the single fertility
+    division independently."""
+    per_doc = oracle_bpe()
+    return f"""
+WITH per_doc AS ({per_doc})
+SELECT d.lang,
+       CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(p.n_bpe_tokens) AS DOUBLE) / CAST(SUM(p.n_words) AS DOUBLE) AS fertility
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+_BUILDERS["doc_bpe_fertility"] = oracle_doc_bpe_fertility

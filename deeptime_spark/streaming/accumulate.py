@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -468,4 +469,73 @@ def streaming_interval_join(
     )
     return l.join(r, cond, "inner").select(
         F.col("_k").alias(key_col), "l_ts", "l_event_id", "r_ts", "r_event_id"
+    )
+
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_value", DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(
+    stream_df: DataFrame,
+    alpha: float = 0.25,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Online per-key EWMA as a custom stateful streaming operator
+    (applyInPandasWithState) — the incremental form of
+    operators/stats.py:ewma_by_key for unbounded per-key streams: state
+    is ONE (ewma, n) scalar pair per key, per-batch work is O(batch),
+    and the batch operator's O(events-per-key) aggregation buffer never
+    materializes.
+
+    Same in-order contract as the stateful CUSUM/transition kernels:
+    rows sort by ``order_cols`` within a batch, batches must arrive in
+    key-order across triggers (time-ordered file-chunk replay). The
+    fold ``s = s*(1-alpha) + x*alpha`` applies row by row in IEEE-754
+    doubles — the identical op sequence as the batch codegen fold, so
+    the end-of-stream state equals ewma_by_key bit-for-bit and the
+    harness query shares event_ewma's pure-SQL list_reduce oracle.
+    Null values are skipped (the batch operator drops them pre-fold).
+    """
+    a = float(alpha)
+    b = 1.0 - a
+
+    def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(list(order_cols))
+            for v in pdf[value_col]:
+                if v is None or v != v:  # null / NaN guard
+                    continue
+                x = float(v)
+                s = x if n == 0 else s * b + x * a
+                n += 1
+        state.update((s, n))
+        yield pd.DataFrame(
+            {"user_id": [k], "n_events": [n], "ewma_value": [s]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -208,3 +208,104 @@ def test_kmv_sketch_validates_k(spark):
     df = spark.createDataFrame([("x",)], "key string")
     with pytest.raises(ValueError):
         kmv_sketch(df, "key", [], k=0)
+
+
+# ------------------------------------------------------------- pHash
+
+
+def test_phash_integer_exact_and_separation(spark):
+    from deeptime_spark.operators.multimodal import phash_bytes, synth_ppm
+
+    def variant(i):
+        b = bytearray(synth_ppm(16, 16, seed=i))
+        o = b.index(b"255\n") + 4
+        for c in range(3):
+            b[o + c] = (b[o + c] + 120) % 256
+        return bytes(b)
+
+    def hd(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = [phash_bytes(synth_ppm(16, 16, seed=i)) for i in range(0, 60, 3)]
+    # deterministic: same payload -> same hash
+    assert base[0] == phash_bytes(synth_ppm(16, 16, seed=0))
+    # planted one-pixel variants stay within radius 4
+    for i in range(0, 60, 15):
+        assert hd(phash_bytes(synth_ppm(16, 16, seed=i)), phash_bytes(variant(i))) <= 4
+    # unrelated images are far apart
+    import itertools
+
+    assert min(hd(a, b) for a, b in itertools.combinations(base, 2)) > 8
+    # non-image payloads degrade to None, not an exception
+    assert phash_bytes(b"not an image") is None
+
+
+def test_phash_images_matches_scalar(spark):
+    from deeptime_spark.operators.multimodal import (
+        phash_bytes,
+        phash_images,
+        synth_ppm,
+    )
+
+    rows = [(i, synth_ppm(16, 16, seed=i)) for i in range(12)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["phash"] for r in phash_images(media).collect()}
+    for i, p in rows:
+        assert got[i] == phash_bytes(p)
+
+
+# ------------------------------------------------------ streaming EWMA
+
+
+def test_streaming_ewma_equals_batch(spark, tmp_path, rng):
+    """End-of-stream state must equal the batch fold bit-for-bit when
+    chunks replay in time order."""
+    import os
+
+    from deeptime_spark.operators.stats import ewma_by_key
+    from deeptime_spark.streaming.accumulate import streaming_ewma
+
+    rows = [(i % 5, i, i, float(rng.normal())) for i in range(400)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    batch = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in ewma_by_key(df, "value", ["ts", "event_id"], ["user_id"]).collect()
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for c in range(4):
+        before = set(os.listdir(src))
+        df.where((F.col("ts") >= c * 100) & (F.col("ts") < (c + 1) * 100)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f), (c * 1000, c * 1000))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = streaming_ewma(stream, alpha=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    final = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in spark.table("t_ewma")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(ewma_value, n_events)").alias("ewma_value"),
+        )
+        .collect()
+    }
+    spark.catalog.dropTempView("t_ewma")
+    assert final == batch  # bit-exact

@@ -96,6 +96,8 @@ QUERIES = [
     # bucket-pruned postings probes, sketch-pair overlap algebra
     "event_ewma", "doc_quality_curriculum", "doc_postings_index",
     "corpus_overlap_kmv",
+    # round-8 late batch 2: spectral perceptual hash, tokenizer fertility
+    "media_phash_pairs", "doc_bpe_fertility",
 ]
 
 
