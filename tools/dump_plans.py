@@ -140,6 +140,21 @@ FLAGSHIPS = {
         "(ReadSchema has no text) and is one max-agg Exchange. History "
         "is never rescanned — the sketch table IS the state."
     ),
+    "corpus_overlap_kmv": (
+        "KMV set operations: the corpus-scale pass is one distinct on "
+        "(source, xxhash64(shingle)); the bottom-k cut plans with "
+        "WindowGroupLimit, so each map task ships <= k rows per source "
+        "into the window Exchange; the pair algebra (broadcast pair "
+        "join + union rank + one aggregate) runs on O(sources * k) "
+        "sketch rows. No Python anywhere."
+    ),
+    "doc_postings_index": (
+        "Persisted inverted index: the probe's bucket IN-list appears "
+        "as PartitionFilters on the bucket-partitioned postings scan — "
+        "static partition pruning, only the probed directories are "
+        "read; the conjunctive check is one partial-aggregated groupBy "
+        "over the pruned postings. No Python anywhere."
+    ),
 }
 
 MANUAL_MARKER = "<!-- MANUAL SECTIONS BELOW: preserved by tools/dump_plans.py -->"
@@ -170,9 +185,30 @@ def _plan_doc_hll_rollup(spark):
     return hll_merge([stored.drop("day")], ["lang"])
 
 
+def _plan_doc_postings_index(spark):
+    """The harness query finishes driver-side (the tmp index dir is
+    deleted in its finally block), so dump the probe plan over a
+    just-written index instead — the partition pruning is the claim."""
+    import tempfile
+
+    import __spark_entry__ as entrymod
+    from deeptime_spark.operators.retrieval import (
+        probe_postings_index,
+        write_postings_index,
+    )
+
+    docs = entrymod._read(spark, SF, "documents")
+    d = tempfile.mkdtemp(prefix="plans_pidx_")  # tmp; OS-reclaimed
+    write_postings_index(docs, d, n_buckets=16)
+    return probe_postings_index(spark, d, ["query", "window", "scan"], mode="and")
+
+
 # harness queries whose returned frame is a driver-side literal dump a
 # purpose-built plan instead
-PLAN_BUILDERS = {"doc_hll_rollup": _plan_doc_hll_rollup}
+PLAN_BUILDERS = {
+    "doc_hll_rollup": _plan_doc_hll_rollup,
+    "doc_postings_index": _plan_doc_postings_index,
+}
 
 
 def main() -> int:
