@@ -4437,6 +4437,21 @@ def _q_streaming_ewma(spark, sf_dir):
     )
 
 
+def _q_doc_setsim_pairs(spark, sf_dir):
+    """EXACT token-set Jaccard self-join at 0.8 via prefix filtering
+    (operators/dedup.py:ppjoin_pairs, Chaudhuri ICDE'06 / Xiao WWW'08)
+    over one source shard — the deterministic counterpart of the
+    MinHash pipeline: candidates come from an equi-join on each
+    document's RAREST tokens (global-df order), pruned by the integer
+    length filter, verified by exact JVM set algebra. Every comparison
+    is integer (100*i >= 80*u), so the pure-SQL oracle replays the join
+    decision-for-decision; jaccard is the one final division."""
+    from deeptime_spark.operators.dedup import ppjoin_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("source") == "src0")
+    return ppjoin_pairs(docs, threshold_pct=80)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02, r04, and r06 each
@@ -4646,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_pairs": _q_media_phash_pairs,
         "doc_bpe_fertility": _q_doc_bpe_fertility,
         "streaming_ewma": _q_streaming_ewma,
+        "doc_setsim_pairs": _q_doc_setsim_pairs,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -4692,6 +4708,7 @@ _WINDOW_ORDER = [
     "media_phash_pairs",  # NEW round-8 late: never driver-run
     "doc_bpe_fertility",  # NEW round-8 late: never driver-run
     "streaming_ewma",  # NEW round-8 late: never driver-run
+    "doc_setsim_pairs",  # NEW round-8 late: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -6374,6 +6391,45 @@ FROM tf GROUP BY doc_id HAVING count(*) = 3
     # streaming EWMA's end-of-stream state is the identical IEEE fold in
     # time order — bit-equal to the batch operator, one oracle serves both
     base["streaming_ewma"] = base["event_ewma"]
+    # PPJoin prefix-filter set-similarity join: the oracle replays the
+    # candidate generation (rarest-first prefix equi-join + integer
+    # length filter) and the integer verification decision-for-decision
+    base["doc_setsim_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x != '')) AS ts
+  FROM documents
+  WHERE source = 'src0'
+    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')) > 0
+), ex AS (
+  SELECT doc_id, unnest(ts) AS tok FROM toks
+), dfr AS (
+  SELECT tok, count(*) AS df FROM ex GROUP BY tok
+), ord_ex AS (
+  SELECT e.doc_id, e.tok,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.tok) AS pos,
+         count(*) OVER (PARTITION BY e.doc_id) AS sz
+  FROM ex e JOIN dfr d ON e.tok = d.tok
+), pref AS (
+  SELECT doc_id, tok, sz FROM ord_ex
+  WHERE pos <= sz - ((80 * sz + 99) // 100) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE 100 * least(a.sz, b.sz) >= 80 * greatest(a.sz, b.sz)
+), v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(x.ts, y.ts)) AS i,
+         len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)) AS u
+  FROM cand c JOIN toks x ON x.doc_id = c.id_a JOIN toks y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(i AS BIGINT) AS n_intersect,
+       CAST(u AS BIGINT) AS n_union,
+       CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+FROM v WHERE 100 * i >= 80 * u
+"""
     # estimator-pipeline oracles: independently-recomputed data path +
     # driver-finalize literals (deeptime_spark/oracle_ref.py). Builders are
     # failure-isolated; a raising builder leaves its query rows-only.

@@ -144,6 +144,7 @@ HEADLINE = [
     "corpus_overlap_kmv",
     "media_phash_pairs",
     "doc_bpe_fertility",
+    "doc_setsim_pairs",
 ]
 
 

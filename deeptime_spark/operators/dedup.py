@@ -1628,3 +1628,106 @@ def probe_signature_index(
         .where(F.col("est_jaccard") >= threshold)
         .select("new_id", "old_id", "est_jaccard")
     )
+
+
+# ------------------------------------------ exact set-similarity join
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    threshold_pct: int = 70,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join at ``threshold_pct / 100`` via
+    prefix filtering (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08
+    "PPJoin") — the deterministic counterpart of the MinHash pipeline:
+    no probabilistic recall, every qualifying pair is returned.
+
+    Prefix-filter principle: order every document's distinct-token set
+    by GLOBAL document frequency (rarest first, ties by token); two
+    sets with Jaccard >= t must share at least one token inside each
+    other's first ``|s| - ceil(t|s|) + 1`` tokens — so candidate pairs
+    come from an equi-join on PREFIX tokens only, and because prefixes
+    hold each document's RAREST tokens, join buckets stay small exactly
+    where the corpus is largest. The length filter
+    ``t <= |a|/|b| <= 1/t`` prunes before verification; verification is
+    exact JVM set algebra (array_intersect size). The positional/suffix
+    filters of full PPJoin+ prune constants, not asymptotics, and are
+    omitted.
+
+    All comparisons are integer (threshold as a percentage:
+    ``100*i >= pct*u``), so an independent SQL engine replays the join
+    bit-for-bit; the reported ``jaccard`` is the single final division.
+
+    Spark shape: one explode + df-count shuffle, one (df, token)-ranked
+    window per doc (rank and size share one exchange), a prefix
+    equi-join (AQE-skew-splittable), and two array joins for
+    verification. No all-pairs step anywhere; worst-case candidate
+    fan-out is bounded by prefix-token bucket sizes, which the
+    rarest-first ordering minimizes (the Xiao et al. result).
+
+    Returns (id_a, id_b, n_intersect, n_union, jaccard), id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    from deeptime_spark.operators.text import tokens
+
+    if not (0 < threshold_pct <= 100):
+        raise ValueError("threshold_pct must be in (0, 100]")
+    pct = int(threshold_pct)
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("_ts"),
+    ).where(F.size("_ts") > 0)
+    ex = toks.select("_id", F.explode("_ts").alias("_tok"))
+    dfr = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id")
+    ranked = (
+        ex.join(dfr, "_tok")
+        .withColumn(
+            "_pos",
+            F.row_number().over(w.orderBy(F.col("_df").asc(), F.col("_tok").asc())),
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(w))
+    )
+    # prefix length p = sz - ceil(pct*sz/100) + 1, all-integer
+    pref = ranked.where(
+        F.col("_pos") <= F.col("_sz") - F.expr(f"(({pct} * _sz + 99) div 100)") + 1
+    ).select("_id", "_tok", "_sz")
+    a = pref.select(
+        F.col("_id").alias("id_a"), F.col("_tok"), F.col("_sz").alias("_sa")
+    )
+    b = pref.select(
+        F.col("_id").alias("id_b"), F.col("_tok"), F.col("_sz").alias("_sb")
+    )
+    cand = (
+        a.join(b, "_tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(100) * F.least("_sa", "_sb")
+                >= F.lit(pct) * F.greatest("_sa", "_sb")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
+        .where(F.lit(100) * F.col("_i") >= F.lit(pct) * F.col("_u"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("_i").cast("long").alias("n_intersect"),
+        F.col("_u").cast("long").alias("n_union"),
+        (F.col("_i").cast("double") / F.col("_u").cast("double")).alias("jaccard"),
+    )

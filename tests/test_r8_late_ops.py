@@ -309,3 +309,58 @@ def test_streaming_ewma_equals_batch(spark, tmp_path, rng):
     }
     spark.catalog.dropTempView("t_ewma")
     assert final == batch  # bit-exact
+
+
+# ------------------------------------------------------- PPJoin (exact)
+
+
+def test_ppjoin_exact_vs_bruteforce(spark, rng):
+    """Prefix filtering must lose NOTHING: results equal brute-force
+    all-pairs Jaccard at the threshold."""
+    from deeptime_spark.operators.dedup import ppjoin_pairs
+
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(80):
+        k = int(rng.integers(5, 15))
+        toks = list(rng.choice(vocab, size=k, replace=False))
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_intersect"], r["n_union"])
+        for r in ppjoin_pairs(df, threshold_pct=60).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    exp = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            union = len(a | b)
+            if 100 * inter >= 60 * union:
+                exp[(ids[x], ids[y])] = (inter, union)
+    assert got == exp
+
+
+def test_ppjoin_identical_and_disjoint(spark):
+    from deeptime_spark.operators.dedup import ppjoin_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "x y z q r")],
+        "doc_id long, text string",
+    )
+    out = ppjoin_pairs(df, threshold_pct=90).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["jaccard"]) == (0, 1, 1.0)
+
+
+def test_ppjoin_threshold_validation(spark):
+    from deeptime_spark.operators.dedup import ppjoin_pairs
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ppjoin_pairs(df, threshold_pct=0)
+    with pytest.raises(ValueError):
+        ppjoin_pairs(df, threshold_pct=101)

@@ -98,6 +98,9 @@ QUERIES = [
     "corpus_overlap_kmv",
     # round-8 late batch 2: spectral perceptual hash, tokenizer fertility
     "media_phash_pairs", "doc_bpe_fertility",
+    # round-8 late batch 3: exact prefix-filter set-similarity join
+    # (replica clone families multiply qualifying pairs)
+    "doc_setsim_pairs",
 ]
 
 
