@@ -772,3 +772,15 @@ def test_postings_probe_partition_pruned(spark, tmp_path):
     seg = plan.split("PartitionFilters")[1][:200]
     assert "_bucket" in seg, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_ppjoin_no_cartesian_no_python(spark):
+    """PPJoin's candidate generation must be an equi-join on prefix
+    tokens — never a CartesianProduct — and the whole pipeline stays
+    JVM-side (operators/dedup.py:ppjoin_pairs)."""
+    from deeptime_spark.operators.dedup import ppjoin_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("source = 'src0'")
+    plan = plan_of(ppjoin_pairs(docs, threshold_pct=80))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EvalPython" not in plan
