@@ -4452,6 +4452,51 @@ def _q_doc_setsim_pairs(spark, sf_dir):
     return ppjoin_pairs(docs, threshold_pct=80)
 
 
+def _q_event_bfs(spark, sf_dir):
+    """Multi-source BFS hop distances (operators/graph.py:bfs_distances)
+    on a sparse 4001-node event multigraph (undirected): frontier
+    expansion as a DataFrame loop — per round one frontier join against
+    the deduplicated edge relation + one anti-join against the reached
+    set, frames broadcast below the node threshold, frontiers
+    localCheckpointed. Unique fixed point; the oracle replays the same
+    BFS densely in Python (oracle_ref.py:oracle_event_bfs)."""
+    from deeptime_spark.operators.graph import bfs_distances
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    edges = ev.select(
+        (F.col("event_id") % 4001).alias("src"),
+        ((F.col("event_id") * 31 + F.expr("event_id div 4001")) % 4001).alias(
+            "dst"
+        ),
+    ).where(F.col("src") != F.col("dst"))
+    out = bfs_distances(edges, sources=[0, 1, 2], max_depth=20)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _q_doc_setsim_drop(spark, sf_dir):
+    """Exact-join dedup composition: PPJoin pairs at 0.8
+    (dedup.py:ppjoin_pairs) -> connected components -> keep the min-id
+    canonical per cluster (dedup.py:drop_near_duplicates — the same
+    composition the MinHash pipeline uses, with the probabilistic
+    candidate stage swapped for the exact prefix-filter join). Per-lang
+    survivor tallies + checksums; the oracle recomputes the pairs in
+    SQL, union-finds the clusters in Python, and aggregates survivors
+    independently (oracle_ref.py:oracle_doc_setsim_drop)."""
+    from deeptime_spark.operators.dedup import drop_near_duplicates, ppjoin_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("source") == "src0")
+    pairs = ppjoin_pairs(docs, threshold_pct=80)
+    kept = drop_near_duplicates(docs, pairs)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02, r04, and r06 each
@@ -4662,6 +4707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_fertility": _q_doc_bpe_fertility,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
+        "event_bfs": _q_event_bfs,
+        "doc_setsim_drop": _q_doc_setsim_drop,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -4709,6 +4756,8 @@ _WINDOW_ORDER = [
     "doc_bpe_fertility",  # NEW round-8 late: never driver-run
     "streaming_ewma",  # NEW round-8 late: never driver-run
     "doc_setsim_pairs",  # NEW round-8 late: never driver-run
+    "event_bfs",  # NEW round-8 late: never driver-run
+    "doc_setsim_drop",  # NEW round-8 late: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

@@ -145,6 +145,8 @@ HEADLINE = [
     "media_phash_pairs",
     "doc_bpe_fertility",
     "doc_setsim_pairs",
+    "event_bfs",
+    "doc_setsim_drop",
 ]
 
 

@@ -574,3 +574,93 @@ def k_core(
         return _degrees(alive).localCheckpoint(eager=True)
     finally:
         und.unpersist()
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 20,
+    directed: bool = False,
+    partitions: int | None = None,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Multi-source BFS hop distances — the traversal primitive under
+    k-hop neighborhoods, crawl-frontier expansion, and "distance from
+    seed set" quality signals (e.g. distance-from-trusted-hosts spam
+    scoring on web graphs).
+
+    Frontier expansion as a DataFrame loop: round d joins the frontier
+    against the (deduplicated, optionally symmetrized) edge relation,
+    anti-joins nodes already reached, and labels the new nodes with
+    distance ``d``. Each reached node's distance is its true shortest
+    hop count — unique fixed point, deterministic on any layout, so a
+    dense Python replica replays it for the oracle. Unreached nodes and
+    depths beyond ``max_depth`` are absent from the output (the k-hop
+    contract: ``max_depth`` bounds the neighborhood radius, it is not a
+    convergence failure — the loop exits early when a frontier empties).
+
+    Scale regime (the :func:`pagerank` / :func:`k_core` switch): below
+    ``broadcast_threshold`` nodes, the O(frontier) and O(reached)
+    frames ride broadcast joins against the edge scan — one job per
+    round, the O(|E|) side never shuffles; above it, the edge relation
+    is persisted hash-partitioned on the source endpoint so every
+    round's frontier join reuses the cached layout and only the O(|V|)
+    frames move. Frontiers are localCheckpointed per round (lineage
+    truncation, as every iterative loop in this module). The one driver
+    scalar per round is the frontier count — the minimal convergence
+    signal.
+
+    Returns (node, dist) for every node within ``max_depth`` hops of
+    any source (sources themselves at dist 0).
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = e.distinct()
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    small = n <= broadcast_threshold
+    if not small:
+        und = und.repartition(
+            partitions or und.sparkSession.sparkContext.defaultParallelism, "u"
+        )
+    und = und.persist()
+    und.count()
+    try:
+        frontier = (
+            spark.createDataFrame(
+                [(int(s),) for s in sorted(set(sources))], "node long"
+            )
+            .withColumn("dist", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        reached = frontier
+        for d in range(1, max_depth + 1):
+            f = F.broadcast(frontier) if small else frontier
+            r = F.broadcast(reached) if small else reached
+            nbrs = (
+                und.join(f.select(F.col("node").alias("u")), "u")
+                .select(F.col("v").alias("node"))
+                .distinct()
+            )
+            new = (
+                nbrs.join(r, "node", "left_anti")
+                .withColumn("dist", F.lit(d))
+                .localCheckpoint(eager=True)
+            )
+            if new.count() == 0:
+                break
+            reached = reached.union(new).localCheckpoint(eager=True)
+            frontier = new
+        return reached
+    finally:
+        und.unpersist(blocking=False)

@@ -3023,3 +3023,126 @@ GROUP BY d.lang
 
 
 _BUILDERS["doc_bpe_fertility"] = oracle_doc_bpe_fertility
+
+
+def oracle_event_bfs() -> str:
+    """Dense Python BFS replica on the 4001-node event multigraph
+    (undirected distinct edges, seeds {0,1,2}, depth cap 20)."""
+    from collections import deque
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT event_id FROM read_parquet('{sf_dir()}/events.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    adj: dict = {}
+    for i in ids:
+        s = i % 4001
+        d = (i * 31 + i // 4001) % 4001
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    dist = {0: 0, 1: 0, 2: 0}
+    dq = deque([(0, 0), (1, 0), (2, 0)])
+    while dq:
+        v, d = dq.popleft()
+        if d >= 20:
+            continue
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = d + 1
+                dq.append((w, d + 1))
+    rows = sorted(dist.items())
+    return _values_sql(rows, ["node", "dist"], "bb")
+
+
+_BUILDERS["event_bfs"] = oracle_event_bfs
+
+
+# twin of __spark_entry__.oracle_sql()["doc_setsim_pairs"] — duplicated
+# here (NOT imported: calling back into oracle_sql() from a builder would
+# recurse through estimator_oracles); drift between the two copies fails
+# the doc_setsim_pairs vs doc_setsim_drop cross-check at the verify gate
+_SETSIM_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x != '')) AS ts
+  FROM documents
+  WHERE source = 'src0'
+    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')) > 0
+), ex AS (
+  SELECT doc_id, unnest(ts) AS tok FROM toks
+), dfr AS (
+  SELECT tok, count(*) AS df FROM ex GROUP BY tok
+), ord_ex AS (
+  SELECT e.doc_id, e.tok,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.tok) AS pos,
+         count(*) OVER (PARTITION BY e.doc_id) AS sz
+  FROM ex e JOIN dfr d ON e.tok = d.tok
+), pref AS (
+  SELECT doc_id, tok, sz FROM ord_ex
+  WHERE pos <= sz - ((80 * sz + 99) // 100) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE 100 * least(a.sz, b.sz) >= 80 * greatest(a.sz, b.sz)
+), v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(x.ts, y.ts)) AS i,
+         len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)) AS u
+  FROM cand c JOIN toks x ON x.doc_id = c.id_a JOIN toks y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b FROM v WHERE 100 * i >= 80 * u
+"""
+
+
+def oracle_doc_setsim_drop() -> str:
+    """Exact-dedup composition replica: the PPJoin pair relation comes
+    from the SAME pure SQL the doc_setsim_pairs oracle uses (DuckDB
+    computes candidates + verification independently); Python
+    union-finds the clusters and the non-canonical members become a
+    literal loser set that SQL anti-joins and aggregates."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir()}/documents.parquet')"
+    )
+    pairs = con.execute(_SETSIM_PAIRS_SQL).fetchall()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, *_ in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    members: dict = {}
+    for x in set(parent):
+        members.setdefault(find(x), set()).add(x)
+    losers = sorted(
+        m for root, ms in members.items() for m in ms | {root} if m != min(ms | {root})
+    )
+    con.close()
+    loser_list = ", ".join(str(v) for v in losers) or "NULL"
+    return f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM documents
+WHERE source = 'src0' AND doc_id NOT IN ({loser_list})
+GROUP BY lang
+"""
+
+
+_BUILDERS["doc_setsim_drop"] = oracle_doc_setsim_drop

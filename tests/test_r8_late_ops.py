@@ -364,3 +364,59 @@ def test_ppjoin_threshold_validation(spark):
         ppjoin_pairs(df, threshold_pct=0)
     with pytest.raises(ValueError):
         ppjoin_pairs(df, threshold_pct=101)
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def test_bfs_distances_simple_chain_and_fork(spark):
+    from deeptime_spark.operators.graph import bfs_distances
+
+    # 0-1-2-3 chain plus fork 1-4; seed {0}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [0]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+
+
+def test_bfs_multi_source_and_depth_cap(spark):
+    from deeptime_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [0, 10], max_depth=2).collect()}
+    # node 3 is 3 hops away -> excluded by the cap; component of 10 reached
+    assert got == {0: 0, 10: 0, 1: 1, 11: 1, 2: 2}
+
+
+def test_bfs_directed_vs_undirected(spark):
+    from deeptime_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 0), (1, 2)], "src long, dst long")
+    und = {r["node"]: r["dist"] for r in bfs_distances(edges, [0]).collect()}
+    assert und == {0: 0, 1: 1, 2: 2}
+    d = {r["node"]: r["dist"] for r in bfs_distances(edges, [0], directed=True).collect()}
+    assert d == {0: 0}  # no out-edges from 0
+
+    with pytest.raises(ValueError):
+        bfs_distances(edges, [])
+
+
+def test_drop_setsim_duplicates_composition(spark):
+    from deeptime_spark.operators.dedup import drop_near_duplicates, ppjoin_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e", 5),
+            (1, "a b c d e", 5),
+            (2, "a b c d e f", 6),
+            (3, "x y z w v", 5),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = ppjoin_pairs(docs, threshold_pct=80)
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect())
+    # {0,1,2} form one cluster (0-1 exact, 2 within 5/6 >= 0.8); 0 is canonical
+    assert kept == [0, 3]

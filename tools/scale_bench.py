@@ -101,6 +101,8 @@ QUERIES = [
     # round-8 late batch 3: exact prefix-filter set-similarity join
     # (replica clone families multiply qualifying pairs)
     "doc_setsim_pairs",
+    # round-8 late batch 4: BFS frontier loop, exact-dedup composition
+    "event_bfs", "doc_setsim_drop",
 ]
 
 
