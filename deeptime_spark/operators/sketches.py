@@ -557,11 +557,16 @@ def kmv_overlap_pairs(
             F.col(f"gb.{group_col}").alias("group_b"),
         )
     )
-    tagged = sketch.join(
-        F.broadcast(pairs),
-        (F.col(group_col) == F.col("group_a"))
-        | (F.col(group_col) == F.col("group_b")),
+    # explode each pair into one row per member so the sketch joins by
+    # EQUI-join on the group key (hash join, linear in |sketch| x pair
+    # fan-out) — an OR-condition join would plan as a nested-loop over
+    # sketch x pairs, quadratic in the group count
+    membership = pairs.select(
+        "group_a",
+        "group_b",
+        F.explode(F.array("group_a", "group_b")).alias(group_col),
     )
+    tagged = sketch.join(F.broadcast(membership), group_col)
     # distinct union hashes per pair; a hash present in both sketches
     # contributes two rows here
     union = tagged.groupBy("group_a", "group_b", "h").agg(

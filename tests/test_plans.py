@@ -753,6 +753,17 @@ def test_kmv_sketch_partial_topk_before_exchange(spark):
     plan = plan_of(kmv_sketch(sh, "s", ["source"], k=64))
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert "EvalPython" not in plan
+    # the pair algebra must join the sketch by EQUI-join on the exploded
+    # membership relation — an OR-condition join would nest-loop over
+    # sketch x pairs (the only BNLJ allowed is the tiny group cross-join)
+    from deeptime_spark.operators.sketches import kmv_overlap_pairs
+
+    sk = kmv_sketch(sh, "s", ["source"], k=64)
+    pplan = plan_of(kmv_overlap_pairs(sk, "source", k=64))
+    import re
+
+    tagged_joins = re.findall(r"\(\d+\) BroadcastHashJoin", pplan)
+    assert tagged_joins, pplan[:2000]  # membership join is a hash join
 
 
 def test_postings_probe_partition_pruned(spark, tmp_path):
