@@ -4497,6 +4497,60 @@ def _q_doc_setsim_drop(spark, sf_dir):
     )
 
 
+def _q_event_kmv_rollup(spark, sf_dir):
+    """Mergeable QUANTILE-sketch rollup — the bottom-k twin of
+    doc_hll_rollup: per-(event_type, day) content-addressed bottom-k
+    samples (sketches.py:bottomk_sample) are written as a
+    day-partitioned parquet sketch table (≤ k rows per group per day at
+    ANY corpus size), read back, and monoid-merged by re-applying
+    bottom-k to the union — EXACTLY the bottom-k of the full data
+    (any union-bottom-k row is bottom-k in its own day), so the rollup
+    is bit-identical to a one-shot sketch with no history rescan.
+    Nearest-rank quantiles over integer cents make every output cell
+    exact; the oracle replays hash + cut + quantiles in Python
+    (oracle_ref.py:oracle_event_kmv_rollup)."""
+    import tempfile
+
+    from deeptime_spark.operators.sketches import (
+        bottomk_rollup_quantiles,
+        bottomk_sample,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("event_id"), F.lit(7)).alias("day"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = bottomk_sample(
+        ev, "event_id", ["event_type", "day"], k=256, payload_cols=["event_id", "cents"]
+    )
+    d = tempfile.mkdtemp(prefix="kmv_rollup_")
+    try:
+        daily.write.mode("overwrite").partitionBy("day").parquet(d)
+        stored = spark.read.parquet(d).drop("day")
+        out = bottomk_rollup_quantiles(
+            stored, "event_id", "cents", ["event_type"], k=256
+        )
+        rows = out.collect()
+    finally:
+        _rmtree_quiet(d)
+    return spark.createDataFrame(
+        [
+            (
+                r["event_type"],
+                int(r["n_sample"]),
+                int(r["q25"]),
+                int(r["q50"]),
+                int(r["q75"]),
+                int(r["q90"]),
+            )
+            for r in rows
+        ],
+        "event_type string, n_sample long, q25 long, q50 long, q75 long, q90 long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02, r04, and r06 each
@@ -4709,6 +4763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "event_bfs": _q_event_bfs,
         "doc_setsim_drop": _q_doc_setsim_drop,
+        "event_kmv_rollup": _q_event_kmv_rollup,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -4758,6 +4813,7 @@ _WINDOW_ORDER = [
     "doc_setsim_pairs",  # NEW round-8 late: never driver-run
     "event_bfs",  # NEW round-8 late: never driver-run
     "doc_setsim_drop",  # NEW round-8 late: never driver-run
+    "event_kmv_rollup",  # NEW round-8 late: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05

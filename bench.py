@@ -147,6 +147,7 @@ HEADLINE = [
     "doc_setsim_pairs",
     "event_bfs",
     "doc_setsim_drop",
+    "event_kmv_rollup",
 ]
 
 

@@ -63,6 +63,9 @@ __all__ = [
     "cms_estimate",
     "bottomk_sample",
     "bottomk_quantiles",
+    "bottomk_rollup_quantiles",
+    "kmv_sketch",
+    "kmv_overlap_pairs",
 ]
 
 _MASK32 = 0xFFFFFFFF
@@ -596,3 +599,48 @@ def kmv_overlap_pairs(
         union_est.alias("union_est"),
         (jac * union_est).alias("intersection_est"),
     )
+
+
+def bottomk_rollup_quantiles(
+    samples: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    quantiles: tuple = (25, 50, 75, 90),
+) -> DataFrame:
+    """Merge persisted per-slice bottom-k samples and compute per-group
+    nearest-rank quantiles — the quantile twin of the HLL register
+    rollup (hll_merge): a sketch TABLE is written once per
+    slice (day/shard), and any cross-slice rollup is answered from the
+    bounded sketch rows without rescanning history.
+
+    Monoid property (why this is exact, not an approximation of the
+    sketch): any row among the k smallest hashes of the UNION is among
+    the k smallest of its own slice, so re-applying bottom-k
+    (:func:`bottomk_sample`) to the concatenated slice samples yields
+    EXACTLY the bottom-k sample of the union — the rollup is
+    bit-identical to a one-shot sketch over the full data. Quantiles
+    are nearest-rank (ceil(q·n/100), all-integer index arithmetic) over
+    the merged sample's values, so with an integer ``value_col`` every
+    output cell is exact-integer and engine-replayable.
+
+    Spark shape: the merge is one rank-limit window over
+    O(slices · k · groups) sketch rows (WindowGroupLimit partial
+    top-k), then one collect_list aggregate of ≤ k values per group —
+    nothing rescans the underlying corpus.
+    """
+    group_cols = list(group_cols or [])
+    merged = bottomk_sample(samples, key_col, group_cols, k, [value_col])
+    agg = merged.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.col(value_col))).alias("_vals")
+    )
+    n = F.size("_vals")
+    out_cols = [
+        *group_cols,
+        n.cast("long").alias("n_sample"),
+    ]
+    for q in quantiles:
+        idx = F.greatest(F.expr(f"({int(q)} * size(_vals) + 99) div 100"), F.lit(1))
+        out_cols.append(F.element_at("_vals", idx.cast("int")).alias(f"q{int(q)}"))
+    return agg.select(*out_cols)

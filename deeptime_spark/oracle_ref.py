@@ -3146,3 +3146,39 @@ GROUP BY lang
 
 
 _BUILDERS["doc_setsim_drop"] = oracle_doc_setsim_drop
+
+
+def oracle_event_kmv_rollup(k: int = 256) -> str:
+    """Python replica of the bottom-k quantile rollup. The monoid
+    identity (bottom-k of unioned per-day bottom-ks == bottom-k of the
+    full data) lets the replica cut the k smallest (xxhash64(id), id)
+    per type directly; nearest-rank quantiles over the sample's integer
+    cents. Cents come from DuckDB's round(value*100) — the same
+    HALF_UP rounding Spark applies (pinned by the zorder/cusum
+    oracles)."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) "
+        f"FROM read_parquet('{sf_dir()}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_type: dict = {}
+    for et, eid, cents in rows:
+        by_type.setdefault(et, []).append(
+            (xxhash64(str(int(eid)).encode()), int(eid), int(cents))
+        )
+    out = []
+    for et in sorted(by_type):
+        sample = sorted(by_type[et])[:k]
+        vals = sorted(c for _, _, c in sample)
+        n = len(vals)
+        qs = [vals[max((q * n + 99) // 100, 1) - 1] for q in (25, 50, 75, 90)]
+        out.append((et, n, *qs))
+    return _values_sql(
+        out, ["event_type", "n_sample", "q25", "q50", "q75", "q90"], "sbbbbb"
+    )
+
+
+_BUILDERS["event_kmv_rollup"] = oracle_event_kmv_rollup

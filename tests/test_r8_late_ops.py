@@ -420,3 +420,47 @@ def test_drop_setsim_duplicates_composition(spark):
     kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect())
     # {0,1,2} form one cluster (0-1 exact, 2 within 5/6 >= 0.8); 0 is canonical
     assert kept == [0, 3]
+
+
+# ----------------------------------------------------- bottom-k rollup
+
+
+def test_bottomk_rollup_is_monoid(spark, tmp_path):
+    """Rollup of per-day bottom-k sketch tables must equal the one-shot
+    bottom-k quantiles over the full data — bit-identical, not approx."""
+    from deeptime_spark.operators.sketches import (
+        bottomk_rollup_quantiles,
+        bottomk_sample,
+    )
+
+    rows = [(f"t{i % 3}", i % 5, i, (i * 37) % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, day int, id long, v long")
+    daily = bottomk_sample(df, "id", ["grp", "day"], k=64, payload_cols=["id", "v"])
+    p = str(tmp_path / "sketch")
+    daily.write.mode("overwrite").partitionBy("day").parquet(p)
+    stored = spark.read.parquet(p).drop("day")
+    rolled = {
+        r["grp"]: (r["n_sample"], r["q25"], r["q50"], r["q75"], r["q90"])
+        for r in bottomk_rollup_quantiles(stored, "id", "v", ["grp"], k=64).collect()
+    }
+    oneshot = {
+        r["grp"]: (r["n_sample"], r["q25"], r["q50"], r["q75"], r["q90"])
+        for r in bottomk_rollup_quantiles(df, "id", "v", ["grp"], k=64).collect()
+    }
+    assert rolled == oneshot
+
+
+def test_bottomk_rollup_quantiles_match_python(spark):
+    from deeptime_spark.operators.sketches import bottomk_rollup_quantiles
+    from deeptime_spark.spark_hashes import xxhash64
+
+    rows = [("a", i, (i * 7) % 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    k = 32
+    got = bottomk_rollup_quantiles(df, "id", "v", ["grp"], k=k).collect()[0]
+    sample = sorted((xxhash64(str(i).encode()), i, v) for _, i, v in rows)[:k]
+    vals = sorted(v for _, _, v in sample)
+    n = len(vals)
+    exp = [vals[max((q * n + 99) // 100, 1) - 1] for q in (25, 50, 75, 90)]
+    assert got["n_sample"] == n
+    assert [got["q25"], got["q50"], got["q75"], got["q90"]] == exp

@@ -103,6 +103,8 @@ QUERIES = [
     "doc_setsim_pairs",
     # round-8 late batch 4: BFS frontier loop, exact-dedup composition
     "event_bfs", "doc_setsim_drop",
+    # round-8 late batch 5: mergeable bottom-k quantile sketch table
+    "event_kmv_rollup",
 ]
 
 
