@@ -4551,6 +4551,86 @@ def _q_event_kmv_rollup(spark, sf_dir):
     )
 
 
+def _q_streaming_kmv_rollup(spark, sf_dir):
+    """Online bottom-k quantile sketch as a custom stateful streaming
+    operator (streaming/accumulate.py:streaming_bottomk_quantiles): the
+    event stream replays as FOUR file chunks and per-type state holds
+    the current k smallest (hash, key, value) triples — bounded at k.
+    Because the sample is content-addressed, the end-of-stream state
+    equals the batch bottom-k for ANY chunking (no in-order contract at
+    all, unlike CUSUM/EWMA), so this SHARES event_kmv_rollup's oracle.
+    Final state from the update-mode sink: max_by on the strictly
+    increasing rows-seen counter."""
+    import tempfile
+    import uuid
+
+    from deeptime_spark.streaming.accumulate import streaming_bottomk_quantiles
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="kmvq_src_")
+    sink = ckpt_dir = None
+    try:
+        # content-addressed sample: chunk boundaries are irrelevant, so
+        # a plain modulo split suffices (no mtime ordering needed)
+        for i in range(4):
+            (
+                ev.where(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src_dir)
+            )
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = streaming_bottomk_quantiles(stream, k=256)
+        sink = "kmvq_" + uuid.uuid4().hex[:8]
+        ckpt_dir = tempfile.mkdtemp(prefix="kmvq_ckpt_")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.table(sink)
+            .groupBy("event_type")
+            .agg(
+                *[
+                    F.expr(f"max_by({c}, n_seen)").alias(c)
+                    for c in ("n_sample", "q25", "q50", "q75", "q90")
+                ]
+            )
+            .collect()
+        )
+    finally:
+        _rmtree_quiet(src_dir, ckpt_dir)
+        _drop_view_quiet(spark, sink)
+    return spark.createDataFrame(
+        [
+            (
+                r["event_type"],
+                int(r["n_sample"]),
+                int(r["q25"]),
+                int(r["q50"]),
+                int(r["q75"]),
+                int(r["q90"]),
+            )
+            for r in rows
+        ],
+        "event_type string, n_sample long, q25 long, q50 long, q75 long, q90 long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02, r04, and r06 each
@@ -4764,6 +4844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bfs": _q_event_bfs,
         "doc_setsim_drop": _q_doc_setsim_drop,
         "event_kmv_rollup": _q_event_kmv_rollup,
+        "streaming_kmv_rollup": _q_streaming_kmv_rollup,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -4814,6 +4895,7 @@ _WINDOW_ORDER = [
     "event_bfs",  # NEW round-8 late: never driver-run
     "doc_setsim_drop",  # NEW round-8 late: never driver-run
     "event_kmv_rollup",  # NEW round-8 late: never driver-run
+    "streaming_kmv_rollup",  # NEW round-8 late: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -6496,6 +6578,10 @@ FROM tf GROUP BY doc_id HAVING count(*) = 3
     # streaming EWMA's end-of-stream state is the identical IEEE fold in
     # time order — bit-equal to the batch operator, one oracle serves both
     base["streaming_ewma"] = base["event_ewma"]
+    # the streaming bottom-k sample is content-addressed, so its end
+    # state equals the batch sketch for ANY chunking — the estimator
+    # oracle for event_kmv_rollup serves both (aliased after the
+    # estimator_oracles() update below)
     # PPJoin prefix-filter set-similarity join: the oracle replays the
     # candidate generation (rarest-first prefix equi-join + integer
     # length filter) and the integer verification decision-for-decision
@@ -6544,4 +6630,6 @@ FROM v WHERE 100 * i >= 80 * u
         base.update(estimator_oracles())
     except Exception:
         pass
+    if "event_kmv_rollup" in base:
+        base["streaming_kmv_rollup"] = base["event_kmv_rollup"]
     return base

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -536,6 +537,92 @@ def streaming_ewma(
         _fn,
         outputStructType=_EWMA_OUT_SCHEMA,
         stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_bottomk_quantiles(
+    stream_df: DataFrame,
+    k: int = 256,
+    key_col: str = "event_id",
+    value_col: str = "cents",
+    group_col: str = "event_type",
+    quantiles: tuple = (25, 50, 75, 90),
+) -> DataFrame:
+    """Online bottom-k (KMV) sampling + nearest-rank quantiles as a
+    custom stateful streaming operator — the stream face of
+    operators/sketches.py:bottomk_sample / bottomk_rollup_quantiles.
+
+    Because the sample is CONTENT-ADDRESSED (membership depends only on
+    xxhash64(key), never on arrival order or batch boundaries), the
+    end-of-stream state equals the batch bottom-k sample EXACTLY for
+    any replay chunking — stronger than the in-order contract the
+    CUSUM/EWMA kernels need: no ordering requirement at all. State per
+    group is the current k smallest (hash, key, value) triples —
+    bounded at k rows regardless of stream length.
+
+    Emits per group per batch: (group, n_sample, q25, q50, q75, q90)
+    with nearest-rank quantiles (ceil(q·n/100), integer-exact for
+    integer values) over the current sample; the final emission matches
+    the batch rollup, so the harness query shares
+    oracle_event_kmv_rollup.
+    """
+    from deeptime_spark.spark_hashes import xxhash64 as _xx
+
+    kk = int(k)
+    qs = tuple(int(q) for q in quantiles)
+    out_schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_sample", LongType()),
+        ]
+        + [StructField(f"q{q}", LongType()) for q in qs]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_seen", LongType()),
+            StructField("hs", ArrayType(LongType())),
+            StructField("ks", ArrayType(LongType())),
+            StructField("vs", ArrayType(LongType())),
+        ]
+    )
+
+    def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        if state.exists:
+            n_seen, hs, ks_, vs = state.get
+            sample = sorted(zip(hs, ks_, vs))
+        else:
+            n_seen, sample = 0, []
+        for pdf in pdfs:
+            for kv, vv in zip(pdf[key_col], pdf[value_col]):
+                kv = int(kv)
+                sample.append((_xx(str(kv).encode()), kv, int(vv)))
+                n_seen += 1
+        sample = sorted(set(sample))[:kk]
+        state.update(
+            (
+                n_seen,
+                [h for h, _, _ in sample],
+                [x for _, x, _ in sample],
+                [v for _, _, v in sample],
+            )
+        )
+        vals = sorted(v for _, _, v in sample)
+        n = len(vals)
+        # n_seen is strictly increasing per emission — the final-state
+        # recovery key (n_sample saturates at k, so it ties)
+        row = {group_col: [g], "n_seen": [n_seen], "n_sample": [n]}
+        for q in qs:
+            row[f"q{q}"] = [vals[max((q * n + 99) // 100, 1) - 1] if n else None]
+        yield pd.DataFrame(row)
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

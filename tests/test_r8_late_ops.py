@@ -464,3 +464,57 @@ def test_bottomk_rollup_quantiles_match_python(spark):
     exp = [vals[max((q * n + 99) // 100, 1) - 1] for q in (25, 50, 75, 90)]
     assert got["n_sample"] == n
     assert [got["q25"], got["q50"], got["q75"], got["q90"]] == exp
+
+
+def test_streaming_bottomk_equals_batch_any_chunking(spark, tmp_path):
+    """Content-addressed sample: end-of-stream quantiles equal the batch
+    rollup regardless of how rows are chunked into micro-batches."""
+    import os
+
+    from deeptime_spark.operators.sketches import bottomk_rollup_quantiles
+    from deeptime_spark.streaming.accumulate import streaming_bottomk_quantiles
+
+    rows = [(f"g{i % 2}", i, (i * 13) % 500) for i in range(600)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, cents long")
+    batch = {
+        r["event_type"]: (r["n_sample"], r["q25"], r["q50"], r["q75"], r["q90"])
+        for r in bottomk_rollup_quantiles(
+            df, "event_id", "cents", ["event_type"], k=64
+        ).collect()
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # adversarial chunking: interleaved by id residue, no time order
+    for c in range(3):
+        df.where(F.pmod(F.col("event_id"), F.lit(3)) == c).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_bottomk_quantiles(stream, k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_kmvq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    final = {
+        r["event_type"]: (r["n_sample"], r["q25"], r["q50"], r["q75"], r["q90"])
+        for r in spark.table("t_kmvq")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(f"max_by({c}, n_seen)").alias(c)
+                for c in ("n_sample", "q25", "q50", "q75", "q90")
+            ]
+        )
+        .collect()
+    }
+    spark.catalog.dropTempView("t_kmvq")
+    assert final == batch
