@@ -1598,7 +1598,11 @@ def _q_media_ahash_pairs(spark, sf_dir):
     from pyspark.sql.types import BinaryType
 
     from deeptime_spark.operators.dedup import hamming_near_pairs
-    from deeptime_spark.operators.multimodal import ahash_images, synth_ppm
+    from deeptime_spark.operators.multimodal import (
+        ahash_images,
+        synth_ppm,
+        synth_ppm_variant,
+    )
 
     @F.pandas_udf(BinaryType())
     def ppm_of(ids: pd.Series) -> pd.Series:
@@ -1606,14 +1610,7 @@ def _q_media_ahash_pairs(spark, sf_dir):
 
     @F.pandas_udf(BinaryType())
     def ppm_variant(ids: pd.Series) -> pd.Series:
-        def make(i):
-            b = bytearray(synth_ppm(16, 16, seed=int(i)))
-            o = b.index(b"255\n") + 4  # pixel (0,0) — sampled by the resize
-            for c in range(3):
-                b[o + c] = (b[o + c] + 120) % 256
-            return bytes(b)
-
-        return ids.map(make)
+        return ids.map(lambda i: synth_ppm_variant(16, 16, seed=int(i)))
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     base = docs.where(F.col("doc_id") % 3 == 0).select(
@@ -4288,7 +4285,11 @@ def _q_media_phash_pairs(spark, sf_dir):
     from pyspark.sql.types import BinaryType
 
     from deeptime_spark.operators.dedup import hamming_near_pairs
-    from deeptime_spark.operators.multimodal import phash_images, synth_ppm
+    from deeptime_spark.operators.multimodal import (
+        phash_images,
+        synth_ppm,
+        synth_ppm_variant,
+    )
 
     @F.pandas_udf(BinaryType())
     def ppm_of(ids: pd.Series) -> pd.Series:
@@ -4296,14 +4297,7 @@ def _q_media_phash_pairs(spark, sf_dir):
 
     @F.pandas_udf(BinaryType())
     def ppm_variant(ids: pd.Series) -> pd.Series:
-        def make(i):
-            b = bytearray(synth_ppm(16, 16, seed=int(i)))
-            o = b.index(b"255\n") + 4
-            for c in range(3):
-                b[o + c] = (b[o + c] + 120) % 256
-            return bytes(b)
-
-        return ids.map(make)
+        return ids.map(lambda i: synth_ppm_variant(16, 16, seed=int(i)))
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     base = docs.where(F.col("doc_id") % 3 == 0).select(

@@ -1676,12 +1676,19 @@ def ppjoin_pairs(
     if not (0 < threshold_pct <= 100):
         raise ValueError("threshold_pct must be in (0, 100]")
     pct = int(threshold_pct)
+    # BOTH candidate-join sides and BOTH verification joins consume these
+    # frames; without a cache Catalyst re-executes the tokenize/rank
+    # pipeline once per consumer (exchange reuse does not span aliased
+    # join sides — same lesson as _bucket_pairs). persist() is lazy;
+    # CACHE LIFECYCLE IS THE CALLER'S (spark.catalog.clearCache(), as the
+    # bench/correctness harnesses do) or block-manager LRU reclaims it —
+    # the same convention as verify_candidates_jaccard's gram cache.
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             F.filter(tokens(text_col), lambda t: t != "")
         ).alias("_ts"),
-    ).where(F.size("_ts") > 0)
+    ).where(F.size("_ts") > 0).persist()
     ex = toks.select("_id", F.explode("_ts").alias("_tok"))
     dfr = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("_id")
@@ -1696,7 +1703,7 @@ def ppjoin_pairs(
     # prefix length p = sz - ceil(pct*sz/100) + 1, all-integer
     pref = ranked.where(
         F.col("_pos") <= F.col("_sz") - F.expr(f"(({pct} * _sz + 99) div 100)") + 1
-    ).select("_id", "_tok", "_sz")
+    ).select("_id", "_tok", "_sz").persist()
     a = pref.select(
         F.col("_id").alias("id_a"), F.col("_tok"), F.col("_sz").alias("_sa")
     )

@@ -625,16 +625,20 @@ def bfs_distances(
     ).where(F.col("u") != F.col("v"))
     if not directed:
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    und = e.distinct()
+    # persist the deduplicated relation BEFORE the node count so the
+    # O(|E|) union+distinct shuffle runs once; the large regime derives
+    # its repartitioned copy from the cache
+    und = e.distinct().persist()
     nodes = und.select(F.col("u").alias("node")).distinct()
     n = nodes.count()
     small = n <= broadcast_threshold
     if not small:
-        und = und.repartition(
+        und2 = und.repartition(
             partitions or und.sparkSession.sparkContext.defaultParallelism, "u"
-        )
-    und = und.persist()
-    und.count()
+        ).persist()
+        und2.count()
+        und.unpersist(blocking=False)
+        und = und2
     try:
         frontier = (
             spark.createDataFrame(

@@ -236,6 +236,21 @@ def synth_ppm(width: int, height: int, seed: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pix.tobytes()
 
 
+def synth_ppm_variant(width: int, height: int, seed: int, delta: int = 120) -> bytes:
+    """The planted perceptual NEAR-duplicate of :func:`synth_ppm`: the
+    same deterministic image with pixel (0,0) — which the nearest-
+    neighbor resize samples — shifted by ``delta`` per channel. One
+    shared definition for the harness queries, the oracle replicas, and
+    the tests: the aHash/pHash planted-pair distances depend on this
+    exact edit, so drift between copies would silently break the
+    Spark-vs-oracle agreement."""
+    b = bytearray(synth_ppm(width, height, seed))
+    off = b.index(b"255\n") + 4
+    for c in range(3):
+        b[off + c] = (b[off + c] + delta) % 256
+    return bytes(b)
+
+
 def extract_features(media: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
     """media rows -> (media_id, feature array<double>).
 

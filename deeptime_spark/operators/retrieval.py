@@ -370,7 +370,10 @@ def write_postings_index(
     bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(
         f"{path}/postings"
     )
-    stats = tf.agg(
+    # derive the sidecar scalars from the JUST-WRITTEN postings, not a
+    # second tokenize pass over the corpus (the unpersisted tf lineage
+    # would re-run the normalize/split/explode/groupBy pipeline)
+    stats = spark.read.parquet(f"{path}/postings").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
         F.sum("tf").alias("total_terms"),
         F.lit(int(n_buckets)).alias("n_buckets"),

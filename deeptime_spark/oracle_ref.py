@@ -1036,7 +1036,11 @@ def oracle_media_ahash_pairs() -> str:
     at +7M), same integer-exact ahash_bytes, then brute-force Hamming
     pairs at radius 4 — the banded Spark join has guaranteed recall at
     that radius, so the sets must match exactly."""
-    from deeptime_spark.operators.multimodal import ahash_bytes, synth_ppm
+    from deeptime_spark.operators.multimodal import (
+        ahash_bytes,
+        synth_ppm,
+        synth_ppm_variant,
+    )
 
     con = duckdb.connect()
     ids = [
@@ -1050,11 +1054,7 @@ def oracle_media_ahash_pairs() -> str:
         if i % 3 == 0:
             sigs[i] = ahash_bytes(synth_ppm(16, 16, seed=i))
         if i % 15 == 0:
-            b = bytearray(synth_ppm(16, 16, seed=i))
-            off = b.index(b"255\n") + 4
-            for c in range(3):
-                b[off + c] = (b[off + c] + 120) % 256
-            sigs[i + 7_000_000] = ahash_bytes(bytes(b))
+            sigs[i + 7_000_000] = ahash_bytes(synth_ppm_variant(16, 16, seed=i))
     keys = sorted(sigs)
     h = np.array([sigs[k] & 0xFFFFFFFFFFFFFFFF for k in keys], dtype=np.uint64)
     rows = []
@@ -2966,7 +2966,11 @@ def oracle_media_phash_pairs() -> str:
     the fixed-point-DCT phash_bytes (integer-exact, so the replica
     reproduces every bit), then brute-force Hamming pairs at radius 4 —
     the banded join has guaranteed recall there."""
-    from deeptime_spark.operators.multimodal import phash_bytes, synth_ppm
+    from deeptime_spark.operators.multimodal import (
+        phash_bytes,
+        synth_ppm,
+        synth_ppm_variant,
+    )
 
     con = duckdb.connect()
     ids = [
@@ -2981,11 +2985,7 @@ def oracle_media_phash_pairs() -> str:
         if i % 3 == 0:
             sigs[i] = phash_bytes(synth_ppm(16, 16, seed=i))
         if i % 15 == 0:
-            b = bytearray(synth_ppm(16, 16, seed=i))
-            off = b.index(b"255\n") + 4
-            for c in range(3):
-                b[off + c] = (b[off + c] + 120) % 256
-            sigs[i + 7_000_000] = phash_bytes(bytes(b))
+            sigs[i + 7_000_000] = phash_bytes(synth_ppm_variant(16, 16, seed=i))
     keys = sorted(sigs)
     h = np.array([sigs[k] & 0xFFFFFFFFFFFFFFFF for k in keys], dtype=np.uint64)
     rows = []
@@ -3133,14 +3133,20 @@ def oracle_doc_setsim_drop() -> str:
         m for root, ms in members.items() for m in ms | {root} if m != min(ms | {root})
     )
     con.close()
-    loser_list = ", ".join(str(v) for v in losers) or "NULL"
+    # an empty loser set must keep EVERY row — "NOT IN (NULL)" would
+    # evaluate NULL for all rows and silently empty the oracle
+    not_in = (
+        f"AND doc_id NOT IN ({', '.join(str(v) for v in losers)})"
+        if losers
+        else ""
+    )
     return f"""
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_kept,
        CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
        CAST(SUM(n_chars) AS BIGINT) AS chars_kept
 FROM documents
-WHERE source = 'src0' AND doc_id NOT IN ({loser_list})
+WHERE source = 'src0' {not_in}
 GROUP BY lang
 """
 

@@ -479,15 +479,6 @@ _EWMA_STATE_SCHEMA = StructType(
         StructField("n", LongType()),
     ]
 )
-_EWMA_OUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("n_events", LongType()),
-        StructField("ewma_value", DoubleType()),
-    ]
-)
-
-
 def streaming_ewma(
     stream_df: DataFrame,
     alpha: float = 0.25,
@@ -513,6 +504,13 @@ def streaming_ewma(
     """
     a = float(alpha)
     b = 1.0 - a
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("n_events", LongType()),
+            StructField("ewma_value", DoubleType()),
+        ]
+    )
 
     def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (k,) = key
@@ -529,13 +527,18 @@ def streaming_ewma(
                 s = x if n == 0 else s * b + x * a
                 n += 1
         state.update((s, n))
+        if n == 0:
+            # a key whose values are all null: the batch operator drops
+            # those rows pre-fold, so the key is absent there — emit
+            # nothing rather than a (0, None) row the oracle lacks
+            return
         yield pd.DataFrame(
-            {"user_id": [k], "n_events": [n], "ewma_value": [s]}
+            {key_col: [k], "n_events": [n], "ewma_value": [s]}
         )
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         _fn,
-        outputStructType=_EWMA_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -149,7 +149,8 @@ def test_postings_index_roundtrip_and_pruning(spark, tmp_path):
         F.col("_bucket").isin(sorted(probed))
     )
     plan = lists._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or lists.count() > 0  # smoke: prunable layout
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "_bucket" in seg  # the bucket IN-list must be a partition filter
 
 
 def test_postings_probe_contract(spark, tmp_path):
@@ -214,14 +215,12 @@ def test_kmv_sketch_validates_k(spark):
 
 
 def test_phash_integer_exact_and_separation(spark):
-    from deeptime_spark.operators.multimodal import phash_bytes, synth_ppm
+    from deeptime_spark.operators.multimodal import (
+        phash_bytes,
+        synth_ppm,
+        synth_ppm_variant,
+    )
 
-    def variant(i):
-        b = bytearray(synth_ppm(16, 16, seed=i))
-        o = b.index(b"255\n") + 4
-        for c in range(3):
-            b[o + c] = (b[o + c] + 120) % 256
-        return bytes(b)
 
     def hd(a, b):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
@@ -231,7 +230,7 @@ def test_phash_integer_exact_and_separation(spark):
     assert base[0] == phash_bytes(synth_ppm(16, 16, seed=0))
     # planted one-pixel variants stay within radius 4
     for i in range(0, 60, 15):
-        assert hd(phash_bytes(synth_ppm(16, 16, seed=i)), phash_bytes(variant(i))) <= 4
+        assert hd(phash_bytes(synth_ppm(16, 16, seed=i)), phash_bytes(synth_ppm_variant(16, 16, seed=i))) <= 4
     # unrelated images are far apart
     import itertools
 
