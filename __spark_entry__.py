@@ -4625,6 +4625,56 @@ def _q_streaming_kmv_rollup(spark, sf_dir):
     )
 
 
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink/scan round-trip (sources/readers.py:write_corpus_jsonl
+    / read_corpus_jsonl): the corpus is written as gzipped JSON-Lines
+    partitioned by source (the LLM-corpus interchange layout — newlines
+    inside text survive via JSON escaping), read back with an explicit
+    schema, and audited per language: doc count, char sum, and the
+    count of distinct text md5s — byte fidelity through the codec.
+    The oracle computes the same audit from the raw parquet, so any
+    serialization loss (escaping, encoding, truncation) hash-fails."""
+    import tempfile
+
+    from deeptime_spark.sources.readers import (
+        read_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="jsonl_corpus_")
+    try:
+        write_corpus_jsonl(docs, d, partition_col="source", compression="gzip")
+        back = read_corpus_jsonl(
+            spark, d, schema="doc_id long, text string, lang string, n_chars long"
+        )
+        rows = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("chars_total"),
+                F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+            .collect()
+        )
+    finally:
+        _rmtree_quiet(d)
+    return spark.createDataFrame(
+        [
+            (
+                r["lang"],
+                int(r["n_docs"]),
+                int(r["chars_total"]),
+                int(r["n_distinct_texts"]),
+                int(r["id_checksum"]),
+            )
+            for r in rows
+        ],
+        "lang string, n_docs long, chars_total long, n_distinct_texts long, id_checksum long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02, r04, and r06 each
@@ -4839,6 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_setsim_drop": _q_doc_setsim_drop,
         "event_kmv_rollup": _q_event_kmv_rollup,
         "streaming_kmv_rollup": _q_streaming_kmv_rollup,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -4890,6 +4941,7 @@ _WINDOW_ORDER = [
     "doc_setsim_drop",  # NEW round-8 late: never driver-run
     "event_kmv_rollup",  # NEW round-8 late: never driver-run
     "streaming_kmv_rollup",  # NEW round-8 late: never driver-run
+    "jsonl_roundtrip",  # NEW round-8 late: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -6568,6 +6620,16 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_terms,
        CAST(SUM(tf) AS BIGINT) AS total_tf
 FROM tf GROUP BY doc_id HAVING count(*) = 3
+"""
+    # the JSONL round-trip must reproduce the corpus byte-for-byte: the
+    # oracle audits the RAW parquet, so any serialization loss fails
+    base["jsonl_roundtrip"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS chars_total,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY lang
 """
     # streaming EWMA's end-of-stream state is the identical IEEE fold in
     # time order — bit-equal to the batch operator, one oracle serves both

@@ -102,3 +102,34 @@ def read_trajectories_table(spark: SparkSession, table: str) -> DataFrame:
     ``write_trajectories_bucketed`` — the scan carries the bucket
     partitioning, letting Catalyst elide Exchanges on ``traj_id``."""
     return spark.table(table)
+
+
+def write_corpus_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_col: str | None = "source",
+    compression: str | None = "gzip",
+) -> None:
+    """Write a document corpus as (optionally gzipped) JSON-Lines — the
+    de-facto interchange format for LLM training corpora (one JSON
+    object per line; newlines inside ``text`` are JSON-escaped by the
+    writer, so the line-delimited contract survives arbitrary content).
+    ``partition_col`` buckets the output into one directory per value
+    (the usual per-source/per-shard layout); readers prune on it."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.json(path)
+
+
+def read_corpus_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Read a JSONL corpus directory. Pass an explicit DDL ``schema``
+    in production — schema inference costs a full extra pass over the
+    data at corpus scale and can widen types on dirty input; partition
+    columns come back from the directory layout."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)

@@ -169,3 +169,33 @@ def test_training_shards_roundtrip(spark, tmp_path):
         .collect()
     }
     assert a1 == a2
+
+
+def test_jsonl_roundtrip_preserves_hostile_text(spark, tmp_path):
+    """JSONL escaping must survive newlines, quotes, backslashes, tabs,
+    and non-ASCII — byte fidelity through write_corpus_jsonl/read back."""
+    from deeptime_spark.sources.readers import read_corpus_jsonl, write_corpus_jsonl
+
+    rows = [
+        (0, 'line one\nline two', 'en', 'a'),
+        (1, 'quote " and backslash \\ and tab\t.', 'en', 'a'),
+        (2, 'unicode: café 中文 \U0001f600', 'de', 'b'),
+        (3, '{"json": "inside"}', 'fr', 'b'),
+        (4, '', 'fr', 'b'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    p = str(tmp_path / "jl")
+    write_corpus_jsonl(df, p, partition_col="source", compression="gzip")
+    back = read_corpus_jsonl(spark, p, schema="doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["text"], r["lang"], r["source"]) for r in back.collect()}
+    assert got == {i: (t, l, s) for i, t, l, s in rows}
+
+
+def test_jsonl_roundtrip_unpartitioned_uncompressed(spark, tmp_path):
+    from deeptime_spark.sources.readers import read_corpus_jsonl, write_corpus_jsonl
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    p = str(tmp_path / "jl2")
+    write_corpus_jsonl(df, p, partition_col=None, compression=None)
+    back = read_corpus_jsonl(spark, p)
+    assert back.count() == 1 and back.first()["text"] == "x"
