@@ -4675,6 +4675,37 @@ def _q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def _q_event_top_paths(spark, sf_dir):
+    """Behavioral path mining: the top-20 three-step event-type
+    sequences across users (two lead() windows over the per-user time
+    order + one count aggregate + TakeOrdered) — the free-form
+    counterpart of the fixed-funnel query, and the n-gram view of the
+    MSM transition counts. Exact integer counts; ties break to the
+    lexicographically smallest path in both engines."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("e0"),
+            F.lead("event_type", 1).over(w).alias("e1"),
+            F.lead("event_type", 2).over(w).alias("e2"),
+        )
+        .where(F.col("e2").isNotNull())
+        .select(F.concat_ws(">", "e0", "e1", "e2").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order (r02, r04, and r06 each
@@ -4890,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_kmv_rollup": _q_event_kmv_rollup,
         "streaming_kmv_rollup": _q_streaming_kmv_rollup,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "event_top_paths": _q_event_top_paths,
     }
     missing = [k for k in _WINDOW_ORDER if k not in q]
     assert not missing, f"_WINDOW_ORDER names unknown queries: {missing}"
@@ -4942,6 +4974,7 @@ _WINDOW_ORDER = [
     "event_kmv_rollup",  # NEW round-8 late: never driver-run
     "streaming_kmv_rollup",  # NEW round-8 late: never driver-run
     "jsonl_roundtrip",  # NEW round-8 late: never driver-run
+    "event_top_paths",  # NEW round-8 late: never driver-run
     "q2_min_supplier",  # last green r05
     "q4_priority_exists",  # last green r05
     "q7_volume_shipping",  # last green r05
@@ -6630,6 +6663,18 @@ SELECT lang,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
        CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM documents GROUP BY lang
+"""
+    base["event_top_paths"] = """
+WITH o AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (
+  SELECT event_type || '>' || e1 || '>' || e2 AS path FROM o WHERE e2 IS NOT NULL
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20
 """
     # streaming EWMA's end-of-stream state is the identical IEEE fold in
     # time order — bit-equal to the batch operator, one oracle serves both
