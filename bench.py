@@ -148,6 +148,8 @@ HEADLINE = [
     "event_bfs",
     "doc_setsim_drop",
     "event_kmv_rollup",
+    "jsonl_roundtrip",
+    "event_top_paths",
 ]
 
 

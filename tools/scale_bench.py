@@ -105,6 +105,8 @@ QUERIES = [
     "event_bfs", "doc_setsim_drop",
     # round-8 late batch 5: mergeable bottom-k quantile sketch table
     "event_kmv_rollup",
+    # round-8 late batch 6: JSONL codec round-trip, path mining
+    "jsonl_roundtrip", "event_top_paths",
 ]
 
 
