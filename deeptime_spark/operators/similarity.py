@@ -1,10 +1,14 @@
 """Similarity search over embedding columns.
 
 Training-data-pipeline surface (BASELINE.json north star): brute-force
-cosine top-k as the exact baseline; random-hyperplane LSH bucketing as the
-scale path (IVF-style probing is a documented follow-up). Embeddings are
-``array<float>`` rows; all distance math is JVM (zip_with/aggregate) so the
-scan stays inside codegen — no Python per row.
+cosine top-k as the exact baseline; random-hyperplane LSH, IVF, and IVF-PQ
+(IVFADC) as the scale paths, plus a persisted partition-pruned IVF serving
+index. Embeddings are ``array<float>`` rows; all distance math is JVM
+(zip_with/aggregate) so the scan stays inside codegen — no Python per row.
+Both corpus AND query sides are distributed: probe-cell assignment and
+ADC-table construction are broadcast-centers Arrow kernels, never a
+driver collect (r9 fix; probe_ivf_index is the one deliberate,
+max_batch-capped serving-side exception).
 """
 
 from __future__ import annotations
@@ -171,6 +175,51 @@ def random_hyperplane_buckets(
     return emb.withColumn(out_col, buckets_of(F.col(vec_col)))
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centers: np.ndarray,
+    n_probe: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """EXECUTOR-SIDE probe-cell assignment: broadcast the tiny
+    (n_lists × d) center matrix, compute each query's ``n_probe``
+    nearest cells in one Arrow batch kernel, explode to one
+    (_qid, _qvec, _cell) row per probe. The query frame never touches
+    the driver, so a corpus-sized query set (corpus-vs-corpus semantic
+    dedup, batch re-ranking) stays distributed — the same regime the
+    corpus side already uses via ClusterModel.transform.
+
+    Distance + selection are the exact expressions the driver-side loop
+    (and oracle replicas) use: ``((centers - q)**2).sum(axis=1)`` then
+    ``np.argsort(d2)[:n_probe]`` — identical floats, identical
+    tie-handling, so rankings are byte-identical to the pre-r9 path.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = queries.sparkSession
+    b_centers = spark.sparkContext.broadcast(np.asarray(centers, dtype=np.float64))
+    n_probe_ = int(n_probe)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest_cells(xs: pd.Series) -> pd.Series:
+        C = b_centers.value
+        out = []
+        for v in xs:
+            d2 = ((C - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
+            out.append([int(c) for c in np.argsort(d2)[:n_probe_]])
+        return pd.Series(out)
+
+    return (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_qvec"),
+        )
+        .withColumn("_cells", nearest_cells(F.col("_qvec")))
+        .select("_qid", "_qvec", F.explode("_cells").alias("_cell"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -183,6 +232,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into ``n_lists`` cells; each query scans only
@@ -190,10 +240,17 @@ def ivf_topk(
 
     Plan shape at scale: the coarse quantizer is trained driver-side on a
     bounded sample (one takeSample job — the quantizer needs coarse
-    density, not every vector), assignment is a broadcast argmin map, then
-    an equi-join on cell id between corpus and the exploded (query,
-    probe-cell) table — pruning the scan by ~n_lists/n_probe with a
-    shuffle-friendly join key, followed by the salted two-stage top-k.
+    density, not every vector); BOTH sides then stay distributed —
+    corpus assignment is a broadcast-centers argmin map
+    (ClusterModel.transform) and query probe assignment is the same
+    broadcast-centers Arrow kernel (:func:`_probe_cells`), so a
+    corpus-sized query frame never hits the driver. The candidate join
+    is equi on cell id — pruning the scan by ~n_lists/n_probe with a
+    shuffle-friendly key — followed by the salted two-stage top-k.
+    ``broadcast_queries=True`` (default) pins a broadcast-hash join for
+    request-batch-scale query sets; pass False for corpus-scale query
+    frames to let the cell-id equi-join shuffle both sides (AQE still
+    upgrades it to broadcast when the probe side turns out small).
     Higher recall than sign-LSH at the same pruning factor because cells
     adapt to the data distribution.
     """
@@ -207,18 +264,10 @@ def ivf_topk(
     centers = _lloyd(sample, n_lists, quantizer_iters, seed)
     km = ClusterModel(centers)
     assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
-    # probe cells per query: n_probe nearest centers (driver-side for the
-    # broadcast-sized query set; centers are tiny)
-    qrows = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["_qvec"], dtype=np.float64)
-        d2 = ((centers - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d2)[:n_probe]:
-            probe_rows.append((r["_qid"], [float(v) for v in qv], int(cell)))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, ["_qid", "_qvec", "_cell"])
-    scored = assigned.join(F.broadcast(probes), "_cell").select(
+    probes = _probe_cells(queries, centers, n_probe, query_id_col, vec_col)
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    scored = assigned.join(probes, "_cell").select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
         cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("_qvec")).alias("similarity"),
@@ -242,6 +291,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
@@ -249,7 +299,11 @@ def lsh_topk(
     equi on bucket — at scale this prunes the scan by ~2^n_planes and the
     bucket key is shuffle-friendly. ``n_tables > 1`` unions candidates
     from independent plane-sets (OR construction) for higher recall at
-    n_tables x the bucketing cost.
+    n_tables x the bucketing cost. Both sides are bucketed
+    executor-side (the planes ride the closure), so the query frame may
+    be corpus-sized: pass ``broadcast_queries=False`` to drop the
+    broadcast hint and let the bucket equi-join shuffle both sides
+    instead of materializing an unbounded frame on every executor.
     """
     # probe the dimension on the (broadcast-small) query side once, so
     # the corpus-side bucketing launches no probe job against the big table
@@ -265,7 +319,7 @@ def lsh_topk(
         keys = ["_tbl", "bucket"]
     else:
         keys = ["bucket"]
-    cands = cb.join(F.broadcast(qb), keys)
+    cands = cb.join(F.broadcast(qb) if broadcast_queries else qb, keys)
     if n_tables > 1:
         # the same (query, vector) pair can collide in several tables
         cands = cands.dropDuplicates(["_qid", id_col])
@@ -384,6 +438,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (IVFADC of Jégou et al. TPAMI'11): coarse
     inverted-file pruning + asymmetric distance computation over
@@ -396,13 +451,19 @@ def ivfpq_topk(
     - the corpus is encoded ONCE (Arrow batch pass) to m small ints per
       vector; every later query touches codes, never raw vectors —
       memory-bandwidth-bound scans shrink ~4·d/m fold;
-    - per (query, probed cell) the ADC lookup table is tiny
-      (m × k_codes doubles) and rides the broadcast probe row;
+    - the QUERY side is distributed too: probe cells come from the
+      broadcast-centers Arrow kernel (:func:`_probe_cells`) and each
+      (query, probed cell)'s tiny ADC lookup table (m × k_codes
+      doubles) is computed in a second Arrow kernel over the exploded
+      probe rows — no query collect, no driver table-building, so a
+      corpus-sized query frame works;
     - scoring is pure JVM: fold over the m code entries with
       element_at into the table — left-to-right double adds, so any
       engine that sums the same table entries in subvector order
       reproduces the distances bit-exactly;
-    - the salted two-stage top-k bounds every reducer at O(k).
+    - the salted two-stage top-k bounds every reducer at O(k);
+    - ``broadcast_queries=False`` drops the probe-side broadcast hint
+      for corpus-scale query sets (the join stays equi on cell id).
     """
     sample = _content_sample(corpus, id_col, vec_col, quantizer_sample)
     centers = _lloyd(sample, n_lists, quantizer_iters, seed)
@@ -418,27 +479,36 @@ def ivfpq_topk(
         id_col, "_cell", "codes"
     )
 
-    # probe rows: (qid, cell, flattened ADC table) — the table for query q
-    # in cell c is ||(q - center_c)_m - codebook[m][code]||² per (m, code)
-    qrows = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
-    ).collect()
+    # probe rows: (qid, cell, ADC table) — the table for query q in cell
+    # c is ||(q - center_c)_m - codebook[m][code]||² per (m, code). Both
+    # Arrow kernels run executor-side over the exploded probe rows.
+    from pyspark.sql.types import ArrayType, DoubleType
+
     m_sub, kc, ds = books.shape
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["_qvec"], dtype=np.float64)
-        d2 = ((centers - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d2)[:n_probe]:
-            resid = qv - centers[int(cell)]
+    spark = corpus.sparkSession
+    b_centers = spark.sparkContext.broadcast(np.asarray(centers, dtype=np.float64))
+    b_books = spark.sparkContext.broadcast(np.asarray(books, dtype=np.float64))
+
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _adc_table(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        C = b_centers.value
+        B = b_books.value
+        out = []
+        for v, cell in zip(vecs, cells):
+            resid = np.asarray(v, dtype=np.float64) - C[int(cell)]
             tab = [
-                [float(((books[m][c] - resid[m * ds : (m + 1) * ds]) ** 2).sum()) for c in range(kc)]
+                [float(d) for d in ((B[m] - resid[m * ds : (m + 1) * ds]) ** 2).sum(axis=1)]
                 for m in range(m_sub)
             ]
-            probe_rows.append((int(r["_qid"]), int(cell), tab))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, "_qid long, _cell int, _tab array<array<double>>")
+            out.append(tab)
+        return pd.Series(out)
 
-    scored = encoded.join(F.broadcast(probes), "_cell").select(
+    probes = _probe_cells(queries, centers, n_probe, query_id_col, vec_col).select(
+        "_qid", "_cell", _adc_table(F.col("_qvec"), F.col("_cell")).alias("_tab")
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    scored = encoded.join(probes, "_cell").select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
         F.aggregate(

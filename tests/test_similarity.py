@@ -75,3 +75,82 @@ def test_ivf_index_probe_rejects_unbounded_query_batches(spark, tmp_path):
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="bounded request batch"):
         probe_ivf_index(spark, path, queries, k=3, n_probe=2, max_batch=10)
+
+
+def test_ivf_query_side_is_distributed(spark):
+    """r9 scale fix: ivf_topk/ivfpq_topk must not collect the query frame.
+    Probe assignment (and the IVF-PQ ADC tables) run executor-side, so a
+    parquet-sourced query frame appears in the plan as a parquet scan fed
+    through an ArrowEvalPython stage — NOT as a LocalTableScan of
+    driver-collected rows (the pre-r9 shape)."""
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import ivf_topk, ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for op in (ivf_topk, ivfpq_topk):
+        out = op(emb, queries, k=3, n_lists=4, n_probe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" not in plan, f"{op.__name__} collected the query side"
+        assert "ArrowEvalPython" in plan or "ArrowEval" in plan
+        assert out.count() > 0
+
+
+def test_ann_corpus_scale_query_frame(spark):
+    """Corpus-sized query frames (every vector queries the index) work
+    without a driver collect or a forced broadcast: broadcast_queries=False
+    shuffles the cell-id equi-join, and results match the broadcast path
+    row for row."""
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import ivf_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    n_q = queries.count()
+    assert n_q >= 20
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()
+        )
+
+    shuffled = key(ivf_topk(emb, queries, k=3, n_lists=4, n_probe=2, broadcast_queries=False))
+    bcast = key(ivf_topk(emb, queries, k=3, n_lists=4, n_probe=2, broadcast_queries=True))
+    assert shuffled == bcast and len(shuffled) == 3 * n_q
+    # every query's own vector is its top hit (cosine 1 with itself)
+    top1 = {q: v for q, v, r in shuffled if r == 1}
+    assert all(top1[q] == q for q in top1)
+
+    l_shuf = key(lsh_topk(emb, queries, k=3, n_planes=4, broadcast_queries=False))
+    l_bc = key(lsh_topk(emb, queries, k=3, n_planes=4, broadcast_queries=True))
+    assert l_shuf == l_bc and len(l_shuf) > 0
+
+
+def test_ivfpq_corpus_scale_matches_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["adc_dist"], 9))
+            for r in df.collect()
+        )
+
+    kw = dict(k=3, n_lists=4, n_probe=2, m_subvectors=8, k_codes=8)
+    assert key(ivfpq_topk(emb, queries, broadcast_queries=False, **kw)) == key(
+        ivfpq_topk(emb, queries, broadcast_queries=True, **kw)
+    )
