@@ -666,6 +666,107 @@ def _q_msm_pi_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, pi double, mfpt0 double")
 
 
+def _q_rate_matrix_events(spark, sf_dir):
+    """Continuous-time generator estimation (markov/rate_matrix.py:46-251;
+    reference markov/tools/estimation api.py rate_matrix cases of
+    tests/markov/tools/estimation/test_api.py): distributed sliding
+    counting -> driver-side 'pseudo' (first-order), 'KL'
+    (Kalbfleisch-Lawless 1985 likelihood, projected-BB optimizer), and
+    'CVE' (Crommelin-Vanden-Eijnden spectral matching) estimators on the
+    event-dtraj count matrix. 'truncated_log' is omitted by design: the
+    lag-1 event chain mixes too fast to be embeddable, so logm(T) raises.
+    Oracle re-derives the counts in DuckDB and runs the identical numpy
+    estimators (oracle_ref.py:oracle_rate_matrix)."""
+    import numpy as np
+
+    from deeptime_spark.markov.rate_matrix import estimate_rate_matrix
+
+    msm = _event_msm(spark, sf_dir)
+    C = np.asarray(msm.count_model.count_matrix, dtype=np.float64)
+    rows = []
+    for method in ("pseudo", "KL", "CVE"):
+        K = estimate_rate_matrix(C, method=method)
+        for i in range(K.shape[0]):
+            for j in range(K.shape[1]):
+                rows.append((method, int(i), int(j), float(K[i, j])))
+    return spark.createDataFrame(rows, "method string, i long, j long, k_rate double")
+
+
+def _q_oom_events(spark, sf_dir):
+    """OOM-reweighted (Koopman second-order) MSM (markov/oom.py:103;
+    reference tests/markov/msm/test_koopman_reweighted_msm.py): the
+    one-step count matrix AND the two-step count tensor are distributed
+    window/groupBy jobs; the collected (n² + n³) counts feed the shared
+    driver routine oom_estimate_from_counts (bootstrap rank decision,
+    OOM components, equilibrium correction). Oracle re-derives both
+    count tensors in numpy from the ordered dtraj and calls the same
+    routine (oracle_ref.py:oracle_oom)."""
+    import numpy as np
+
+    from deeptime_spark.markov.oom import OOMReweightedMSM
+
+    traj = _event_traj(spark, sf_dir).select("traj_id", "t", "state")
+    model = OOMReweightedMSM(lagtime=1, nbs=100, seed=3).fit(traj).fetch_model()
+    T = model.transition_matrix
+    symbols = np.asarray(model.count_model.state_symbols)
+    rows = [
+        (int(symbols[i]), int(symbols[j]), float(T[i, j]))
+        for i in range(T.shape[0])
+        for j in range(T.shape[0])
+    ]
+    return spark.createDataFrame(rows, "s_from long, s_to long, t_prob double")
+
+
+def _q_amm_events(spark, sf_dir):
+    """Augmented MSM (markov/amm.py:45, Olsson et al. PNAS'17; reference
+    tests/markov/msm/test_augmented_msm.py): bias the reversible MSM
+    toward an experimental measurement — observable = state id, target =
+    unbiased expectation + 0.25, weight 20. Counting is the distributed
+    job; the Lagrange fixed-point optimizer is driver-side. Oracle
+    replays both (oracle_ref.py:oracle_amm)."""
+    import numpy as np
+
+    from deeptime_spark.markov.amm import AugmentedMSMEstimator
+
+    msm = _event_msm(spark, sf_dir)
+    sub = msm.count_model
+    pi = msm.stationary_distribution
+    symbols = np.asarray(sub.state_symbols)
+    E = symbols.astype(np.float64)[:, None]
+    m_unb = float(pi @ E[:, 0])
+    amm = AugmentedMSMEstimator(E, [m_unb + 0.25], [20.0]).fit(sub).fetch_model()
+    pa = amm.stationary_distribution
+    mh = float(amm.m_hat[0])
+    rows = [(int(symbols[i]), float(pa[i]), mh, m_unb) for i in range(len(symbols))]
+    return spark.createDataFrame(
+        rows, "state long, pi_amm double, m_hat double, m_unbiased double"
+    )
+
+
+def _q_sensitivity_events(spark, sf_dir):
+    """MSM observable sensitivity matrices (markov/sensitivity.py:27-124;
+    reference tests/markov/tools/analysis/impl/dense/sensitivity_test.py):
+    first-order perturbation of the slowest eigenvalue, the MFPT-to-0 of
+    state 1, and pi[0] w.r.t. every transition-matrix entry, on the
+    event-dtraj reversible MLE. Distributed counting -> driver spectral
+    math; oracle replays both (oracle_ref.py:oracle_sensitivity)."""
+    from deeptime_spark.markov import sensitivity as sens
+
+    P = _event_msm(spark, sf_dir).transition_matrix
+    mats = [
+        ("eigenvalue_1", sens.eigenvalue_sensitivity(P, 1)),
+        ("mfpt0_state1", sens.mfpt_sensitivity(P, 0, 1)),
+        ("pi_state0", sens.stationary_distribution_sensitivity(P, 0)),
+    ]
+    rows = [
+        (kind, int(i), int(j), float(S[i, j]))
+        for kind, S in mats
+        for i in range(S.shape[0])
+        for j in range(S.shape[1])
+    ]
+    return spark.createDataFrame(rows, "kind string, i long, j long, dval double")
+
+
 def _q_msm_its_events(spark, sf_dir):
     """Implied-timescales curve: concurrent per-lag counting jobs ->
     driver eigenvalues (validation.py)."""
@@ -4708,13 +4809,11 @@ def _q_event_top_paths(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
-    # FIRST ~50 queries in declaration order (r02, r04, and r06 each
-    # recorded exactly 50), so the dict below keeps its stable logical
-    # grouping and _WINDOW_ORDER (computed from CORRECTNESS_r0*.json
-    # staleness — see tools/plan_window.py) moves this round's 50 to the
-    # front: slots 0-4 the five r06 hash-reds (oracle HUGEINT typing,
-    # fixed this round), slots 5-49 the 45 queries whose last driver
-    # green is r04 (every other query has r05/r06 evidence).
+    # FIRST ~50 queries in declaration order, so the dict below keeps its
+    # stable logical grouping and _WINDOW_ORDER (regenerated each round
+    # from CORRECTNESS_r0*.json staleness by tools/plan_window.py — the
+    # single source of truth, with per-slot rationale in its comments)
+    # moves the round's 50 to the front.
     q = {
         # --- late-round-5 additions, never driver-run (slots 0-7) ---
         "event_pivot": _q_event_pivot,
@@ -4783,6 +4882,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "koopman_weights_events": _q_koopman_weights_events,
         "regspace_events": _q_regspace_events,
         "msm_longtail_events": _q_msm_longtail_events,
+        # --- NEW round-9: the four previously pytest-only estimator
+        # families (VERDICT r8 item 4) ---
+        "rate_matrix_events": _q_rate_matrix_events,
+        "oom_events": _q_oom_events,
+        "amm_events": _q_amm_events,
+        "sensitivity_events": _q_sensitivity_events,
         "multimodal_features": _q_multimodal_features,
         "kernel_gram_events": _q_kernel_gram_events,
         "tica_events": _q_tica_events,
@@ -4935,56 +5040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then r05-stale greens oldest-evidence-first.
 # Recomputed each round by tools/plan_window.py from CORRECTNESS_r0*.json.
 _WINDOW_ORDER = [
-    "doc_prefix_dup",  # last green r00
-    "doc_containment_pairs",  # last green r00
-    "event_anomaly_mad",  # last green r00
-    "event_hits",  # last green r00
-    "doc_pmi_collocations",  # last green r00
-    "event_cusum",  # last green r00
-    "media_ahash_pairs",  # last green r00
-    "doc_compression_ratio",  # last green r00
-    "streaming_cusum",  # last green r00
-    "embedding_silhouette",  # last green r00
-    "event_triangles",  # last green r00
-    "event_communities",  # last green r00
-    "event_kcore",  # last green r00
-    "streaming_sessions",  # last green r04
-    "streaming_window_counts",  # last green r04
-    "doc_dup_substrings",  # NEW round-8: never driver-run
-    "doc_hybrid_search",  # NEW round-8: never driver-run
-    "doc_substring_excise",  # NEW round-8: never driver-run
-    "event_zorder",  # NEW round-8: never driver-run
-    "embedding_ann_recall",  # NEW round-8: never driver-run
-    "doc_topic_terms",  # NEW round-8: never driver-run
-    "doc_weighted_sample",  # NEW round-8: never driver-run
-    "streaming_heavy_hitters",  # NEW round-8: never driver-run
-    "streaming_interval_join",  # NEW round-8: never driver-run
-    "ivf_index_probe",  # NEW round-8: never driver-run
-    "doc_hll_rollup",  # NEW round-8 late: never driver-run
-    "event_ewma",  # NEW round-8 late: never driver-run
-    "doc_quality_curriculum",  # NEW round-8 late: never driver-run
-    "doc_postings_index",  # NEW round-8 late: never driver-run
-    "corpus_overlap_kmv",  # NEW round-8 late: never driver-run
-    "media_phash_pairs",  # NEW round-8 late: never driver-run
-    "doc_bpe_fertility",  # NEW round-8 late: never driver-run
-    "streaming_ewma",  # NEW round-8 late: never driver-run
-    "doc_setsim_pairs",  # NEW round-8 late: never driver-run
-    "event_bfs",  # NEW round-8 late: never driver-run
-    "doc_setsim_drop",  # NEW round-8 late: never driver-run
-    "event_kmv_rollup",  # NEW round-8 late: never driver-run
-    "streaming_kmv_rollup",  # NEW round-8 late: never driver-run
-    "jsonl_roundtrip",  # NEW round-8 late: never driver-run
-    "event_top_paths",  # NEW round-8 late: never driver-run
-    "q2_min_supplier",  # last green r05
-    "q4_priority_exists",  # last green r05
-    "q7_volume_shipping",  # last green r05
-    "q8_market_share",  # last green r05
-    "q9_product_profit",  # last green r05
-    "q12_late_shipments",  # last green r05
-    "q13_order_distribution",  # last green r05
-    "q14_promo_revenue",  # last green r05
-    "q15_top_supplier",  # last green r05
-    "q16_part_supplier_stats",  # last green r05
+    "rate_matrix_events",  # last green r00
+    "oom_events",  # last green r00
+    "amm_events",  # last green r00
+    "sensitivity_events",  # last green r00
     "q17_small_qty_revenue",  # last green r05
     "q18_large_volume_customers",  # last green r05
     "q19_or_predicates",  # last green r05
@@ -5010,7 +5069,29 @@ _WINDOW_ORDER = [
     "top_customers",  # last green r05
     "order_priority_count",  # last green r05
     "nation_order_volume",  # last green r05
+    "brand_volume",  # last green r05
+    "event_sessions",  # last green r05
+    "distinct_users_by_type",  # last green r05
+    "event_order_asof",  # last green r05
+    "event_rollup",  # last green r05
+    "purchase_not_error_users",  # last green r05
+    "event_box",  # last green r05
+    "event_histogram2d",  # last green r05
+    "event_confidence_interval",  # last green r05
+    "event_moments",  # last green r05
+    "event_transition_counts",  # last green r05
+    "event_state_histogram",  # last green r05
+    "event_weighted_counts",  # last green r05
+    "vamp_score_events",  # last green r05
+    "web_host_stats",  # last green r05
+    "shard_manifest",  # last green r06
+    "web_extract_text",  # last green r06
+    "doc_lm2_score",  # last green r06
+    "web_corpus_pipeline",  # last green r06
+    "streaming_c4_replay",  # last green r06
+    "shards_roundtrip",  # last green r06
 ]
+
 
 
 def _zorder_oracle_sql(bits: int = 16, prefix_shift: int = 24) -> str:

@@ -252,19 +252,30 @@ def main() -> None:
     run_pass(warm_timings)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     warm_total = round(sum(t for t in warm_timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm_value": warm_total,
-                "queries_warm": warm_timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warm_value": warm_total,
+        "queries_warm": warm_timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # Persist the full per-query record in-repo: the round driver keeps
+    # only the stdout TAIL, which truncates the cold-pass per-query map
+    # and makes cross-round ratios uncomputable from BENCH_r*.json alone.
+    # SPARK_GRAFT_BENCH_OUT overrides the destination (ad-hoc runs).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full_latest.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:
+        print(f"bench: could not persist {out_path}: {e}", file=sys.stderr)
     spark.stop()
 
 

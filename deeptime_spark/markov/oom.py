@@ -100,6 +100,41 @@ def equilibrium_transition_matrix(Xi: np.ndarray, omega: np.ndarray, sigma: np.n
     return T, lcc
 
 
+def oom_estimate_from_counts(
+    Ct: np.ndarray,
+    C2t: np.ndarray,
+    rank_mode: str = "bootstrap_counts",
+    tol_rank: float = 10.0,
+    nbs: int = 500,
+    seed: int = 42,
+    reversible: bool = True,
+):
+    """Driver-side OOM estimation from dense count inputs: largest
+    connected restriction, bootstrap rank decision, OOM components, and
+    the equilibrium-corrected transition matrix. Shared by the Spark
+    estimator (after its counting jobs collect) and the oracle replicas,
+    so both sides run bit-identical numerics. Returns
+    ``(T, state_symbols, Ct_sub, oom_eigenvalues)`` where ``Ct_sub`` is
+    the count matrix restricted to the final connected set and
+    ``state_symbols`` maps its rows back to original state ids."""
+    Ct = np.asarray(Ct, dtype=np.float64)
+    C2t = np.asarray(C2t, dtype=np.float64)
+    lcc0 = connected_components(Ct > 0, directed=True)[0]
+    Ct = Ct[np.ix_(lcc0, lcc0)]
+    C2t = C2t[np.ix_(lcc0, lcc0, lcc0)]
+    if rank_mode == "bootstrap_counts":
+        smean, sdev = bootstrapping_count_matrix(Ct, nbs=nbs, seed=seed)
+        rank_ind = rank_decision(smean, sdev, tol=tol_rank)
+        if not rank_ind.any():
+            rank_ind = np.linalg.svd(Ct, compute_uv=False) >= np.finfo(float).eps
+    else:
+        raise ValueError(f"unknown rank_mode {rank_mode!r}")
+    Xi, omega, sigma, oom_vals = oom_components(Ct, C2t, rank_ind=rank_ind)
+    T, lcc = equilibrium_transition_matrix(Xi, omega, sigma, reversible=reversible)
+    symbols = lcc0[lcc]
+    return T, symbols, Ct[np.ix_(lcc, lcc)], oom_vals
+
+
 class OOMReweightedMSM(Estimator):
     """ctor mirrors the reference (_koopman_reweighted_msm.py): lagtime,
     rank_mode {'bootstrap_counts'}, tol_rank, reversible, nbs."""
@@ -127,23 +162,13 @@ class OOMReweightedMSM(Estimator):
         C2t = np.zeros((n, n, n))
         for r in rows2:
             C2t[r["s0"], r["s1"], r["s2"]] = r["n"]
-        # restrict to the largest connected set of Ct
-        lcc0 = connected_components(Ct > 0, directed=True)[0]
-        Ct = Ct[np.ix_(lcc0, lcc0)]
-        C2t = C2t[np.ix_(lcc0, lcc0, lcc0)]
-        if self.rank_mode == "bootstrap_counts":
-            smean, sdev = bootstrapping_count_matrix(Ct, nbs=self.nbs, seed=self.seed)
-            rank_ind = rank_decision(smean, sdev, tol=self.tol_rank)
-            if not rank_ind.any():
-                rank_ind = np.linalg.svd(Ct, compute_uv=False) >= np.finfo(float).eps
-        else:
-            raise ValueError(f"unknown rank_mode {self.rank_mode!r}")
-        Xi, omega, sigma, oom_vals = oom_components(Ct, C2t, rank_ind=rank_ind)
-        T, lcc = equilibrium_transition_matrix(Xi, omega, sigma, reversible=self.reversible)
+        T, symbols, Ct_sub, oom_vals = oom_estimate_from_counts(
+            Ct, C2t, rank_mode=self.rank_mode, tol_rank=self.tol_rank,
+            nbs=self.nbs, seed=self.seed, reversible=self.reversible,
+        )
         self.oom_eigenvalues_ = oom_vals
-        symbols = lcc0[lcc]
         count_model = TransitionCountModel(
-            Ct[np.ix_(lcc, lcc)], counting_mode="sliding", lagtime=tau, state_symbols=symbols
+            Ct_sub, counting_mode="sliding", lagtime=tau, state_symbols=symbols
         )
         self._model = MarkovStateModel(
             T, reversible=self.reversible, lagtime=tau, count_model=count_model

@@ -1638,11 +1638,20 @@ def ppjoin_pairs(
     threshold_pct: int = 70,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT token-set Jaccard self-join at ``threshold_pct / 100`` via
     prefix filtering (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08
     "PPJoin") — the deterministic counterpart of the MinHash pipeline:
     no probabilistic recall, every qualifying pair is returned.
+
+    With ``materialize=True`` (default) the result is
+    ``localCheckpoint``ed and the two intermediate caches this operator
+    persists (token sets, prefix tokens) are unpersisted before
+    returning — no cached relation outlives the call (the
+    triangle_counts convention). ``materialize=False`` returns the lazy
+    plan; the caller then owns the cache lifecycle
+    (``spark.catalog.clearCache()``) and the plan-shape tests use it.
 
     Prefix-filter principle: order every document's distinct-token set
     by GLOBAL document frequency (rarest first, ties by token); two
@@ -1679,10 +1688,9 @@ def ppjoin_pairs(
     # BOTH candidate-join sides and BOTH verification joins consume these
     # frames; without a cache Catalyst re-executes the tokenize/rank
     # pipeline once per consumer (exchange reuse does not span aliased
-    # join sides — same lesson as _bucket_pairs). persist() is lazy;
-    # CACHE LIFECYCLE IS THE CALLER'S (spark.catalog.clearCache(), as the
-    # bench/correctness harnesses do) or block-manager LRU reclaims it —
-    # the same convention as verify_candidates_jaccard's gram cache.
+    # join sides — same lesson as _bucket_pairs). With materialize=True
+    # both persists are released before returning; with False the caller
+    # owns them (clearCache), or block-manager LRU eventually reclaims.
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
@@ -1731,10 +1739,15 @@ def ppjoin_pairs(
         .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
         .where(F.lit(100) * F.col("_i") >= F.lit(pct) * F.col("_u"))
     )
-    return verified.select(
+    out = verified.select(
         "id_a",
         "id_b",
         F.col("_i").cast("long").alias("n_intersect"),
         F.col("_u").cast("long").alias("n_union"),
         (F.col("_i").cast("double") / F.col("_u").cast("double")).alias("jaccard"),
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        pref.unpersist()
+        toks.unpersist()
+    return out

@@ -227,6 +227,7 @@ def curriculum_buckets(
     group_cols: list[str] | None = None,
     id_col: str = "doc_id",
     token_col: Column | str | None = None,
+    allow_single_partition: bool = False,
 ) -> DataFrame:
     """Quality-curriculum bucketing: rank documents by a quality score
     within each group and cut the ranking into ``n_buckets`` equal-count
@@ -253,6 +254,16 @@ def curriculum_buckets(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     group_cols = list(group_cols or [])
+    if not group_cols and not allow_single_partition:
+        # same contract as stats.cusum_changepoints: an ungrouped ntile
+        # is ONE global ordered window — a single task holding the whole
+        # corpus at scale
+        raise ValueError(
+            "curriculum_buckets without group_cols runs the whole corpus "
+            "through ONE task (a single global ntile window); pass "
+            "group_cols, or allow_single_partition=True for a "
+            "driver-sized input"
+        )
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     if token_col is None:
         from deeptime_spark.operators.text import token_count

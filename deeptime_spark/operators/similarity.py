@@ -210,14 +210,13 @@ def _probe_cells(
             out.append([int(c) for c in np.argsort(d2)[:n_probe_]])
         return pd.Series(out)
 
-    return (
-        queries.select(
-            F.col(query_id_col).alias("_qid"),
-            F.col(vec_col).cast("array<double>").alias("_qvec"),
-        )
-        .withColumn("_cells", nearest_cells(F.col("_qvec")))
-        .select("_qid", "_qvec", F.explode("_cells").alias("_cell"))
-    )
+    # explode the UDF expression DIRECTLY: a withColumn + explode of the
+    # result column plans TWO ArrowEvalPython nodes (the extracted UDF is
+    # re-evaluated above and below the Generate); this form plans one
+    return queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    ).select("_qid", "_qvec", F.explode(nearest_cells(F.col("_qvec"))).alias("_cell"))
 
 
 def ivf_topk(
@@ -264,6 +263,11 @@ def ivf_topk(
     centers = _lloyd(sample, n_lists, quantizer_iters, seed)
     km = ClusterModel(centers)
     assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
+    # coalesce makes the join key provably non-null: without it the
+    # join's inferred isnotnull(_cell) filter re-evaluates the assign
+    # kernel a second time below the projection (UDF never returns null,
+    # so values are unchanged — this is purely a plan fix)
+    assigned = assigned.withColumn("_cell", F.coalesce(F.col("_cell"), F.lit(-1)))
     probes = _probe_cells(queries, centers, n_probe, query_id_col, vec_col)
     if broadcast_queries:
         probes = F.broadcast(probes)
@@ -475,6 +479,8 @@ def ivfpq_topk(
 
     km = ClusterModel(centers)
     assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
+    # same non-null join-key fix as ivf_topk (values unchanged)
+    assigned = assigned.withColumn("_cell", F.coalesce(F.col("_cell"), F.lit(-1)))
     encoded = pq_encode_df(assigned, centers, books, vec_col).select(
         id_col, "_cell", "codes"
     )

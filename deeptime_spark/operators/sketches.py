@@ -584,7 +584,13 @@ def kmv_overlap_pairs(
     )
     ku_d = F.col("k_used").cast("double")
     jac = F.col("n_common").cast("double") / ku_d
-    union_est = (
+    # saturated regime only: with k_used < k the union sketch holds the
+    # ENTIRE distinct union, so the exact cardinality is k_used — the
+    # (k-1)/tau estimator would bias small groups low
+    union_est = F.when(
+        F.col("k_used") < F.lit(int(k)),
+        ku_d,
+    ).otherwise(
         (ku_d - F.lit(1.0))
         * F.lit(18446744073709551616.0)
         / (F.col("tau").cast("double") + F.lit(9223372036854775808.0))

@@ -727,7 +727,116 @@ def oracle_quality_classifier(round_to: int = 6) -> str:
     return _values_sql(rows, ["doc_id", "n_tokens", "log_odds", "pred_good"], "bbdb")
 
 
+def oracle_rate_matrix() -> str:
+    """Rate-matrix estimation replay (markov/rate_matrix.py): same DuckDB
+    count matrix the green msm_pi oracle derives, then the identical
+    driver-side estimators — 'pseudo' (first-order), 'KL'
+    (Kalbfleisch-Lawless likelihood, projected-BB optimizer), 'CVE'
+    (Crommelin–Vanden-Eijnden spectral matching). All deterministic
+    numpy; what the comparison verifies is the distributed counting.
+    ('truncated_log' is omitted: the event chain at lag 1 mixes too fast
+    to be embeddable — logm(T) has complex branches and the operator
+    raises, by design.)"""
+    from deeptime_spark.markov.rate_matrix import estimate_rate_matrix
+
+    _, sub = _msm(sf_dir(), 1)
+    C = np.asarray(sub.count_matrix, dtype=np.float64)
+    rows = []
+    for method in ("pseudo", "KL", "CVE"):
+        K = estimate_rate_matrix(C, method=method)
+        n = K.shape[0]
+        for i in range(n):
+            for j in range(n):
+                rows.append((method, i, j, float(K[i, j])))
+    return _values_sql(rows, ["method", "i", "j", "k_rate"], "sbbd")
+
+
+def _two_step_counts_np(sf: str) -> tuple[np.ndarray, np.ndarray]:
+    """(Ct, C2t) at lag 1 from the ordered dtraj arrays — the numpy
+    mirror of transition_counts_df (sliding) + two_step_counts_df:
+    per-trajectory leads, negative states excluded from every tuple."""
+    tid, _, _, state = _traj(sf)
+    n = int(state.max()) + 1
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    Ct = np.zeros((n, n))
+    C2t = np.zeros((n, n, n))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        s = state[a:b]
+        if b - a >= 2:
+            m = (s[:-1] >= 0) & (s[1:] >= 0)
+            np.add.at(Ct, (s[:-1][m], s[1:][m]), 1.0)
+        if b - a >= 3:
+            m2 = (s[:-2] >= 0) & (s[1:-1] >= 0) & (s[2:] >= 0)
+            np.add.at(C2t, (s[:-2][m2], s[1:-1][m2], s[2:][m2]), 1.0)
+    return Ct, C2t
+
+
+def oracle_oom() -> str:
+    """OOM-reweighted MSM replay (markov/oom.py): one-step + two-step
+    count tensors re-derived in numpy from the ordered dtraj, then the
+    SAME shared driver routine (oom_estimate_from_counts) the Spark
+    estimator calls after its counting jobs collect — the comparison
+    verifies the distributed one-/two-step counting."""
+    from deeptime_spark.markov.oom import oom_estimate_from_counts
+
+    Ct, C2t = _two_step_counts_np(sf_dir())
+    T, symbols, _, oom_vals = oom_estimate_from_counts(Ct, C2t, nbs=100, seed=3)
+    rows = []
+    for i in range(T.shape[0]):
+        for j in range(T.shape[0]):
+            rows.append((int(symbols[i]), int(symbols[j]), float(T[i, j])))
+    return _values_sql(rows, ["s_from", "s_to", "t_prob"], "bbd")
+
+
+def oracle_amm() -> str:
+    """Augmented-MSM replay (markov/amm.py, Olsson et al. PNAS'17): the
+    DuckDB count submodel, observable = state id, experimental target =
+    unbiased expectation + 0.25 at weight 20 — same fixed-point
+    optimizer driver-side; the distributed part under test is the
+    counting."""
+    from deeptime_spark.markov.amm import AugmentedMSMEstimator
+
+    msm, sub = _msm(sf_dir(), 1)
+    pi = msm.stationary_distribution
+    symbols = np.asarray(sub.state_symbols)
+    E = symbols.astype(np.float64)[:, None]
+    m_unb = float(pi @ E[:, 0])
+    amm = AugmentedMSMEstimator(E, [m_unb + 0.25], [20.0]).fit(sub).fetch_model()
+    pa = amm.stationary_distribution
+    mh = float(amm.m_hat[0])
+    rows = [
+        (int(symbols[i]), float(pa[i]), mh, m_unb) for i in range(len(symbols))
+    ]
+    return _values_sql(rows, ["state", "pi_amm", "m_hat", "m_unbiased"], "bddd")
+
+
+def oracle_sensitivity() -> str:
+    """Sensitivity-matrix replay (markov/sensitivity.py): first-order
+    perturbation matrices of the slowest eigenvalue, the MFPT-to-0 of
+    state 1, and pi[0], on the same reversible-MLE T the green msm_pi
+    oracle builds."""
+    from deeptime_spark.markov import sensitivity as sens
+
+    msm, _ = _msm(sf_dir(), 1)
+    P = msm.transition_matrix
+    mats = [
+        ("eigenvalue_1", sens.eigenvalue_sensitivity(P, 1)),
+        ("mfpt0_state1", sens.mfpt_sensitivity(P, 0, 1)),
+        ("pi_state0", sens.stationary_distribution_sensitivity(P, 0)),
+    ]
+    rows = []
+    for kind, S in mats:
+        for i in range(S.shape[0]):
+            for j in range(S.shape[1]):
+                rows.append((kind, i, j, float(S[i, j])))
+    return _values_sql(rows, ["kind", "i", "j", "dval"], "sbbd")
+
+
 _BUILDERS = {
+    "rate_matrix_events": oracle_rate_matrix,
+    "oom_events": oracle_oom,
+    "amm_events": oracle_amm,
+    "sensitivity_events": oracle_sensitivity,
     "msm_pi_events": oracle_msm_pi,
     "sindy_events": oracle_sindy,
     "bpe_tokens": oracle_bpe,
@@ -2950,9 +3059,13 @@ agg AS (
 )
 SELECT source_a, source_b, k_used, tau, n_common,
   CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
-  (CAST(k_used AS DOUBLE) - 1.0) * {two64} / (CAST(tau AS DOUBLE) + {two63}) AS union_est,
+  CASE WHEN k_used < {int(k)} THEN CAST(k_used AS DOUBLE)
+       ELSE (CAST(k_used AS DOUBLE) - 1.0) * {two64} / (CAST(tau AS DOUBLE) + {two63})
+  END AS union_est,
   (CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE))
-    * ((CAST(k_used AS DOUBLE) - 1.0) * {two64} / (CAST(tau AS DOUBLE) + {two63})) AS intersection_est
+    * (CASE WHEN k_used < {int(k)} THEN CAST(k_used AS DOUBLE)
+            ELSE (CAST(k_used AS DOUBLE) - 1.0) * {two64} / (CAST(tau AS DOUBLE) + {two63})
+       END) AS intersection_est
 FROM agg
 """
 

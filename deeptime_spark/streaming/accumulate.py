@@ -504,9 +504,12 @@ def streaming_ewma(
     """
     a = float(alpha)
     b = 1.0 - a
+    # key field type follows the actual input column (a string-keyed
+    # stream would otherwise emit null keys against a hardcoded Long) —
+    # same derivation streaming_heavy_hitters does for its key field
     out_schema = StructType(
         [
-            StructField(key_col, LongType()),
+            StructField(key_col, stream_df.schema[key_col].dataType),
             StructField("n_events", LongType()),
             StructField("ewma_value", DoubleType()),
         ]

@@ -273,10 +273,13 @@ def test_ivfpq_scoring_stays_jvm(spark):
                               m_subvectors=8, k_codes=8))
     import re
 
-    # a bounded number of Arrow kernels — cell assignment + PQ encode —
-    # all BEFORE the probe join; ADC scoring and the two-stage top-k are JVM
+    # exactly one Arrow kernel per stage — corpus assign, PQ encode,
+    # query probe-cells, query ADC table — all BEFORE the probe join
+    # (the coalesce join-key fix stops the inferred isnotnull filter
+    # re-evaluating assign; exploding the probe UDF directly stops the
+    # Generate re-evaluating it); ADC scoring + two-stage top-k are JVM
     n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
-    assert n_arrow <= 3, plan
+    assert n_arrow <= 4, plan
     join_tail = plan.split("BroadcastHashJoin")[-1]
     assert "EvalPython" not in join_tail.split("(1) Scan")[0][:4000]
     assert "BroadcastHashJoin" in plan
@@ -792,6 +795,6 @@ def test_ppjoin_no_cartesian_no_python(spark):
     from deeptime_spark.operators.dedup import ppjoin_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").where("source = 'src0'")
-    plan = plan_of(ppjoin_pairs(docs, threshold_pct=80))
+    plan = plan_of(ppjoin_pairs(docs, threshold_pct=80, materialize=False))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "EvalPython" not in plan

@@ -89,7 +89,8 @@ def test_curriculum_buckets_ntile_and_cumsum(spark):
     rows = [(i, float(i), 10 + i) for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, s double, n long")
     out = curriculum_buckets(
-        df, "s", n_buckets=4, group_cols=[], id_col="doc_id", token_col="n"
+        df, "s", n_buckets=4, group_cols=[], id_col="doc_id", token_col="n",
+        allow_single_partition=True,
     ).collect()
     by_b = {r["bucket"]: r for r in out}
     # ntile(4) over 10 rows: sizes 3,3,2,2; ranking is score desc
