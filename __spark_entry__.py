@@ -2242,15 +2242,19 @@ def _q_lsh_topk(spark, sf_dir):
 
 def _q_embedding_ann_recall(spark, sf_dir):
     """ANN quality gate (operators/similarity.py:ann_recall): recall@5
-    of the 4-plane/4-table LSH ranking against the exact cosine top-5,
-    per query — the eval loop an index-tuning pipeline runs. Both
-    rankings are the engine's own lsh_topk / brute_force_topk plans;
-    the recall is a bounded left-semi join + two per-query counts.
-    Oracle replays both rankers and the set recall
+    of ALL THREE approximate rankings — 4-plane/4-table LSH, IVF
+    (16 lists / 4 probes), and IVF-PQ (IVFADC) — against the exact
+    cosine top-5, per (method, query): the eval loop an index-tuning
+    pipeline runs. All rankings are the engine's own distributed
+    plans (same parameters as their standalone green queries); each
+    recall is a bounded left-semi join + two per-query counts. Oracle
+    replays all four rankers and the set recall
     (oracle_ref.py:oracle_embedding_ann_recall)."""
     from deeptime_spark.operators.similarity import (
         ann_recall,
         brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
         lsh_topk,
     )
 
@@ -2260,9 +2264,21 @@ def _q_embedding_ann_recall(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=4)
     exact = brute_force_topk(emb, queries, k=5)
-    return ann_recall(approx, exact)
+    rankers = {
+        "lsh": lsh_topk(emb, queries, k=5, n_planes=4, n_tables=4),
+        "ivf": ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4),
+        "ivfpq": ivfpq_topk(
+            emb, queries, k=5, n_lists=16, n_probe=4, m_subvectors=8, k_codes=16
+        ),
+    }
+    out = None
+    for method in sorted(rankers):
+        r = ann_recall(rankers[method], exact).select(
+            F.lit(method).alias("method"), "query_id", "n_exact", "n_hit", "recall"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 def _q_ivf_topk(spark, sf_dir):

@@ -1434,36 +1434,52 @@ def oracle_lsh_topk() -> str:
 
 
 def oracle_embedding_ann_recall() -> str:
-    """Recall@5 of the 4-plane/4-table LSH ranking vs the exact cosine
-    top-5 — both rankings replayed with the same bucketing and
-    fold-exact cosine replicas the lsh_topk / knn_bruteforce oracles
-    use, then the plain set recall."""
+    """Recall@5 of all three ANN rankings — 4-plane/4-table LSH, IVF
+    (16 lists / 4 probes), and IVF-PQ (IVFADC) — against the exact
+    cosine top-5, per (method, query). Each ranking is replayed with
+    the SAME replica its standalone green oracle uses (the bucketing /
+    _ivf_topk_rows / _ivfpq_topk_rows helpers), then the plain set
+    recall."""
     sf = sf_dir()
     X = _embeddings(sf)
     bucket_ids = _hyperplane_buckets(X, n_planes=4, n_tables=4)
     q_ids = [i for i in range(len(X)) if i < 5]
     k = 5
-    rows = []
+    exact_of = {}
+    sims_of = {}
     for q in q_ids:
         nq = _fold_norm(X[q])
         sims = {
             i: _fold_dot(X[i], X[q]) / (_fold_norm(X[i]) * nq)
             for i in range(len(X))
         }
-        exact = [
+        sims_of[q] = sims
+        exact_of[q] = set(
             i for _, i in sorted((-s, i) for i, s in sims.items())[:k]
-        ]
+        )
+    approx_of = {m: {q: set() for q in q_ids} for m in ("ivf", "ivfpq", "lsh")}
+    for q in q_ids:
         cands = set()
         for t in range(4):
             for i in range(len(X)):
                 if int(bucket_ids[i, t]) == int(bucket_ids[q, t]):
                     cands.add(i)
-        approx = [
-            i for _, i in sorted((-sims[i], i) for i in sorted(cands))[:k]
-        ]
-        n_hit = len(set(exact) & set(approx))
-        rows.append((q, k, n_hit, n_hit / float(k)))
-    return _values_sql(rows, ["query_id", "n_exact", "n_hit", "recall"], "bbbd")
+        approx_of["lsh"][q] = set(
+            i
+            for _, i in sorted((-sims_of[q][i], i) for i in sorted(cands))[:k]
+        )
+    for q, i, _rank in _ivf_topk_rows(X):
+        approx_of["ivf"][q].add(i)
+    for q, i, _rank, _d in _ivfpq_topk_rows(X):
+        approx_of["ivfpq"][q].add(i)
+    rows = []
+    for method in sorted(approx_of):
+        for q in q_ids:
+            n_hit = len(exact_of[q] & approx_of[method][q])
+            rows.append((method, q, k, n_hit, n_hit / float(k)))
+    return _values_sql(
+        rows, ["method", "query_id", "n_exact", "n_hit", "recall"], "sbbbd"
+    )
 
 
 _BUILDERS.update(
@@ -1499,16 +1515,16 @@ def oracle_multimodal_features() -> str:
 _BUILDERS["multimodal_features"] = oracle_multimodal_features
 
 
-def oracle_ivf_topk() -> str:
-    """Full IVF mirror: content-addressed quantizer sample (smallest
-    md5(vec_id) — the engine-independent selection ivf_topk uses), driver
-    Lloyd, cell assignment, probe pruning, fold-exact cosine top-k."""
+def _ivf_topk_rows(X: np.ndarray) -> list:
+    """IVF ranking mirror shared by oracle_ivf_topk / ivf_index_probe /
+    the widened recall gate: content-addressed quantizer sample
+    (smallest md5(vec_id) — the engine-independent selection ivf_topk
+    uses), driver Lloyd, cell assignment, probe pruning, fold-exact
+    cosine top-k. Returns [(query_id, vec_id, rank)]."""
     import hashlib
 
     from deeptime_spark.clustering.cluster_model import _pairwise_sq_dists
 
-    sf = sf_dir()
-    X = _embeddings(sf)
     n_lists, n_probe, k, iters, seed = 16, 4, 5, 8, 42
     keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(len(X)))
     sample = X[[i for _, i in keyed[:65536]]]
@@ -1534,7 +1550,13 @@ def oracle_ivf_topk() -> str:
         scored.sort()
         for rank, (_, i) in enumerate(scored[:k], start=1):
             rows.append((q, i, rank))
-    return _values_sql(rows, ["query_id", "vec_id", "rank"], "bbb")
+    return rows
+
+
+def oracle_ivf_topk() -> str:
+    return _values_sql(
+        _ivf_topk_rows(_embeddings(sf_dir())), ["query_id", "vec_id", "rank"], "bbb"
+    )
 
 
 _BUILDERS["ivf_topk"] = oracle_ivf_topk
@@ -1544,21 +1566,21 @@ _BUILDERS["ivf_topk"] = oracle_ivf_topk
 _BUILDERS["ivf_index_probe"] = oracle_ivf_topk
 
 
-def oracle_ivfpq_topk() -> str:
-    """IVF-PQ mirror (IVFADC): same content-addressed sample, the
-    operator's own driver-side Lloyd/codebook training (engine-independent
-    numpy, exactly the code under test's training path — what the
-    comparison verifies is the DISTRIBUTED side: cell assignment, the
-    Arrow encode pass, the broadcast probe join, and the JVM fold-order
-    ADC sum), then per-query table lookups accumulated in subvector order
-    (left-to-right float64 adds == the F.aggregate fold)."""
+def _ivfpq_topk_rows(X: np.ndarray) -> list:
+    """IVF-PQ ranking mirror (IVFADC) shared by oracle_ivfpq_topk and the
+    widened recall gate: same content-addressed sample, the operator's
+    own driver-side Lloyd/codebook training (engine-independent numpy,
+    exactly the code under test's training path — what the comparison
+    verifies is the DISTRIBUTED side: cell assignment, the Arrow encode
+    pass, the probe join, and the JVM fold-order ADC sum), then
+    per-query table lookups accumulated in subvector order (left-to-right
+    float64 adds == the F.aggregate fold). Returns
+    [(query_id, vec_id, rank, adc_dist_round6)]."""
     import hashlib
 
     from deeptime_spark.clustering.cluster_model import _pairwise_sq_dists
     from deeptime_spark.operators.similarity import _lloyd, pq_train_codebooks
 
-    sf = sf_dir()
-    X = _embeddings(sf)
     n_lists, n_probe, k, iters, seed = 16, 4, 5, 8, 42
     m_sub, k_codes = 8, 16
     keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(len(X)))
@@ -1598,7 +1620,15 @@ def oracle_ivfpq_topk() -> str:
         scored.sort()
         for rank, (dist, i) in enumerate(scored[:k], start=1):
             rows.append((q, i, rank, _spark_round(dist, 6)))
-    return _values_sql(rows, ["query_id", "vec_id", "rank", "adc_dist"], "bbbd")
+    return rows
+
+
+def oracle_ivfpq_topk() -> str:
+    return _values_sql(
+        _ivfpq_topk_rows(_embeddings(sf_dir())),
+        ["query_id", "vec_id", "rank", "adc_dist"],
+        "bbbd",
+    )
 
 
 _BUILDERS["ivfpq_topk"] = oracle_ivfpq_topk
