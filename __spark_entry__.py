@@ -666,6 +666,53 @@ def _q_msm_pi_events(spark, sf_dir):
     return spark.createDataFrame(rows, "state long, pi double, mfpt0 double")
 
 
+def _q_vampnet_events(spark, sf_dir):
+    """Torch-free VAMPNet (decomposition/deep.py:VAMPNet; reference
+    decomposition/deep/_vampnet.py:330 — the deep estimator previously
+    scoped out): a numpy MLP lobe trained full-batch to maximize the
+    VAMP-2 score of its features over the event trajectories. Each epoch
+    is two distributed jobs emitting per-trajectory sufficient-statistic
+    / gradient partials, reduced in sorted-trajectory order (the
+    Baum-Welch E-step pattern) — bit-identical for any partition layout,
+    so the oracle replays the whole training driver-side
+    (oracle_ref.py:oracle_vampnet). Output: the per-epoch VAMP-2 score
+    curve."""
+    from deeptime_spark.decomposition.deep import VAMPNet
+
+    traj = _event_traj(spark, sf_dir).select(
+        "traj_id", "t", (F.col("value") / F.lit(100.0)).alias("x0")
+    )
+    m = (
+        VAMPNet(lagtime=1, layers=[1, 16, 4], n_epochs=6, lr=0.05, seed=42)
+        .fit(traj, x_cols=["x0"])
+        .fetch_model()
+    )
+    rows = [(int(e), float(s)) for e, s in enumerate(m.scores)]
+    return spark.createDataFrame(rows, "epoch long, vamp2_score double")
+
+
+def _q_tae_events(spark, sf_dir):
+    """Torch-free time-lagged autoencoder (decomposition/deep.py:TAE;
+    reference decomposition/deep/_tae.py:78): numpy MLP encoder/decoder
+    trained full-batch to reconstruct the lag-1 frame, one distributed
+    per-trajectory-partials job per epoch, sorted-order reduce — same
+    determinism contract as vampnet_events. Output: the per-epoch MSE
+    curve (oracle_ref.py:oracle_tae)."""
+    from deeptime_spark.decomposition.deep import TAE
+
+    traj = _event_traj(spark, sf_dir).select(
+        "traj_id", "t", (F.col("value") / F.lit(100.0)).alias("x0")
+    )
+    m = (
+        TAE(lagtime=1, layers=[1, 8, 2, 8, 1], bottleneck_layer=2,
+            n_epochs=8, lr=0.02, seed=42)
+        .fit(traj, x_cols=["x0"])
+        .fetch_model()
+    )
+    rows = [(int(e), float(v)) for e, v in enumerate(m.losses)]
+    return spark.createDataFrame(rows, "epoch long, mse double")
+
+
 def _q_rate_matrix_events(spark, sf_dir):
     """Continuous-time generator estimation (markov/rate_matrix.py:46-251;
     reference markov/tools/estimation api.py rate_matrix cases of
@@ -4899,7 +4946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regspace_events": _q_regspace_events,
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
-        # families (VERDICT r8 item 4) ---
+        # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "vampnet_events": _q_vampnet_events,
+        "tae_events": _q_tae_events,
         "rate_matrix_events": _q_rate_matrix_events,
         "oom_events": _q_oom_events,
         "amm_events": _q_amm_events,
@@ -5056,6 +5105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then r05-stale greens oldest-evidence-first.
 # Recomputed each round by tools/plan_window.py from CORRECTNESS_r0*.json.
 _WINDOW_ORDER = [
+    "vampnet_events",  # NEW round-9: never driver-run
+    "tae_events",  # NEW round-9: never driver-run
     "rate_matrix_events",  # last green r00
     "oom_events",  # last green r00
     "amm_events",  # last green r00

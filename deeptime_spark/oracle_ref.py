@@ -832,7 +832,49 @@ def oracle_sensitivity() -> str:
     return _values_sql(rows, ["kind", "i", "j", "dval"], "sbbd")
 
 
+def _event_feature_trajs() -> list:
+    """[(traj_id, X)] with X = value/100 as a (T, 1) float64 array, in
+    sorted-trajectory order — the numpy mirror of the deep-estimator
+    harness input (_event_traj + the /100 feature select)."""
+    tid, _, value, _ = _traj(sf_dir())
+    x = (value / 100.0)[:, None]
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    return [
+        (int(tid[a]), x[a:b]) for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+
+
+def oracle_vampnet() -> str:
+    """Full driver-side replay of the distributed VAMPNet training
+    (decomposition/deep.py:vampnet_train_arrays — the IDENTICAL per-traj
+    kernels + sorted reduce + Adam the Spark estimator runs, with every
+    long-axis reduction routed through thread-count-independent einsum
+    kernels), emitting the per-epoch VAMP-2 score curve."""
+    from deeptime_spark.decomposition.deep import vampnet_train_arrays
+
+    _, scores = vampnet_train_arrays(
+        _event_feature_trajs(), [1, 16, 4], tau=1, n_epochs=6, lr=0.05, seed=42
+    )
+    rows = [(e, float(s)) for e, s in enumerate(scores)]
+    return _values_sql(rows, ["epoch", "vamp2_score"], "bd")
+
+
+def oracle_tae() -> str:
+    """Driver-side replay of the distributed TAE training
+    (decomposition/deep.py:tae_train_arrays), emitting the per-epoch
+    MSE curve."""
+    from deeptime_spark.decomposition.deep import tae_train_arrays
+
+    _, losses = tae_train_arrays(
+        _event_feature_trajs(), [1, 8, 2, 8, 1], tau=1, n_epochs=8, lr=0.02, seed=42
+    )
+    rows = [(e, float(v)) for e, v in enumerate(losses)]
+    return _values_sql(rows, ["epoch", "mse"], "bd")
+
+
 _BUILDERS = {
+    "vampnet_events": oracle_vampnet,
+    "tae_events": oracle_tae,
     "rate_matrix_events": oracle_rate_matrix,
     "oom_events": oracle_oom,
     "amm_events": oracle_amm,

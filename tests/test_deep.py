@@ -1,0 +1,133 @@
+"""Deep estimators (torch-free VAMPNet / TAE): FD-pinned gradients,
+learning behavior on the canonical two-state problem, and the
+distributed == driver-replay bit-equality the oracle gate relies on."""
+
+import numpy as np
+import pytest
+
+from deeptime_spark.data.generators import simulate_msm
+from deeptime_spark.decomposition.deep import (
+    TAE,
+    VAMPNet,
+    mlp_backward,
+    mlp_forward,
+    mlp_init,
+    tae_train_arrays,
+    vamp2_grads,
+    vampnet_train_arrays,
+)
+
+
+def _toy_trajs(n_traj=4, n=2000):
+    """Two-state jump process observed through a nonlinear 2-d lift."""
+    T = np.array([[0.95, 0.05], [0.05, 0.95]])
+    out = []
+    for tid in range(n_traj):
+        d = simulate_msm(T, n, start=tid % 2, seed=100 + tid)
+        x = d.astype(float) * 2.0 - 1.0 + 0.3 * np.random.default_rng(tid).normal(size=len(d))
+        out.append((tid, np.column_stack([x, x * x])))
+    return out
+
+
+def test_vamp2_grads_match_finite_differences():
+    rng = np.random.default_rng(0)
+    k, h = 4, 1e-6
+    A = rng.normal(size=(k, k))
+    B = rng.normal(size=(k, k))
+    C00 = A @ A.T + 0.1 * np.eye(k)
+    Ctt = B @ B.T + 0.1 * np.eye(k)
+    C0t = rng.normal(size=(k, k)) * 0.3
+    _, G00, G0t, G11 = vamp2_grads(C00, C0t, Ctt)
+
+    def fd(name):
+        G = np.zeros((k, k))
+        mats = {"C00": C00, "C0t": C0t, "Ctt": Ctt}
+        for i in range(k):
+            for j in range(k):
+                m = mats[name]
+                m[i, j] += h
+                sp = vamp2_grads(C00, C0t, Ctt)[0]
+                m[i, j] -= 2 * h
+                sm = vamp2_grads(C00, C0t, Ctt)[0]
+                m[i, j] += h
+                G[i, j] = (sp - sm) / (2 * h)
+        return G
+
+    np.testing.assert_allclose(fd("C00"), G00, atol=1e-6)
+    np.testing.assert_allclose(fd("C0t"), G0t, atol=1e-6)
+    np.testing.assert_allclose(fd("Ctt"), G11, atol=1e-6)
+
+
+def test_mlp_backward_matches_finite_differences():
+    rng = np.random.default_rng(1)
+    params = mlp_init([2, 8, 3], seed=1)
+    X = rng.normal(size=(40, 2))
+    R = rng.normal(size=(40, 3))
+    _, acts = mlp_forward(params, X)
+    grads = mlp_backward(params, acts, R)
+    h = 1e-6
+    for i_p, p in enumerate(params):
+        ix = next(np.ndindex(*p.shape))
+        p[ix] += h
+        fp = (mlp_forward(params, X)[0] * R).sum()
+        p[ix] -= 2 * h
+        fm = (mlp_forward(params, X)[0] * R).sum()
+        p[ix] += h
+        assert abs((fp - fm) / (2 * h) - grads[i_p][ix]) < 1e-6
+
+
+def test_vampnet_learns_the_two_state_process():
+    # best possible VAMP-2 at lag 1 for this chain is 1 + 0.9^2 = 1.81
+    trajs = _toy_trajs()
+    _, scores = vampnet_train_arrays(trajs, [2, 16, 2], tau=1, n_epochs=30, lr=0.05, seed=42)
+    assert scores[-1] > scores[0] + 0.05
+    assert scores[-1] > 1.75
+    assert scores[-1] < 1.85  # can't beat the true spectrum
+
+
+def test_tae_loss_decreases():
+    trajs = _toy_trajs()
+    _, losses = tae_train_arrays(trajs, [2, 8, 1, 8, 2], tau=1, n_epochs=30, lr=0.02, seed=42)
+    assert losses[-1] < 0.6 * losses[0]
+
+
+def _toy_df(spark, trajs):
+    rows = [
+        (tid, t, float(X[t, 0]), float(X[t, 1]))
+        for tid, X in trajs
+        for t in range(len(X))
+    ]
+    return spark.createDataFrame(rows, "traj_id long, t long, x0 double, x1 double")
+
+
+def test_vampnet_spark_bitwise_matches_replay_and_partitioning(spark):
+    trajs = _toy_trajs(n_traj=3, n=1200)
+    df = _toy_df(spark, trajs)
+    kw = dict(lagtime=1, layers=[2, 16, 2], n_epochs=4, lr=0.05, seed=42)
+    m = VAMPNet(**kw).fit(df, x_cols=["x0", "x1"]).fetch_model()
+    p_ref, s_ref = vampnet_train_arrays(trajs, [2, 16, 2], tau=1, n_epochs=4, lr=0.05, seed=42)
+    assert m.scores == s_ref
+    assert all(np.array_equal(a, b) for a, b in zip(m.params, p_ref))
+    # partition-layout invariance: per-traj partials + sorted reduce
+    m2 = VAMPNet(**kw).fit(df.repartition(7), x_cols=["x0", "x1"]).fetch_model()
+    assert all(np.array_equal(a, b) for a, b in zip(m.params, m2.params))
+    feats = m.transform(df, x_cols=["x0", "x1"]).select("features").first()["features"]
+    assert len(feats) == 2
+
+
+def test_tae_spark_bitwise_matches_replay(spark):
+    trajs = _toy_trajs(n_traj=3, n=1200)
+    df = _toy_df(spark, trajs)
+    est = TAE(lagtime=1, layers=[2, 8, 1, 8, 2], bottleneck_layer=2,
+              n_epochs=4, lr=0.02, seed=42).fit(df, x_cols=["x0", "x1"])
+    m = est.fetch_model()
+    p_ref, l_ref = tae_train_arrays(trajs, [2, 8, 1, 8, 2], tau=1, n_epochs=4, lr=0.02, seed=42)
+    assert m.losses == l_ref
+    assert all(np.array_equal(a, b) for a, b in zip(m.params, p_ref))
+    lat = m.transform(df, x_cols=["x0", "x1"], out_col="latent").select("latent").first()["latent"]
+    assert len(lat) == 1
+
+
+def test_tae_rejects_mismatched_io_dims():
+    with pytest.raises(ValueError, match="layers\\[0\\] must equal"):
+        TAE(lagtime=1, layers=[2, 8, 1, 8, 3], bottleneck_layer=2)
