@@ -713,6 +713,29 @@ def _q_tae_events(spark, sf_dir):
     return spark.createDataFrame(rows, "epoch long, mse double")
 
 
+def _q_tvae_events(spark, sf_dir):
+    """Torch-free time-lagged VARIATIONAL autoencoder
+    (decomposition/deep.py:TVAE; reference decomposition/deep/_tae.py:266):
+    the reparametrization noise is counter-based — eps seeded by
+    (seed, epoch, traj_id) — so the stochastic estimator trains
+    deterministically, partition-invariantly, and under the full oracle
+    gate like its non-variational sibling. Output: per-epoch
+    MSE + beta*KLD/d loss curve (oracle_ref.py:oracle_tvae)."""
+    from deeptime_spark.decomposition.deep import TVAE
+
+    traj = _event_traj(spark, sf_dir).select(
+        "traj_id", "t", (F.col("value") / F.lit(100.0)).alias("x0")
+    )
+    m = (
+        TVAE(lagtime=1, hidden=8, bottleneck=2, n_epochs=8, beta=0.1,
+             lr=0.02, seed=42)
+        .fit(traj, x_cols=["x0"])
+        .fetch_model()
+    )
+    rows = [(int(e), float(v)) for e, v in enumerate(m.losses)]
+    return spark.createDataFrame(rows, "epoch long, loss double")
+
+
 def _q_rate_matrix_events(spark, sf_dir):
     """Continuous-time generator estimation (markov/rate_matrix.py:46-251;
     reference markov/tools/estimation api.py rate_matrix cases of
@@ -4949,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
         "vampnet_events": _q_vampnet_events,
         "tae_events": _q_tae_events,
+        "tvae_events": _q_tvae_events,
         "rate_matrix_events": _q_rate_matrix_events,
         "oom_events": _q_oom_events,
         "amm_events": _q_amm_events,
@@ -5107,6 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW_ORDER = [
     "vampnet_events",  # NEW round-9: never driver-run
     "tae_events",  # NEW round-9: never driver-run
+    "tvae_events",  # NEW round-9: never driver-run
     "rate_matrix_events",  # last green r00
     "oom_events",  # last green r00
     "amm_events",  # last green r00

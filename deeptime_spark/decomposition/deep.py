@@ -621,3 +621,201 @@ class TAE(Estimator):
             data.unpersist()
         self._model = TAEModel(params, self.layers, losses, self.lagtime, self.bottleneck_layer)
         return self
+
+
+# ------------------------------------------------------------------ TVAE
+
+def tvae_init(d: int, hidden: int, bottleneck: int, seed: int = 42) -> List[np.ndarray]:
+    """TVAE parameters as one flat list:
+    [W_trunk, b_trunk, W_mu, b_mu, W_logvar, b_logvar, dec...] — a
+    tanh trunk d->hidden, two linear heads hidden->bottleneck (mean /
+    log-variance, reference _tae.py:TVAEEncoder:238), and a tanh-hidden
+    decoder bottleneck->hidden->d."""
+    rng = np.random.default_rng(seed)
+
+    def lin(i, o):
+        bound = np.sqrt(6.0 / (i + o))
+        return [rng.uniform(-bound, bound, size=(i, o)), np.zeros(o)]
+
+    return (
+        lin(d, hidden) + lin(hidden, bottleneck) + lin(hidden, bottleneck)
+        + lin(bottleneck, hidden) + lin(hidden, d)
+    )
+
+
+def _tvae_split(params: List[np.ndarray]):
+    return params[0:2], params[2:4], params[4:6], params[6:10]
+
+
+def tvae_encode_mean(params: List[np.ndarray], X: np.ndarray) -> np.ndarray:
+    """Deterministic latent embedding: the encoder MEAN (at inference the
+    reparametrized sample collapses to the mean in expectation; yielding
+    mu keeps transform deterministic — documented deviation from the
+    reference's sampled transform)."""
+    (Wt, bt), (Wm, bm), _, _ = _tvae_split(params)
+    a = np.tanh(_mm(X, Wt) + bt)
+    return _mm(a, Wm) + bm
+
+
+def tvae_grad_partial(params: List[np.ndarray], X: np.ndarray, tau: int,
+                      beta: float, eps_seed: tuple) -> Optional[tuple]:
+    """One trajectory's (n_pairs, sse, kld_sum, gradient sums/d) for the
+    time-lagged VARIATIONAL autoencoder loss (reference _tae.py:281-298:
+    MSE(dec(z), y) + beta * mean(KLD) / d with z = mu + sigma * eps).
+
+    The reparametrization noise is COUNTER-BASED: eps is drawn from a
+    PCG64 stream seeded by (seed, epoch, traj_id) in within-trajectory
+    order — deterministic, independent of partitioning, and replayable
+    by the oracle. Gradient sums carry every scale factor except the
+    global 1/N, which the driver applies after the sorted reduce."""
+    x, y = _traj_pairs(X, tau)
+    if x is None:
+        return None
+    d = X.shape[1]
+    (Wt, bt), (Wm, bm), (Wl, bl), dec = _tvae_split(params)
+    # encoder forward
+    zt = _mm(x, Wt) + bt
+    a = np.tanh(zt)
+    mu = _mm(a, Wm) + bm
+    logvar = _mm(a, Wl) + bl
+    sig = np.exp(0.5 * logvar)
+    rng = np.random.default_rng(eps_seed)
+    eps = rng.standard_normal(mu.shape)
+    z = mu + sig * eps
+    # decoder forward
+    out, dacts = mlp_forward(dec, z)
+    resid = out - y
+    sse = float(_sum0(resid * resid).sum())
+    kld = float(_sum0(-0.5 * (1.0 + logvar - mu * mu - np.exp(logvar))).sum())
+    # backward: common 1/N deferred to the driver
+    d_out = (2.0 / d) * resid
+    dec_grads = mlp_backward(dec, dacts, d_out)
+    # propagate into z: delta through the decoder input
+    delta = d_out
+    n_dec = len(dec) // 2
+    for layer in range(n_dec - 1, 0, -1):
+        W = dec[2 * layer]
+        a_hidden = dacts[layer]
+        delta = _mm(delta, W.T) * (1.0 - a_hidden * a_hidden)
+    dz = _mm(delta, dec[0].T)
+    d_mu = dz + (beta / d) * mu
+    d_lv = dz * (0.5 * sig * eps) + (beta / d) * 0.5 * (np.exp(logvar) - 1.0)
+    g_Wm, g_bm = _gemm_t(a, d_mu), _sum0(d_mu)
+    g_Wl, g_bl = _gemm_t(a, d_lv), _sum0(d_lv)
+    d_a = (_mm(d_mu, Wm.T) + _mm(d_lv, Wl.T)) * (1.0 - a * a)
+    g_Wt, g_bt = _gemm_t(x, d_a), _sum0(d_a)
+    grads = [g_Wt, g_bt, g_Wm, g_bm, g_Wl, g_bl] + dec_grads
+    return float(len(x)), sse, kld, grads
+
+
+def tvae_train_arrays(trajs: List[tuple], d: int, hidden: int, bottleneck: int,
+                      tau: int, n_epochs: int, beta: float = 1.0,
+                      lr: float = 0.01, seed: int = 42):
+    """Full TVAE training replay over [(traj_id, X)] arrays. Returns
+    (params, per-epoch losses) with loss = mse + beta * kld_mean / d."""
+    params = tvae_init(d, hidden, bottleneck, seed)
+    opt = _Adam(params, lr=lr)
+    losses = []
+    for epoch in range(n_epochs):
+        rows = []
+        for tid, X in trajs:
+            out = tvae_grad_partial(params, X, tau, beta, (seed, epoch, tid))
+            if out is not None:
+                n_i, sse, kld, grads = out
+                rows.append((tid, np.concatenate([[n_i, sse, kld], _flatten(grads)])))
+        total = None
+        for _tid, v in sorted(rows, key=lambda r: r[0]):
+            total = v if total is None else total + v
+        n = total[0]
+        losses.append(float(total[1] / (n * d) + beta * (total[2] / n) / d))
+        grads = _unflatten(total[3:] / n, params)
+        opt.step(params, grads)
+    return params, losses
+
+
+class TVAEModel(Model, Transformer):
+    """Trained TVAE; ``transform`` emits the (deterministic) encoder
+    mean as the latent array column."""
+
+    def __init__(self, params: List[np.ndarray], losses: List[float], lagtime: int):
+        self.params = params
+        self.losses = list(losses)
+        self.lagtime = lagtime
+
+    def transform(self, df: DataFrame, x_cols: Sequence[str] = ("x",),
+                  out_col: str = "latent") -> DataFrame:
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        params = [p.copy() for p in self.params]
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def _enc(*cols: pd.Series) -> pd.Series:
+            X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+            return pd.Series(tvae_encode_mean(params, X).tolist())
+
+        return df.withColumn(out_col, _enc(*[F.col(c) for c in x_cols]))
+
+
+class TVAE(Estimator):
+    """Distributed full-batch time-lagged VARIATIONAL autoencoder
+    (reference _tae.py:266): same per-trajectory-partials shape as TAE
+    with counter-based reparametrization noise — eps is seeded by
+    (seed, epoch, traj_id), so training is deterministic, partition-
+    layout-invariant, and oracle-replayable despite being a stochastic
+    method in the reference."""
+
+    def __init__(self, lagtime: int, hidden: int, bottleneck: int,
+                 n_epochs: int = 10, beta: float = 1.0, lr: float = 0.01,
+                 seed: int = 42):
+        super().__init__()
+        self.lagtime = int(lagtime)
+        self.hidden = int(hidden)
+        self.bottleneck = int(bottleneck)
+        self.n_epochs = int(n_epochs)
+        self.beta = float(beta)
+        self.lr = float(lr)
+        self.seed = int(seed)
+
+    def fit(self, df: DataFrame, x_cols: Sequence[str] = ("x",),
+            traj_col: str = "traj_id", time_col: str = "t") -> "TVAE":
+        d = len(x_cols)
+        tau, beta, seed = self.lagtime, self.beta, self.seed
+        data = _collocate(df, traj_col, time_col, list(x_cols))
+        spark = df.sparkSession
+        params = tvae_init(d, self.hidden, self.bottleneck, seed)
+        opt = _Adam(params, lr=self.lr)
+        losses: List[float] = []
+        try:
+            for epoch in range(self.n_epochs):
+                b_params = spark.sparkContext.broadcast([p.copy() for p in params])
+
+                def epoch_pass(batches, _e=epoch):
+                    ps = b_params.value
+                    out_t, out_v = [], []
+                    for tid, X in _partition_traj_arrays(batches, d):
+                        out = tvae_grad_partial(ps, X, tau, beta, (seed, _e, tid))
+                        if out is not None:
+                            n_i, sse, kld, grads = out
+                            out_t.append(tid)
+                            out_v.append(
+                                np.concatenate([[n_i, sse, kld], _flatten(grads)]).tolist()
+                            )
+                    if out_t:
+                        yield pd.DataFrame({"_tid": out_t, "_v": out_v})
+
+                rows = data.mapInPandas(
+                    epoch_pass, schema="_tid long, _v array<double>"
+                ).collect()
+                total = None
+                for _tid, v in sorted(
+                    ((r["_tid"], np.asarray(r["_v"])) for r in rows), key=lambda r: r[0]
+                ):
+                    total = v if total is None else total + v
+                n = total[0]
+                losses.append(float(total[1] / (n * d) + beta * (total[2] / n) / d))
+                grads = _unflatten(total[3:] / n, params)
+                opt.step(params, grads)
+        finally:
+            data.unpersist()
+        self._model = TVAEModel(params, losses, self.lagtime)
+        return self

@@ -872,9 +872,25 @@ def oracle_tae() -> str:
     return _values_sql(rows, ["epoch", "mse"], "bd")
 
 
+def oracle_tvae() -> str:
+    """Driver-side replay of the distributed TVAE training
+    (decomposition/deep.py:tvae_train_arrays — counter-based
+    reparametrization noise keyed by (seed, epoch, traj_id) makes the
+    stochastic estimator exactly replayable)."""
+    from deeptime_spark.decomposition.deep import tvae_train_arrays
+
+    _, losses = tvae_train_arrays(
+        _event_feature_trajs(), 1, 8, 2, tau=1, n_epochs=8, beta=0.1,
+        lr=0.02, seed=42,
+    )
+    rows = [(e, float(v)) for e, v in enumerate(losses)]
+    return _values_sql(rows, ["epoch", "loss"], "bd")
+
+
 _BUILDERS = {
     "vampnet_events": oracle_vampnet,
     "tae_events": oracle_tae,
+    "tvae_events": oracle_tvae,
     "rate_matrix_events": oracle_rate_matrix,
     "oom_events": oracle_oom,
     "amm_events": oracle_amm,

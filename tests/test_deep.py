@@ -131,3 +131,55 @@ def test_tae_spark_bitwise_matches_replay(spark):
 def test_tae_rejects_mismatched_io_dims():
     with pytest.raises(ValueError, match="layers\\[0\\] must equal"):
         TAE(lagtime=1, layers=[2, 8, 1, 8, 3], bottleneck_layer=2)
+
+
+def test_tvae_gradients_match_finite_differences():
+    from deeptime_spark.decomposition.deep import tvae_grad_partial, tvae_init
+
+    rng = np.random.default_rng(3)
+    d, h_dim, b = 2, 6, 1
+    params = tvae_init(d, h_dim, b, seed=5)
+    X = rng.normal(size=(60, d))
+    eps_seed = (5, 0, 7)
+
+    def loss_of():
+        n_i, sse, kld, _ = tvae_grad_partial(params, X, 1, 1.0, eps_seed)
+        return sse / (n_i * d) + (kld / n_i) / d
+
+    n_i, sse, kld, grads = tvae_grad_partial(params, X, 1, 1.0, eps_seed)
+    grads = [g / n_i for g in grads]
+    h = 1e-6
+    for i_p, p in enumerate(params):
+        ix = next(np.ndindex(*p.shape))
+        p[ix] += h
+        fp = loss_of()
+        p[ix] -= 2 * h
+        fm = loss_of()
+        p[ix] += h
+        assert abs((fp - fm) / (2 * h) - grads[i_p][ix]) < 1e-6, f"param {i_p}"
+
+
+def test_tvae_loss_decreases():
+    from deeptime_spark.decomposition.deep import tvae_train_arrays
+
+    trajs = _toy_trajs()
+    _, losses = tvae_train_arrays(trajs, 2, 8, 1, tau=1, n_epochs=25, beta=0.1, lr=0.02, seed=42)
+    assert losses[-1] < 0.6 * losses[0]
+
+
+def test_tvae_spark_bitwise_matches_replay(spark):
+    from deeptime_spark.decomposition.deep import TVAE, tvae_train_arrays
+
+    trajs = _toy_trajs(n_traj=3, n=1200)
+    df = _toy_df(spark, trajs)
+    kw = dict(lagtime=1, hidden=8, bottleneck=1, n_epochs=3, beta=0.1, lr=0.02, seed=42)
+    m = TVAE(**kw).fit(df, x_cols=["x0", "x1"]).fetch_model()
+    p_ref, l_ref = tvae_train_arrays(trajs, 2, 8, 1, tau=1, n_epochs=3, beta=0.1, lr=0.02, seed=42)
+    assert m.losses == l_ref
+    assert all(np.array_equal(a, b) for a, b in zip(m.params, p_ref))
+    # counter-based noise => partition-layout invariance holds even for
+    # the stochastic estimator
+    m2 = TVAE(**kw).fit(df.repartition(5), x_cols=["x0", "x1"]).fetch_model()
+    assert all(np.array_equal(a, b) for a, b in zip(m.params, m2.params))
+    lat = m.transform(df, x_cols=["x0", "x1"]).select("latent").first()["latent"]
+    assert len(lat) == 1

@@ -107,6 +107,11 @@ QUERIES = [
     "event_kmv_rollup",
     # round-8 late batch 6: JSONL codec round-trip, path mining
     "jsonl_roundtrip", "event_top_paths",
+    # round-9: torch-free deep estimators (per-traj partial jobs per
+    # epoch — work linear in rows, reduce linear in trajectories) and
+    # the four estimator families promoted to the harness
+    "vampnet_events", "tae_events", "tvae_events", "rate_matrix_events", "oom_events",
+    "amm_events", "sensitivity_events",
 ]
 
 
