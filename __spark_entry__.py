@@ -736,6 +736,32 @@ def _q_tvae_events(spark, sf_dir):
     return spark.createDataFrame(rows, "epoch long, loss double")
 
 
+def _q_kvadnet_events(spark, sf_dir):
+    """Deep KVAD (decomposition/deep.py:KVADNet; reference
+    decomposition/deep/_kvadnet.py — the last deep-module capability):
+    numpy MLP lobe trained to maximize the kernel-embedded variational
+    score against the Gaussian Gram of the lagged observable. The N x N
+    Gram makes exact deep-KVAD training quadratic, so training runs on a
+    bounded CONTENT-ADDRESSED sample (smallest md5(traj_id || '_' || t),
+    TakeOrderedAndProject — the scale-honest Nystrom-style design; the
+    trained lobe then featurizes the corpus distributed). Seeded
+    deterministic numpy training, so the oracle replays it exactly
+    (oracle_ref.py:oracle_kvadnet). Output: per-epoch score curve."""
+    from deeptime_spark.decomposition.deep import KVADNet
+
+    traj = _event_traj(spark, sf_dir).select(
+        "traj_id", "t", F.array(F.col("value") / F.lit(100.0)).alias("x")
+    )
+    m = (
+        KVADNet(lagtime=1, layers=[1, 16, 2], sigma=1.0, n_epochs=10,
+                lr=0.02, seed=42, max_samples=1500)
+        .fit(traj)
+        .fetch_model()
+    )
+    rows = [(int(e), float(v)) for e, v in enumerate(m.scores)]
+    return spark.createDataFrame(rows, "epoch long, kvad_score double")
+
+
 def _q_rate_matrix_events(spark, sf_dir):
     """Continuous-time generator estimation (markov/rate_matrix.py:46-251;
     reference markov/tools/estimation api.py rate_matrix cases of
@@ -4973,6 +4999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vampnet_events": _q_vampnet_events,
         "tae_events": _q_tae_events,
         "tvae_events": _q_tvae_events,
+        "kvadnet_events": _q_kvadnet_events,
         "rate_matrix_events": _q_rate_matrix_events,
         "oom_events": _q_oom_events,
         "amm_events": _q_amm_events,
@@ -5132,6 +5159,7 @@ _WINDOW_ORDER = [
     "vampnet_events",  # NEW round-9: never driver-run
     "tae_events",  # NEW round-9: never driver-run
     "tvae_events",  # NEW round-9: never driver-run
+    "kvadnet_events",  # NEW round-9: never driver-run
     "rate_matrix_events",  # last green r00
     "oom_events",  # last green r00
     "amm_events",  # last green r00

@@ -83,6 +83,19 @@ def _mm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return np.einsum("ni,ij->nj", A, B, optimize=False)
 
 
+def _stack_feature_cols(cols) -> np.ndarray:
+    """Stack pandas Series into an (n, d) float64 matrix; each column may
+    be a scalar double or an array<double> (flattened side by side)."""
+    mats = []
+    for c in cols:
+        v = c.to_numpy()
+        if len(v) and isinstance(v[0], (list, np.ndarray)):
+            mats.append(np.stack([np.asarray(e, dtype=np.float64) for e in v]))
+        else:
+            mats.append(c.to_numpy(dtype=np.float64)[:, None])
+    return np.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
+
+
 def _sum0(A: np.ndarray) -> np.ndarray:
     """Column sums over the same fixed chunking (np.sum is not BLAS, but
     keeping one summation discipline for every long-axis reduction makes
@@ -428,7 +441,9 @@ class VAMPNetModel(Model, Transformer):
 
         @F.pandas_udf(ArrayType(DoubleType()))
         def _net(*cols: pd.Series) -> pd.Series:
-            X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+            if not len(cols[0]):
+                return pd.Series([], dtype=object)
+            X = _stack_feature_cols(cols)
             out, _ = mlp_forward(params, X)
             return pd.Series(out.tolist())
 
@@ -543,7 +558,9 @@ class TAEModel(Model, Transformer):
 
         @F.pandas_udf(ArrayType(DoubleType()))
         def _enc(*cols: pd.Series) -> pd.Series:
-            X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+            if not len(cols[0]):
+                return pd.Series([], dtype=object)
+            X = _stack_feature_cols(cols)
             a = X
             for layer in range(self.bottleneck_layer):
                 W, b = enc_params[2 * layer], enc_params[2 * layer + 1]
@@ -750,7 +767,9 @@ class TVAEModel(Model, Transformer):
 
         @F.pandas_udf(ArrayType(DoubleType()))
         def _enc(*cols: pd.Series) -> pd.Series:
-            X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+            if not len(cols[0]):
+                return pd.Series([], dtype=object)
+            X = _stack_feature_cols(cols)
             return pd.Series(tvae_encode_mean(params, X).tolist())
 
         return df.withColumn(out_col, _enc(*[F.col(c) for c in x_cols]))
@@ -818,4 +837,133 @@ class TVAE(Estimator):
         finally:
             data.unpersist()
         self._model = TVAEModel(params, losses, self.lagtime)
+        return self
+
+
+# ---------------------------------------------------------------- KVADNet
+
+def kvad_score_and_grads(params: List[np.ndarray], x: np.ndarray, G: np.ndarray,
+                         epsilon: float = 1e-6):
+    """KVAD score of the lobe features against a FIXED kernel Gram G of
+    the lagged observable (reference decomposition/deep/_kvadnet.py:25:
+    score = tr(W^T G W)/N^2 + mean(G) with W the whitened mean-free
+    features, G treated as constant), plus EXACT parameter gradients.
+
+    Identity used: tr(W^T G W) = tr(C^-1 Xc^T G Xc) with
+    C = Xc^T Xc/(N-1) — the same truncated-inverse Daleckii-Krein
+    machinery as vamp2_grads; the mean-free centering contributes a
+    row-mean projector on the feature gradient (unlike VAMP-2, the
+    G-weighted path does not annihilate the mean)."""
+    chi, acts = mlp_forward(params, x)
+    N = len(chi)
+    mean = _sum0(chi) / N
+    Xc = chi - mean
+    C = _gemm_t(Xc, Xc) / (N - 1.0)
+    lam, U, f, fp = _trunc_inverse_with_grad_basis(C, epsilon)
+    Inv = (U * f) @ U.T
+    GX = np.einsum("nm,mk->nk", G, Xc, optimize=False)
+    M = _gemm_t(Xc, GX)
+    n2 = float(N) * float(N)
+    score = float(np.trace(Inv @ M)) / n2 + float(_sum0(G).sum()) / n2
+    # d score / d Xc: through M (fixed C) + through C (Daleckii-Krein)
+    dXc = np.einsum("nk,kj->nj", GX, (2.0 / n2) * Inv, optimize=False)
+    G_C = _daleckii_krein(lam, U, f, fp, M / n2)
+    dXc = dXc + np.einsum("nk,kj->nj", Xc, (2.0 / (N - 1.0)) * G_C, optimize=False)
+    d_chi = dXc - _sum0(dXc) / N
+    grads = mlp_backward(params, acts, d_chi)
+    return score, grads
+
+
+def kvadnet_train_arrays(x: np.ndarray, y: np.ndarray, layers: Sequence[int],
+                         sigma: float = 1.0, n_epochs: int = 20, lr: float = 0.02,
+                         seed: int = 42, epsilon: float = 1e-6):
+    """Driver-side KVADNet training on a bounded sample: maximize the
+    KVAD score of chi(x) against the Gaussian Gram of y. Returns
+    (params, per-epoch scores); scores[e] is pre-update like the other
+    deep replays."""
+    from deeptime_spark.kernels import GaussianKernel
+
+    G = GaussianKernel(sigma).apply(np.asarray(y, dtype=np.float64),
+                                    np.asarray(y, dtype=np.float64))
+    params = mlp_init(layers, seed)
+    opt = _Adam(params, lr=lr)
+    scores = []
+    X = np.asarray(x, dtype=np.float64)
+    for _epoch in range(n_epochs):
+        score, grads = kvad_score_and_grads(params, X, G, epsilon)
+        scores.append(score)
+        opt.step(params, [-g for g in grads])
+    return params, scores
+
+
+class KVADNetModel(Model, Transformer):
+    """Trained KVAD lobe; ``transform`` emits chi(x) distributed (one
+    Arrow batch pass), exactly like VAMPNetModel."""
+
+    def __init__(self, params: List[np.ndarray], scores: List[float],
+                 lagtime: int, sigma: float):
+        self.params = params
+        self.scores = list(scores)
+        self.lagtime = lagtime
+        self.sigma = sigma
+
+    @property
+    def score(self) -> float:
+        return self.scores[-1]
+
+    def transform(self, df: DataFrame, x_cols: Sequence[str] = ("x",),
+                  out_col: str = "features") -> DataFrame:
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        params = [p.copy() for p in self.params]
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def _net(*cols: pd.Series) -> pd.Series:
+            if not len(cols[0]):
+                return pd.Series([], dtype=object)
+            X = _stack_feature_cols(cols)
+            out, _ = mlp_forward(params, X)
+            return pd.Series(out.tolist())
+
+        return df.withColumn(out_col, _net(*[F.col(c) for c in x_cols]))
+
+
+class KVADNet(Estimator):
+    """Deep KVAD (reference decomposition/deep/_kvadnet.py): a numpy MLP
+    lobe trained to maximize the kernel-embedded variational score of
+    its features against the Gaussian Gram of the lagged observable.
+
+    The Gram is N x N, so EXACT deep-KVAD training is inherently
+    quadratic in the sample — the scale-honest design (mirroring the
+    non-deep KVAD at kernel_methods.py:133-176 and standard Nystrom
+    practice) trains on a bounded CONTENT-ADDRESSED sample (smallest
+    md5(traj_id || '_' || t), partition-layout independent,
+    TakeOrderedAndProject — no full sort), then featurizes the corpus
+    DISTRIBUTED through the trained lobe. Training itself is seeded
+    deterministic numpy, so the harness oracle replays it exactly."""
+
+    def __init__(self, lagtime: int, layers: Sequence[int], sigma: float = 1.0,
+                 n_epochs: int = 20, lr: float = 0.02, seed: int = 42,
+                 max_samples: int = 2000, epsilon: float = 1e-6,
+                 x_col: str = "x"):
+        super().__init__()
+        self.lagtime = int(lagtime)
+        self.layers = list(layers)
+        self.sigma = float(sigma)
+        self.n_epochs = int(n_epochs)
+        self.lr = float(lr)
+        self.seed = int(seed)
+        self.max_samples = int(max_samples)
+        self.epsilon = float(epsilon)
+        self.x_col = x_col
+
+    def fit(self, df: DataFrame) -> "KVADNet":
+        from deeptime_spark.decomposition.kernel_methods import _collect_pairs
+
+        x, y = _collect_pairs(df, self.lagtime, self.x_col, self.max_samples)
+        params, scores = kvadnet_train_arrays(
+            x, y, self.layers, sigma=self.sigma, n_epochs=self.n_epochs,
+            lr=self.lr, seed=self.seed, epsilon=self.epsilon,
+        )
+        self._model = KVADNetModel(params, scores, self.lagtime, self.sigma)
         return self

@@ -887,10 +887,39 @@ def oracle_tvae() -> str:
     return _values_sql(rows, ["epoch", "loss"], "bd")
 
 
+def oracle_kvadnet() -> str:
+    """Driver-side replay of KVADNet: rebuild the content-addressed
+    sample (the harness's _collect_pairs selection — smallest
+    md5(f"{traj_id}_{t}") over lag-1 pairs) from the ordered dtraj
+    arrays, then the identical seeded training
+    (decomposition/deep.py:kvadnet_train_arrays)."""
+    import hashlib
+
+    from deeptime_spark.decomposition.deep import kvadnet_train_arrays
+
+    trajs = _event_feature_trajs()
+    keyed = []
+    for tid, X in trajs:
+        for t in range(len(X) - 1):
+            keyed.append(
+                (hashlib.md5(f"{tid}_{t}".encode()).hexdigest(), X[t], X[t + 1])
+            )
+    keyed.sort(key=lambda r: r[0])
+    sample = keyed[:1500]
+    x = np.array([r[1] for r in sample])
+    y = np.array([r[2] for r in sample])
+    _, scores = kvadnet_train_arrays(
+        x, y, [1, 16, 2], sigma=1.0, n_epochs=10, lr=0.02, seed=42
+    )
+    rows = [(e, float(v)) for e, v in enumerate(scores)]
+    return _values_sql(rows, ["epoch", "kvad_score"], "bd")
+
+
 _BUILDERS = {
     "vampnet_events": oracle_vampnet,
     "tae_events": oracle_tae,
     "tvae_events": oracle_tvae,
+    "kvadnet_events": oracle_kvadnet,
     "rate_matrix_events": oracle_rate_matrix,
     "oom_events": oracle_oom,
     "amm_events": oracle_amm,

@@ -183,3 +183,64 @@ def test_tvae_spark_bitwise_matches_replay(spark):
     assert all(np.array_equal(a, b) for a, b in zip(m.params, m2.params))
     lat = m.transform(df, x_cols=["x0", "x1"]).select("latent").first()["latent"]
     assert len(lat) == 1
+
+
+def test_kvad_gradients_match_finite_differences():
+    from deeptime_spark.decomposition.deep import kvad_score_and_grads
+    from deeptime_spark.kernels import GaussianKernel
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(80, 2))
+    y = rng.normal(size=(80, 2))
+    G = GaussianKernel(1.0).apply(y, y)
+    params = mlp_init([2, 6, 2], seed=9)
+    _, grads = kvad_score_and_grads(params, x, G)
+    h = 1e-6
+    for i_p, p in enumerate(params):
+        ix = next(np.ndindex(*p.shape))
+        p[ix] += h
+        sp, _ = kvad_score_and_grads(params, x, G)
+        p[ix] -= 2 * h
+        sm, _ = kvad_score_and_grads(params, x, G)
+        p[ix] += h
+        assert abs((sp - sm) / (2 * h) - grads[i_p][ix]) < 1e-6, f"param {i_p}"
+
+
+def test_kvadnet_score_increases():
+    from deeptime_spark.decomposition.deep import kvadnet_train_arrays
+
+    trajs = _toy_trajs(n_traj=1, n=2000)
+    X = trajs[0][1]
+    _, scores = kvadnet_train_arrays(X[:-1], X[1:], [2, 16, 2], sigma=1.0,
+                                     n_epochs=25, lr=0.02, seed=42)
+    assert scores[-1] > scores[0]
+
+
+def test_kvadnet_spark_matches_replay(spark):
+    import hashlib
+
+    from deeptime_spark.decomposition.deep import KVADNet, kvadnet_train_arrays
+
+    trajs = _toy_trajs(n_traj=3, n=600)
+    rows = [
+        (tid, t, [float(X[t, 0]), float(X[t, 1])])
+        for tid, X in trajs
+        for t in range(len(X))
+    ]
+    df = spark.createDataFrame(rows, "traj_id long, t long, x array<double>")
+    m = KVADNet(lagtime=1, layers=[2, 8, 2], sigma=1.0, n_epochs=4, lr=0.02,
+                seed=42, max_samples=500).fit(df).fetch_model()
+    # replay: content-addressed sample + identical seeded training
+    keyed = []
+    for tid, X in trajs:
+        for t in range(len(X) - 1):
+            keyed.append((hashlib.md5(f"{tid}_{t}".encode()).hexdigest(), X[t], X[t + 1]))
+    keyed.sort(key=lambda r: r[0])
+    x = np.array([r[1] for r in keyed[:500]])
+    y = np.array([r[2] for r in keyed[:500]])
+    p_ref, s_ref = kvadnet_train_arrays(x, y, [2, 8, 2], sigma=1.0, n_epochs=4,
+                                        lr=0.02, seed=42)
+    assert m.scores == s_ref
+    assert all(np.array_equal(a, b) for a, b in zip(m.params, p_ref))
+    feats = m.transform(df, x_cols=["x"]).select("features").first()["features"]
+    assert len(feats) == 2
