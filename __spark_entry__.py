@@ -2360,7 +2360,10 @@ def _q_embedding_ann_recall(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = brute_force_topk(emb, queries, k=5)
+    # ann_recall consumes `exact` twice per method (semi-join + n_exact
+    # count) — 6 evaluations of the brute-force scan without a
+    # materialization; localCheckpoint runs it ONCE (queries x k rows)
+    exact = brute_force_topk(emb, queries, k=5).localCheckpoint(eager=True)
     rankers = {
         "lsh": lsh_topk(emb, queries, k=5, n_planes=4, n_tables=4),
         "ivf": ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4),
@@ -5150,67 +5153,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-8 driver window (slots 0-49): the 13 round-7 additions with no
-# driver evidence first (slots 0-12), then streaming_sessions /
-# streaming_window_counts (r04-stale, rotated out in r7; slots 13-14),
-# then r05-stale greens oldest-evidence-first.
-# Recomputed each round by tools/plan_window.py from CORRECTNESS_r0*.json.
+# Round-9 driver window (slots 0-49): the 8 never-driver-run round-9
+# queries first (4 deep estimators + 4 promoted estimator families),
+# then the 11 queries whose implementation or output changed this round
+# (distributed ANN query side, 3-method recall gate with a NEW schema,
+# KMV small-regime branch, ppjoin cache lifecycle, EWMA key typing,
+# curriculum guard) so their green evidence re-attaches to the shipped
+# code, then the stalest r05/r06 greens from tools/plan_window.py.
+# Recomputed each round; exactly 50 entries — the driver records only
+# the first ~50.
 _WINDOW_ORDER = [
     "vampnet_events",  # NEW round-9: never driver-run
     "tae_events",  # NEW round-9: never driver-run
     "tvae_events",  # NEW round-9: never driver-run
     "kvadnet_events",  # NEW round-9: never driver-run
-    "rate_matrix_events",  # last green r00
-    "oom_events",  # last green r00
-    "amm_events",  # last green r00
-    "sensitivity_events",  # last green r00
-    "q17_small_qty_revenue",  # last green r05
-    "q18_large_volume_customers",  # last green r05
-    "q19_or_predicates",  # last green r05
-    "q20_semi_chain",  # last green r05
-    "q21_waiting_supplier",  # last green r05
-    "q22_dormant_customers",  # last green r05
-    "bpe_tokens",  # last green r05
-    "doc_sql_surface",  # last green r05
-    "generator_msm_roundtrip",  # last green r05
-    "doc_quality_classifier",  # last green r05
-    "bucketed_traj_counts",  # last green r05
-    "minhash_bands",  # last green r05
-    "simhash_pairs",  # last green r05
-    "embedding_near_dup",  # last green r05
-    "doc_fingerprint",  # last green r05
-    "lsh_topk",  # last green r05
-    "ivf_topk",  # last green r05
-    "q1_pricing_summary",  # last green r05
-    "q3_top_orders",  # last green r05
-    "q5_supplier_volume",  # last green r05
-    "q6_forecast_revenue",  # last green r05
-    "q10_returned_items",  # last green r05
-    "top_customers",  # last green r05
-    "order_priority_count",  # last green r05
-    "nation_order_volume",  # last green r05
-    "brand_volume",  # last green r05
-    "event_sessions",  # last green r05
-    "distinct_users_by_type",  # last green r05
-    "event_order_asof",  # last green r05
-    "event_rollup",  # last green r05
-    "purchase_not_error_users",  # last green r05
-    "event_box",  # last green r05
-    "event_histogram2d",  # last green r05
-    "event_confidence_interval",  # last green r05
-    "event_moments",  # last green r05
-    "event_transition_counts",  # last green r05
-    "event_state_histogram",  # last green r05
-    "event_weighted_counts",  # last green r05
-    "vamp_score_events",  # last green r05
-    "web_host_stats",  # last green r05
-    "shard_manifest",  # last green r06
-    "web_extract_text",  # last green r06
-    "doc_lm2_score",  # last green r06
-    "web_corpus_pipeline",  # last green r06
-    "streaming_c4_replay",  # last green r06
-    "shards_roundtrip",  # last green r06
+    "rate_matrix_events",  # NEW round-9: never driver-run
+    "oom_events",  # NEW round-9: never driver-run
+    "amm_events",  # NEW round-9: never driver-run
+    "sensitivity_events",  # NEW round-9: never driver-run
+    "embedding_ann_recall",  # round-9 code/output change: re-verify
+    "ivf_topk",  # round-9 code/output change: re-verify
+    "ivfpq_topk",  # round-9 code/output change: re-verify
+    "lsh_topk",  # round-9 code/output change: re-verify
+    "ivf_index_probe",  # round-9 code/output change: re-verify
+    "corpus_overlap_kmv",  # round-9 code/output change: re-verify
+    "doc_setsim_pairs",  # round-9 code/output change: re-verify
+    "doc_setsim_drop",  # round-9 code/output change: re-verify
+    "streaming_ewma",  # round-9 code/output change: re-verify
+    "event_ewma",  # round-9 code/output change: re-verify
+    "doc_quality_curriculum",  # round-9 code/output change: re-verify
+    "q17_small_qty_revenue",  # r05/r06-stale green rotation
+    "q18_large_volume_customers",  # r05/r06-stale green rotation
+    "q19_or_predicates",  # r05/r06-stale green rotation
+    "q20_semi_chain",  # r05/r06-stale green rotation
+    "q21_waiting_supplier",  # r05/r06-stale green rotation
+    "q22_dormant_customers",  # r05/r06-stale green rotation
+    "bpe_tokens",  # r05/r06-stale green rotation
+    "doc_sql_surface",  # r05/r06-stale green rotation
+    "generator_msm_roundtrip",  # r05/r06-stale green rotation
+    "doc_quality_classifier",  # r05/r06-stale green rotation
+    "bucketed_traj_counts",  # r05/r06-stale green rotation
+    "minhash_bands",  # r05/r06-stale green rotation
+    "simhash_pairs",  # r05/r06-stale green rotation
+    "embedding_near_dup",  # r05/r06-stale green rotation
+    "doc_fingerprint",  # r05/r06-stale green rotation
+    "q1_pricing_summary",  # r05/r06-stale green rotation
+    "q3_top_orders",  # r05/r06-stale green rotation
+    "q5_supplier_volume",  # r05/r06-stale green rotation
+    "q6_forecast_revenue",  # r05/r06-stale green rotation
+    "q10_returned_items",  # r05/r06-stale green rotation
+    "top_customers",  # r05/r06-stale green rotation
+    "order_priority_count",  # r05/r06-stale green rotation
+    "nation_order_volume",  # r05/r06-stale green rotation
+    "brand_volume",  # r05/r06-stale green rotation
+    "event_sessions",  # r05/r06-stale green rotation
+    "distinct_users_by_type",  # r05/r06-stale green rotation
+    "event_order_asof",  # r05/r06-stale green rotation
+    "event_rollup",  # r05/r06-stale green rotation
+    "purchase_not_error_users",  # r05/r06-stale green rotation
+    "event_box",  # r05/r06-stale green rotation
+    "event_histogram2d",  # r05/r06-stale green rotation
 ]
+
 
 
 

@@ -265,8 +265,8 @@ def vamp_grad_partial(params: List[np.ndarray], X: np.ndarray, tau: int,
     cy, ay = mlp_forward(params, y)
     xc = cx - mu0
     yc = cy - mu1
-    d_cx = xc @ Gh00 + yc @ Gh0t.T
-    d_cy = yc @ Gh11 + xc @ Gh0t
+    d_cx = _mm(xc, Gh00) + _mm(yc, Gh0t.T)
+    d_cy = _mm(yc, Gh11) + _mm(xc, Gh0t)
     gx = mlp_backward(params, ax, d_cx)
     gy = mlp_backward(params, ay, d_cy)
     return [a + b for a, b in zip(gx, gy)]
@@ -299,11 +299,21 @@ def _unflatten(flat: np.ndarray, like: List[np.ndarray]) -> List[np.ndarray]:
     return out
 
 
+def _require_rows(rows, what: str):
+    if not rows:
+        raise ValueError(
+            f"no trajectory produced {what}: every trajectory is shorter "
+            "than lagtime + 1 — lower the lagtime or provide longer "
+            "trajectories"
+        )
+
+
 def reduce_vamp_stats(rows: List[tuple], k: int):
     """Sorted-traj-order reduction of pass-A rows [(traj_id, stats)] into
     (N, mu0, mu1, C00, C0t, C11) with 1/N mean-removed covariances —
     shared by the Spark driver and the replay so the float-add order is
     identical."""
+    _require_rows(rows, "lagged-pair statistics")
     total = None
     for _tid, s in sorted(rows, key=lambda r: r[0]):
         total = s if total is None else total + s
@@ -323,6 +333,7 @@ def reduce_vamp_stats(rows: List[tuple], k: int):
 
 
 def reduce_sorted_grads(rows: List[tuple], like: List[np.ndarray]) -> List[np.ndarray]:
+    _require_rows(rows, "gradient partials")
     total = None
     for _tid, g in sorted(rows, key=lambda r: r[0]):
         total = g if total is None else total + g
@@ -381,6 +392,7 @@ def tae_train_arrays(trajs: List[tuple], layers: Sequence[int], tau: int,
             if out is not None:
                 n_i, sse, grads = out
                 rows.append((tid, np.concatenate([[n_i, sse], _flatten(grads)])))
+        _require_rows(rows, "per-trajectory partials")
         total = None
         for _tid, v in sorted(rows, key=lambda r: r[0]):
             total = v if total is None else total + v
@@ -528,6 +540,8 @@ class VAMPNet(Estimator):
                     [(r["_tid"], np.asarray(r["_g"])) for r in grows], params
                 )
                 opt.step(params, grads)
+                b_params.destroy()
+                b_ctx.destroy()
         finally:
             data.unpersist()
         self._model = VAMPNetModel(params, self.layers, scores, self.lagtime)
@@ -553,7 +567,8 @@ class TAEModel(Model, Transformer):
         # encoder = layers up to (and including) the bottleneck; the
         # bottleneck output of the full net is acts[bottleneck_layer]
         params = [p.copy() for p in self.params]
-        enc_params = params[: 2 * self.bottleneck_layer]
+        bl = int(self.bottleneck_layer)
+        enc_params = params[: 2 * bl]
         n_layers = len(params) // 2
 
         @F.pandas_udf(ArrayType(DoubleType()))
@@ -562,7 +577,7 @@ class TAEModel(Model, Transformer):
                 return pd.Series([], dtype=object)
             X = _stack_feature_cols(cols)
             a = X
-            for layer in range(self.bottleneck_layer):
+            for layer in range(bl):
                 W, b = enc_params[2 * layer], enc_params[2 * layer + 1]
                 z = _mm(a, W) + b
                 # hidden nonlinearity everywhere except the net's final
@@ -625,6 +640,7 @@ class TAE(Estimator):
                 rows = data.mapInPandas(
                     epoch_pass, schema="_tid long, _v array<double>"
                 ).collect()
+                _require_rows(rows, "per-trajectory partials")
                 total = None
                 for _tid, v in sorted(
                     ((r["_tid"], np.asarray(r["_v"])) for r in rows), key=lambda r: r[0]
@@ -634,6 +650,7 @@ class TAE(Estimator):
                 losses.append(float(total[1] / n))
                 grads = _unflatten(total[2:] / n, params)
                 opt.step(params, grads)
+                b_params.destroy()
         finally:
             data.unpersist()
         self._model = TAEModel(params, self.layers, losses, self.lagtime, self.bottleneck_layer)
@@ -740,6 +757,7 @@ def tvae_train_arrays(trajs: List[tuple], d: int, hidden: int, bottleneck: int,
             if out is not None:
                 n_i, sse, kld, grads = out
                 rows.append((tid, np.concatenate([[n_i, sse, kld], _flatten(grads)])))
+        _require_rows(rows, "per-trajectory partials")
         total = None
         for _tid, v in sorted(rows, key=lambda r: r[0]):
             total = v if total is None else total + v
@@ -825,6 +843,7 @@ class TVAE(Estimator):
                 rows = data.mapInPandas(
                     epoch_pass, schema="_tid long, _v array<double>"
                 ).collect()
+                _require_rows(rows, "per-trajectory partials")
                 total = None
                 for _tid, v in sorted(
                     ((r["_tid"], np.asarray(r["_v"])) for r in rows), key=lambda r: r[0]
@@ -834,6 +853,7 @@ class TVAE(Estimator):
                 losses.append(float(total[1] / (n * d) + beta * (total[2] / n) / d))
                 grads = _unflatten(total[3:] / n, params)
                 opt.step(params, grads)
+                b_params.destroy()
         finally:
             data.unpersist()
         self._model = TVAEModel(params, losses, self.lagtime)

@@ -537,7 +537,11 @@ def kmv_overlap_pairs(
       - ``n_common``    — union-sketch members present in BOTH sketches;
       - ``jaccard_est`` — n_common / k_used;
       - ``union_est``   — (k_used - 1) * 2^64 / (tau + 2^63), the KMV
-                          distinct-count estimator in unsigned space;
+                          distinct-count estimator in unsigned space,
+                          applied only in the SATURATED regime
+                          (k_used == k); when k_used < k the union
+                          sketch holds the entire distinct union and
+                          union_est is the exact cardinality k_used;
       - ``intersection_est`` — jaccard_est * union_est.
 
     Everything is exact integer arithmetic until the three final float
