@@ -150,6 +150,17 @@ HEADLINE = [
     "event_kmv_rollup",
     "jsonl_roundtrip",
     "event_top_paths",
+    # round-9: torch-free deep estimators (full-batch distributed
+    # training: 2 jobs/epoch VAMPNet, 1 TAE/TVAE, sample-bounded KVADNet)
+    # and the four estimator families promoted to the harness
+    "vampnet_events",
+    "tae_events",
+    "tvae_events",
+    "kvadnet_events",
+    "rate_matrix_events",
+    "oom_events",
+    "amm_events",
+    "sensitivity_events",
 ]
 
 

@@ -52,7 +52,6 @@ def test_curriculum_requires_group_cols_or_explicit_flag(spark):
 def test_ppjoin_releases_its_caches(spark):
     from deeptime_spark.operators.dedup import ppjoin_pairs
 
-    spark.catalog.clearCache()
     docs = spark.createDataFrame(
         [
             (1, "alpha beta gamma delta"),
@@ -61,15 +60,19 @@ def test_ppjoin_releases_its_caches(spark):
         ],
         "doc_id long, text string",
     )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     out = ppjoin_pairs(docs, threshold_pct=60)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in got
     # materialize=True (default) must release the operator's two
-    # intermediate persists (token sets, prefix tokens); only the
-    # localCheckpoint of the RESULT may remain (its storage is
-    # GC-managed — the triangle_counts convention)
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() <= 1
+    # intermediate persists (token sets, prefix tokens); relative to the
+    # session's pre-call state, only the localCheckpoint of the RESULT
+    # may remain (its storage is GC-managed — the triangle_counts
+    # convention). Delta-based: the shared test session may hold other
+    # tests' checkpoints.
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1
 
 
 def test_streaming_ewma_string_keys(spark, tmp_path):
