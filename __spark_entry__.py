@@ -4662,6 +4662,30 @@ def _q_doc_setsim_pairs(spark, sf_dir):
     return ppjoin_pairs(docs, threshold_pct=80)
 
 
+def _q_dedup_recall_gate(spark, sf_dir):
+    """Dedup candidate-generation quality gate
+    (operators/dedup.py:dedup_candidate_quality) — the dedup twin of the
+    ANN recall gate: MinHash-LSH banding over TOKEN sets (64 hashes, 16
+    bands of 4 — S-curve match probability 0.988 at the 0.7 threshold)
+    measured against the EXACT token-Jaccard >= 0.7 pair set from the
+    prefix-filter self-join (ppjoin_pairs). Recall = qualifying pairs the
+    bands surfaced; precision = candidates that qualify. One summary row;
+    the two pair relations are candidate-scale, so the gate costs two
+    broadcast joins at any corpus size. Oracle replays both pair sets
+    (prefix-filter replica + murmur3/xxhash64 banding replicas) and the
+    counts (oracle_ref.py:oracle_dedup_recall_gate)."""
+    from deeptime_spark.operators.dedup import (
+        dedup_candidate_quality,
+        minhash_lsh_candidates,
+        ppjoin_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("source") == "src0")
+    exact = ppjoin_pairs(docs, threshold_pct=70)
+    cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16, unit="words")
+    return dedup_candidate_quality(cands, exact)
+
+
 def _q_event_bfs(spark, sf_dir):
     """Multi-source BFS hop distances (operators/graph.py:bfs_distances)
     on a sparse 4001-node event multigraph (undirected): frontier
@@ -5140,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_fertility": _q_doc_bpe_fertility,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
+        "dedup_recall_gate": _q_dedup_recall_gate,
         "event_bfs": _q_event_bfs,
         "doc_setsim_drop": _q_doc_setsim_drop,
         "event_kmv_rollup": _q_event_kmv_rollup,
@@ -5167,6 +5192,7 @@ _WINDOW_ORDER = [
     "tae_events",  # NEW round-9: never driver-run
     "tvae_events",  # NEW round-9: never driver-run
     "kvadnet_events",  # NEW round-9: never driver-run
+    "dedup_recall_gate",  # NEW round-9: never driver-run
     "rate_matrix_events",  # NEW round-9: never driver-run
     "oom_events",  # NEW round-9: never driver-run
     "amm_events",  # NEW round-9: never driver-run
@@ -5212,7 +5238,6 @@ _WINDOW_ORDER = [
     "event_rollup",  # r05/r06-stale green rotation
     "purchase_not_error_users",  # r05/r06-stale green rotation
     "event_box",  # r05/r06-stale green rotation
-    "event_histogram2d",  # r05/r06-stale green rotation
 ]
 
 

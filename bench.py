@@ -157,6 +157,7 @@ HEADLINE = [
     "tae_events",
     "tvae_events",
     "kvadnet_events",
+    "dedup_recall_gate",
     "rate_matrix_events",
     "oom_events",
     "amm_events",

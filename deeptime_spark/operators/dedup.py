@@ -143,6 +143,7 @@ def with_minhash(df: DataFrame, text_col: str = "text", n_hashes: int = 64, shin
 def minhash_signatures_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 64, shingle_k: int = 5, out_col: str = "minhash",
+    unit: str = "chars",
 ) -> DataFrame:
     """(id, minhash) signatures via explode + codegen hash + partial-agg min.
 
@@ -162,7 +163,17 @@ def minhash_signatures_df(
     # so spread (no-op at scale) and key by id: the signature groupBy is
     # then satisfied with no further exchange (see operators/layout.py)
     df = spread_for_map_parallelism(df, id_col)
-    sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_sh"))
+    if unit == "chars":
+        elems = F.array_distinct(shingles(text_col, shingle_k))
+    elif unit == "words":
+        # token-SET minhash: the unit that makes the banding directly
+        # comparable to the exact token-Jaccard PPJoin (dedup gate)
+        from deeptime_spark.operators.text import tokens
+
+        elems = F.array_distinct(F.filter(tokens(text_col), lambda t: t != ""))
+    else:
+        raise ValueError(f"unit must be 'chars' or 'words', got {unit!r}")
+    sh = df.select(F.col(id_col), F.explode(elems).alias("_sh"))
     # n_hashes SCALAR hash columns, not one array column: building an
     # n_hashes-element array per exploded shingle row costs one heap
     # allocation per row (|docs| x |shingles| of them) plus interpreted
@@ -187,6 +198,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    unit: str = "chars",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     r = n_hashes/bands rows; docs agreeing on any full band are candidates.
@@ -202,7 +214,7 @@ def minhash_lsh_candidates(
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, n_hashes, shingle_k)
+    sig = minhash_signatures_df(df, text_col, id_col, n_hashes, shingle_k, unit=unit)
     banded = sig.select(
         id_col,
         "minhash",
@@ -1542,7 +1554,7 @@ def _banded_signature_rows(
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, n_hashes, shingle_k)
+    sig = minhash_signatures_df(df, text_col, id_col, n_hashes, shingle_k, unit=unit)
     return sig.select(
         id_col,
         "minhash",
@@ -1751,3 +1763,46 @@ def ppjoin_pairs(
         pref.unpersist()
         toks.unpersist()
     return out
+
+
+def dedup_candidate_quality(
+    candidates: DataFrame,
+    exact_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Candidate-generation quality gate — the dedup twin of
+    operators/similarity.py:ann_recall: given an approximate candidate
+    pair set (e.g. MinHash-LSH banding) and the EXACT qualifying pair
+    set at the target threshold (e.g. :func:`ppjoin_pairs`), report
+    recall (qualifying pairs the bands found) and precision (candidates
+    that qualify) as ONE summary row.
+
+    Pure set algebra over the two pair relations: pairs are order-
+    normalized and deduplicated, the hit count is an inner equi-join —
+    every frame is candidate-scale, never corpus-scale, so the gate adds
+    two broadcast-size joins to a pipeline regardless of corpus size.
+
+    Returns (n_exact, n_candidates, n_hit, recall, precision); recall /
+    precision are null when the respective denominator is zero.
+    """
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
+        ).distinct()
+
+    e = norm(exact_pairs)
+    c = norm(candidates)
+    hit = e.join(c, ["_a", "_b"])
+    n_e = e.count()
+    n_c = c.count()
+    n_h = hit.count()
+    spark = candidates.sparkSession
+    rec = None if n_e == 0 else float(n_h) / float(n_e)
+    prec = None if n_c == 0 else float(n_h) / float(n_c)
+    return spark.createDataFrame(
+        [(int(n_e), int(n_c), int(n_h), rec, prec)],
+        "n_exact long, n_candidates long, n_hit long, recall double, precision double",
+    )

@@ -1091,6 +1091,108 @@ def oracle_dedup_verified_pairs() -> str:
     return _values_sql(rows, ["id_a", "id_b", "jaccard"], "bbd")
 
 
+def _token_set(t: str) -> list[str]:
+    return sorted({w for w in _tokens_py(t or "") if w})
+
+
+def _ppjoin_exact_pairs(docs: list, pct: int) -> set:
+    """Exact token-Jaccard >= pct/100 pair set via the same prefix-filter
+    algorithm ppjoin_pairs runs (rarest-token prefix equi-join + integer
+    length filter + exact verification) — exactness means ANY correct
+    prefix-filter implementation returns the identical set."""
+    from collections import Counter
+
+    toks = {i: _token_set(t) for i, t in docs}
+    toks = {i: ts for i, ts in toks.items() if ts}
+    df = Counter()
+    for ts in toks.values():
+        df.update(ts)
+    order = {i: sorted(ts, key=lambda w: (df[w], w)) for i, ts in toks.items()}
+    buckets: dict = {}
+    for i, ranked in order.items():
+        sz = len(ranked)
+        p = sz - (pct * sz + 99) // 100 + 1
+        for w in ranked[:p]:
+            buckets.setdefault(w, []).append(i)
+    seen = set()
+    out = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                a, b = ms[x], ms[y]
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                sa, sb = len(toks[a]), len(toks[b])
+                if 100 * min(sa, sb) < pct * max(sa, sb):
+                    continue
+                inter = len(set(toks[a]) & set(toks[b]))
+                union = sa + sb - inter
+                if 100 * inter >= pct * union:
+                    out.add((a, b))
+    return out
+
+
+def _word_minhash_candidates(docs: list, n_hashes: int, bands: int,
+                             max_bucket: int = 256) -> set:
+    """Token-set MinHash banding replica (unit='words'): murmur3(token,
+    seed 42) inner hashes, sig[i] = min murmur3_int32(i, seed=inner),
+    band key = xxhash64 of the sliced array's string render — the same
+    chain the chars-unit _minhash_candidates replays."""
+    from deeptime_spark.spark_hashes import murmur3_32, murmur3_int32_vec, xxhash64
+
+    r = n_hashes // bands
+    buckets: dict = {}
+    for doc_id, t in docs:
+        ts = _token_set(t)
+        if not ts:
+            continue
+        inner = np.array([murmur3_32(w.encode(), 42) for w in ts], dtype=np.int32)
+        sig = np.empty(n_hashes, dtype=np.int64)
+        for i in range(n_hashes):
+            sig[i] = int(murmur3_int32_vec(i, inner).min())
+        for b in range(bands):
+            block = sig[b * r : (b + 1) * r]
+            key_str = "[" + ", ".join(str(int(v)) for v in block) + "]"
+            buckets.setdefault((b, xxhash64(key_str.encode())), []).append(doc_id)
+    return _bucket_pairs_py(buckets, max_bucket)
+
+
+def oracle_dedup_recall_gate() -> str:
+    """Replay of the dedup candidate-quality gate on the src0 shard:
+    exact token-Jaccard >= 0.7 pairs via the prefix-filter replica,
+    banding candidates via the token-minhash replica, then the three
+    counts and the two divisions."""
+    sf = sf_dir()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        "WHERE source = 'src0' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    exact = _ppjoin_exact_pairs(docs, 70)
+    cands = _word_minhash_candidates(docs, 64, 16)
+    n_e, n_c = len(exact), len(cands)
+    n_h = len(exact & cands)
+    rec = None if n_e == 0 else n_h / n_e
+    prec = None if n_c == 0 else n_h / n_c
+    body = (
+        f"({n_e}, {n_c}, {n_h}, "
+        + ("NULL" if rec is None else f"CAST('{rec!r}' AS DOUBLE)") + ", "
+        + ("NULL" if prec is None else f"CAST('{prec!r}' AS DOUBLE)") + ")"
+    )
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS n_exact, CAST(c1 AS BIGINT) AS n_candidates, "
+        "CAST(c2 AS BIGINT) AS n_hit, CAST(c3 AS DOUBLE) AS recall, "
+        "CAST(c4 AS DOUBLE) AS precision FROM (VALUES\n"
+        + body + "\n) AS v(c0, c1, c2, c3, c4)"
+    )
+
+
+_BUILDERS["dedup_recall_gate"] = oracle_dedup_recall_gate
+
+
 def oracle_doc_containment() -> str:
     """Containment-pair replica: the excerpt-planted corpus, winnowing
     fingerprints (shared winnowing_fingerprints_numpy kernel — integer

@@ -105,3 +105,59 @@ def test_streaming_ewma_string_keys(spark, tmp_path):
     assert set(rows) == {"a", "b"}
     assert rows["a"]["n_events"] == 2 and rows["a"]["ewma_value"] == pytest.approx(2.0)
     assert rows["b"]["ewma_value"] == pytest.approx(10.0)
+
+
+def test_dedup_candidate_quality_counts(spark):
+    from deeptime_spark.operators.dedup import dedup_candidate_quality
+
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    # candidates: one hit (reversed order — must normalize), one dup, one miss
+    cands = spark.createDataFrame(
+        [(2, 1), (1, 2), (7, 8)], "id_a long, id_b long"
+    )
+    r = dedup_candidate_quality(cands, exact).collect()[0]
+    assert (r["n_exact"], r["n_candidates"], r["n_hit"]) == (3, 2, 1)
+    assert r["recall"] == pytest.approx(1 / 3)
+    assert r["precision"] == pytest.approx(0.5)
+    # empty exact set: recall null, not a crash
+    r0 = dedup_candidate_quality(cands, exact.limit(0)).collect()[0]
+    assert r0["recall"] is None and r0["n_exact"] == 0
+
+
+def test_word_unit_minhash_bands_find_token_near_dups(spark):
+    from deeptime_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ppjoin_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),          # J = 10/11 vs doc 1
+            (3, "one two three four five"),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, n_hashes=64, bands=16, unit="words"
+        ).collect()
+    }
+    assert (1, 2) in cands and (1, 3) not in cands
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ppjoin_pairs(docs, threshold_pct=70).collect()
+    }
+    assert exact == {(1, 2)}
+
+
+def test_minhash_rejects_unknown_unit(spark):
+    from deeptime_spark.operators.dedup import minhash_signatures_df
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unit"):
+        minhash_signatures_df(df, unit="bytes")

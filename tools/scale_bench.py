@@ -110,7 +110,7 @@ QUERIES = [
     # round-9: torch-free deep estimators (per-traj partial jobs per
     # epoch — work linear in rows, reduce linear in trajectories) and
     # the four estimator families promoted to the harness
-    "vampnet_events", "tae_events", "tvae_events", "kvadnet_events", "rate_matrix_events", "oom_events",
+    "vampnet_events", "tae_events", "tvae_events", "kvadnet_events", "dedup_recall_gate", "rate_matrix_events", "oom_events",
     "amm_events", "sensitivity_events",
 ]
 
