@@ -1548,6 +1548,7 @@ def _banded_signature_rows(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    unit: str = "chars",
 ) -> DataFrame:
     """(id, minhash, band_idx, band_hash) — the LSH banding relation
     (same expressions as minhash_lsh_candidates' banding stage)."""
