@@ -16,11 +16,16 @@ Scale shape (the part that matters at 10^9 edges):
   ranks-to-edges join reuses the cached layout and only shuffles the
   O(|V|) ranks frame — the O(|E|) side never moves again.
 - Each iteration is join -> groupBy(dst).sum — both partial-aggregated
-  map-side. The dangling-mass total (1 - Σcontrib) is NOT collected to
-  the driver: it rides as a broadcast single-row aggregate crossJoined
-  into the rank update, so one iteration is exactly ONE Spark job (the
-  eager localCheckpoint; the broadcast-exchange subjob materializes the
-  persisted contrib frame as a side effect).
+  map-side. The dangling-mass total is NOT collected to the driver: it
+  is Σ rank over the (precomputed, tiny) dangling-node set — an O(|V|)
+  scan of the checkpointed previous ranks riding as a broadcast
+  single-row aggregate crossJoined into the rank update. Because it
+  reads the PREVIOUS ranks rather than the current contributions, the
+  contribution frame needs no persist/unpersist lifecycle and is
+  computed exactly once inside the iteration's single job; when the
+  graph has no dangling nodes at all (checked once at setup) the term
+  is the literal 0.0 and the per-iteration scalar subjob disappears
+  entirely.
 - Ranks are ``localCheckpoint``ed every iteration: a self-dependent
   iterative plan otherwise accumulates lineage that Catalyst re-analyzes
   quadratically (same rationale as connected_components,
@@ -103,6 +108,18 @@ def pagerank(
     )
     n = nodes.count()  # also materializes the persisted node set
     small = n <= broadcast_threshold
+    # dangling node set (no out-edges), computed ONCE: the per-iteration
+    # dangling mass is Σ rank_prev over this set, which equals
+    # 1 - Σ contrib but reads the already-checkpointed previous ranks
+    # instead of forcing the contribution frame into a cache. Most real
+    # link graphs synthesized from event/id spaces have NO dangling
+    # nodes, and then the term is dropped from the plan entirely.
+    dangling = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = dangling.count() > 0
+    if not has_dangling:
+        dangling.unpersist()
     trans = agg.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
     )
@@ -149,47 +166,47 @@ def pagerank(
     try:
         for _ in range(n_iter):
             r_side = F.broadcast(ranks) if small else ranks
+            # consumed exactly ONCE (the rank join below) — no persist
+            # lifecycle; in the small regime the broadcast-exchange
+            # subjob of the single iteration job computes it.
             contrib = (
                 trans.join(r_side, trans.src == ranks.node)
                 .groupBy("dst")
                 .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
-                .persist()  # consumed twice: dangling scalar + rank join
-            )
-            # Σ contrib = Σ rank over non-dangling nodes; total rank is 1,
-            # so the dangling mass is the complement. One broadcast row —
-            # the broadcast-exchange subjob materializes `contrib` into
-            # the cache before the main stage re-reads it.
-            dang = F.broadcast(
-                contrib.agg(
-                    F.greatest(
-                        F.lit(0.0),
-                        F.lit(1.0) - F.coalesce(F.sum("c"), F.lit(0.0)),
-                    ).alias("_dm")
-                )
             )
             c_side = F.broadcast(contrib) if small else contrib
+            joined = base.join(c_side, base.node == contrib.dst, "left")
+            if has_dangling:
+                # Σ rank_prev over the dangling set == 1 - Σ contrib
+                # (total rank is 1), read from the checkpointed previous
+                # ranks — an O(|V|) cached scan, not a recompute of the
+                # O(|E|) contribution join.
+                dang = F.broadcast(
+                    ranks.join(F.broadcast(dangling), "node").agg(
+                        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                    )
+                )
+                joined = joined.crossJoin(dang)
+                dm = F.col("_dm")
+            else:
+                dm = F.lit(0.0)
             if personalization is not None:
                 update = F.lit(1.0 - damping) * F.col("pv") + F.lit(damping) * (
-                    F.coalesce(F.col("c"), F.lit(0.0))
-                    + F.col("_dm") * F.col("pv")
+                    F.coalesce(F.col("c"), F.lit(0.0)) + dm * F.col("pv")
                 )
             else:
                 update = F.lit(teleport) + F.lit(damping) * (
-                    F.coalesce(F.col("c"), F.lit(0.0))
-                    + F.col("_dm") / F.lit(float(n))
+                    F.coalesce(F.col("c"), F.lit(0.0)) + dm / F.lit(float(n))
                 )
-            new_ranks = (
-                base.join(c_side, base.node == contrib.dst, "left")
-                .crossJoin(dang)
-                .select("node", update.alias("rank"))
-            )
+            new_ranks = joined.select("node", update.alias("rank"))
             old = ranks
             ranks = new_ranks.localCheckpoint(eager=True)
-            contrib.unpersist()
             old.unpersist()
     finally:
         trans.unpersist()
         base.unpersist()
+        if has_dangling:
+            dangling.unpersist()
     return ranks
 
 

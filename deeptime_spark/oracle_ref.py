@@ -1244,7 +1244,8 @@ def oracle_event_pagerank() -> str:
     """Dense power-iteration replica of operators/graph.py:pagerank on
     the event-synthesized 211-node multigraph: multiplicity-summed
     weights row-normalized to a stochastic matrix, 10 fixed iterations,
-    damping 0.85, dangling mass = 1 - Σcontrib redistributed uniformly —
+    damping 0.85, dangling mass = Σ rank over the dangling-node set
+    (exact literal 0 when the set is empty, as it is on this fixture) —
     the exact arithmetic of the Spark loop (integer-valued weight sums
     and their ratios are IEEE-exact; per-iteration sums differ only in
     association order, bounded ~1e-15, absorbed by round 6)."""
@@ -1271,10 +1272,11 @@ def oracle_event_pagerank() -> str:
     out_w = M.sum(axis=1)
     P = np.divide(M, out_w[:, None], out=np.zeros_like(M), where=out_w[:, None] > 0)
     N = len(nodes)
+    dang_mask = out_w == 0
     damping, r = 0.85, np.full(N, 1.0 / N)
     for _ in range(10):
         c = P.T @ r
-        dangling = max(0.0, 1.0 - float(c.sum()))
+        dangling = float(r[dang_mask].sum()) if dang_mask.any() else 0.0
         r = (1.0 - damping) / N + damping * (c + dangling / N)
     rows = [(v, _spark_round(float(r[idx[v]]))) for v in nodes]
     return _values_sql(rows, ["node", "rank"], "bd")
