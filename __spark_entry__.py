@@ -4946,6 +4946,83 @@ def _q_event_top_paths(spark, sf_dir):
     )
 
 
+def _q_corpus_global_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle (operators/mixing.py:
+    global_shuffle): every document gets a shard in [0,4) and a dense
+    0-based position within its shard under a content-addressed
+    xxhash64 permutation — the shuffle-before-sharding step SGD
+    training requires. Scale shape: NOT one window per shard (that
+    funnels the corpus through n_shards tasks) but the two-level
+    prefix-sum — rows hash into 4x16 sub-buckets, exclusive offsets
+    come from a window over the TINY (shard,bucket) count aggregate,
+    and the per-row rank window has shard*bucket parallelism. Oracle
+    replays the placement with the engine-independent XXH64 replica
+    (oracle_ref.py:oracle_corpus_global_shuffle)."""
+    from deeptime_spark.operators.mixing import global_shuffle
+
+    docs = _read(spark, sf_dir, "documents")
+    return global_shuffle(docs, n_shards=4, salt=7, n_buckets=16).select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def _q_embedding_sq8_recall(spark, sf_dir):
+    """Scalar-int8 quantization gate (operators/similarity.py:
+    sq8_quantize/sq8_topk): the corpus is quantized to 1 byte/dim (one
+    wide min/max aggregate, floor(x+0.5) codes — engine-independent
+    rounding), scanned as on-the-fly reconstructions, and the recall@5
+    of the SQ8 ranking vs the exact float cosine top-5 is reported per
+    query — the standard acceptance test before switching a serving
+    index to the 4x-smaller format. Oracle replays quantizer, codes,
+    reconstruction, and both rankings float-op-for-float-op
+    (oracle_ref.py:oracle_embedding_sq8_recall)."""
+    from deeptime_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).localCheckpoint(eager=True)
+    return ann_recall(sq8_topk(emb, queries, k=5), exact)
+
+
+def _q_embedding_mmr_rerank(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified rerank
+    (operators/similarity.py:mmr_rerank, Carbonell & Goldstein
+    SIGIR'98): top-20 exact-cosine pool per query, greedy lambda=0.7
+    selection of 5 — the near-dup-suppressing pass between retrieval
+    and context assembly. Candidate vectors ride a broadcast join
+    (queries x pool rows); the bounded greedy runs as one Arrow
+    applyInPandas per query group, so queries parallelize and the
+    corpus is scanned exactly once. Oracle replays pool + greedy with
+    identical numpy reductions
+    (oracle_ref.py:oracle_embedding_mmr_rerank)."""
+    from deeptime_spark.operators.similarity import mmr_rerank
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5023,6 +5100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "corpus_global_shuffle": _q_corpus_global_shuffle,
+        "embedding_sq8_recall": _q_embedding_sq8_recall,
+        "embedding_mmr_rerank": _q_embedding_mmr_rerank,
         "vampnet_events": _q_vampnet_events,
         "tae_events": _q_tae_events,
         "tvae_events": _q_tvae_events,
@@ -5188,6 +5268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "corpus_global_shuffle",  # NEW round-9b: never driver-run
+    "embedding_sq8_recall",  # NEW round-9b: never driver-run
+    "embedding_mmr_rerank",  # NEW round-9b: never driver-run
     "vampnet_events",  # NEW round-9: never driver-run
     "tae_events",  # NEW round-9: never driver-run
     "tvae_events",  # NEW round-9: never driver-run

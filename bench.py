@@ -162,6 +162,11 @@ HEADLINE = [
     "oom_events",
     "amm_events",
     "sensitivity_events",
+    # round-9b: global shuffle (two-level prefix-sum permutation), SQ8
+    # quantization gate, MMR diversified rerank
+    "corpus_global_shuffle",
+    "embedding_sq8_recall",
+    "embedding_mmr_rerank",
 ]
 
 

@@ -298,3 +298,83 @@ def curriculum_buckets(
         "min_score",
         "max_score",
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global corpus shuffle: every row gets a ``shard``
+    in ``[0, n_shards)`` and a dense ``pos`` (0-based) within its shard,
+    under a content-addressed pseudo-random permutation — the
+    "shuffle the corpus once before sharding" step SGD training needs
+    so batches are not source-/time-correlated (the published LLM data
+    pipelines all shuffle document order exactly once, globally, before
+    cutting loader shards).
+
+    Content-addressed like everything in this module: shard and order
+    derive from ``xxhash64`` of the row key under two salt tags, never
+    from layout, so reruns reproduce the permutation bit-for-bit and an
+    offline replica (spark_hashes.xxhash64) can audit any row's
+    placement. ``key_col`` must be unique per row (duplicate keys get
+    adjacent but arbitrarily-ordered positions).
+
+    Spark shape — the part that matters at 100 TB: a naive
+    ``row_number() OVER (PARTITION BY shard ORDER BY h)`` funnels the
+    whole corpus through ``n_shards`` tasks (loader shard counts are
+    small — 8..1024). Instead the permutation runs as the classic
+    two-level prefix-sum: rows hash into ``n_shards x n_buckets``
+    sub-buckets, ONE tiny aggregate (n_shards*n_buckets rows) computes
+    exclusive per-bucket offsets via a window over that aggregate —
+    never over the corpus — and the per-row rank is a window over
+    (shard, bucket): parallelism ``n_shards * n_buckets``, uniform by
+    construction (hash keys), one corpus-scale exchange total.
+
+    Returns the input columns plus (shard int, pos long).
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = F.xxhash64(F.concat(key, F.lit(f"#shuffle{salt}")))
+    b = F.pmod(
+        F.xxhash64(F.concat(key, F.lit(f"#bucket{salt}"))), F.lit(n_buckets)
+    ).cast("int")
+    tagged = df.withColumn("_h", h).withColumn(
+        "_shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    ).withColumn("_bucket", b)
+    # exclusive prefix offsets over the TINY (shard, bucket) count
+    # aggregate; the window below runs over n_shards*n_buckets rows
+    counts = tagged.groupBy("_shard", "_bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    off_w = (
+        Window.partitionBy("_shard")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "_shard",
+        "_bucket",
+        (F.sum("_n").over(off_w) - F.col("_n")).alias("_off"),
+    )
+    rank_w = Window.partitionBy("_shard", "_bucket").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        tagged.join(F.broadcast(offsets), ["_shard", "_bucket"])
+        .withColumn(
+            "pos",
+            (F.col("_off") + F.row_number().over(rank_w) - F.lit(1)).cast(
+                "long"
+            ),
+        )
+        .withColumnRenamed("_shard", "shard")
+        .drop("_h", "_bucket", "_off")
+    )

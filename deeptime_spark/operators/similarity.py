@@ -679,3 +679,215 @@ def probe_ivf_index(
     return survivors.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+# --------------------------------------------------------- SQ8 (int8)
+def sq8_quantize(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float], list[float]]:
+    """Scalar int8 quantization (SQ8) of an embedding column — the
+    serving-memory format complementary to product quantization
+    (pq_encode_df): 4x smaller than float32 with NO codebook training,
+    the default "compressed flat" index of the public ANN engines
+    (faiss ScalarQuantizer QT_8bit, Lucene/Elasticsearch int8_hnsw).
+
+    Train: ONE wide aggregate computes per-dimension min/max — 2·d
+    paired aggregates in a single corpus pass, partial-aggregated
+    map-side, no explode. Encode (all JVM column expressions):
+    ``code_i = floor((v_i - min_i) · 255/(max_i - min_i) + 0.5)``
+    clamped to [0, 255], stored offset by −128 as ``array<tinyint>``
+    (1 byte/dim). The explicit ``floor(x + 0.5)`` makes the rounding
+    rule engine-independent (ANSI ROUND ties differ between engines;
+    floor does not). Constant dimensions (max == min) encode as 0 and
+    decode back to the constant.
+
+    Returns (codes frame ``(id_col, sq8_code)``, mins, maxs); the
+    driver-side lists are the 2·d-double quantizer sidecar a serving
+    index persists next to the codes.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    d_row = corpus.select(F.size(vec).alias("d")).first()
+    if d_row is None:
+        raise ValueError("sq8_quantize: empty corpus")
+    d = int(d_row["d"])
+    aggs = []
+    for i in range(d):
+        aggs.append(F.min(F.element_at(vec, i + 1)).alias(f"_mn{i}"))
+        aggs.append(F.max(F.element_at(vec, i + 1)).alias(f"_mx{i}"))
+    row = corpus.agg(*aggs).first()
+    mins = [float(row[f"_mn{i}"]) for i in range(d)]
+    maxs = [float(row[f"_mx{i}"]) for i in range(d)]
+    # driver-computed literals: the replica recomputes the SAME python
+    # doubles, so encode/decode arithmetic is bit-identical offline
+    invs = [
+        (255.0 / (maxs[i] - mins[i])) if maxs[i] > mins[i] else 0.0
+        for i in range(d)
+    ]
+    mins_lit = F.array(*[F.lit(m) for m in mins])
+    invs_lit = F.array(*[F.lit(s) for s in invs])
+    centered = F.zip_with(vec, mins_lit, lambda v, m: v - m)
+    codes = F.zip_with(
+        centered,
+        invs_lit,
+        lambda x, s: (
+            F.greatest(
+                F.lit(0), F.least(F.lit(255), F.floor(x * s + F.lit(0.5)))
+            )
+            - F.lit(128)
+        ).cast("byte"),
+    )
+    return (
+        corpus.select(F.col(id_col), codes.alias("sq8_code")),
+        mins,
+        maxs,
+    )
+
+
+def sq8_decode(
+    codes: DataFrame,
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    code_col: str = "sq8_code",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct ``v̂_i = min_i + (code_i + 128) · (max_i - min_i)/255``
+    from an SQ8 codes frame — JVM column expressions only."""
+    d = len(mins)
+    steps = [
+        ((maxs[i] - mins[i]) / 255.0) if maxs[i] > mins[i] else 0.0
+        for i in range(d)
+    ]
+    mins_lit = F.array(*[F.lit(float(m)) for m in mins])
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    scaled = F.zip_with(
+        F.col(code_col),
+        steps_lit,
+        lambda c, st: (c.cast("double") + F.lit(128.0)) * st,
+    )
+    dec = F.zip_with(scaled, mins_lit, lambda x, m: x + m)
+    return codes.withColumn(out_col, dec).drop(code_col)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric SQ8 search: the corpus is scanned as int8 codes
+    reconstructed on the fly (¼ the bytes of float32 — at 100 TB the
+    scan IS the cost), queries stay full-precision, ranking is exact
+    cosine over the reconstruction via the same two-stage top-k as
+    ``brute_force_topk``. Recall loss is the quantization error only —
+    gate it with :func:`ann_recall` against the float baseline."""
+    codes, mins, maxs = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col)
+    decoded = sq8_decode(codes, mins, maxs, out_col=vec_col)
+    return brute_force_topk(
+        decoded,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+# ------------------------------------------------ MMR diversified rerank
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` of the top-``pool`` candidates per
+    query maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)`` —
+    the standard diversity pass between retrieval and consumption
+    (dedup of near-identical hits in RAG context assembly).
+
+    Scale shape: relevance + candidate pool come from the distributed
+    exact scan (``brute_force_topk``, two-stage top-k); candidate
+    vectors ride a BROADCAST semi-join back onto the pool (queries ×
+    pool rows — bounded, never corpus-scale); the greedy selection is
+    inherently sequential per query but bounded (pool² cosines on ≤pool
+    rows), so it runs as one Arrow ``applyInPandas`` per query group —
+    queries parallelize across executors, the corpus is never touched
+    again. Ties (equal MMR score) break on lower id; λ=1 degenerates to
+    the relevance ranking.
+
+    Returns (query_id, vec_id, relevance, mmr_score, mmr_rank).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0,1], got {lam}")
+    if k < 1 or pool < k:
+        raise ValueError(f"need pool >= k >= 1, got k={k} pool={pool}")
+    cands = brute_force_topk(
+        corpus, queries, k=pool, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col, "similarity")
+    with_vec = F.broadcast(cands).join(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ),
+        id_col,
+    )
+    lam_f = float(lam)
+    k_i = int(k)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["similarity", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        U = V / nrm[:, None]
+        rel = pdf["similarity"].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        out_rows = []
+        while remaining and len(selected) < k_i:
+            best_j, best_score = None, None
+            for j in remaining:
+                if selected:
+                    red = float(np.max(U[selected] @ U[j]))
+                else:
+                    red = 0.0
+                score = lam_f * float(rel[j]) - (1.0 - lam_f) * red
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and ids[j] < ids[best_j])
+                ):
+                    best_j, best_score = j, score
+            selected.append(best_j)
+            remaining.remove(best_j)
+            out_rows.append(
+                (
+                    pdf[query_id_col].iloc[0],
+                    ids[best_j],
+                    float(rel[best_j]),
+                    float(best_score),
+                    len(selected),
+                )
+            )
+        return pd.DataFrame(
+            out_rows,
+            columns=[query_id_col, id_col, "relevance", "mmr_score", "mmr_rank"],
+        )
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, relevance double, "
+        "mmr_score double, mmr_rank int"
+    )
+    return with_vec.groupBy(query_id_col).applyInPandas(_greedy, out_schema)

@@ -3522,3 +3522,164 @@ def oracle_event_kmv_rollup(k: int = 256) -> str:
 
 
 _BUILDERS["event_kmv_rollup"] = oracle_event_kmv_rollup
+
+
+# ------------------------------------------------ round-9b additions
+
+def oracle_corpus_global_shuffle() -> str:
+    """Offline replica of mixing.global_shuffle(n_shards=4, salt=7,
+    n_buckets=16) on documents: shard = pmod(xxhash64(key#shuffle7), 4),
+    order within shard = (bucket, h, doc_id) lexicographic with
+    bucket = pmod(xxhash64(key#bucket7), 16) — the same content-
+    addressed permutation, replayed with the engine-independent XXH64
+    replica (spark_hashes.py). Python's % on a positive modulus IS
+    pmod, so signed hashes need no adjustment."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir()}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    n_shards, n_buckets, salt = 4, 16, 7
+    placed = []
+    for i in ids:
+        h = xxhash64(f"{i}#shuffle{salt}".encode())
+        b = xxhash64(f"{i}#bucket{salt}".encode()) % n_buckets
+        placed.append((h % n_shards, b, h, i))
+    rows = []
+    for s in range(n_shards):
+        members = sorted(p for p in placed if p[0] == s)
+        rows.extend((i, s, pos) for pos, (_, _, _, i) in enumerate(members))
+    rows.sort()
+    return _values_sql(rows, ["doc_id", "shard", "pos"], "bbb")
+
+
+_BUILDERS["corpus_global_shuffle"] = oracle_corpus_global_shuffle
+
+
+def _sq8_decoded(X: np.ndarray) -> np.ndarray:
+    """Replica of similarity.sq8_quantize + sq8_decode: per-dim min/max
+    (exact), driver-computed inv/step literals, floor(x*inv + 0.5)
+    codes, (code+128)*step + min reconstruction — every float op in the
+    same order the JVM expressions run it."""
+    import math
+
+    n, d = X.shape
+    mins = [float(np.min(X[:, j])) for j in range(d)]
+    maxs = [float(np.max(X[:, j])) for j in range(d)]
+    invs = [
+        (255.0 / (maxs[j] - mins[j])) if maxs[j] > mins[j] else 0.0
+        for j in range(d)
+    ]
+    steps = [
+        ((maxs[j] - mins[j]) / 255.0) if maxs[j] > mins[j] else 0.0
+        for j in range(d)
+    ]
+    dec = np.empty_like(X)
+    for i in range(n):
+        for j in range(d):
+            x = float(X[i, j]) - mins[j]
+            code = math.floor(x * invs[j] + 0.5)
+            code = max(0, min(255, code)) - 128
+            dec[i, j] = (float(code) + 128.0) * steps[j] + mins[j]
+    return dec
+
+
+def oracle_embedding_sq8_recall() -> str:
+    """Recall@5 of the asymmetric SQ8 ranking (corpus reconstructed from
+    int8 codes, queries full-precision) against the exact cosine top-5,
+    per query — the quantization-error gate for the 4x-smaller serving
+    format."""
+    sf = sf_dir()
+    X = _embeddings(sf)
+    D = _sq8_decoded(X)
+    q_ids = [i for i in range(len(X)) if i < 5]
+    k = 5
+    rows = []
+    for q in q_ids:
+        nq = _fold_norm(X[q])
+        exact = set(
+            i
+            for _, i in sorted(
+                (-(_fold_dot(X[i], X[q]) / (_fold_norm(X[i]) * nq)), i)
+                for i in range(len(X))
+            )[:k]
+        )
+        approx = set(
+            i
+            for _, i in sorted(
+                (-(_fold_dot(D[i], X[q]) / (_fold_norm(D[i]) * nq)), i)
+                for i in range(len(X))
+            )[:k]
+        )
+        n_hit = len(exact & approx)
+        rows.append((q, k, n_hit, n_hit / float(k)))
+    return _values_sql(rows, ["query_id", "n_exact", "n_hit", "recall"], "bbbd")
+
+
+_BUILDERS["embedding_sq8_recall"] = oracle_embedding_sq8_recall
+
+
+def oracle_embedding_mmr_rerank() -> str:
+    """Replica of similarity.mmr_rerank(k=5, pool=20, lam=0.7) for
+    queries vec_id < 5: relevance/pool from the exact fold-arithmetic
+    cosine ranking, then the greedy Carbonell-Goldstein selection with
+    the SAME numpy reductions the Arrow kernel runs (row-normalized
+    float64 matrix, BLAS dot for the redundancy term), ties on lower
+    id."""
+    sf = sf_dir()
+    X = _embeddings(sf)
+    q_ids = [i for i in range(len(X)) if i < 5]
+    pool, k, lam = 20, 5, 0.7
+    rows = []
+    for q in q_ids:
+        nq = _fold_norm(X[q])
+        scored = sorted(
+            (-(_fold_dot(X[i], X[q]) / (_fold_norm(X[i]) * nq)), i)
+            for i in range(len(X))
+        )[:pool]
+        ids = [i for _, i in scored]
+        rel = np.array([-s for s, _ in scored], dtype=np.float64)
+        V = np.array([X[i] for i in ids], dtype=np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        U = V / nrm[:, None]
+        selected: list = []
+        remaining = list(range(len(ids)))
+        while remaining and len(selected) < k:
+            best_j, best_score = None, None
+            for j in remaining:
+                if selected:
+                    red = float(np.max(U[selected] @ U[j]))
+                else:
+                    red = 0.0
+                score = lam * float(rel[j]) - (1.0 - lam) * red
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and ids[j] < ids[best_j])
+                ):
+                    best_j, best_score = j, score
+            selected.append(best_j)
+            remaining.remove(best_j)
+            rows.append(
+                (
+                    q,
+                    ids[best_j],
+                    len(selected),
+                    _spark_round(float(rel[best_j])),
+                    _spark_round(float(best_score)),
+                )
+            )
+    return _values_sql(
+        rows,
+        ["query_id", "vec_id", "mmr_rank", "relevance", "mmr_score"],
+        "bbbdd",
+    )
+
+
+_BUILDERS["embedding_mmr_rerank"] = oracle_embedding_mmr_rerank

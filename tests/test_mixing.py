@@ -164,3 +164,77 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     assert kept2 == {3}
     with pytest.raises(ValueError):
         weighted_sample(df, "w", target_ppm=0)
+
+
+# ----------------------------------------------------- global_shuffle
+def test_global_shuffle_dense_positions_and_determinism(spark, docs):
+    from deeptime_spark.operators.mixing import global_shuffle
+
+    out = global_shuffle(docs, n_shards=4, salt=7, n_buckets=16)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {s} not dense"
+    # layout invariance: repartitioned input gives the identical placement
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in global_shuffle(docs.repartition(13), 4, salt=7, n_buckets=16)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert again == {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+
+
+def test_global_shuffle_offline_replica(spark, docs):
+    """Any row's placement is auditable with the engine-independent
+    xxhash64 replica: shard = pmod(h_shuffle, n); order within shard =
+    (bucket, h_shuffle, key) lexicographic."""
+    from deeptime_spark.operators.mixing import global_shuffle
+    from deeptime_spark.spark_hashes import xxhash64
+
+    n_shards, n_buckets, salt = 3, 8, 1
+    rows = (
+        global_shuffle(docs, n_shards, salt=salt, n_buckets=n_buckets)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    )
+    ids = [r["doc_id"] for r in rows]
+    placement = {}
+    for i in ids:
+        h = xxhash64(f"{i}#shuffle{salt}".encode())
+        b = xxhash64(f"{i}#bucket{salt}".encode()) % n_buckets
+        placement[i] = (h % n_shards, b, h)
+    for s in range(n_shards):
+        members = sorted(
+            (i for i in ids if placement[i][0] == s),
+            key=lambda i: (placement[i][1], placement[i][2], i),
+        )
+        expect = {i: p for p, i in enumerate(members)}
+        got = {r["doc_id"]: r["pos"] for r in rows if r["shard"] == s}
+        assert got == expect
+
+
+def test_global_shuffle_single_shard_and_validation(spark, docs):
+    from deeptime_spark.operators.mixing import global_shuffle
+
+    one = global_shuffle(docs.limit(50), n_shards=1, n_buckets=4)
+    ps = sorted(r["pos"] for r in one.select("pos").collect())
+    assert ps == list(range(50))
+    with pytest.raises(ValueError):
+        global_shuffle(docs, 0)
+    with pytest.raises(ValueError):
+        global_shuffle(docs, 2, n_buckets=0)
+
+
+def test_global_shuffle_null_keys_kept(spark):
+    from deeptime_spark.operators.mixing import global_shuffle
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    rows = global_shuffle(df, n_shards=2, n_buckets=4).collect()
+    assert len(rows) == 3  # null keys placed deterministically, not dropped

@@ -154,3 +154,132 @@ def test_ivfpq_corpus_scale_matches_broadcast(spark):
     assert key(ivfpq_topk(emb, queries, broadcast_queries=False, **kw)) == key(
         ivfpq_topk(emb, queries, broadcast_queries=True, **kw)
     )
+
+
+# --------------------------------------------------------------- SQ8
+def test_sq8_roundtrip_error_bounded(spark):
+    from deeptime_spark.operators.similarity import sq8_decode, sq8_quantize
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 8))
+    X[:, 3] = 2.5  # constant dimension
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    codes, mins, maxs = sq8_quantize(df)
+    crows = codes.collect()
+    for r in crows:
+        assert all(-128 <= c <= 127 for c in r["sq8_code"])
+    dec = {
+        r["vec_id"]: r["embedding"]
+        for r in sq8_decode(codes, mins, maxs).collect()
+    }
+    for i in range(40):
+        for j in range(8):
+            step = (maxs[j] - mins[j]) / 255.0
+            assert abs(dec[i][j] - X[i, j]) <= step / 2 + 1e-12
+    assert mins[3] == maxs[3] == 2.5
+    assert all(dec[i][3] == 2.5 for i in range(40))
+
+
+def test_sq8_topk_full_recall_on_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rec = ann_recall(sq8_topk(emb, q, k=5), brute_force_topk(emb, q, k=5))
+    assert all(r["recall"] >= 0.8 for r in rec.collect())
+
+
+def test_sq8_empty_corpus_raises(spark):
+    import pytest
+
+    from deeptime_spark.operators.similarity import sq8_quantize
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        sq8_quantize(empty)
+
+
+# --------------------------------------------------------------- MMR
+def test_mmr_lambda_one_is_relevance_order(spark):
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import brute_force_topk, mmr_rerank
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, q, k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in mmr_rerank(emb, q, k=4, pool=10, lam=1.0)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == top
+
+
+def test_mmr_prefers_diversity_over_near_duplicate(spark):
+    """Candidates: query-identical vector, its near-duplicate, and an
+    orthogonal-ish one. With lam=0.5 the near-dup (massively redundant
+    with the first pick) must rank BELOW the diverse vector despite
+    higher relevance."""
+    from deeptime_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 1.0, 0.1]),    # top hit
+        (1, [1.0, 1.0, 0.12]),   # near-dup of 0, nearly as relevant
+        (2, [1.0, 1.0, -0.9]),   # less relevant but diverse
+        (3, [-1.0, 1.0, 0.0]),   # orthogonal filler
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(99, [1.0, 1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = (
+        mmr_rerank(corpus, q, k=3, pool=4, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    picked = [r["vec_id"] for r in out]
+    assert picked[0] == 0
+    assert picked[1] in (2, 3)  # near-dup 1 deferred behind a diverse pick
+
+
+def test_mmr_validation(spark):
+    import pytest
+
+    from deeptime_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = df.selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError):
+        mmr_rerank(df, q, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, q, k=5, pool=3)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, q, lam=1.5)
