@@ -5023,6 +5023,29 @@ def _q_embedding_mmr_rerank(spark, sf_dir):
     )
 
 
+def _q_doc_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture (operators/mixing.py:
+    temperature_mixture, the mT5/XLM-R multilingual sampling rule
+    q_d ∝ p_d^(1/T), T=2): per-source observed vs scaled target share
+    and the realizing down-sampling rate. T=2 makes the power an
+    IEEE-exact sqrt, and the rate is computed z-free (the normalizer
+    cancels), so every column except the round-6 target_share is
+    bit-exact; one aggregation pass + domain-count-sized windows.
+    Pure-SQL DuckDB oracle — no replica."""
+    from deeptime_spark.operators.mixing import temperature_mixture
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = temperature_mixture(docs, temperature=2.0)
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "observed_share",
+        F.round("target_share", 6).alias("target_share"),
+        "sampling_rate",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5100,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "doc_temperature_mixture": _q_doc_temperature_mixture,
         "corpus_global_shuffle": _q_corpus_global_shuffle,
         "embedding_sq8_recall": _q_embedding_sq8_recall,
         "embedding_mmr_rerank": _q_embedding_mmr_rerank,
@@ -5268,6 +5292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "doc_temperature_mixture",  # NEW round-9b: never driver-run
     "corpus_global_shuffle",  # NEW round-9b: never driver-run
     "embedding_sq8_recall",  # NEW round-9b: never driver-run
     "embedding_mmr_rerank",  # NEW round-9b: never driver-run
@@ -6253,6 +6278,30 @@ SELECT source,
       / CAST(n_tokens AS DOUBLE)
     END, CAST('0.0' AS DOUBLE))) AS sampling_rate
 FROM t
+""",
+        "doc_temperature_mixture": r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+), sc AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS observed_share,
+         sqrt(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)) AS scaled
+  FROM per
+)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  observed_share,
+  ROUND(scaled / SUM(scaled) OVER (), 6) AS target_share,
+  LEAST(CAST('1.0' AS DOUBLE), COALESCE(
+    CASE WHEN n_tokens > 0 THEN
+      scaled
+      * (MIN(CASE WHEN scaled > 0 THEN CAST(n_tokens AS DOUBLE) / scaled END) OVER ())
+      / CAST(n_tokens AS DOUBLE)
+    END, CAST('0.0' AS DOUBLE))) AS sampling_rate
+FROM sc
 """,
         "doc_dup_substrings": r"""
 WITH t AS (

@@ -378,3 +378,75 @@ def global_shuffle(
         .withColumnRenamed("_shard", "shard")
         .drop("_h", "_bucket", "_off")
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled domain sampling (the multilingual-LM mixing
+    rule of mT5 / XLM-R: sample domain d with probability
+    ``p_d^(1/T) / Σ_e p_e^(1/T)`` where ``p_d`` is the observed token
+    share): T=1 keeps the natural mixture, T→∞ is uniform — the knob
+    that up-weights low-resource domains without hand-written targets.
+
+    The scaled shares become the TARGET mixture and the realizing
+    per-domain down-sampling rate is derived exactly as in
+    :func:`domain_mixture` (largest feasible budget S, then
+    ``rate_d = min(1, q_d·S / tokens_d)``).
+
+    One aggregation over the corpus + windows over the per-domain rows
+    (domain-count-sized, never corpus-sized) — plain SQL semantics, so
+    a SQL oracle replicates it directly. With ``temperature=2`` the
+    power is an IEEE-exact ``sqrt``; other temperatures are subject to
+    cross-engine ``pow`` ULP differences (round outputs before hashing).
+
+    Returns (strata_col, n_docs, n_tokens, observed_share,
+    target_share, sampling_rate).
+    """
+    from pyspark.sql import Window
+
+    from deeptime_spark.operators.text import token_count
+
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    per = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    total = F.sum("n_tokens").over(everything)
+    share = F.col("n_tokens") / total
+    if temperature == 2.0:
+        scaled = F.sqrt(share)
+    else:
+        scaled = F.pow(share, F.lit(1.0 / float(temperature)))
+    with_scaled = per.withColumn("_scaled", scaled)
+    z = F.sum("_scaled").over(everything)
+    # the normalizer z CANCELS out of the rate: rate_d = (q_d/z)·S with
+    # S = min_e tokens_e·z/q_e  ==  q_d · min_e(tokens_e/q_e) / tokens_d.
+    # Computing it z-free keeps the rate column bit-exact across engines
+    # (a window SUM of doubles is association-order-sensitive; MIN is
+    # not) — only the reported target_share carries the z rounding.
+    s_scaled = F.min(
+        F.when(F.col("_scaled") > 0, F.col("n_tokens") / F.col("_scaled"))
+    ).over(everything)
+    return with_scaled.select(
+        strata_col,
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") / total).alias("observed_share"),
+        (F.col("_scaled") / z).alias("target_share"),
+        F.least(
+            F.lit(1.0),
+            F.coalesce(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("_scaled") * s_scaled / F.col("n_tokens"),
+                ),
+                F.lit(0.0),
+            ),
+        ).alias("sampling_rate"),
+    )

@@ -238,3 +238,41 @@ def test_global_shuffle_null_keys_kept(spark):
     )
     rows = global_shuffle(df, n_shards=2, n_buckets=4).collect()
     assert len(rows) == 3  # null keys placed deterministically, not dropped
+
+
+# ------------------------------------------------- temperature_mixture
+def test_temperature_mixture_t1_keeps_natural_shares(spark, docs):
+    from deeptime_spark.operators.mixing import temperature_mixture
+
+    rows = temperature_mixture(docs, temperature=1.0).collect()
+    for r in rows:
+        assert r["target_share"] == pytest.approx(r["observed_share"], abs=1e-12)
+        assert r["sampling_rate"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark, docs):
+    from deeptime_spark.operators.mixing import temperature_mixture
+
+    t2 = {r["source"]: r for r in temperature_mixture(docs, 2.0).collect()}
+    obs = {s: r["observed_share"] for s, r in t2.items()}
+    tgt = {s: r["target_share"] for s, r in t2.items()}
+    big = max(obs, key=obs.get)
+    small = min(obs, key=obs.get)
+    # scaling compresses the spread: the biggest domain loses share,
+    # the smallest gains
+    assert tgt[big] < obs[big] and tgt[small] > obs[small]
+    assert sum(tgt.values()) == pytest.approx(1.0, abs=1e-12)
+    # rates realize the target: rate_d * tokens_d proportional to target
+    kept = {
+        s: t2[s]["sampling_rate"] * t2[s]["n_tokens"] for s in t2
+    }
+    total_kept = sum(kept.values())
+    for s in t2:
+        assert kept[s] / total_kept == pytest.approx(tgt[s], rel=1e-9)
+
+
+def test_temperature_mixture_validation(spark, docs):
+    from deeptime_spark.operators.mixing import temperature_mixture
+
+    with pytest.raises(ValueError):
+        temperature_mixture(docs, temperature=0.0)
