@@ -5046,6 +5046,30 @@ def _q_doc_temperature_mixture(spark, sf_dir):
     )
 
 
+def _q_event_betweenness(spark, sf_dir):
+    """Pivot-sampled betweenness centrality (operators/graph.py:
+    betweenness_centrality — Brandes 2001 dependency accumulation from
+    8 content-addressed pivots, the Brandes-Pich estimator) on the
+    211-node event link graph. All pivots advance in ONE
+    (pivot, node)-keyed frontier: the forward BFS is O(diameter) jobs
+    total with integer-exact path counts, the backward sweep one
+    broadcast join per depth, and exact all-pairs (O(|V|·|E|)) is never
+    attempted — pivot sampling IS the 100 TB plan. Oracle replays
+    pivot choice (XXH64 replica) and the per-pivot accumulation
+    (oracle_ref.py:oracle_event_betweenness)."""
+    from deeptime_spark.operators.graph import betweenness_centrality
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    edges = ev.select(
+        (F.col("event_id") % 211).alias("src"),
+        ((F.col("event_id") * 31 + F.expr("event_id div 211")) % 211).alias(
+            "dst"
+        ),
+    ).where(F.col("src") != F.col("dst"))
+    bc = betweenness_centrality(edges, n_pivots=8, directed=False)
+    return bc.select("node", F.round("betweenness", 6).alias("betweenness"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5123,6 +5147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "event_betweenness": _q_event_betweenness,
         "doc_temperature_mixture": _q_doc_temperature_mixture,
         "corpus_global_shuffle": _q_corpus_global_shuffle,
         "embedding_sq8_recall": _q_embedding_sq8_recall,
@@ -5292,6 +5317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "event_betweenness",  # NEW round-9b: never driver-run
     "doc_temperature_mixture",  # NEW round-9b: never driver-run
     "corpus_global_shuffle",  # NEW round-9b: never driver-run
     "embedding_sq8_recall",  # NEW round-9b: never driver-run

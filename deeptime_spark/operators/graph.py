@@ -685,3 +685,156 @@ def bfs_distances(
         return reached
     finally:
         und.unpersist(blocking=False)
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_pivots: int = 8,
+    directed: bool = False,
+    max_depth: int = 32,
+    broadcast_threshold: int = 1_000_000,
+    scale: bool = True,
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality — Brandes' dependency
+    accumulation (Brandes, J. Math. Sociol. 2001) from ``n_pivots``
+    sources, the Brandes-Pich (2007) estimator: compute
+    ``δ_s(v) = Σ_{t} σ_st(v)/σ_st`` exactly for each sampled source s
+    and report ``(n/k)·Σ_s δ_s(v)`` (``scale=False`` for the raw
+    dependency sum). Exact all-pairs betweenness is O(|V|·|E|) — never
+    a 100 TB plan; pivot sampling is the published scale path.
+
+    Pivots are CONTENT-ADDRESSED (k smallest xxhash64 of the node id
+    under a fixed tag): deterministic on any layout, replayable by the
+    engine-independent hash replica, and unbiased exactly like a
+    uniform draw because the hash order is independent of graph
+    structure.
+
+    Scale shape: all pivots advance in ONE frontier frame keyed
+    (pivot, node) — the forward BFS costs O(diameter) jobs TOTAL, not
+    O(k·diameter); each level is one join + one (pivot,node) hash
+    aggregate sumimg path counts σ (integers — exact). The backward
+    sweep replays the levels deepest-first: one join of level d against
+    the (broadcast) level-d+1 dependency frame per depth, again all
+    pivots at once. Per-level frames are localCheckpointed (lineage
+    truncation); below ``broadcast_threshold`` nodes the O(k·|V|)
+    frontier/dependency frames broadcast against the cached edge scan,
+    above it the edge relation is persisted hash-partitioned on the
+    source endpoint (the :func:`pagerank` regime switch).
+
+    Returns (node, betweenness) over the full node set (nodes on no
+    sampled shortest path score 0; pivot self-dependencies excluded per
+    Brandes). δ sums are doubles — round before hashing across engines.
+    """
+    if n_pivots < 1:
+        raise ValueError(f"n_pivots must be >= 1, got {n_pivots}")
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    rel = e.distinct().persist()
+    nodes = rel.select(F.col("u").alias("node")).union(
+        rel.select(F.col("v").alias("node"))
+    ).distinct().persist()
+    n = nodes.count()
+    small = n <= broadcast_threshold
+    if not small:
+        rel2 = rel.repartition(
+            spark.sparkContext.defaultParallelism, "u"
+        ).persist()
+        rel2.count()
+        rel.unpersist(blocking=False)
+        rel = rel2
+    k = min(int(n_pivots), n)
+    # bounded driver scalar: k pivot ids via TakeOrdered on the hash
+    pivots = [
+        int(r["node"])
+        for r in nodes.orderBy(
+            F.xxhash64(F.concat(F.col("node").cast("string"), F.lit("#bcpivot"))),
+            F.col("node"),
+        ).limit(k).collect()
+    ]
+    levels = [
+        spark.createDataFrame(
+            [(p, p, 1) for p in pivots], "pivot long, node long, sigma long"
+        ).localCheckpoint(eager=True)
+    ]
+    visited = levels[0]
+    try:
+        for _d in range(1, max_depth + 1):
+            f = F.broadcast(levels[-1]) if small else levels[-1]
+            vis = F.broadcast(visited) if small else visited
+            new = (
+                rel.join(f.withColumnRenamed("node", "u"), "u")
+                .select("pivot", F.col("v").alias("node"), "sigma")
+                .join(vis.select("pivot", "node"), ["pivot", "node"], "left_anti")
+                .groupBy("pivot", "node")
+                .agg(F.sum("sigma").alias("sigma"))
+                .localCheckpoint(eager=True)
+            )
+            if new.count() == 0:
+                break
+            levels.append(new)
+            visited = visited.union(new).localCheckpoint(eager=True)
+        # backward dependency accumulation, deepest level first
+        deltas = levels[-1].withColumn("delta", F.lit(0.0)).localCheckpoint(
+            eager=True
+        )
+        acc = None  # union of per-level delta frames, depth >= 1
+        for d in range(len(levels) - 1, 0, -1):
+            acc = deltas if acc is None else acc.union(deltas)
+            if d == 1:
+                break
+            w_side = F.broadcast(deltas) if small else deltas
+            lvl = levels[d - 1]
+            contrib = (
+                lvl.withColumnRenamed("node", "u")
+                .withColumnRenamed("sigma", "_sv")
+                .join(rel, "u")
+                .join(
+                    w_side.select(
+                        "pivot",
+                        F.col("node").alias("v"),
+                        F.col("sigma").alias("_sw"),
+                        F.col("delta").alias("_dw"),
+                    ),
+                    ["pivot", "v"],
+                )
+                .groupBy("pivot", F.col("u").alias("node"))
+                .agg(
+                    F.sum(
+                        F.col("_sv").cast("double")
+                        / F.col("_sw").cast("double")
+                        * (F.lit(1.0) + F.col("_dw"))
+                    ).alias("_c")
+                )
+            )
+            c_side = F.broadcast(contrib) if small else contrib
+            deltas = (
+                lvl.join(c_side, ["pivot", "node"], "left")
+                .select(
+                    "pivot",
+                    "node",
+                    "sigma",
+                    F.coalesce(F.col("_c"), F.lit(0.0)).alias("delta"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        factor = (float(n) / float(k)) if scale else 1.0
+        if acc is None:  # no node beyond the pivots themselves
+            return nodes.select("node", F.lit(0.0).alias("betweenness"))
+        per_node = acc.groupBy("node").agg(
+            (F.sum("delta") * F.lit(factor)).alias("betweenness")
+        )
+        return nodes.join(per_node, "node", "left").select(
+            "node",
+            F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness"),
+        )
+    finally:
+        rel.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)

@@ -3683,3 +3683,68 @@ def oracle_embedding_mmr_rerank() -> str:
 
 
 _BUILDERS["embedding_mmr_rerank"] = oracle_embedding_mmr_rerank
+
+
+def oracle_event_betweenness() -> str:
+    """Replica of graph.betweenness_centrality(n_pivots=8,
+    directed=False, scale=True) on the event-synthesized 211-node
+    graph: same content-addressed pivot choice (8 smallest
+    xxhash64("<node>#bcpivot")), per-pivot Brandes BFS + dependency
+    accumulation, (n/k)-scaled sums. δ association order differs
+    between the Spark hash aggregate and this loop — bounded ~1e-12,
+    absorbed by the round-6 output."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT event_id FROM read_parquet('{sf_dir()}/events.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    m = 211
+    adj: dict = {}
+    nodes = set()
+    for i in ids:
+        s = i % m
+        d = (i * 31 + i // m) % m
+        if s != d:
+            nodes.update((s, d))
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)  # undirected
+    n = len(nodes)
+    k = min(8, n)
+    pivots = sorted(nodes, key=lambda v: (xxhash64(f"{v}#bcpivot".encode()), v))[:k]
+    bc = {v: 0.0 for v in nodes}
+    for s in pivots:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        sigma[w] = 0
+                        nxt.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            order.extend(nxt)
+            frontier = nxt
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in adj.get(w, ()):
+                if dist.get(v, -2) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v in order:
+            if v != s:
+                bc[v] += delta[v]
+    factor = float(n) / float(k)
+    rows = [(v, _spark_round(bc[v] * factor)) for v in sorted(nodes)]
+    return _values_sql(rows, ["node", "betweenness"], "bd")
+
+
+_BUILDERS["event_betweenness"] = oracle_event_betweenness

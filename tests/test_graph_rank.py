@@ -427,3 +427,111 @@ def test_personalized_pagerank_ignores_unknown_nodes(spark):
     }
     assert base == extra
     assert sum(extra.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# ------------------------------------------------ betweenness (Brandes)
+def _brandes_exact(edges, directed=False):
+    """Ordered-pair Brandes over all sources — reference values."""
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.update((s, d))
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    bc = {v: 0.0 for v in nodes}
+    for s in nodes:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        sigma[w] = 0
+                        nxt.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            order.extend(nxt)
+            frontier = nxt
+        if directed:
+            pred_adj = {}
+            for a, outs in adj.items():
+                for b in outs:
+                    pred_adj.setdefault(b, set()).add(a)
+        else:
+            pred_adj = adj  # symmetric: neighbors one level up ARE preds
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in pred_adj.get(w, ()):
+                if dist.get(v, -2) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v in order:
+            if v != s:
+                bc[v] += delta[v]
+    return bc
+
+
+def test_betweenness_exact_on_path(spark):
+    from deeptime_spark.operators.graph import betweenness_centrality
+
+    edges = [(i, i + 1) for i in range(4)]  # path 0-1-2-3-4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            df, n_pivots=5, directed=False, scale=False
+        ).collect()
+    }
+    expected = _brandes_exact(edges)  # ordered pairs: 0,6,8,6,0
+    for v, e in expected.items():
+        assert got[v] == pytest.approx(e, abs=1e-9)
+    assert got[2] == pytest.approx(8.0, abs=1e-9)
+
+
+def test_betweenness_star_center(spark):
+    from deeptime_spark.operators.graph import betweenness_centrality
+
+    edges = [(0, i) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            df, n_pivots=8, directed=False, scale=False
+        ).collect()
+    }
+    # center mediates every ordered leaf pair: 7*6 = 42
+    assert got[0] == pytest.approx(42.0, abs=1e-9)
+    assert all(got[i] == pytest.approx(0.0) for i in range(1, 8))
+
+
+def test_betweenness_sampled_layout_invariant(spark, rng):
+    from deeptime_spark.operators.graph import betweenness_centrality
+
+    edges = [
+        (int(rng.integers(0, 30)), int(rng.integers(0, 30))) for _ in range(150)
+    ]
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        r["node"]: round(r["betweenness"], 9)
+        for r in betweenness_centrality(df, n_pivots=6).collect()
+    }
+    b = {
+        r["node"]: round(r["betweenness"], 9)
+        for r in betweenness_centrality(df.repartition(17), n_pivots=6).collect()
+    }
+    assert a == b
+
+
+def test_betweenness_validation(spark):
+    from deeptime_spark.operators.graph import betweenness_centrality
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        betweenness_centrality(df, n_pivots=0)
+    with pytest.raises(ValueError):
+        betweenness_centrality(df, max_depth=0)
