@@ -5070,6 +5070,27 @@ def _q_event_betweenness(spark, sf_dir):
     return bc.select("node", F.round("betweenness", 6).alias("betweenness"))
 
 
+def _q_event_harmonic(spark, sf_dir):
+    """Pivot-sampled harmonic centrality (operators/graph.py:
+    harmonic_centrality — the public CommonCrawl host-quality signal;
+    Boldi & Vigna 2014) on the 211-node event link graph: 8 content-
+    addressed pivots, one batched (pivot,node) BFS — O(diameter) jobs
+    total — then the (n/k)-scaled Σ 1/d per node. Exact all-pairs
+    distances are never attempted. Oracle replays pivots + BFS
+    (oracle_ref.py:oracle_event_harmonic)."""
+    from deeptime_spark.operators.graph import harmonic_centrality
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    edges = ev.select(
+        (F.col("event_id") % 211).alias("src"),
+        ((F.col("event_id") * 31 + F.expr("event_id div 211")) % 211).alias(
+            "dst"
+        ),
+    ).where(F.col("src") != F.col("dst"))
+    hc = harmonic_centrality(edges, n_pivots=8, directed=False)
+    return hc.select("node", F.round("harmonic", 6).alias("harmonic"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5147,6 +5168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "event_harmonic": _q_event_harmonic,
         "event_betweenness": _q_event_betweenness,
         "doc_temperature_mixture": _q_doc_temperature_mixture,
         "corpus_global_shuffle": _q_corpus_global_shuffle,
@@ -5317,6 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "event_harmonic",  # NEW round-9b: never driver-run
     "event_betweenness",  # NEW round-9b: never driver-run
     "doc_temperature_mixture",  # NEW round-9b: never driver-run
     "corpus_global_shuffle",  # NEW round-9b: never driver-run

@@ -164,6 +164,7 @@ HEADLINE = [
     "sensitivity_events",
     # round-9b: global shuffle (two-level prefix-sum permutation), SQ8
     # quantization gate, MMR diversified rerank
+    "event_harmonic",
     "event_betweenness",
     "doc_temperature_mixture",
     "corpus_global_shuffle",

@@ -838,3 +838,101 @@ def betweenness_centrality(
     finally:
         rel.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_pivots: int = 8,
+    directed: bool = False,
+    max_depth: int = 32,
+    broadcast_threshold: int = 1_000_000,
+    scale: bool = True,
+) -> DataFrame:
+    """Pivot-sampled harmonic centrality ``hc(v) = Σ_s 1/d(s,v)`` —
+    THE published web-graph quality signal (the public CommonCrawl
+    host ranking ships harmonic centrality next to PageRank; Boldi &
+    Vigna, "Axioms for Centrality", 2014, argue it is the only
+    axiom-clean closeness variant on disconnected graphs: unreachable
+    pairs contribute 0 instead of poisoning the mean).
+
+    Exact harmonic centrality needs all-pairs distances; the scale
+    path is pivot sampling (Eppstein-Wang style): ``n_pivots``
+    content-addressed sources (k smallest tagged xxhash64 — layout-
+    free, hash-replica auditable), ONE batched BFS keyed
+    (pivot, node) — O(diameter) jobs total regardless of k — then
+    ``(n/k)·Σ 1/d`` per node (``scale=False`` for the raw sum). For
+    the incoming-distance variant on directed graphs (the crawl-rank
+    convention), pass the edge frame reversed.
+
+    Returns (node, harmonic) over the full node set.
+    """
+    if n_pivots < 1:
+        raise ValueError(f"n_pivots must be >= 1, got {n_pivots}")
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    rel = e.distinct().persist()
+    nodes = rel.select(F.col("u").alias("node")).union(
+        rel.select(F.col("v").alias("node"))
+    ).distinct().persist()
+    n = nodes.count()
+    small = n <= broadcast_threshold
+    if not small:
+        rel2 = rel.repartition(
+            spark.sparkContext.defaultParallelism, "u"
+        ).persist()
+        rel2.count()
+        rel.unpersist(blocking=False)
+        rel = rel2
+    k = min(int(n_pivots), n)
+    pivots = [
+        int(r["node"])
+        for r in nodes.orderBy(
+            F.xxhash64(F.concat(F.col("node").cast("string"), F.lit("#hcpivot"))),
+            F.col("node"),
+        ).limit(k).collect()
+    ]
+    try:
+        frontier = spark.createDataFrame(
+            [(p, p) for p in pivots], "pivot long, node long"
+        ).localCheckpoint(eager=True)
+        visited = frontier
+        # accumulate Σ 1/d map-side as the levels stream out: the
+        # per-depth contribution of a (pivot, node) row is the literal
+        # 1/d — no per-pair state beyond the visited frame
+        acc = None
+        for d in range(1, max_depth + 1):
+            f = F.broadcast(frontier) if small else frontier
+            vis = F.broadcast(visited) if small else visited
+            new = (
+                rel.join(f.withColumnRenamed("node", "u"), "u")
+                .select("pivot", F.col("v").alias("node"))
+                .distinct()
+                .join(vis, ["pivot", "node"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if new.count() == 0:
+                break
+            hop = new.select("node", F.lit(1.0 / float(d)).alias("inv_d"))
+            acc = hop if acc is None else acc.union(hop)
+            visited = visited.union(new).localCheckpoint(eager=True)
+            frontier = new
+        factor = (float(n) / float(k)) if scale else 1.0
+        if acc is None:
+            return nodes.select("node", F.lit(0.0).alias("harmonic"))
+        per = acc.groupBy("node").agg(
+            (F.sum("inv_d") * F.lit(factor)).alias("harmonic")
+        )
+        return nodes.join(per, "node", "left").select(
+            "node", F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic")
+        )
+    finally:
+        rel.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)

@@ -3748,3 +3748,57 @@ def oracle_event_betweenness() -> str:
 
 
 _BUILDERS["event_betweenness"] = oracle_event_betweenness
+
+
+def oracle_event_harmonic() -> str:
+    """Replica of graph.harmonic_centrality(n_pivots=8, directed=False,
+    scale=True) on the 211-node event graph: same content-addressed
+    pivots (8 smallest xxhash64("<node>#hcpivot")), per-pivot BFS,
+    (n/k)-scaled Σ 1/d. Association order of the 1/d sums differs —
+    absorbed by round 6."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT event_id FROM read_parquet('{sf_dir()}/events.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    m = 211
+    adj: dict = {}
+    nodes = set()
+    for i in ids:
+        s = i % m
+        d = (i * 31 + i // m) % m
+        if s != d:
+            nodes.update((s, d))
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    n = len(nodes)
+    k = min(8, n)
+    pivots = sorted(nodes, key=lambda v: (xxhash64(f"{v}#hcpivot".encode()), v))[:k]
+    hc = {v: 0.0 for v in nodes}
+    for s in pivots:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv > 0:
+                hc[v] += 1.0 / float(dv)
+    factor = float(n) / float(k)
+    rows = [(v, _spark_round(hc[v] * factor)) for v in sorted(nodes)]
+    return _values_sql(rows, ["node", "harmonic"], "bd")
+
+
+_BUILDERS["event_harmonic"] = oracle_event_harmonic

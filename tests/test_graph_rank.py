@@ -535,3 +535,58 @@ def test_betweenness_validation(spark):
         betweenness_centrality(df, n_pivots=0)
     with pytest.raises(ValueError):
         betweenness_centrality(df, max_depth=0)
+
+
+# -------------------------------------------------- harmonic centrality
+def test_harmonic_exact_on_path(spark):
+    from deeptime_spark.operators.graph import harmonic_centrality
+
+    edges = [(i, i + 1) for i in range(4)]  # path 0-1-2-3-4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(
+            df, n_pivots=5, directed=False, scale=False
+        ).collect()
+    }
+    # all 5 nodes as pivots -> exact harmonic centrality
+    for v in range(5):
+        expected = sum(
+            1.0 / abs(v - u) for u in range(5) if u != v
+        )
+        assert got[v] == pytest.approx(expected, abs=1e-9)
+    # middle node is the most central
+    assert got[2] == max(got.values())
+
+
+def test_harmonic_disconnected_contributes_zero(spark):
+    from deeptime_spark.operators.graph import harmonic_centrality
+
+    # two components: 0-1 and 2-3; unreachable pairs contribute 0
+    df = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(df, n_pivots=4, scale=False).collect()
+    }
+    assert all(v == pytest.approx(1.0, abs=1e-12) for v in got.values())
+
+
+def test_harmonic_layout_invariant_and_validation(spark, rng):
+    from deeptime_spark.operators.graph import harmonic_centrality
+
+    edges = [
+        (int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(120)
+    ]
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        r["node"]: round(r["harmonic"], 9)
+        for r in harmonic_centrality(df, n_pivots=5).collect()
+    }
+    b = {
+        r["node"]: round(r["harmonic"], 9)
+        for r in harmonic_centrality(df.repartition(11), n_pivots=5).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        harmonic_centrality(df, n_pivots=0)

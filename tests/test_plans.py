@@ -798,3 +798,62 @@ def test_ppjoin_no_cartesian_no_python(spark):
     plan = plan_of(ppjoin_pairs(docs, threshold_pct=80, materialize=False))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_global_shuffle_offsets_broadcast_no_global_window(spark):
+    """global_shuffle's offset join must BROADCAST the tiny
+    (shard,bucket) aggregate, and the per-row rank window must be keyed
+    (shard, bucket) — never a single global partition
+    (operators/mixing.py:global_shuffle)."""
+    from deeptime_spark.operators.mixing import global_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(global_shuffle(docs, n_shards=4, n_buckets=16))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # the rank window partitions by BOTH keys (no n_shards-task funnel)
+    assert "_bucket" in plan
+
+
+def test_sq8_topk_single_wide_agg_no_python(spark):
+    """SQ8 search stays JVM-side end-to-end: quantizer train is one
+    wide min/max aggregate, encode/decode are zip_with expressions, and
+    the scan carries no Python stage
+    (operators/similarity.py:sq8_topk)."""
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(sq8_topk(emb, q, k=3))
+    assert "EvalPython" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mmr_candidates_broadcast_single_arrow_stage(spark):
+    """MMR's candidate-vector join must broadcast the bounded pool
+    against the corpus scan, and exactly ONE Arrow stage (the greedy
+    applyInPandas) may appear (operators/similarity.py:mmr_rerank)."""
+    from pyspark.sql import functions as F
+
+    from deeptime_spark.operators.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(mmr_rerank(emb, q, k=3, pool=8))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # formatted plans print each operator twice (tree + detail block):
+    # exactly ONE FlatMapGroupsInPandas operator == two mentions
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert "CartesianProduct" not in plan
