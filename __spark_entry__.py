@@ -5389,12 +5389,6 @@ _WINDOW_ORDER = [
     "order_priority_count",  # r05/r06-stale green rotation
     "nation_order_volume",  # r05/r06-stale green rotation
     "brand_volume",  # r05/r06-stale green rotation
-    "event_sessions",  # r05/r06-stale green rotation
-    "distinct_users_by_type",  # r05/r06-stale green rotation
-    "event_order_asof",  # r05/r06-stale green rotation
-    "event_rollup",  # r05/r06-stale green rotation
-    "purchase_not_error_users",  # r05/r06-stale green rotation
-    "event_box",  # r05/r06-stale green rotation
 ]
 
 

@@ -181,8 +181,9 @@ def pagerank(
                 # (total rank is 1), read from the checkpointed previous
                 # ranks — an O(|V|) cached scan, not a recompute of the
                 # O(|E|) contribution join.
+                d_side = F.broadcast(dangling) if small else dangling
                 dang = F.broadcast(
-                    ranks.join(F.broadcast(dangling), "node").agg(
+                    ranks.join(d_side, "node").agg(
                         F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
                     )
                 )
@@ -687,6 +688,60 @@ def bfs_distances(
         und.unpersist(blocking=False)
 
 
+def _edge_relation_and_nodes(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    directed: bool,
+    broadcast_threshold: int,
+):
+    """Shared pivot-centrality setup: self-loop-free, optionally
+    symmetrized, DISTINCT edge relation (u, v) plus the node frame,
+    both persisted (caller unpersists), with the small/shuffle regime
+    flag; above the threshold the relation is re-persisted
+    hash-partitioned on u (the :func:`pagerank` regime switch).
+    Returns (rel, nodes, n, small)."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    rel = e.distinct().persist()
+    nodes = (
+        rel.select(F.col("u").alias("node"))
+        .union(rel.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    small = n <= broadcast_threshold
+    if not small:
+        rel2 = rel.repartition(
+            spark.sparkContext.defaultParallelism, "u"
+        ).persist()
+        rel2.count()
+        rel.unpersist(blocking=False)
+        rel = rel2
+    return rel, nodes, n, small
+
+
+def _content_pivots(nodes: DataFrame, k: int, tag: str) -> list[int]:
+    """k pivot node ids, content-addressed: the k smallest tagged
+    xxhash64 values (ties on id). Layout-free, replayable by the
+    engine-independent hash replica, and independent of graph structure
+    — so unbiased like a uniform draw. One bounded TakeOrdered."""
+    return [
+        int(r["node"])
+        for r in nodes.orderBy(
+            F.xxhash64(F.concat(F.col("node").cast("string"), F.lit(tag))),
+            F.col("node"),
+        )
+        .limit(k)
+        .collect()
+    ]
+
+
 def betweenness_centrality(
     edges: DataFrame,
     src: str = "src",
@@ -732,33 +787,15 @@ def betweenness_centrality(
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
     spark = edges.sparkSession
-    e = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).where(F.col("u") != F.col("v"))
-    if not directed:
-        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    rel = e.distinct().persist()
-    nodes = rel.select(F.col("u").alias("node")).union(
-        rel.select(F.col("v").alias("node"))
-    ).distinct().persist()
-    n = nodes.count()
-    small = n <= broadcast_threshold
-    if not small:
-        rel2 = rel.repartition(
-            spark.sparkContext.defaultParallelism, "u"
-        ).persist()
-        rel2.count()
+    rel, nodes, n, small = _edge_relation_and_nodes(
+        edges, src, dst, directed, broadcast_threshold
+    )
+    if n == 0:  # no edges survive the self-loop filter
         rel.unpersist(blocking=False)
-        rel = rel2
+        nodes.unpersist(blocking=False)
+        return nodes.select("node", F.lit(0.0).alias("betweenness"))
     k = min(int(n_pivots), n)
-    # bounded driver scalar: k pivot ids via TakeOrdered on the hash
-    pivots = [
-        int(r["node"])
-        for r in nodes.orderBy(
-            F.xxhash64(F.concat(F.col("node").cast("string"), F.lit("#bcpivot"))),
-            F.col("node"),
-        ).limit(k).collect()
-    ]
+    pivots = _content_pivots(nodes, k, "#bcpivot")
     levels = [
         spark.createDataFrame(
             [(p, p, 1) for p in pivots], "pivot long, node long, sigma long"
@@ -873,32 +910,15 @@ def harmonic_centrality(
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
     spark = edges.sparkSession
-    e = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).where(F.col("u") != F.col("v"))
-    if not directed:
-        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    rel = e.distinct().persist()
-    nodes = rel.select(F.col("u").alias("node")).union(
-        rel.select(F.col("v").alias("node"))
-    ).distinct().persist()
-    n = nodes.count()
-    small = n <= broadcast_threshold
-    if not small:
-        rel2 = rel.repartition(
-            spark.sparkContext.defaultParallelism, "u"
-        ).persist()
-        rel2.count()
+    rel, nodes, n, small = _edge_relation_and_nodes(
+        edges, src, dst, directed, broadcast_threshold
+    )
+    if n == 0:  # no edges survive the self-loop filter
         rel.unpersist(blocking=False)
-        rel = rel2
+        nodes.unpersist(blocking=False)
+        return nodes.select("node", F.lit(0.0).alias("harmonic"))
     k = min(int(n_pivots), n)
-    pivots = [
-        int(r["node"])
-        for r in nodes.orderBy(
-            F.xxhash64(F.concat(F.col("node").cast("string"), F.lit("#hcpivot"))),
-            F.col("node"),
-        ).limit(k).collect()
-    ]
+    pivots = _content_pivots(nodes, k, "#hcpivot")
     try:
         frontier = spark.createDataFrame(
             [(p, p) for p in pivots], "pivot long, node long"

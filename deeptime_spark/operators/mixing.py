@@ -79,29 +79,38 @@ def domain_mixture(
     )
     everything = Window.partitionBy()
     total = F.sum("n_tokens").over(everything)
-    # S = min over domains with target > 0 of tokens_d / target_d
-    s_budget = F.min(
-        F.when(F.col("target_share") > 0, F.col("n_tokens") / F.col("target_share"))
-    ).over(everything)
     return per.select(
         strata_col,
         "n_docs",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("n_tokens") / total).alias("observed_share"),
         "target_share",
-        # coalesce BEFORE least: with no positive-target domain s_budget
-        # is NULL, and least() skips NULLs — the rate must clamp to 0.0,
-        # not silently pass everything
-        F.least(
-            F.lit(1.0),
-            F.coalesce(
-                F.when(
-                    F.col("n_tokens") > 0,
-                    F.col("target_share") * s_budget / F.col("n_tokens"),
-                ),
-                F.lit(0.0),
-            ),
-        ).alias("sampling_rate"),
+        _realizing_rate(F.col("target_share"), F.col("n_tokens")).alias(
+            "sampling_rate"
+        ),
+    )
+
+
+def _realizing_rate(target: Column, n_tokens: Column) -> Column:
+    """The largest-feasible-budget down-sampling rate shared by
+    :func:`domain_mixture` and :func:`temperature_mixture`:
+    ``rate_d = min(1, target_d · S / tokens_d)`` with
+    ``S = min over positive-target domains of tokens_e / target_e``.
+    ``target`` may be any per-domain weight column — the common scale
+    cancels, so unnormalized weights give the same rate. coalesce runs
+    BEFORE least: with no positive-target domain S is NULL, and
+    least() skips NULLs — the rate must clamp to 0.0, not silently
+    pass everything."""
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    s_budget = F.min(F.when(target > 0, n_tokens / target)).over(everything)
+    return F.least(
+        F.lit(1.0),
+        F.coalesce(
+            F.when(n_tokens > 0, target * s_budget / n_tokens),
+            F.lit(0.0),
+        ),
     )
 
 
@@ -425,28 +434,18 @@ def temperature_mixture(
         scaled = F.pow(share, F.lit(1.0 / float(temperature)))
     with_scaled = per.withColumn("_scaled", scaled)
     z = F.sum("_scaled").over(everything)
-    # the normalizer z CANCELS out of the rate: rate_d = (q_d/z)·S with
-    # S = min_e tokens_e·z/q_e  ==  q_d · min_e(tokens_e/q_e) / tokens_d.
-    # Computing it z-free keeps the rate column bit-exact across engines
-    # (a window SUM of doubles is association-order-sensitive; MIN is
-    # not) — only the reported target_share carries the z rounding.
-    s_scaled = F.min(
-        F.when(F.col("_scaled") > 0, F.col("n_tokens") / F.col("_scaled"))
-    ).over(everything)
+    # _realizing_rate is scale-invariant in its target column, so the
+    # UNNORMALIZED p^(1/T) feeds it directly — the normalizer z cancels
+    # and the rate stays bit-exact across engines (a window SUM of
+    # doubles is association-order-sensitive; MIN is not). Only the
+    # reported target_share carries the z rounding.
     return with_scaled.select(
         strata_col,
         "n_docs",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("n_tokens") / total).alias("observed_share"),
         (F.col("_scaled") / z).alias("target_share"),
-        F.least(
-            F.lit(1.0),
-            F.coalesce(
-                F.when(
-                    F.col("n_tokens") > 0,
-                    F.col("_scaled") * s_scaled / F.col("n_tokens"),
-                ),
-                F.lit(0.0),
-            ),
-        ).alias("sampling_rate"),
+        _realizing_rate(F.col("_scaled"), F.col("n_tokens")).alias(
+            "sampling_rate"
+        ),
     )

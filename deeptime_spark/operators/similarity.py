@@ -856,13 +856,16 @@ def mmr_rerank(
         selected: list[int] = []
         remaining = list(range(n))
         out_rows = []
+        # incremental redundancy: one matvec per PICK (O(k·pool·d)),
+        # maintaining max-sim-to-selected, instead of re-reducing
+        # U[selected] @ U[j] per candidate per round (O(k²·pool·d)).
+        # Each pairwise dot and the running max are the identical float
+        # ops either way — the oracle replica mirrors this form.
+        maxred = None
         while remaining and len(selected) < k_i:
             best_j, best_score = None, None
             for j in remaining:
-                if selected:
-                    red = float(np.max(U[selected] @ U[j]))
-                else:
-                    red = 0.0
+                red = float(maxred[j]) if maxred is not None else 0.0
                 score = lam_f * float(rel[j]) - (1.0 - lam_f) * red
                 if (
                     best_score is None
@@ -872,6 +875,8 @@ def mmr_rerank(
                     best_j, best_score = j, score
             selected.append(best_j)
             remaining.remove(best_j)
+            sims = U @ U[best_j]
+            maxred = sims if maxred is None else np.maximum(maxred, sims)
             out_rows.append(
                 (
                     pdf[query_id_col].iloc[0],

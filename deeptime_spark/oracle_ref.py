@@ -3650,13 +3650,11 @@ def oracle_embedding_mmr_rerank() -> str:
         U = V / nrm[:, None]
         selected: list = []
         remaining = list(range(len(ids)))
+        maxred = None  # incremental max-sim-to-selected, as the kernel
         while remaining and len(selected) < k:
             best_j, best_score = None, None
             for j in remaining:
-                if selected:
-                    red = float(np.max(U[selected] @ U[j]))
-                else:
-                    red = 0.0
+                red = float(maxred[j]) if maxred is not None else 0.0
                 score = lam * float(rel[j]) - (1.0 - lam) * red
                 if (
                     best_score is None
@@ -3666,6 +3664,8 @@ def oracle_embedding_mmr_rerank() -> str:
                     best_j, best_score = j, score
             selected.append(best_j)
             remaining.remove(best_j)
+            sims = U @ U[best_j]
+            maxred = sims if maxred is None else np.maximum(maxred, sims)
             rows.append(
                 (
                     q,
