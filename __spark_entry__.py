@@ -5091,6 +5091,51 @@ def _q_event_harmonic(spark, sf_dir):
     return hc.select("node", F.round("harmonic", 6).alias("harmonic"))
 
 
+def _q_event_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient (operators/graph.py:
+    clustering_coefficients — Watts & Strogatz 1998) on the 997-nodes-
+    per-block event graph: triangles from the degree-ordered O(m^1.5)
+    wedge join, degree one hash aggregate, the coefficient a single
+    double division of exact integers (bit-reproducible). PURE-SQL
+    oracle extends the event_triangles join algebra with the degree
+    aggregate."""
+    from deeptime_spark.operators.graph import clustering_coefficients
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    block = F.expr("event_id div 10000000") * 997
+    edges = ev.select(
+        (F.col("event_id") % 997 + block).alias("src"),
+        (
+            (F.col("event_id") * 31 + F.expr("event_id div 997")) % 997 + block
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return clustering_coefficients(edges)
+
+
+def _q_event_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.py:degree_assortativity —
+    Newman PRL 2002, the Pearson correlation of endpoint degrees over
+    the symmetrized undirected edge set) on the 997-nodes-per-block
+    event graph. All moments are exact BIGINT sums (degrees are
+    counts); the finalize is a handful of scalar IEEE ops on one
+    bounded row. PURE-SQL oracle computes the identical sums and
+    scalar chain."""
+    from deeptime_spark.operators.graph import degree_assortativity
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    block = F.expr("event_id div 10000000") * 997
+    edges = ev.select(
+        (F.col("event_id") % 997 + block).alias("src"),
+        (
+            (F.col("event_id") * 31 + F.expr("event_id div 997")) % 997 + block
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    out = degree_assortativity(edges)
+    return out.select(
+        "n_nodes", "n_edges", F.round("assortativity", 6).alias("assortativity")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5168,6 +5213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "event_clustering_coeff": _q_event_clustering_coeff,
+        "event_assortativity": _q_event_assortativity,
         "event_harmonic": _q_event_harmonic,
         "event_betweenness": _q_event_betweenness,
         "doc_temperature_mixture": _q_doc_temperature_mixture,
@@ -5339,6 +5386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "event_clustering_coeff",  # NEW round-9b: never driver-run
+    "event_assortativity",  # NEW round-9b: never driver-run
     "event_harmonic",  # NEW round-9b: never driver-run
     "event_betweenness",  # NEW round-9b: never driver-run
     "doc_temperature_mixture",  # NEW round-9b: never driver-run
@@ -6321,6 +6370,74 @@ SELECT source,
       / CAST(n_tokens AS DOUBLE)
     END, CAST('0.0' AS DOUBLE))) AS sampling_rate
 FROM t
+""",
+        "event_clustering_coeff": r"""
+WITH d AS (
+  SELECT event_id % 997 + (event_id // 10000000) * 997 AS s,
+         (event_id * 31 + event_id // 997) % 997
+           + (event_id // 10000000) * 997 AS t
+  FROM events
+), und AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM d WHERE s != t
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT node, COUNT(*) AS c FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+), degs AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(c, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN (2.0 * COALESCE(c, 0)) / (CAST(degree AS DOUBLE) * (degree - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM degs LEFT JOIN pn USING (node)
+""",
+        "event_assortativity": r"""
+WITH d AS (
+  SELECT event_id % 997 + (event_id // 10000000) * 997 AS s,
+         (event_id * 31 + event_id // 997) % 997
+           + (event_id // 10000000) * 997 AS t
+  FROM events
+), und AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM d WHERE s != t
+), degs AS (
+  SELECT node, COUNT(*) AS dd FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+), paired AS (
+  SELECT da.dd AS da, db.dd AS db
+  FROM und JOIN degs da ON und.a = da.node JOIN degs db ON und.b = db.node
+), sums AS (
+  SELECT COUNT(*) AS m,
+         SUM(da * db) AS sxy,
+         SUM(da + db) AS sx,
+         SUM(da * da + db * db) AS sxx
+  FROM paired
+)
+SELECT CAST((SELECT COUNT(*) FROM degs) AS BIGINT) AS n_nodes,
+       CAST(m AS BIGINT) AS n_edges,
+       ROUND(
+         (CAST(sxy AS DOUBLE) * 2.0 / (2.0 * CAST(m AS DOUBLE))
+          - (CAST(sx AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+            * (CAST(sx AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+         / (CAST(sxx AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))
+          - (CAST(sx AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+            * (CAST(sx AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))), 6)
+       AS assortativity
+FROM sums
 """,
         "doc_temperature_mixture": r"""
 WITH per AS (

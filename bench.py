@@ -164,6 +164,8 @@ HEADLINE = [
     "sensitivity_events",
     # round-9b: global shuffle (two-level prefix-sum permutation), SQ8
     # quantization gate, MMR diversified rerank
+    "event_clustering_coeff",
+    "event_assortativity",
     "event_harmonic",
     "event_betweenness",
     "doc_temperature_mixture",

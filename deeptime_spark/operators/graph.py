@@ -334,6 +334,7 @@ def triangle_counts(
     src: str = "src",
     dst: str = "dst",
     materialize: bool = True,
+    include_degree: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via the DEGREE-ORDERED wedge join (the
     compact-forward algorithm of Schank & Wagner, "Finding, Counting
@@ -399,7 +400,8 @@ def triangle_counts(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     ).persist()
     ori.count()
-    und.unpersist()
+    if not include_degree:
+        und.unpersist()
     e1 = ori.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = ori.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = ori.select(F.col("u").alias("x"), F.col("v").alias("z"))
@@ -417,9 +419,19 @@ def triangle_counts(
     out = nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+    if include_degree:
+        # the SAME deg frame the orientation already computed (one more
+        # scan of the persisted und cache — no new distinct exchange)
+        if not materialize:
+            raise ValueError("include_degree requires materialize=True")
+        out = out.join(
+            deg.select("node", F.col("d").cast("long").alias("degree")), "node"
+        )
     if materialize:
         out = out.localCheckpoint(eager=True)
         ori.unpersist()
+        if include_degree:
+            und.unpersist()
     return out
 
 
@@ -956,3 +968,101 @@ def harmonic_centrality(
     finally:
         rel.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998):
+    ``cc(v) = 2·T(v) / (d(v)·(d(v)−1))`` over the canonical undirected
+    distinct edge set — T from the degree-ordered wedge join
+    (:func:`triangle_counts`, the O(m^1.5) plan), d one hash aggregate.
+    Both inputs are integers, so the coefficient is one double division
+    of exact integers — bit-reproducible across engines. Nodes of
+    degree < 2 score 0.
+
+    Returns (node, degree, n_triangles, clustering_coeff).
+    """
+    # include_degree reuses the degree aggregate triangle_counts already
+    # computes for its orientation — NO second distinct exchange (a
+    # standalone degree recompute measured slope 4.99 at x8; this form
+    # adds one scan of the already-persisted canonical edge cache)
+    tri = triangle_counts(edges, src=src, dst=dst, include_degree=True)
+    return tri.select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2.0) * F.col("n_triangles"))
+            / (F.col("degree").cast("double") * (F.col("degree") - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized undirected
+    distinct edge set — positive on social-style graphs (hubs link
+    hubs), negative on web/biological ones. The single most-quoted
+    scalar for "does this crawl graph look organic or synthetic".
+
+    Every moment is an INTEGER sum (degrees are counts) aggregated as
+    BIGINT — exact at any scale — and the final coefficient is a
+    handful of scalar double ops on those integers, so the result is
+    bit-reproducible across engines. Degenerate variance (regular
+    graph) yields NULL.
+
+    Returns one row (n_nodes, n_edges, assortativity).
+    """
+    spark = edges.sparkSession
+    e0 = edges.select(
+        F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+        F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = e0.distinct().persist()
+    try:
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .union(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .persist()
+        )
+        n_nodes = deg.count()
+        paired = und.join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+        ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        row = paired.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("da") * F.col("db")).alias("sxy"),
+            F.sum(F.col("da") + F.col("db")).alias("sx"),
+            F.sum(
+                F.col("da") * F.col("da") + F.col("db") * F.col("db")
+            ).alias("sxx"),
+        ).first()
+        deg.unpersist(blocking=False)
+    finally:
+        und.unpersist(blocking=False)
+    m = int(row["m"])
+    if m == 0:
+        return spark.createDataFrame(
+            [(0, 0, None)], "n_nodes long, n_edges long, assortativity double"
+        )
+    # symmetrized moments: Σ over both edge directions == 2·sxy over
+    # 2·m samples. The sums are exact BIGINTs; the finalize is a
+    # handful of scalar IEEE ops — identical on any engine, so the
+    # driver is the honest place for it (one bounded row).
+    two_m = 2.0 * float(m)
+    mean = float(row["sx"]) / two_m
+    num = float(row["sxy"]) * 2.0 / two_m - mean * mean
+    den = float(row["sxx"]) / two_m - mean * mean
+    r = (num / den) if den != 0.0 else None
+    return spark.createDataFrame(
+        [(int(n_nodes), m, r)],
+        "n_nodes long, n_edges long, assortativity double",
+    )

@@ -590,3 +590,51 @@ def test_harmonic_layout_invariant_and_validation(spark, rng):
     assert a == b
     with pytest.raises(ValueError):
         harmonic_centrality(df, n_pivots=0)
+
+
+# --------------------------------- clustering coefficient, assortativity
+def test_clustering_coefficients_known_graphs(spark):
+    from deeptime_spark.operators.graph import clustering_coefficients
+
+    # triangle 0-1-2 plus pendant 3 attached to 0
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got[0] == (3, 1, pytest.approx(1.0 / 3.0))
+    assert got[1] == (2, 1, pytest.approx(1.0))
+    assert got[2] == (2, 1, pytest.approx(1.0))
+    assert got[3] == (1, 0, 0.0)
+    # complete graph K4: every node cc = 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got4 = {
+        r["node"]: r["clustering_coeff"]
+        for r in clustering_coefficients(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert all(v == pytest.approx(1.0) for v in got4.values())
+
+
+def test_degree_assortativity_signs(spark):
+    from deeptime_spark.operators.graph import degree_assortativity
+
+    # star: maximally disassortative -> r = -1
+    star = [(0, i) for i in range(1, 6)]
+    r = degree_assortativity(
+        spark.createDataFrame(star, "src long, dst long")
+    ).first()
+    assert r["n_nodes"] == 6 and r["n_edges"] == 5
+    assert r["assortativity"] == pytest.approx(-1.0, abs=1e-12)
+    # regular graph (cycle): degenerate variance -> NULL
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    r2 = degree_assortativity(
+        spark.createDataFrame(cyc, "src long, dst long")
+    ).first()
+    assert r2["assortativity"] is None
+    # empty edge frame
+    empty = spark.createDataFrame([], "src long, dst long")
+    r3 = degree_assortativity(empty).first()
+    assert r3["n_edges"] == 0 and r3["assortativity"] is None
