@@ -5136,6 +5136,21 @@ def _q_event_assortativity(spark, sf_dir):
     )
 
 
+def _q_doc_ngram_diversity(spark, sf_dir):
+    """Corpus diversity gate (operators/text.py:distinct_ngram_diversity
+    — distinct-n of Li et al. NAACL'16; n=1 is type-token ratio): per
+    source, unique/total n-gram ratios for n=1,2,3 — the degenerate-
+    corpus detector a pipeline runs on every new source (templated or
+    model-generated text collapses distinct-2/3 first). One codegen
+    lookahead-regex explode per n into a partial-distinct aggregate;
+    exact integer counts, ratios as single divisions. Pure-SQL DuckDB
+    oracle."""
+    from deeptime_spark.operators.text import distinct_ngram_diversity
+
+    docs = _read(spark, sf_dir, "documents").select("text", "source")
+    return distinct_ngram_diversity(docs, ns=(1, 2, 3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5213,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "doc_ngram_diversity": _q_doc_ngram_diversity,
         "event_clustering_coeff": _q_event_clustering_coeff,
         "event_assortativity": _q_event_assortativity,
         "event_harmonic": _q_event_harmonic,
@@ -5386,6 +5402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "doc_ngram_diversity",  # NEW round-9b: never driver-run
     "event_clustering_coeff",  # NEW round-9b: never driver-run
     "event_assortativity",  # NEW round-9b: never driver-run
     "event_harmonic",  # NEW round-9b: never driver-run
@@ -6370,6 +6387,24 @@ SELECT source,
       / CAST(n_tokens AS DOUBLE)
     END, CAST('0.0' AS DOUBLE))) AS sampling_rate
 FROM t
+""",
+        "doc_ngram_diversity": r"""
+WITH base AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS toks
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')) > 0
+), grams AS (
+  SELECT source, n, array_to_string(list_slice(toks, CAST(i AS BIGINT) + 1, CAST(i AS BIGINT) + n), ' ') AS g
+  FROM base, UNNEST([1, 2, 3]) AS nn(n), UNNEST(range(len(toks) - n + 1)) AS r(i)
+  WHERE len(toks) >= n
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
+FROM grams GROUP BY source, n
 """,
         "event_clustering_coeff": r"""
 WITH d AS (

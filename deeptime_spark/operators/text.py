@@ -1212,3 +1212,66 @@ def cluster_term_lift(
         .where(F.col("_rn") <= top_k)
         .drop("_rn")
     )
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus diversity by distinct-n ratio (Li et al., NAACL 2016
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models": ``distinct-n = |unique n-grams| / |n-grams|``) per group —
+    the standard degenerate-corpus detector: templated/synthetic text
+    collapses distinct-2/3 long before humans notice, so a data
+    pipeline gates every new source on it (n=1 is the classic
+    type-token ratio).
+
+    One explode per n over a shared normalized text column, each a
+    map-side explode into a (distinct-count, count) aggregate — no
+    joins, no windows; COUNT(DISTINCT) shuffles each n-gram string once
+    (Spark plans it as the two-level partial distinct). Gram extraction
+    is the module's ONE-codegen-regex-pass lookahead (the same trick as
+    ``word_ngrams``/``shingles`` — the token-slice formulation pays n
+    interpreted HOF passes per row). Counts are exact integers; each
+    ratio is one double division of exact integers — bit-reproducible,
+    pure-SQL-replicable. Texts with fewer than n tokens contribute no
+    n-grams.
+
+    Returns (group_col, n, n_ngrams, n_distinct, distinct_ratio),
+    one row per group per n.
+    """
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be positive, got {ns!r}")
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    base = docs.select(F.col(group_col), norm.alias("_norm")).where(
+        F.col("_norm") != ""
+    )
+    out = None
+    for n in sorted(set(int(n) for n in ns)):
+        # overlapping-capture lookahead anchored at token starts: every
+        # run of n consecutive tokens, WITH multiplicity
+        pattern = r"(?<!\S)(?=(" + r"\S+ " * (n - 1) + r"\S+))"
+        grams = F.regexp_extract_all(F.col("_norm"), F.lit(pattern), 1)
+        g = (
+            base.select(F.col(group_col), F.explode(grams).alias("_g"))
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_ngrams"),
+                F.countDistinct("_g").alias("n_distinct"),
+            )
+            .select(
+                group_col,
+                F.lit(n).cast("long").alias("n"),
+                F.col("n_ngrams").cast("long").alias("n_ngrams"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                (
+                    F.col("n_distinct").cast("double")
+                    / F.col("n_ngrams").cast("double")
+                ).alias("distinct_ratio"),
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

@@ -1680,3 +1680,33 @@ def test_cluster_term_lift_known_corpus(spark):
     assert [t for t, _, _ in by_c[1]] == ["bark", "dog", "the"]
     for t, _, l in by_c[0] + by_c[1]:
         assert l == pytest.approx(1.0 if t == "the" else 2.0)
+
+
+def test_distinct_ngram_diversity_known_values(spark):
+    from deeptime_spark.operators.text import distinct_ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b", "s1"),
+            (2, "a a a a", "s1"),
+            (3, "x y z", "s2"),
+            (4, "   ", "s2"),
+            (5, None, "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source"], r["n"]): (r["n_ngrams"], r["n_distinct"], r["distinct_ratio"])
+        for r in distinct_ngram_diversity(df).collect()
+    }
+    assert got[("s1", 1)] == (8, 2, 0.25)
+    assert got[("s1", 2)] == (6, 3, 0.5)
+    assert got[("s1", 3)] == (4, 3, 0.75)
+    assert got[("s2", 1)] == (3, 3, 1.0)
+    assert got[("s2", 3)] == (1, 1, 1.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        distinct_ngram_diversity(df, ns=())
+    with _pt.raises(ValueError):
+        distinct_ngram_diversity(df, ns=(0, 2))
