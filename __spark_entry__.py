@@ -5452,9 +5452,6 @@ _WINDOW_ORDER = [
     "q6_forecast_revenue",  # r05/r06-stale green rotation
     "q10_returned_items",  # r05/r06-stale green rotation
     "top_customers",  # r05/r06-stale green rotation
-    "order_priority_count",  # r05/r06-stale green rotation
-    "nation_order_volume",  # r05/r06-stale green rotation
-    "brand_volume",  # r05/r06-stale green rotation
 ]
 
 
