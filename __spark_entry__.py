@@ -5151,6 +5151,31 @@ def _q_doc_ngram_diversity(spark, sf_dir):
     return distinct_ngram_diversity(docs, ns=(1, 2, 3))
 
 
+def _q_embedding_rp_recall(spark, sf_dir):
+    """Johnson-Lindenstrauss projection gate (operators/similarity.py:
+    random_projection/rp_topk): corpus and queries projected 64->16
+    dims by the same seeded Gaussian (one Arrow gemm per batch — no
+    trained state to persist), ranked by cosine in the projected
+    space, recall@5 reported against the full-dimension baseline —
+    completing the compression family next to IVF-PQ and SQ8. Oracle
+    replays the gemm and both rankings
+    (oracle_ref.py:oracle_embedding_rp_recall)."""
+    from deeptime_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        rp_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).localCheckpoint(eager=True)
+    return ann_recall(rp_topk(emb, queries, k=5, out_dim=16), exact)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5228,6 +5253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "embedding_rp_recall": _q_embedding_rp_recall,
         "doc_ngram_diversity": _q_doc_ngram_diversity,
         "event_clustering_coeff": _q_event_clustering_coeff,
         "event_assortativity": _q_event_assortativity,
@@ -5402,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "embedding_rp_recall",  # NEW round-9b: never driver-run
     "doc_ngram_diversity",  # NEW round-9b: never driver-run
     "event_clustering_coeff",  # NEW round-9b: never driver-run
     "event_assortativity",  # NEW round-9b: never driver-run
@@ -5451,7 +5478,6 @@ _WINDOW_ORDER = [
     "q5_supplier_volume",  # r05/r06-stale green rotation
     "q6_forecast_revenue",  # r05/r06-stale green rotation
     "q10_returned_items",  # r05/r06-stale green rotation
-    "top_customers",  # r05/r06-stale green rotation
 ]
 
 

@@ -896,3 +896,84 @@ def mmr_rerank(
         "mmr_score double, mmr_rank int"
     )
     return with_vec.groupBy(query_id_col).applyInPandas(_greedy, out_schema)
+
+
+# ---------------------------------------------- JL random projection
+def random_projection(
+    emb: DataFrame,
+    out_dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions: ``y = X @ G^T / sqrt(out_dim)`` with a seeded Gaussian
+    ``G`` — the third member of the compression family next to PQ and
+    SQ8 (distance-preserving within (1±ε) for
+    out_dim = O(log n / ε²), Johnson & Lindenstrauss 1984; dense
+    Gaussian per Indyk & Motwani 1998). The projection matrix derives
+    from the seed alone, so corpus and queries project identically
+    with no trained state to persist.
+
+    One Arrow pandas_udf gemm per batch (the
+    :func:`random_hyperplane_buckets` wide path — HOF dots would pay
+    out_dim interpreted passes per row). Determinism caveat shared
+    with that kernel: BLAS blocking makes individual projected values
+    batch-shape-sensitive at the ULP level, so layout invariance holds
+    at RANK level (what the recall gate compares), not bit level —
+    consumers needing bit-stable artifacts should persist the
+    projection once rather than recompute it per run.
+
+    Returns (id_col, vec_col) with ``array<double>`` length out_dim.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if d is None:
+        first = emb.select(F.size(vec_col)).first()
+        if first is None:
+            raise ValueError("random_projection: empty input")
+        d = int(first[0])
+    rng = np.random.default_rng(seed)
+    proj_T = np.ascontiguousarray(
+        (rng.normal(size=(out_dim, d)) / float(np.sqrt(out_dim))).T
+    )
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def project(xs: pd.Series) -> pd.Series:
+        X = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        Y = X @ proj_T
+        return pd.Series(list(Y))
+
+    return emb.select(
+        F.col(id_col), project(F.col(vec_col)).alias(vec_col)
+    )
+
+
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    out_dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k by cosine in the JL-projected space (both sides projected
+    with the same seeded matrix): the scan reads out_dim/d of the
+    float bytes — the dimensionality-reduction serving path. Gate the
+    recall loss with :func:`ann_recall` against the full-dimension
+    baseline, exactly like SQ8."""
+    pc = random_projection(
+        corpus, out_dim, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    pq = random_projection(
+        queries, out_dim, seed=seed, id_col=query_id_col, vec_col=vec_col
+    )
+    return brute_force_topk(
+        pc, pq, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    )

@@ -3802,3 +3802,44 @@ def oracle_event_harmonic() -> str:
 
 
 _BUILDERS["event_harmonic"] = oracle_event_harmonic
+
+
+def oracle_embedding_rp_recall() -> str:
+    """Recall@5 of the JL random-projection ranking (both sides
+    projected by the seeded Gaussian X@G^T/sqrt(16), the exact gemm the
+    Arrow kernel runs) against the full-dimension cosine top-5, per
+    query."""
+    sf = sf_dir()
+    X = _embeddings(sf)
+    out_dim = 16
+    rng = np.random.default_rng(42)
+    proj_T = np.ascontiguousarray(
+        (rng.normal(size=(out_dim, X.shape[1])) / float(np.sqrt(out_dim))).T
+    )
+    Y = X @ proj_T
+    q_ids = [i for i in range(len(X)) if i < 5]
+    k = 5
+    rows = []
+    for q in q_ids:
+        nq = _fold_norm(X[q])
+        exact = set(
+            i
+            for _, i in sorted(
+                (-(_fold_dot(X[i], X[q]) / (_fold_norm(X[i]) * nq)), i)
+                for i in range(len(X))
+            )[:k]
+        )
+        nqy = _fold_norm(Y[q])
+        approx = set(
+            i
+            for _, i in sorted(
+                (-(_fold_dot(Y[i], Y[q]) / (_fold_norm(Y[i]) * nqy)), i)
+                for i in range(len(Y))
+            )[:k]
+        )
+        n_hit = len(exact & approx)
+        rows.append((q, k, n_hit, n_hit / float(k)))
+    return _values_sql(rows, ["query_id", "n_exact", "n_hit", "recall"], "bbbd")
+
+
+_BUILDERS["embedding_rp_recall"] = oracle_embedding_rp_recall
