@@ -5176,6 +5176,32 @@ def _q_embedding_rp_recall(spark, sf_dir):
     return ann_recall(rp_topk(emb, queries, k=5, out_dim=16), exact)
 
 
+def _q_orders_constraint_audit(spark, sf_dir):
+    """Declarative data-quality audit (operators/profile.py:
+    constraint_audit — the dbt-test/Great-Expectations publish gate):
+    six constraints over the orders fact — PK uniqueness, FK to
+    customer (left-anti count), not-null, a price range, an enum
+    check, and a deliberately-failing probe (order priorities limited
+    to two values) so the relation shows a non-zero violation row. All
+    scalar checks fold into ONE wide conditional aggregate (single
+    scan); exact integer counts. Pure-SQL DuckDB oracle."""
+    from deeptime_spark.operators.profile import constraint_audit
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return constraint_audit(
+        orders,
+        [
+            ("orderkey_unique", "unique", "o_orderkey"),
+            ("custkey_not_null", "not_null", "o_custkey"),
+            ("custkey_fk_customer", "foreign_key", ("o_custkey", customer, "c_custkey")),
+            ("totalprice_positive", "range", ("o_totalprice", 0.0, 1e9)),
+            ("status_enum", "accepted_values", ("o_orderstatus", ["F", "O", "P"])),
+            ("priority_two_values", "accepted_values", ("o_orderpriority", ["1-URGENT", "2-HIGH"])),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5253,6 +5279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "orders_constraint_audit": _q_orders_constraint_audit,
         "embedding_rp_recall": _q_embedding_rp_recall,
         "doc_ngram_diversity": _q_doc_ngram_diversity,
         "event_clustering_coeff": _q_event_clustering_coeff,
@@ -5428,6 +5455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "orders_constraint_audit",  # NEW round-9b: never driver-run
     "embedding_rp_recall",  # NEW round-9b: never driver-run
     "doc_ngram_diversity",  # NEW round-9b: never driver-run
     "event_clustering_coeff",  # NEW round-9b: never driver-run
@@ -5477,7 +5505,6 @@ _WINDOW_ORDER = [
     "q3_top_orders",  # r05/r06-stale green rotation
     "q5_supplier_volume",  # r05/r06-stale green rotation
     "q6_forecast_revenue",  # r05/r06-stale green rotation
-    "q10_returned_items",  # r05/r06-stale green rotation
 ]
 
 
@@ -6410,6 +6437,40 @@ SELECT source,
       / CAST(n_tokens AS DOUBLE)
     END, CAST('0.0' AS DOUBLE))) AS sampling_rate
 FROM t
+""",
+        "orders_constraint_audit": r"""
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+         SUM(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0.0 OR o_totalprice > 1000000000.0)
+                  THEN 1 ELSE 0 END) AS v_rng,
+         SUM(CASE WHEN o_orderstatus IS NULL
+                   OR o_orderstatus NOT IN ('F', 'O', 'P')
+                  THEN 1 ELSE 0 END) AS v_enum,
+         SUM(CASE WHEN o_orderpriority IS NULL
+                   OR o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS v_prio
+  FROM orders
+), fk AS (
+  SELECT COUNT(*) AS v_fk
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT "constraint", kind,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS pass
+FROM (
+  SELECT 'orderkey_unique' AS "constraint", 'unique' AS kind, n_rows, v_uniq AS n_violations FROM s
+  UNION ALL SELECT 'custkey_not_null', 'not_null', n_rows, v_nn FROM s
+  UNION ALL SELECT 'custkey_fk_customer', 'foreign_key', n_rows, (SELECT v_fk FROM fk) FROM s
+  UNION ALL SELECT 'totalprice_positive', 'range', n_rows, v_rng FROM s
+  UNION ALL SELECT 'status_enum', 'accepted_values', n_rows, v_enum FROM s
+  UNION ALL SELECT 'priority_two_values', 'accepted_values', n_rows, v_prio FROM s
+)
 """,
         "doc_ngram_diversity": r"""
 WITH base AS (

@@ -108,3 +108,106 @@ def snapshot_diff(
     return o.join(n, "_id", "full_outer").select(
         F.col("_id").alias(id_col), status.alias("status")
     )
+
+
+def constraint_audit(
+    df: DataFrame,
+    constraints: list[tuple],
+) -> DataFrame:
+    """Declarative data-quality constraint audit — the dbt-test /
+    Great-Expectations layer a production ingestion runs before
+    publishing a drop: every constraint becomes one row
+    (constraint, kind, n_rows, n_violations, pass) with EXACT integer
+    counts, so the audit is engine-portable and diffable run-to-run.
+
+    ``constraints`` entries (name, kind, params):
+
+    - ``("o_ok", "not_null", "col")`` — NULL values
+    - ``("uniq", "unique", ["col", ...])`` — rows beyond the first per
+      key (count - distinct-count; NULL keys participate like values)
+    - ``("rng", "range", ("col", lo, hi))`` — values outside [lo, hi]
+      (NULLs are not range violations — compose with not_null)
+    - ``("vals", "accepted_values", ("col", [v, ...]))`` — values
+      outside the list (NULLs violate: an enum column has no NULL)
+    - ``("fk", "foreign_key", ("col", parent_df, "parent_col"))`` —
+      non-null child keys with no parent row (left-anti)
+
+    Spark shape: all scalar constraints (not_null / range /
+    accepted_values) fold into ONE wide conditional aggregate over a
+    single table scan; each ``unique`` adds one count-distinct in the
+    same pass; each ``foreign_key`` is one broadcast/shuffle left-anti
+    count against its parent. At 100 TB that is 1 + n_fk scans, never
+    per-constraint passes.
+    """
+    if not constraints:
+        raise ValueError("constraints must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    fk_jobs = []
+    order = []
+    for name, kind, params in constraints:
+        order.append((name, kind))
+        if kind == "not_null":
+            aggs.append(
+                F.sum(
+                    F.when(F.col(params).isNull(), 1).otherwise(0)
+                ).alias(f"_v_{name}")
+            )
+        elif kind == "unique":
+            cols = [params] if isinstance(params, str) else list(params)
+            key = F.struct(*[F.col(c) for c in cols])
+            aggs.append(
+                (F.count(F.lit(1)) - F.count_distinct(key)).alias(f"_v_{name}")
+            )
+        elif kind == "range":
+            col, lo, hi = params
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull()
+                        & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_v_{name}")
+            )
+        elif kind == "accepted_values":
+            col, values = params
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNull()
+                        | ~F.col(col).isin(list(values)),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_v_{name}")
+            )
+        elif kind == "foreign_key":
+            col, parent, parent_col = params
+            fk_jobs.append((name, col, parent, parent_col))
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    row = df.agg(*aggs).first()
+    n_rows = int(row["_n"])
+    counts = {}
+    for name, kind in order:
+        if kind != "foreign_key":
+            counts[name] = int(row[f"_v_{name}"] or 0)
+    for name, col, parent, parent_col in fk_jobs:
+        counts[name] = (
+            df.where(F.col(col).isNotNull())
+            .join(
+                parent.select(F.col(parent_col).alias(col)).distinct(),
+                col,
+                "left_anti",
+            )
+            .count()
+        )
+    spark = df.sparkSession
+    rows = [
+        (name, kind, n_rows, counts[name], counts[name] == 0)
+        for name, kind in order
+    ]
+    return spark.createDataFrame(
+        rows,
+        "constraint string, kind string, n_rows long, "
+        "n_violations long, pass boolean",
+    )

@@ -63,3 +63,50 @@ def test_snapshot_diff_null_content(spark):
     new_diff = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert snapshot_diff(old, new_same).first()["status"] == "unchanged"
     assert snapshot_diff(old, new_diff).first()["status"] == "changed"
+
+
+# ------------------------------------------------- constraint_audit
+def test_constraint_audit_kinds(spark):
+    import pytest
+
+    from deeptime_spark.operators.profile import constraint_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", 5.0),
+            (2, 20, "B", -1.0),   # range violation
+            (2, None, "C", 2.0),  # dup id + null fk + bad enum
+            (4, 99, "A", 3.0),    # fk violation (99 not in parent)
+        ],
+        "id long, fk long, status string, price double",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pid long")
+    out = {
+        r["constraint"]: (r["n_violations"], r["pass"])
+        for r in constraint_audit(
+            df,
+            [
+                ("id_unique", "unique", "id"),
+                ("fk_not_null", "not_null", "fk"),
+                ("fk_parent", "foreign_key", ("fk", parent, "pid")),
+                ("price_range", "range", ("price", 0.0, 100.0)),
+                ("status_enum", "accepted_values", ("status", ["A", "B"])),
+            ],
+        ).collect()
+    }
+    assert out["id_unique"] == (1, False)
+    assert out["fk_not_null"] == (1, False)
+    assert out["fk_parent"] == (1, False)   # null fk is NOT an fk violation
+    assert out["price_range"] == (1, False)
+    assert out["status_enum"] == (1, False)
+    clean = {
+        r["constraint"]: r["pass"]
+        for r in constraint_audit(
+            df.where("id = 1"), [("id_unique", "unique", "id")]
+        ).collect()
+    }
+    assert clean["id_unique"] is True
+    with pytest.raises(ValueError):
+        constraint_audit(df, [])
+    with pytest.raises(ValueError):
+        constraint_audit(df, [("x", "nope", "id")])
