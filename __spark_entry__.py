@@ -5202,6 +5202,59 @@ def _q_orders_constraint_audit(spark, sf_dir):
     )
 
 
+def _q_customer_scd2_merge(spark, sf_dir):
+    """SCD Type-2 dimension maintenance (operators/scd.py:scd2_merge —
+    Kimball historized dimensions, the warehouse-side twin of the
+    fact-side incremental dedup index): the customer table is treated
+    as the day-0 open snapshot (valid_from 0, valid_to NULL) and a
+    deterministic daily delta is synthesized from it — every custkey
+    divisible by 7 gets +100 account balance, every one divisible by
+    11 changes market segment, plus one brand-new key — then merged at
+    effective_ts 1. One broadcast join + null-safe column comparison +
+    a four-way union; re-running the batch is a no-op (idempotent).
+    Output: per-version rows (custkey, acctbal cents, segment,
+    valid_from, valid_to). Pure-SQL DuckDB oracle replays the merge
+    set algebra."""
+    from deeptime_spark.operators.scd import scd2_merge
+
+    cust = _read(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    upd_base = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    changed = upd_base.where(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0)
+    ).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("acctbal_cents") + 10000
+        ).otherwise(F.col("acctbal_cents")).alias("acctbal_cents"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("MACHINERY")).otherwise(
+            F.col("segment")
+        ).alias("segment"),
+    )
+    new_row = spark.createDataFrame(
+        [(99999999, 1000, "BUILDING")],
+        "c_custkey long, acctbal_cents long, segment string",
+    )
+    updates = changed.unionByName(new_row)
+    merged = scd2_merge(
+        dim, updates, key="c_custkey",
+        tracked=["acctbal_cents", "segment"], effective_ts=1,
+    )
+    return merged.select(
+        "c_custkey", "acctbal_cents", "segment", "valid_from", "valid_to"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5279,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "customer_scd2_merge": _q_customer_scd2_merge,
         "orders_constraint_audit": _q_orders_constraint_audit,
         "embedding_rp_recall": _q_embedding_rp_recall,
         "doc_ngram_diversity": _q_doc_ngram_diversity,
@@ -5455,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "customer_scd2_merge",  # NEW round-9b: never driver-run
     "orders_constraint_audit",  # NEW round-9b: never driver-run
     "embedding_rp_recall",  # NEW round-9b: never driver-run
     "doc_ngram_diversity",  # NEW round-9b: never driver-run
@@ -5504,7 +5559,6 @@ _WINDOW_ORDER = [
     "q1_pricing_summary",  # r05/r06-stale green rotation
     "q3_top_orders",  # r05/r06-stale green rotation
     "q5_supplier_volume",  # r05/r06-stale green rotation
-    "q6_forecast_revenue",  # r05/r06-stale green rotation
 ]
 
 
@@ -6437,6 +6491,43 @@ SELECT source,
       / CAST(n_tokens AS DOUBLE)
     END, CAST('0.0' AS DOUBLE))) AS sampling_rate
 FROM t
+""",
+        "customer_scd2_merge": r"""
+WITH dim AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         c_mktsegment AS segment
+  FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN acctbal_cents + 10000
+              ELSE acctbal_cents END AS acctbal_cents,
+         CASE WHEN c_custkey % 11 = 0 THEN 'MACHINERY'
+              ELSE segment END AS segment
+  FROM dim
+  WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+  UNION ALL SELECT 99999999, 1000, 'BUILDING'
+), changed AS (
+  SELECT d.c_custkey
+  FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+  WHERE d.acctbal_cents IS DISTINCT FROM u.acctbal_cents
+     OR d.segment IS DISTINCT FROM u.segment
+)
+SELECT c_custkey, acctbal_cents, segment,
+       CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, acctbal_cents, segment,
+       CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+FROM dim WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT u.c_custkey, u.acctbal_cents, u.segment,
+       CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT u.c_custkey, u.acctbal_cents, u.segment,
+       CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim)
 """,
         "orders_constraint_audit": r"""
 WITH s AS (

@@ -164,6 +164,7 @@ HEADLINE = [
     "sensitivity_events",
     # round-9b: global shuffle (two-level prefix-sum permutation), SQ8
     # quantization gate, MMR diversified rerank
+    "customer_scd2_merge",
     "orders_constraint_audit",
     "embedding_rp_recall",
     "doc_ngram_diversity",
