@@ -5255,6 +5255,21 @@ def _q_customer_scd2_merge(spark, sf_dir):
     )
 
 
+def _q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold-tuning curve (operators/dedup.py:
+    dedup_threshold_sweep): qualifying token-Jaccard pair counts at
+    50/60/70/80/90% over the src0 slice — ONE exact prefix-filter
+    self-join at the loosest threshold (every tighter threshold's
+    pairs are a subset) + one wide integer-predicate aggregate, never
+    a join per threshold. The curve is what fixes the production
+    threshold and the MinHash band geometry. Pure-SQL DuckDB oracle
+    replays join + bucketing with the same integer comparisons."""
+    from deeptime_spark.operators.dedup import dedup_threshold_sweep
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("source") == "src0")
+    return dedup_threshold_sweep(docs, thresholds=(50, 60, 70, 80, 90))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5332,6 +5347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "customer_scd2_merge": _q_customer_scd2_merge,
         "orders_constraint_audit": _q_orders_constraint_audit,
         "embedding_rp_recall": _q_embedding_rp_recall,
@@ -5509,6 +5525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "dedup_threshold_sweep",  # NEW round-9b: never driver-run
     "customer_scd2_merge",  # NEW round-9b: never driver-run
     "orders_constraint_audit",  # NEW round-9b: never driver-run
     "embedding_rp_recall",  # NEW round-9b: never driver-run
@@ -5558,7 +5575,6 @@ _WINDOW_ORDER = [
     "doc_fingerprint",  # r05/r06-stale green rotation
     "q1_pricing_summary",  # r05/r06-stale green rotation
     "q3_top_orders",  # r05/r06-stale green rotation
-    "q5_supplier_volume",  # r05/r06-stale green rotation
 ]
 
 
@@ -6491,6 +6507,43 @@ SELECT source,
       / CAST(n_tokens AS DOUBLE)
     END, CAST('0.0' AS DOUBLE))) AS sampling_rate
 FROM t
+""",
+        "dedup_threshold_sweep": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x != '')) AS ts
+  FROM documents
+  WHERE source = 'src0'
+    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')) > 0
+), ex AS (
+  SELECT doc_id, unnest(ts) AS tok FROM toks
+), dfr AS (
+  SELECT tok, count(*) AS df FROM ex GROUP BY tok
+), ord_ex AS (
+  SELECT e.doc_id, e.tok,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.tok) AS pos,
+         count(*) OVER (PARTITION BY e.doc_id) AS sz
+  FROM ex e JOIN dfr d ON e.tok = d.tok
+), pref AS (
+  SELECT doc_id, tok, sz FROM ord_ex
+  WHERE pos <= sz - ((50 * sz + 99) // 100) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE 100 * least(a.sz, b.sz) >= 50 * greatest(a.sz, b.sz)
+), v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(x.ts, y.ts)) AS i,
+         len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)) AS u
+  FROM cand c JOIN toks x ON x.doc_id = c.id_a JOIN toks y ON y.doc_id = c.id_b
+  WHERE 100 * len(list_intersect(x.ts, y.ts))
+        >= 50 * (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)))
+)
+SELECT CAST(t AS BIGINT) AS threshold_pct,
+       CAST(SUM(CASE WHEN 100 * i >= t * u THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+FROM v, UNNEST([50, 60, 70, 80, 90]) AS th(t)
+GROUP BY t
 """,
         "customer_scd2_merge": r"""
 WITH dim AS (

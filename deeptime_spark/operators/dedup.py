@@ -1807,3 +1807,51 @@ def dedup_candidate_quality(
         [(int(n_e), int(n_c), int(n_h), rec, prec)],
         "n_exact long, n_candidates long, n_hit long, recall double, precision double",
     )
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    thresholds: tuple = (50, 60, 70, 80, 90),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Qualifying-pair counts across a Jaccard threshold sweep — the
+    parameter-tuning curve a dedup pipeline reads BEFORE fixing its
+    production threshold and MinHash banding (bands/rows follow from
+    the target threshold via the S-curve; the sweep says where the
+    corpus's pair mass actually sits, so the threshold is chosen from
+    data, not folklore).
+
+    ONE exact prefix-filter self-join at ``min(thresholds)``
+    (:func:`ppjoin_pairs` — every qualifying pair at every swept
+    threshold is a superset member), then a single wide conditional
+    aggregate buckets the pairs by the same integer predicate the join
+    used (``100·i >= t·u`` — no float thresholds, engine-exact).
+    Cost = one PPJoin at the loosest threshold + one bounded aggregate;
+    never a join per threshold.
+
+    Returns (threshold_pct, n_pairs) — one row per threshold,
+    monotonically non-increasing.
+    """
+    ths = sorted(set(int(t) for t in thresholds))
+    if not ths or ths[0] < 1 or ths[-1] > 100:
+        raise ValueError(f"thresholds must be in [1,100], got {thresholds!r}")
+    pairs = ppjoin_pairs(
+        docs, threshold_pct=ths[0], text_col=text_col, id_col=id_col
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.lit(100) * F.col("n_intersect")
+                >= F.lit(t) * F.col("n_union"),
+                1,
+            ).otherwise(0)
+        ).alias(f"_c{t}")
+        for t in ths
+    ]
+    row = pairs.agg(*aggs).first()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(t, int(row[f"_c{t}"] or 0)) for t in ths],
+        "threshold_pct long, n_pairs long",
+    )

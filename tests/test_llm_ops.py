@@ -1710,3 +1710,26 @@ def test_distinct_ngram_diversity_known_values(spark):
         distinct_ngram_diversity(df, ns=())
     with _pt.raises(ValueError):
         distinct_ngram_diversity(df, ns=(0, 2))
+
+
+def test_dedup_threshold_sweep_monotone_and_exact(spark):
+    from deeptime_spark.operators.dedup import dedup_threshold_sweep, ppjoin_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        "source = 'src0'"
+    )
+    sweep = {
+        r["threshold_pct"]: r["n_pairs"]
+        for r in dedup_threshold_sweep(docs, thresholds=(50, 70, 90)).collect()
+    }
+    assert sweep[50] >= sweep[70] >= sweep[90]
+    # each point equals an independent exact join at that threshold
+    for t in (70, 90):
+        exact = ppjoin_pairs(docs, threshold_pct=t).count()
+        assert sweep[t] == exact
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup_threshold_sweep(docs, thresholds=())
+    with _pt.raises(ValueError):
+        dedup_threshold_sweep(docs, thresholds=(0, 50))
