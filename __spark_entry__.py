@@ -5270,6 +5270,21 @@ def _q_dedup_threshold_sweep(spark, sf_dir):
     return dedup_threshold_sweep(docs, thresholds=(50, 60, 70, 80, 90))
 
 
+def _q_doc_group_sample(spark, sf_dir):
+    """Deterministic per-group sample (operators/mixing.py:
+    group_sample): the 5 smallest-hash docs per (source, lang) cell —
+    the eyeball-audit/labeling-export primitive. Content-addressed
+    bottom-k, so reruns and engines agree row-for-row and larger
+    samples nest; one per-group window, group count = parallelism.
+    Oracle replays the xxhash64 bottom-k in Python literals
+    (oracle_ref.py:oracle_doc_group_sample)."""
+    from deeptime_spark.operators.mixing import group_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    out = group_sample(docs, n_per_group=5, group_cols=["source", "lang"])
+    return out.select("source", "lang", "doc_id", "sample_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5347,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "doc_group_sample": _q_doc_group_sample,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "customer_scd2_merge": _q_customer_scd2_merge,
         "orders_constraint_audit": _q_orders_constraint_audit,
@@ -5525,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "doc_group_sample",  # NEW round-9b: never driver-run
     "dedup_threshold_sweep",  # NEW round-9b: never driver-run
     "customer_scd2_merge",  # NEW round-9b: never driver-run
     "orders_constraint_audit",  # NEW round-9b: never driver-run
@@ -5574,7 +5591,6 @@ _WINDOW_ORDER = [
     "embedding_near_dup",  # r05/r06-stale green rotation
     "doc_fingerprint",  # r05/r06-stale green rotation
     "q1_pricing_summary",  # r05/r06-stale green rotation
-    "q3_top_orders",  # r05/r06-stale green rotation
 ]
 
 

@@ -449,3 +449,40 @@ def temperature_mixture(
             "sampling_rate"
         ),
     )
+
+
+def group_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_cols: list[str],
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-group sample: the ``n_per_group`` rows with the
+    smallest content-addressed hash in every group — the "show me 50
+    docs from each (source, lang) cell" primitive behind eyeball
+    audits, labeling exports, and per-stratum debugging. Unlike
+    ``TABLESAMPLE``/``rand()``, membership is a pure function of
+    (key, salt): reruns, engines, and layouts agree row-for-row, and
+    enlarging ``n_per_group`` only ADDS rows (nested samples — the
+    bottom-k property the KMV sketch shares).
+
+    One window ranked by (hash, key) per group — the group count is the
+    parallelism, and the per-task state is the top-k heap, not the
+    group. Returns the input rows plus ``sample_rank`` (1-based).
+    """
+    from pyspark.sql import Window
+
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (a global sample "
+                         "is one window task — use sample_deterministic)")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = F.xxhash64(F.concat(key, F.lit(f"#gsample{salt}")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_group)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )

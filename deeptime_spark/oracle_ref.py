@@ -3843,3 +3843,28 @@ def oracle_embedding_rp_recall() -> str:
 
 
 _BUILDERS["embedding_rp_recall"] = oracle_embedding_rp_recall
+
+
+def oracle_doc_group_sample() -> str:
+    """Replica of mixing.group_sample(n=5, groups=(source,lang)):
+    bottom-5 by (xxhash64(key#gsample0), doc_id) per cell."""
+    from deeptime_spark.spark_hashes import xxhash64
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, lang FROM read_parquet('{sf_dir()}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    cells: dict = {}
+    for doc_id, source, lang in rows:
+        h = xxhash64(f"{int(doc_id)}#gsample0".encode())
+        cells.setdefault((source, lang), []).append((h, int(doc_id)))
+    out = []
+    for (source, lang), members in cells.items():
+        for rank, (_, i) in enumerate(sorted(members)[:5], start=1):
+            out.append((source, lang, i, rank))
+    out.sort()
+    return _values_sql(out, ["source", "lang", "doc_id", "sample_rank"], "ssbb")
+
+
+_BUILDERS["doc_group_sample"] = oracle_doc_group_sample

@@ -276,3 +276,27 @@ def test_temperature_mixture_validation(spark, docs):
 
     with pytest.raises(ValueError):
         temperature_mixture(docs, temperature=0.0)
+
+
+# ------------------------------------------------------ group_sample
+def test_group_sample_bottomk_nested_and_deterministic(spark, docs):
+    from deeptime_spark.operators.mixing import group_sample
+
+    s5 = group_sample(docs, 5, ["source"]).select("source", "doc_id", "sample_rank")
+    s10 = group_sample(docs, 10, ["source"]).select("source", "doc_id")
+    small = {(r["source"], r["doc_id"]) for r in s5.collect()}
+    big = {(r["source"], r["doc_id"]) for r in s10.collect()}
+    assert small <= big  # nested samples (bottom-k property)
+    per = {}
+    for r in s5.collect():
+        per.setdefault(r["source"], []).append(r["sample_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    again = {
+        (r["source"], r["doc_id"])
+        for r in group_sample(docs.repartition(9), 5, ["source"]).collect()
+    }
+    assert again == small
+    with pytest.raises(ValueError):
+        group_sample(docs, 0, ["source"])
+    with pytest.raises(ValueError):
+        group_sample(docs, 5, [])

@@ -113,7 +113,7 @@ QUERIES = [
     "vampnet_events", "tae_events", "tvae_events", "kvadnet_events", "dedup_recall_gate", "rate_matrix_events", "oom_events",
     "amm_events", "sensitivity_events",
     # round-9b: global shuffle permutation, SQ8 recall gate, MMR rerank
-    "corpus_global_shuffle", "embedding_sq8_recall", "embedding_mmr_rerank", "doc_temperature_mixture", "event_betweenness", "event_harmonic", "event_clustering_coeff", "event_assortativity", "doc_ngram_diversity", "embedding_rp_recall", "orders_constraint_audit", "customer_scd2_merge", "dedup_threshold_sweep",
+    "corpus_global_shuffle", "embedding_sq8_recall", "embedding_mmr_rerank", "doc_temperature_mixture", "event_betweenness", "event_harmonic", "event_clustering_coeff", "event_assortativity", "doc_ngram_diversity", "embedding_rp_recall", "orders_constraint_audit", "customer_scd2_merge", "dedup_threshold_sweep", "doc_group_sample",
 ]
 
 
