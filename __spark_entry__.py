@@ -5285,6 +5285,68 @@ def _q_doc_group_sample(spark, sf_dir):
     return out.select("source", "lang", "doc_id", "sample_rank")
 
 
+def _q_streaming_constraint_audit(spark, sf_dir):
+    """Streaming data-quality monitor (streaming/accumulate.py:
+    streaming_constraint_totals): the orders table replayed as a
+    4-file stream, five constraints as map-only per-row flags (the FK
+    rides a stream-static left-outer join against customer) into ONE
+    complete-mode global aggregate — end-of-stream state equals the
+    batch constraint_audit counts row-for-row, so the BATCH oracle
+    serves both (same SQL minus the non-streamable unique row)."""
+    import tempfile
+    import uuid
+
+    from deeptime_spark.streaming.accumulate import streaming_constraint_totals
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    src_dir = tempfile.mkdtemp(prefix="sca_src_")
+    ckpt = None
+    try:
+        orders.repartition(4).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        cons = [
+            ("custkey_not_null", "not_null", "o_custkey"),
+            ("custkey_fk_customer", "foreign_key", ("o_custkey", customer, "c_custkey")),
+            ("totalprice_positive", "range", ("o_totalprice", 0.0, 1e9)),
+            ("status_enum", "accepted_values", ("o_orderstatus", ["F", "O", "P"])),
+            ("priority_two_values", "accepted_values", ("o_orderpriority", ["1-URGENT", "2-HIGH"])),
+        ]
+        totals = streaming_constraint_totals(stream, cons)
+        sink = "sca_" + uuid.uuid4().hex[:8]
+        ckpt = tempfile.mkdtemp(prefix="sca_ckpt_")
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        row = spark.table(sink).first()
+        kinds = {name: kind for name, kind, _ in cons}
+        rows = [
+            (name, kinds[name], int(row["_n"]), int(row[name] or 0),
+             int(row[name] or 0) == 0)
+            for name, _, _ in cons
+        ]
+        return spark.createDataFrame(
+            rows,
+            "constraint string, kind string, n_rows long, "
+            "n_violations long, pass boolean",
+        )
+    finally:
+        _rmtree_quiet(src_dir)
+        if ckpt:
+            _rmtree_quiet(ckpt)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness pass records only the
     # FIRST ~50 queries in declaration order, so the dict below keeps its
@@ -5362,6 +5424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_longtail_events": _q_msm_longtail_events,
         # --- NEW round-9: the four previously pytest-only estimator
         # families (VERDICT r8 item 4) + the torch-free deep estimators ---
+        "streaming_constraint_audit": _q_streaming_constraint_audit,
         "doc_group_sample": _q_doc_group_sample,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "customer_scd2_merge": _q_customer_scd2_merge,
@@ -5541,6 +5604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Recomputed each round; exactly 50 entries — the driver records only
 # the first ~50.
 _WINDOW_ORDER = [
+    "streaming_constraint_audit",  # NEW round-9b: never driver-run
     "doc_group_sample",  # NEW round-9b: never driver-run
     "dedup_threshold_sweep",  # NEW round-9b: never driver-run
     "customer_scd2_merge",  # NEW round-9b: never driver-run
@@ -5590,7 +5654,6 @@ _WINDOW_ORDER = [
     "simhash_pairs",  # r05/r06-stale green rotation
     "embedding_near_dup",  # r05/r06-stale green rotation
     "doc_fingerprint",  # r05/r06-stale green rotation
-    "q1_pricing_summary",  # r05/r06-stale green rotation
 ]
 
 
@@ -6523,6 +6586,38 @@ SELECT source,
       / CAST(n_tokens AS DOUBLE)
     END, CAST('0.0' AS DOUBLE))) AS sampling_rate
 FROM t
+""",
+        "streaming_constraint_audit": r"""
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+         SUM(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0.0 OR o_totalprice > 1000000000.0)
+                  THEN 1 ELSE 0 END) AS v_rng,
+         SUM(CASE WHEN o_orderstatus IS NULL
+                   OR o_orderstatus NOT IN ('F', 'O', 'P')
+                  THEN 1 ELSE 0 END) AS v_enum,
+         SUM(CASE WHEN o_orderpriority IS NULL
+                   OR o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS v_prio
+  FROM orders
+), fk AS (
+  SELECT COUNT(*) AS v_fk
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT "constraint", kind,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS pass
+FROM (
+  SELECT 'custkey_not_null' AS "constraint", 'not_null' AS kind, n_rows, v_nn AS n_violations FROM s
+  UNION ALL SELECT 'custkey_fk_customer', 'foreign_key', n_rows, (SELECT v_fk FROM fk) FROM s
+  UNION ALL SELECT 'totalprice_positive', 'range', n_rows, v_rng FROM s
+  UNION ALL SELECT 'status_enum', 'accepted_values', n_rows, v_enum FROM s
+  UNION ALL SELECT 'priority_two_values', 'accepted_values', n_rows, v_prio FROM s
+)
 """,
         "dedup_threshold_sweep": r"""
 WITH toks AS (

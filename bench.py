@@ -164,6 +164,7 @@ HEADLINE = [
     "sensitivity_events",
     # round-9b: global shuffle (two-level prefix-sum permutation), SQ8
     # quantization gate, MMR diversified rerank
+    "streaming_constraint_audit",
     "doc_group_sample",
     "dedup_threshold_sweep",
     "customer_scd2_merge",

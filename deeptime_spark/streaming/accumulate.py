@@ -632,3 +632,79 @@ def streaming_bottomk_quantiles(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_constraint_totals(
+    stream_df: DataFrame,
+    constraints: list,
+) -> DataFrame:
+    """Streaming face of operators/profile.py:constraint_audit — the
+    per-batch data-quality monitor a production ingestion attaches to
+    its bronze stream. Every constraint becomes a per-row 0/1 flag
+    column (map-only codegen; a ``foreign_key`` rides a stream-static
+    LEFT OUTER join against its parent — Spark's supported shape — and
+    flags null parents), then ONE global streaming aggregate sums the
+    flags; complete-mode end-of-stream state equals the batch audit's
+    integer counts row-for-row.
+
+    ``unique`` is deliberately NOT accepted: exact uniqueness over an
+    unbounded stream needs per-key state proportional to the key space
+    — run it in the batch audit (or gate approximately with the Bloom/
+    KMV sketches). Same params as the batch op otherwise.
+
+    Returns a ONE-ROW aggregate frame: (_n, <name> per constraint).
+    """
+    flags = []
+    df = stream_df
+    for name, kind, params in constraints:
+        if kind == "not_null":
+            flags.append(
+                F.when(F.col(params).isNull(), 1).otherwise(0).alias(name)
+            )
+        elif kind == "range":
+            col, lo, hi = params
+            flags.append(
+                F.when(
+                    F.col(col).isNotNull()
+                    & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))),
+                    1,
+                )
+                .otherwise(0)
+                .alias(name)
+            )
+        elif kind == "accepted_values":
+            col, values = params
+            flags.append(
+                F.when(
+                    F.col(col).isNull() | ~F.col(col).isin(list(values)), 1
+                )
+                .otherwise(0)
+                .alias(name)
+            )
+        elif kind == "foreign_key":
+            col, parent, parent_col = params
+            marker = f"_p_{name}"
+            p = parent.select(
+                F.col(parent_col).alias(col), F.lit(1).alias(marker)
+            ).distinct()
+            df = df.join(p, col, "left")
+            flags.append(
+                F.when(
+                    F.col(col).isNotNull() & F.col(marker).isNull(), 1
+                )
+                .otherwise(0)
+                .alias(name)
+            )
+        elif kind == "unique":
+            raise ValueError(
+                "unique is not streamable with bounded state — run it in "
+                "the batch constraint_audit"
+            )
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    names = [name for name, _, _ in constraints]
+    flagged = df.select(F.lit(1).alias("_one"), *flags)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(n).alias(n) for n in names],
+    )

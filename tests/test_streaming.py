@@ -467,3 +467,51 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch and got
+
+
+def test_streaming_constraint_totals_equals_batch(spark, tmp_path):
+    import uuid
+
+    from deeptime_spark.operators.profile import constraint_audit
+    from deeptime_spark.streaming.accumulate import streaming_constraint_totals
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, None, -3.0), (3, 99, 2.0), (4, 20, 1.0)],
+        "id long, fk long, price double",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pid long")
+    cons = [
+        ("fk_nn", "not_null", "fk"),
+        ("fk_parent", "foreign_key", ("fk", parent, "pid")),
+        ("price_rng", "range", ("price", 0.0, 100.0)),
+    ]
+    batch = {
+        r["constraint"]: r["n_violations"]
+        for r in constraint_audit(df, cons).collect()
+    }
+    src = str(tmp_path / "src")
+    df.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "sct_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_constraint_totals(stream, cons)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.table(name).first()
+    assert int(row["_n"]) == 4
+    for n, _, _ in cons:
+        assert int(row[n] or 0) == batch[n], n
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        streaming_constraint_totals(stream, [("u", "unique", "id")])
