@@ -5241,8 +5241,11 @@ def _q_customer_scd2_merge(spark, sf_dir):
             F.col("segment")
         ).alias("segment"),
     )
+    # the brand-new key is DERIVED (max+1) so it can never collide with
+    # a real custkey at any scale factor (TPC-H keys grow with SF)
+    mx = int(cust.agg(F.max("c_custkey")).first()[0])
     new_row = spark.createDataFrame(
-        [(99999999, 1000, "BUILDING")],
+        [(mx + 1, 1000, "BUILDING")],
         "c_custkey long, acctbal_cents long, segment string",
     )
     updates = changed.unionByName(new_row)
@@ -5328,7 +5331,11 @@ def _q_streaming_constraint_audit(spark, sf_dir):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_constraint_audit: stream did not finish in 300s"
+            )
         row = spark.table(sink).first()
         kinds = {name: kind for name, kind, _ in cons}
         rows = [
@@ -6652,8 +6659,8 @@ WITH toks AS (
         >= 50 * (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)))
 )
 SELECT CAST(t AS BIGINT) AS threshold_pct,
-       CAST(SUM(CASE WHEN 100 * i >= t * u THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
-FROM v, UNNEST([50, 60, 70, 80, 90]) AS th(t)
+       CAST(COALESCE(SUM(CASE WHEN 100 * i >= t * u THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+FROM UNNEST([50, 60, 70, 80, 90]) AS th(t) LEFT JOIN v ON TRUE
 GROUP BY t
 """,
         "customer_scd2_merge": r"""
@@ -6670,7 +6677,7 @@ WITH dim AS (
               ELSE segment END AS segment
   FROM dim
   WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
-  UNION ALL SELECT 99999999, 1000, 'BUILDING'
+  UNION ALL SELECT (SELECT max(c_custkey) + 1 FROM customer), 1000, 'BUILDING'
 ), changed AS (
   SELECT d.c_custkey
   FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey

@@ -465,7 +465,10 @@ def group_sample(
     ``TABLESAMPLE``/``rand()``, membership is a pure function of
     (key, salt): reruns, engines, and layouts agree row-for-row, and
     enlarging ``n_per_group`` only ADDS rows (nested samples — the
-    bottom-k property the KMV sketch shares).
+    bottom-k property the KMV sketch shares). ``key_col`` must be
+    UNIQUE per group for the row-for-row guarantee — duplicate keys
+    (and multiple NULL keys, which share one sentinel) tie on the sort
+    key and the winner among them is layout-dependent.
 
     One window ranked by (hash, key) per group — the group count is the
     parallelism, and the per-task state is the top-k heap, not the

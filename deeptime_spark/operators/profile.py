@@ -110,6 +110,29 @@ def snapshot_diff(
     )
 
 
+def scalar_violation_flag(kind: str, params) -> "F.Column":
+    """Per-row 0/1 violation flag for the SCALAR constraint kinds —
+    the single source of the not_null / range / accepted_values
+    semantics shared by the batch audit and its streaming face
+    (streaming/accumulate.py:streaming_constraint_totals), so a policy
+    change (e.g. NULL handling) can never silently diverge the two."""
+    if kind == "not_null":
+        return F.when(F.col(params).isNull(), 1).otherwise(0)
+    if kind == "range":
+        col, lo, hi = params
+        return F.when(
+            F.col(col).isNotNull()
+            & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))),
+            1,
+        ).otherwise(0)
+    if kind == "accepted_values":
+        col, values = params
+        return F.when(
+            F.col(col).isNull() | ~F.col(col).isin(list(values)), 1
+        ).otherwise(0)
+    raise ValueError(f"unknown constraint kind {kind!r}")
+
+
 def constraint_audit(
     df: DataFrame,
     constraints: list[tuple],
@@ -141,50 +164,28 @@ def constraint_audit(
     """
     if not constraints:
         raise ValueError("constraints must be non-empty")
+    names_seen = [name for name, _, _ in constraints]
+    if len(set(names_seen)) != len(names_seen):
+        dups = sorted({n for n in names_seen if names_seen.count(n) > 1})
+        raise ValueError(f"duplicate constraint names: {dups}")
     aggs = [F.count(F.lit(1)).alias("_n")]
     fk_jobs = []
     order = []
     for name, kind, params in constraints:
         order.append((name, kind))
-        if kind == "not_null":
-            aggs.append(
-                F.sum(
-                    F.when(F.col(params).isNull(), 1).otherwise(0)
-                ).alias(f"_v_{name}")
-            )
-        elif kind == "unique":
+        if kind == "unique":
             cols = [params] if isinstance(params, str) else list(params)
             key = F.struct(*[F.col(c) for c in cols])
             aggs.append(
                 (F.count(F.lit(1)) - F.count_distinct(key)).alias(f"_v_{name}")
             )
-        elif kind == "range":
-            col, lo, hi = params
-            aggs.append(
-                F.sum(
-                    F.when(
-                        F.col(col).isNotNull()
-                        & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))),
-                        1,
-                    ).otherwise(0)
-                ).alias(f"_v_{name}")
-            )
-        elif kind == "accepted_values":
-            col, values = params
-            aggs.append(
-                F.sum(
-                    F.when(
-                        F.col(col).isNull()
-                        | ~F.col(col).isin(list(values)),
-                        1,
-                    ).otherwise(0)
-                ).alias(f"_v_{name}")
-            )
         elif kind == "foreign_key":
             col, parent, parent_col = params
             fk_jobs.append((name, col, parent, parent_col))
         else:
-            raise ValueError(f"unknown constraint kind {kind!r}")
+            aggs.append(
+                F.sum(scalar_violation_flag(kind, params)).alias(f"_v_{name}")
+            )
     row = df.agg(*aggs).first()
     n_rows = int(row["_n"])
     counts = {}

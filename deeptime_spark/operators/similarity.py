@@ -933,6 +933,11 @@ def random_projection(
         first = emb.select(F.size(vec_col)).first()
         if first is None:
             raise ValueError("random_projection: empty input")
+        if first[0] is None:
+            raise ValueError(
+                "random_projection: sampled row has a NULL vector — "
+                "filter nulls upstream or pass d explicitly"
+            )
         d = int(first[0])
     rng = np.random.default_rng(seed)
     proj_T = np.ascontiguousarray(

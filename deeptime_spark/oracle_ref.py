@@ -3809,6 +3809,11 @@ def oracle_embedding_rp_recall() -> str:
     projected by the seeded Gaussian X@G^T/sqrt(16), the exact gemm the
     Arrow kernel runs) against the full-dimension cosine top-5, per
     query."""
+    # residual risk, accepted: the kernel's per-batch gemm and this
+    # one-shot driver gemm can differ at BLAS-blocking ULP, so a rank-5
+    # boundary decided by <1e-13 of cosine could in principle flip —
+    # the same accepted class as the hyperplane sign boundaries in the
+    # LSH oracles; the fixture's boundary margins are orders larger.
     sf = sf_dir()
     X = _embeddings(sf)
     out_dim = 16

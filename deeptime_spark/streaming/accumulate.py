@@ -654,33 +654,19 @@ def streaming_constraint_totals(
 
     Returns a ONE-ROW aggregate frame: (_n, <name> per constraint).
     """
+    from deeptime_spark.operators.profile import scalar_violation_flag
+
+    if not constraints:
+        raise ValueError("constraints must be non-empty")
+    names_seen = [name for name, _, _ in constraints]
+    if len(set(names_seen)) != len(names_seen):
+        dups = sorted({n for n in names_seen if names_seen.count(n) > 1})
+        raise ValueError(f"duplicate constraint names: {dups}")
     flags = []
     df = stream_df
     for name, kind, params in constraints:
-        if kind == "not_null":
-            flags.append(
-                F.when(F.col(params).isNull(), 1).otherwise(0).alias(name)
-            )
-        elif kind == "range":
-            col, lo, hi = params
-            flags.append(
-                F.when(
-                    F.col(col).isNotNull()
-                    & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))),
-                    1,
-                )
-                .otherwise(0)
-                .alias(name)
-            )
-        elif kind == "accepted_values":
-            col, values = params
-            flags.append(
-                F.when(
-                    F.col(col).isNull() | ~F.col(col).isin(list(values)), 1
-                )
-                .otherwise(0)
-                .alias(name)
-            )
+        if kind in ("not_null", "range", "accepted_values"):
+            flags.append(scalar_violation_flag(kind, params).alias(name))
         elif kind == "foreign_key":
             col, parent, parent_col = params
             marker = f"_p_{name}"
@@ -703,7 +689,7 @@ def streaming_constraint_totals(
         else:
             raise ValueError(f"unknown constraint kind {kind!r}")
     names = [name for name, _, _ in constraints]
-    flagged = df.select(F.lit(1).alias("_one"), *flags)
+    flagged = df.select(*flags)
     return flagged.agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(n).alias(n) for n in names],

@@ -506,7 +506,7 @@ def test_streaming_constraint_totals_equals_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish"
     row = spark.table(name).first()
     assert int(row["_n"]) == 4
     for n, _, _ in cons:
