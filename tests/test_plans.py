@@ -857,3 +857,41 @@ def test_mmr_candidates_broadcast_single_arrow_stage(spark):
     # exactly ONE FlatMapGroupsInPandas operator == two mentions
     assert plan.count("FlatMapGroupsInPandas") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_centrality_frontiers_no_cartesian_no_python(spark):
+    """Betweenness/harmonic pivot BFS loops must stay equi-join +
+    aggregate — no CartesianProduct, no Python stages — and the
+    broadcast regime must engage below the threshold
+    (operators/graph.py)."""
+    from deeptime_spark.operators.graph import (
+        betweenness_centrality,
+        harmonic_centrality,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_id % 211 as src",
+        "(event_id * 31 + event_id div 211) % 211 as dst",
+    ).where("src != dst")
+    for op in (betweenness_centrality, harmonic_centrality):
+        plan = plan_of(op(ev, n_pivots=4))
+        assert "CartesianProduct" not in plan, plan[:1500]
+        assert "EvalPython" not in plan
+
+
+def test_scd2_merge_broadcasts_update_batch(spark):
+    """scd2_merge's open-rows-vs-delta join must broadcast the (small)
+    update batch (operators/scd.py)."""
+    from deeptime_spark.operators.scd import scd2_merge
+
+    dim = spark.read.parquet(f"{SF}/customer.parquet").selectExpr(
+        "c_custkey as k",
+        "cast(round(c_acctbal * 100) as long) as bal",
+        "c_mktsegment as seg",
+        "cast(0 as long) as valid_from",
+        "cast(null as long) as valid_to",
+    )
+    upd = dim.where("k % 7 = 0").selectExpr("k", "bal + 1 as bal", "seg")
+    plan = plan_of(scd2_merge(dim, upd, "k", ["bal", "seg"], 1))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
