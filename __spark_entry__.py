@@ -6703,7 +6703,10 @@ FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim)
         "orders_constraint_audit": r"""
 WITH s AS (
   SELECT COUNT(*) AS n_rows,
-         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq,
+         -- ROW() wrapper: NULL keys participate like values (the Spark
+         -- side counts distinct over a struct; bare COUNT(DISTINCT col)
+         -- would drop NULL keys and diverge on nullable audit columns)
+         COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) AS v_uniq,
          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
          SUM(CASE WHEN o_totalprice IS NOT NULL
                    AND (o_totalprice < 0.0 OR o_totalprice > 1000000000.0)

@@ -273,12 +273,32 @@ def main() -> None:
     # whole-stage-codegen JIT for every not-yet-warmed operator shape.
     # Comparable to all prior BENCH_r* records.
     run_pass(timings)
-    # Pass 2 (warm): same queries, same session — codegen/C2-compiled
+    # Passes 2..N (warm): same queries, same session — codegen/C2-compiled
     # plans, hot parquet footer caches. This models a long-lived cluster
     # session and is the regression-adjudication number: JIT noise that
-    # dominates single-query cold deltas at sf0.1 is gone here.
+    # dominates single-query cold deltas at sf0.1 is gone here. We run
+    # >= 2 warm trials and adjudicate on the per-query MIN — single-trial
+    # warm numbers still carry 1.5-2x session noise (GC pauses, OS cache
+    # pressure from whatever else the box ran) that produced false
+    # regression signals in three consecutive rounds (r8 containment/
+    # pagerank, r9 pmi). min-vs-min is the stable operator cost; the
+    # recorded spread (max-min) quantifies how noisy each measurement was.
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
+    warm_trials: list[dict[str, float]] = []
+    for _ in range(n_warm):
+        wt: dict[str, float] = {}
+        run_pass(wt)
+        warm_trials.append(wt)
     warm_timings: dict[str, float] = {}
-    run_pass(warm_timings)
+    warm_spread: dict[str, float] = {}
+    for name in warm_trials[0]:
+        vals = [t[name] for t in warm_trials if t.get(name, -1.0) >= 0]
+        if not vals:
+            warm_timings[name] = -1.0
+            warm_spread[name] = 0.0
+        else:
+            warm_timings[name] = round(min(vals), 3)
+            warm_spread[name] = round(max(vals) - min(vals), 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     warm_total = round(sum(t for t in warm_timings.values() if t >= 0), 3)
     payload = {
@@ -288,6 +308,8 @@ def main() -> None:
         "queries": timings,
         "warm_value": warm_total,
         "queries_warm": warm_timings,
+        "queries_warm_spread": warm_spread,
+        "warm_trials": n_warm,
         "sf": sf,
     }
     print(json.dumps(payload))

@@ -39,6 +39,8 @@ oracle replays it densely) and is how production crawl ranks are run
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -365,6 +367,10 @@ def triangle_counts(
     Returns (node, n_triangles) for every node of the edge set
     (0 for triangle-free nodes).
     """
+    if include_degree and not materialize:
+        # validate BEFORE any persist — raising later would leak the
+        # cached und/ori frames on the error path
+        raise ValueError("include_degree requires materialize=True")
     e0 = edges.select(
         F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
         F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
@@ -421,9 +427,8 @@ def triangle_counts(
     )
     if include_degree:
         # the SAME deg frame the orientation already computed (one more
-        # scan of the persisted und cache — no new distinct exchange)
-        if not materialize:
-            raise ValueError("include_degree requires materialize=True")
+        # scan of the persisted und cache — no new distinct exchange);
+        # the materialize precondition was validated at entry
         out = out.join(
             deg.select("node", F.col("d").cast("long").alias("degree")), "node"
         )
@@ -830,6 +835,19 @@ def betweenness_centrality(
                 break
             levels.append(new)
             visited = visited.union(new).localCheckpoint(eager=True)
+        else:
+            # the frontier was still non-empty when max_depth ran out:
+            # deeper shortest paths exist and their dependency mass is
+            # dropped, silently underestimating centrality vs an
+            # unbounded BFS. Surface it instead of hiding it.
+            warnings.warn(
+                f"betweenness_centrality: BFS truncated at max_depth="
+                f"{max_depth} with a non-empty frontier — graph diameter "
+                f"exceeds max_depth; centrality is underestimated. "
+                f"Raise max_depth.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         # backward dependency accumulation, deepest level first
         deltas = levels[-1].withColumn("delta", F.lit(0.0)).localCheckpoint(
             eager=True
@@ -956,6 +974,15 @@ def harmonic_centrality(
             acc = hop if acc is None else acc.union(hop)
             visited = visited.union(new).localCheckpoint(eager=True)
             frontier = new
+        else:
+            warnings.warn(
+                f"harmonic_centrality: BFS truncated at max_depth="
+                f"{max_depth} with a non-empty frontier — graph diameter "
+                f"exceeds max_depth; centrality is underestimated. "
+                f"Raise max_depth.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         factor = (float(n) / float(k)) if scale else 1.0
         if acc is None:
             return nodes.select("node", F.lit(0.0).alias("harmonic"))

@@ -31,13 +31,24 @@ def scd2_merge(
     effective_ts,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    check_unique_keys: bool = True,
+    broadcast_updates: bool = True,
 ) -> DataFrame:
     """Apply one update batch to an SCD2 dimension snapshot.
 
     ``dim`` carries ``key``, attribute columns, ``valid_from`` and
     ``valid_to`` (NULL = open/current row). ``updates`` carries ``key``
-    plus the same attribute columns (one row per key — reject dup keys
-    upstream). ``effective_ts`` stamps both the close and the open.
+    plus the same attribute columns — ONE row per key. With
+    ``check_unique_keys`` (default) the precondition is ENFORCED by one
+    cheap aggregate over the batch (count vs distinct-count on the
+    key); duplicate keys raise instead of silently fanning open rows
+    out and breaking the idempotency contract. ``effective_ts`` stamps
+    both the close and the open.
+
+    ``broadcast_updates=True`` (default) plan-pins the update batch as
+    the broadcast side — correct for the daily-delta norm. For a batch
+    too large to broadcast (backfills, initial loads) pass ``False``
+    and let AQE pick the join strategy; semantics are identical.
 
     Semantics (Kimball type 2):
 
@@ -57,12 +68,27 @@ def scd2_merge(
     for c in attr_cols:
         if c not in updates.columns:
             raise ValueError(f"updates missing dimension column {c!r}")
+    if check_unique_keys:
+        # count vs distinct-count in ONE aggregate job; a struct key so a
+        # NULL key still participates (NULL dims are a data bug we want
+        # loud, not dropped from the distinct)
+        row = updates.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.struct(F.col(key))).alias("_d"),
+        ).first()
+        if int(row["_n"]) != int(row["_d"]):
+            raise ValueError(
+                f"scd2_merge: update batch has duplicate {key!r} keys "
+                f"({int(row['_n'])} rows, {int(row['_d'])} distinct) — "
+                "one row per key required; dedup upstream or pick the "
+                "latest per key"
+            )
     ts = F.lit(effective_ts)
     closed_hist = dim.where(F.col(valid_to).isNotNull())
     open_rows = dim.where(F.col(valid_to).isNull())
-    u = F.broadcast(
-        updates.select([F.col(c).alias(f"_u_{c}") for c in attr_cols])
-    )
+    u = updates.select([F.col(c).alias(f"_u_{c}") for c in attr_cols])
+    if broadcast_updates:
+        u = F.broadcast(u)
     j = open_rows.join(u, open_rows[key] == F.col(f"_u_{key}"), "left")
     diff = F.lit(False)
     for c in tracked:

@@ -891,9 +891,19 @@ def mmr_rerank(
             columns=[query_id_col, id_col, "relevance", "mmr_score", "mmr_rank"],
         )
 
-    out_schema = (
-        f"{query_id_col} long, {id_col} long, relevance double, "
-        "mmr_score double, mmr_rank int"
+    # derive the id column types from the inputs — hardcoding `long`
+    # would break string/other id columns despite the generic API
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType as _Dbl
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType),
+            StructField(id_col, corpus.schema[id_col].dataType),
+            StructField("relevance", _Dbl()),
+            StructField("mmr_score", _Dbl()),
+            StructField("mmr_rank", IntegerType()),
+        ]
     )
     return with_vec.groupBy(query_id_col).applyInPandas(_greedy, out_schema)
 
