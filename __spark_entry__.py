@@ -5258,6 +5258,119 @@ def _q_customer_scd2_merge(spark, sf_dir):
     )
 
 
+def _q_streaming_scd2_merge(spark, sf_dir):
+    """Streaming face of the SCD2 dimension merge (streaming/
+    accumulate.py:streaming_scd2_merge): the customer day-0 snapshot
+    seeds a versioned parquet dimension, the SAME deterministic delta
+    the batch query synthesizes streams in as 4 key-partitioned files
+    (one micro-batch each, so every key's update arrives exactly once),
+    and foreachBatch applies scd2_merge per batch — v{n} -> v{n+1}, so
+    failure replay rewrites the identical snapshot. Output is the
+    ORDER-INSENSITIVE end state (per key: version count, open-row
+    count, open attributes) — identical to composing the batch merge,
+    which is what the pure-SQL oracle computes; the per-version
+    timestamps depend on file arrival order and are deliberately not
+    part of the contract."""
+    import glob
+    import tempfile
+
+    from deeptime_spark.streaming.accumulate import streaming_scd2_merge
+
+    cust = _read(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    upd_base = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    changed = upd_base.where(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0)
+    ).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("acctbal_cents") + 10000
+        ).otherwise(F.col("acctbal_cents")).alias("acctbal_cents"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("MACHINERY")).otherwise(
+            F.col("segment")
+        ).alias("segment"),
+    )
+    mx = int(cust.agg(F.max("c_custkey")).first()[0])
+    new_row = spark.createDataFrame(
+        [(mx + 1, 1000, "BUILDING")],
+        "c_custkey long, acctbal_cents long, segment string",
+    )
+    updates = changed.unionByName(new_row)
+    src_dir = tempfile.mkdtemp(prefix="sscd_src_")
+    dim_dir = tempfile.mkdtemp(prefix="sscd_dim_")
+    ckpt = tempfile.mkdtemp(prefix="sscd_ckpt_")
+    try:
+        # hash-partition on the key: each key lands in exactly one of
+        # the 4 files = one micro-batch (the per-batch unique-key guard)
+        updates.repartition(4, F.col("c_custkey")).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        dim.write.mode("overwrite").parquet(f"{dim_dir}/v0")
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = streaming_scd2_merge(
+            spark,
+            stream,
+            key="c_custkey",
+            tracked=["acctbal_cents", "segment"],
+            dim_path=dim_dir,
+            checkpoint=ckpt,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_scd2_merge: stream did not finish in 300s")
+        latest = max(
+            int(p.rsplit("/v", 1)[1]) for p in glob.glob(f"{dim_dir}/v*")
+        )
+        final = spark.read.parquet(f"{dim_dir}/v{latest}")
+        open_rows = final.where(F.col("valid_to").isNull()).select(
+            "c_custkey",
+            F.col("acctbal_cents").alias("open_acctbal_cents"),
+            F.col("segment").alias("open_segment"),
+        )
+        rows = (
+            final.groupBy("c_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_versions"),
+                F.sum(
+                    F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+                ).alias("n_open"),
+            )
+            .join(open_rows, "c_custkey")
+            .collect()
+        )
+    finally:
+        _rmtree_quiet(src_dir, dim_dir, ckpt)
+    return spark.createDataFrame(
+        [
+            (
+                int(r["c_custkey"]),
+                int(r["n_versions"]),
+                int(r["n_open"]),
+                int(r["open_acctbal_cents"]),
+                r["open_segment"],
+            )
+            for r in rows
+        ],
+        "c_custkey long, n_versions long, n_open long, "
+        "open_acctbal_cents long, open_segment string",
+    )
+
+
 def _q_dedup_threshold_sweep(spark, sf_dir):
     """Dedup threshold-tuning curve (operators/dedup.py:
     dedup_threshold_sweep): qualifying token-Jaccard pair counts at
@@ -5271,6 +5384,40 @@ def _q_dedup_threshold_sweep(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").where(F.col("source") == "src0")
     return dedup_threshold_sweep(docs, thresholds=(50, 60, 70, 80, 90))
+
+
+def _q_corpus_tuned_dedup(spark, sf_dir):
+    """Auto-tuned near-dedup dispatch (operators/dedup.py:
+    autotune_near_dedup — measure, then dispatch, the empirical-crossover
+    policy of deeptime's covariance moment kernel): the S-curve picks
+    (16 bands x 4 rows) for the 0.7 token-Jaccard target, the
+    candidate-quality gate MEASURES that banding's recall on the corpus,
+    and the pipeline dispatches — banding+exact-verify above the 0.9
+    recall floor, the exact PPJoin pair set below it. The fixture is the
+    src0 slice cloned x4 (the clone-saturation regime: max_bucket=32
+    band buckets overflow and banding recall collapses, so the dispatch
+    MUST fall back and report pipeline_recall 1.0 >= floor). One summary
+    row incl. the chosen path's qualifying pair count; the oracle
+    replays banding choice, both pair sets, gate counts and decision
+    (oracle_ref.py:oracle_corpus_tuned_dedup)."""
+    from deeptime_spark.operators.dedup import autotune_near_dedup
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("source") == "src0"
+    ).select("doc_id", "text")
+    cloned = docs
+    for j in range(1, 4):
+        cloned = cloned.unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(j * 10_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+    pairs, report = autotune_near_dedup(
+        cloned, threshold_pct=70, recall_floor=0.9, n_hashes=64, max_bucket=32
+    )
+    n_pairs = pairs.count()
+    return report.withColumn("n_pairs", F.lit(int(n_pairs)).cast("long"))
 
 
 def _q_doc_group_sample(spark, sf_dir):
@@ -5434,7 +5581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_constraint_audit": _q_streaming_constraint_audit,
         "doc_group_sample": _q_doc_group_sample,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "corpus_tuned_dedup": _q_corpus_tuned_dedup,
         "customer_scd2_merge": _q_customer_scd2_merge,
+        "streaming_scd2_merge": _q_streaming_scd2_merge,
         "orders_constraint_audit": _q_orders_constraint_audit,
         "embedding_rp_recall": _q_embedding_rp_recall,
         "doc_ngram_diversity": _q_doc_ngram_diversity,
@@ -5601,66 +5750,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-9 driver window (slots 0-49): the 8 never-driver-run round-9
-# queries first (4 deep estimators + 4 promoted estimator families),
-# then the 11 queries whose implementation or output changed this round
-# (distributed ANN query side, 3-method recall gate with a NEW schema,
-# KMV small-regime branch, ppjoin cache lifecycle, EWMA key typing,
-# curriculum guard) so their green evidence re-attaches to the shipped
-# code, then the stalest r05/r06 greens from tools/plan_window.py.
-# Recomputed each round; exactly 50 entries — the driver records only
-# the first ~50.
+# Round-10 driver window (slots 0-49): the 2 never-driver-run round-10
+# queries first (tuned-dedup dispatch, streaming SCD2), then ALL 23
+# r5-stale queries (the r9 verdict's evidence-age rotation ask — after
+# this round no query's green evidence predates r6), then the stalest
+# r06 greens, from tools/plan_window.py. Recomputed each round; exactly
+# 50 entries — the driver records only the first ~50 queries() keys.
 _WINDOW_ORDER = [
-    "streaming_constraint_audit",  # NEW round-9b: never driver-run
-    "doc_group_sample",  # NEW round-9b: never driver-run
-    "dedup_threshold_sweep",  # NEW round-9b: never driver-run
-    "customer_scd2_merge",  # NEW round-9b: never driver-run
-    "orders_constraint_audit",  # NEW round-9b: never driver-run
-    "embedding_rp_recall",  # NEW round-9b: never driver-run
-    "doc_ngram_diversity",  # NEW round-9b: never driver-run
-    "event_clustering_coeff",  # NEW round-9b: never driver-run
-    "event_assortativity",  # NEW round-9b: never driver-run
-    "event_harmonic",  # NEW round-9b: never driver-run
-    "event_betweenness",  # NEW round-9b: never driver-run
-    "doc_temperature_mixture",  # NEW round-9b: never driver-run
-    "corpus_global_shuffle",  # NEW round-9b: never driver-run
-    "embedding_sq8_recall",  # NEW round-9b: never driver-run
-    "embedding_mmr_rerank",  # NEW round-9b: never driver-run
-    "vampnet_events",  # NEW round-9: never driver-run
-    "tae_events",  # NEW round-9: never driver-run
-    "tvae_events",  # NEW round-9: never driver-run
-    "kvadnet_events",  # NEW round-9: never driver-run
-    "dedup_recall_gate",  # NEW round-9: never driver-run
-    "rate_matrix_events",  # NEW round-9: never driver-run
-    "oom_events",  # NEW round-9: never driver-run
-    "amm_events",  # NEW round-9: never driver-run
-    "sensitivity_events",  # NEW round-9: never driver-run
-    "embedding_ann_recall",  # round-9 code/output change: re-verify
-    "ivf_topk",  # round-9 code/output change: re-verify
-    "ivfpq_topk",  # round-9 code/output change: re-verify
-    "lsh_topk",  # round-9 code/output change: re-verify
-    "ivf_index_probe",  # round-9 code/output change: re-verify
-    "corpus_overlap_kmv",  # round-9 code/output change: re-verify
-    "doc_setsim_pairs",  # round-9 code/output change: re-verify
-    "doc_setsim_drop",  # round-9 code/output change: re-verify
-    "streaming_ewma",  # round-9 code/output change: re-verify
-    "event_ewma",  # round-9 code/output change: re-verify
-    "doc_quality_curriculum",  # round-9 code/output change: re-verify
-    "q17_small_qty_revenue",  # r05/r06-stale green rotation
-    "q18_large_volume_customers",  # r05/r06-stale green rotation
-    "q19_or_predicates",  # r05/r06-stale green rotation
-    "q20_semi_chain",  # r05/r06-stale green rotation
-    "q21_waiting_supplier",  # r05/r06-stale green rotation
-    "q22_dormant_customers",  # r05/r06-stale green rotation
-    "bpe_tokens",  # r05/r06-stale green rotation
-    "doc_sql_surface",  # r05/r06-stale green rotation
-    "generator_msm_roundtrip",  # r05/r06-stale green rotation
-    "doc_quality_classifier",  # r05/r06-stale green rotation
-    "bucketed_traj_counts",  # r05/r06-stale green rotation
-    "minhash_bands",  # r05/r06-stale green rotation
-    "simhash_pairs",  # r05/r06-stale green rotation
-    "embedding_near_dup",  # r05/r06-stale green rotation
-    "doc_fingerprint",  # r05/r06-stale green rotation
+    "corpus_tuned_dedup",  # last green r00
+    "streaming_scd2_merge",  # last green r00
+    "q1_pricing_summary",  # last green r05
+    "q3_top_orders",  # last green r05
+    "q5_supplier_volume",  # last green r05
+    "q6_forecast_revenue",  # last green r05
+    "q10_returned_items",  # last green r05
+    "top_customers",  # last green r05
+    "order_priority_count",  # last green r05
+    "nation_order_volume",  # last green r05
+    "brand_volume",  # last green r05
+    "event_sessions",  # last green r05
+    "distinct_users_by_type",  # last green r05
+    "event_order_asof",  # last green r05
+    "event_rollup",  # last green r05
+    "purchase_not_error_users",  # last green r05
+    "event_box",  # last green r05
+    "event_histogram2d",  # last green r05
+    "event_confidence_interval",  # last green r05
+    "event_moments",  # last green r05
+    "event_transition_counts",  # last green r05
+    "event_state_histogram",  # last green r05
+    "event_weighted_counts",  # last green r05
+    "vamp_score_events",  # last green r05
+    "web_host_stats",  # last green r05
+    "shard_manifest",  # last green r06
+    "web_extract_text",  # last green r06
+    "doc_lm2_score",  # last green r06
+    "web_corpus_pipeline",  # last green r06
+    "streaming_c4_replay",  # last green r06
+    "shards_roundtrip",  # last green r06
+    "token_pack_sequences",  # last green r06
+    "doc_hll_shingles",  # last green r06
+    "doc_bloom_decontaminate",  # last green r06
+    "doc_cms_word_counts",  # last green r06
+    "doc_bm25_search",  # last green r06
+    "streaming_hll_replay",  # last green r06
+    "doc_sparse_cosine",  # last green r06
+    "corpus_snapshot_diff",  # last green r06
+    "doc_leakage_split",  # last green r06
+    "event_kmv_quantiles",  # last green r06
+    "doc_incremental_dedup",  # last green r06
+    "streaming_incremental_dedup",  # last green r06
+    "doc_novelty",  # last green r06
+    "event_funnel",  # last green r06
+    "event_retention",  # last green r06
+    "event_two_step_counts",  # last green r06
+    "event_timeshifted",  # last green r06
+    "event_sliding_avg",  # last green r06
+    "event_derivative",  # last green r06
 ]
 
 
@@ -6699,6 +6845,36 @@ UNION ALL
 SELECT u.c_custkey, u.acctbal_cents, u.segment,
        CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
 FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+""",
+        "streaming_scd2_merge": r"""
+WITH dim AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         c_mktsegment AS segment
+  FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN acctbal_cents + 10000
+              ELSE acctbal_cents END AS acctbal_cents,
+         CASE WHEN c_custkey % 11 = 0 THEN 'MACHINERY'
+              ELSE segment END AS segment
+  FROM dim
+  WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+  UNION ALL SELECT (SELECT max(c_custkey) + 1 FROM customer), 1000, 'BUILDING'
+), changed AS (
+  SELECT d.c_custkey
+  FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+  WHERE d.acctbal_cents IS DISTINCT FROM u.acctbal_cents
+     OR d.segment IS DISTINCT FROM u.segment
+)
+SELECT COALESCE(d.c_custkey, u.c_custkey) AS c_custkey,
+       CAST(CASE WHEN ch.c_custkey IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS n_versions,
+       CAST(1 AS BIGINT) AS n_open,
+       COALESCE(u.acctbal_cents, d.acctbal_cents) AS open_acctbal_cents,
+       COALESCE(u.segment, d.segment) AS open_segment
+FROM dim d
+FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+LEFT JOIN changed ch ON COALESCE(d.c_custkey, u.c_custkey) = ch.c_custkey
 """,
         "orders_constraint_audit": r"""
 WITH s AS (

@@ -1855,3 +1855,202 @@ def dedup_threshold_sweep(
         [(t, int(row[f"_c{t}"] or 0)) for t in ths],
         "threshold_pct long, n_pairs long",
     )
+
+
+def choose_banding(n_hashes: int, threshold_pct: int) -> tuple[int, int]:
+    """Analytic (bands, rows) choice for a target Jaccard threshold —
+    the S-curve rule (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    Datasets" ch. 3): a banding with b bands of r rows has its
+    match-probability midpoint at (1/b)^(1/r); among the divisor splits
+    of ``n_hashes`` pick the one with the LARGEST midpoint at or below
+    the threshold — pairs at the threshold then sit on the high-recall
+    side of the curve, and maximizing the midpoint within that
+    constraint maximizes precision. Pure driver arithmetic.
+
+    For (64, 70) this yields (16, 4) — midpoint 0.5, match probability
+    1-(1-0.7^4)^16 = 0.988 at the threshold (the recall-gate banding).
+    """
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if not (0 < threshold_pct <= 100):
+        raise ValueError(f"threshold_pct must be in (0, 100], got {threshold_pct}")
+    t = threshold_pct / 100.0
+    best = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        if mid <= t and (best is None or mid > best[2]):
+            best = (b, r, mid)
+    if best is None:
+        # threshold below every midpoint (t < 1/n_hashes): most-bands
+        # split is the highest-recall banding available
+        return n_hashes, 1
+    return best[0], best[1]
+
+
+def _verify_pairs_token_jaccard(
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold_pct: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-SET Jaccard verification of candidate pairs — the
+    SAME integer predicate (``100*i >= pct*u``) and tokenization
+    :func:`ppjoin_pairs` uses, so the banding path and the exact path
+    of :func:`autotune_near_dedup` qualify identical pairs and differ
+    only in candidate recall. Two equi-joins + JVM set algebra; the
+    candidate relation is pair-scale, never corpus-scale.
+
+    Returns (id_a, id_b, n_intersect, n_union, jaccard), id_a < id_b.
+    """
+    pct = int(threshold_pct)
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("_ts"),
+    ).where(F.size("_ts") > 0)
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
+        .where(F.lit(100) * F.col("_i") >= F.lit(pct) * F.col("_u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_i").cast("long").alias("n_intersect"),
+            F.col("_u").cast("long").alias("n_union"),
+            (F.col("_i").cast("double") / F.col("_u").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def autotune_near_dedup(
+    docs: DataFrame,
+    threshold_pct: int = 70,
+    recall_floor: float = 0.9,
+    n_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    probe_docs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Measure-then-dispatch near-duplicate pair generation — closes
+    the loop from the tuning instruments (:func:`dedup_threshold_sweep`,
+    :func:`dedup_candidate_quality`) to the pipeline, the
+    empirical-crossover policy of the reference's covariance moment
+    kernel (deeptime covariance/util/_moments.py:33-61: measure the
+    regime, then dispatch the implementation):
+
+    1. (bands, rows) from the analytic S-curve for the target
+       threshold (:func:`choose_banding`);
+    2. MEASURE that banding's candidate recall on the probe corpus:
+       exact qualifying pairs (:func:`ppjoin_pairs`) vs banding
+       candidates (:func:`minhash_lsh_candidates`, token units) through
+       the :func:`dedup_candidate_quality` gate;
+    3. dispatch: recall >= ``recall_floor`` -> LSH banding candidates
+       verified with the exact integer token-Jaccard predicate (the
+       probabilistic scale path, recall now a measured number); below
+       the floor -> the exact PPJoin pair set (the clone-saturation
+       regime, where capped band buckets collapse banding recall —
+       measured at 0.26 on the x8 clone fixture).
+
+    ``probe_docs`` bounds the measurement at scale: pass a
+    deterministic sample (e.g. :func:`deeptime_spark.operators.mixing.
+    group_sample` or a hash predicate) and the exact self-join runs on
+    the probe ONLY — the full corpus is never PPJoined unless the
+    dispatch itself falls back. Probe caveat: bucket caps bind later on
+    a subsampled corpus (buckets shrink with the sample), so a probe
+    UNDERESTIMATES cap-induced recall loss; size the probe to keep
+    expected clone-family size representative, or scale ``max_bucket``
+    down proportionally.
+
+    Returns ``(pairs, report)``: ``pairs`` = qualifying pairs from the
+    chosen path, (id_a, id_b, n_intersect, n_union, jaccard) with the
+    identical predicate either way; ``report`` = ONE row (method,
+    bands, rows_per_band, n_exact_probe, n_candidates_probe,
+    n_hit_probe, probe_recall, pipeline_recall) — pipeline_recall is
+    the measured recall of the chosen path against the exact pair set
+    (1.0 by construction on the exact path; equal to the candidate
+    recall on the banding path, since verification never drops a
+    qualifying candidate; NULL when the probe had no qualifying pairs).
+    """
+    if not (0.0 <= recall_floor <= 1.0):
+        raise ValueError(f"recall_floor must be in [0,1], got {recall_floor}")
+    bands, rows_per_band = choose_banding(n_hashes, threshold_pct)
+    probe = probe_docs if probe_docs is not None else docs
+    exact_probe = ppjoin_pairs(
+        probe, threshold_pct=threshold_pct, text_col=text_col, id_col=id_col
+    )
+    cands_probe = minhash_lsh_candidates(
+        probe,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        max_bucket=max_bucket,
+        unit="words",
+    )
+    gate = dedup_candidate_quality(cands_probe, exact_probe).first()
+    recall = gate["recall"]
+    use_banding = recall is None or float(recall) >= float(recall_floor)
+    if use_banding:
+        method = "lsh_banding"
+        cand_pairs = (
+            cands_probe
+            if probe_docs is None
+            else minhash_lsh_candidates(
+                docs,
+                text_col=text_col,
+                id_col=id_col,
+                n_hashes=n_hashes,
+                bands=bands,
+                max_bucket=max_bucket,
+                unit="words",
+            )
+        )
+        pairs = _verify_pairs_token_jaccard(
+            cand_pairs, docs, threshold_pct, text_col=text_col, id_col=id_col
+        )
+        pipeline_recall = None if recall is None else float(recall)
+    else:
+        method = "ppjoin_exact"
+        pairs = (
+            exact_probe
+            if probe_docs is None
+            else ppjoin_pairs(
+                docs,
+                threshold_pct=threshold_pct,
+                text_col=text_col,
+                id_col=id_col,
+            )
+        )
+        pipeline_recall = 1.0
+    spark = docs.sparkSession
+    report = spark.createDataFrame(
+        [
+            (
+                method,
+                int(bands),
+                int(rows_per_band),
+                int(gate["n_exact"]),
+                int(gate["n_candidates"]),
+                int(gate["n_hit"]),
+                None if recall is None else float(recall),
+                pipeline_recall,
+            )
+        ],
+        "method string, bands long, rows_per_band long, n_exact_probe long, "
+        "n_candidates_probe long, n_hit_probe long, probe_recall double, "
+        "pipeline_recall double",
+    )
+    return pairs, report

@@ -3873,3 +3873,74 @@ def oracle_doc_group_sample() -> str:
 
 
 _BUILDERS["doc_group_sample"] = oracle_doc_group_sample
+
+
+def oracle_corpus_tuned_dedup() -> str:
+    """Replay of the measure-then-dispatch tuned dedup pipeline on the
+    x4 clone-saturated src0 fixture: the S-curve banding choice (shared
+    choose_banding — pure driver arithmetic), banding candidates at
+    max_bucket=32 via the token-minhash replica, exact qualifying pairs
+    via the prefix-filter replica, the gate counts, the dispatch at
+    recall floor 0.9, and the chosen path's verified pair count (exact
+    integer token-Jaccard predicate on both paths)."""
+    from deeptime_spark.operators.dedup import choose_banding
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        "WHERE source = 'src0' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    cloned = [(int(i) + j * 10_000_000, t) for (i, t) in docs for j in range(4)]
+    bands, rows_per_band = choose_banding(64, 70)
+    exact = _ppjoin_exact_pairs(cloned, 70)
+    cands = _word_minhash_candidates(cloned, 64, bands, max_bucket=32)
+    n_e, n_c = len(exact), len(cands)
+    n_h = len(exact & cands)
+    rec = None if n_e == 0 else n_h / n_e
+    if rec is None or rec >= 0.9:
+        method = "lsh_banding"
+        ts = {i: set(_token_set(t)) for i, t in cloned}
+        n_pairs = 0
+        for a, b in cands:
+            i = len(ts[a] & ts[b])
+            u = len(ts[a]) + len(ts[b]) - i
+            if 100 * i >= 70 * u:
+                n_pairs += 1
+        pipe = rec
+    else:
+        method = "ppjoin_exact"
+        n_pairs = n_e
+        pipe = 1.0
+    rows = [
+        (
+            method,
+            bands,
+            rows_per_band,
+            n_e,
+            n_c,
+            n_h,
+            rec,
+            pipe,
+            n_pairs,
+        )
+    ]
+    return _values_sql(
+        rows,
+        [
+            "method",
+            "bands",
+            "rows_per_band",
+            "n_exact_probe",
+            "n_candidates_probe",
+            "n_hit_probe",
+            "probe_recall",
+            "pipeline_recall",
+            "n_pairs",
+        ],
+        "sbbbbbddb",
+    )
+
+
+_BUILDERS["corpus_tuned_dedup"] = oracle_corpus_tuned_dedup

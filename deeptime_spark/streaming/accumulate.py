@@ -694,3 +694,60 @@ def streaming_constraint_totals(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(n).alias(n) for n in names],
     )
+
+
+def streaming_scd2_merge(
+    spark,
+    stream_updates: DataFrame,
+    key: str,
+    tracked: list,
+    dim_path: str,
+    checkpoint: Optional[str] = None,
+):
+    """Streaming face of operators/scd.py:scd2_merge — the historized
+    dimension maintained from a CDC-style update stream: every
+    micro-batch of dimension updates merges into the persisted snapshot
+    inside ``foreachBatch`` (the streaming_probe_signature_index /
+    streaming_constraint_totals pattern: the stateful artifact lives in
+    storage, per-batch work is one bounded batch merge).
+
+    Snapshot lifecycle is VERSIONED for replay idempotency: batch ``n``
+    reads ``{dim_path}/v{n}`` and overwrites ``{dim_path}/v{n+1}``
+    (Spark cannot safely overwrite the parquet it is lazily reading, and
+    a failure-replayed batch must land the identical snapshot — rewriting
+    v{n+1} from the untouched v{n} is deterministic, so replay is exact,
+    not just idempotent-in-effect). The caller seeds ``{dim_path}/v0``
+    with the initial open snapshot; after ``availableNow`` termination
+    the latest ``v{N}`` is the merged dimension. ``effective_ts`` stamps
+    as ``batch_id + 1`` — deterministic given the source's file order.
+
+    Each micro-batch must carry at most one row per key (the batch
+    guard raises otherwise — pre-aggregate CDC streams to last-write-
+    per-key upstream). At scale the update batch is the broadcast side
+    and the snapshot never shuffles: per-batch cost is one broadcast
+    join + union over the snapshot, exactly the batch op's plan.
+
+    Returns the started StreamingQuery (``availableNow`` trigger).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from deeptime_spark.operators.scd import scd2_merge
+
+        cur = spark.read.parquet(f"{dim_path}/v{batch_id}")
+        merged = scd2_merge(
+            cur,
+            batch_df,
+            key=key,
+            tracked=list(tracked),
+            effective_ts=int(batch_id) + 1,
+        )
+        merged.write.mode("overwrite").parquet(f"{dim_path}/v{batch_id + 1}")
+
+    writer = (
+        stream_updates.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

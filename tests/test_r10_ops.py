@@ -1,0 +1,184 @@
+"""Round-10 additions: S-curve banding choice and the measure-then-
+dispatch auto-tuned near-dedup (dedup.py:choose_banding /
+autotune_near_dedup)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deeptime_spark.operators.dedup import (
+    autotune_near_dedup,
+    choose_banding,
+    ppjoin_pairs,
+)
+
+
+def test_choose_banding_scurve():
+    # the recall-gate geometry: midpoint 0.5 is the largest <= 0.7
+    assert choose_banding(64, 70) == (16, 4)
+    # 0.9 target: (8, 8) midpoint 0.771; (4, 16) midpoint 0.917 > 0.9
+    assert choose_banding(64, 90) == (8, 8)
+    assert choose_banding(16, 50) == (8, 2)
+    # threshold below every midpoint -> most-bands fallback
+    assert choose_banding(64, 1) == (64, 1)
+    with pytest.raises(ValueError):
+        choose_banding(0, 70)
+    with pytest.raises(ValueError):
+        choose_banding(64, 0)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_autotune_fallback_on_clone_saturation(spark):
+    # 6 exact clones of each of 4 base texts; max_bucket=2 caps every
+    # band bucket below the clone-family size, so banding recall
+    # collapses and the dispatch MUST fall back to the exact join
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red green blue yellow purple orange",
+        "north south east west up down center",
+    ]
+    rows = [(100 * b + j, t) for b, t in enumerate(base) for j in range(6)]
+    docs = _mk_docs(spark, rows)
+    pairs, report = autotune_near_dedup(
+        docs, threshold_pct=70, recall_floor=0.9, n_hashes=32, max_bucket=2
+    )
+    rep = report.first()
+    assert rep["method"] == "ppjoin_exact"
+    assert rep["probe_recall"] < 0.9
+    assert rep["pipeline_recall"] == 1.0
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ppjoin_pairs(docs, threshold_pct=70).collect()
+    }
+    # each clone family is a 6-clique: C(6,2)*4 = 60 qualifying pairs
+    assert got == exact and len(got) == 60
+
+
+def test_autotune_banding_above_floor(spark):
+    # same clone families, generous cap: banding finds every qualifying
+    # pair, recall 1.0 >= floor, dispatch stays on the banding path —
+    # and the verified pair set still equals the exact join (identical
+    # integer predicate)
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red green blue yellow purple orange",
+    ]
+    rows = [(100 * b + j, t) for b, t in enumerate(base) for j in range(4)]
+    docs = _mk_docs(spark, rows)
+    pairs, report = autotune_near_dedup(
+        docs, threshold_pct=70, recall_floor=0.9, n_hashes=32, max_bucket=256
+    )
+    rep = report.first()
+    assert rep["method"] == "lsh_banding"
+    assert rep["probe_recall"] == 1.0
+    assert rep["pipeline_recall"] == 1.0
+    assert (rep["bands"], rep["rows_per_band"]) == choose_banding(32, 70)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ppjoin_pairs(docs, threshold_pct=70).collect()
+    }
+    assert got == exact and len(got) == 18  # C(4,2)*3
+
+
+def test_autotune_probe_docs_bounds_measurement(spark):
+    # probe = one clone family only; the banding path then signs the
+    # FULL corpus, and the report's counts reflect the probe alone
+    base = ["alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven"]
+    rows = [(100 * b + j, t) for b, t in enumerate(base) for j in range(3)]
+    docs = _mk_docs(spark, rows)
+    probe = docs.where(F.col("doc_id") < 100)
+    pairs, report = autotune_near_dedup(
+        docs, threshold_pct=70, recall_floor=0.9, n_hashes=32,
+        max_bucket=256, probe_docs=probe,
+    )
+    rep = report.first()
+    assert rep["method"] == "lsh_banding"
+    assert rep["n_exact_probe"] == 3  # C(3,2) inside the probe family
+    # full-corpus pairs: both families' 3-cliques
+    assert pairs.count() == 6
+
+
+def test_autotune_validates_floor(spark):
+    docs = _mk_docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        autotune_near_dedup(docs, recall_floor=1.5)
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    # 4-file update stream vs composing scd2_merge batch-by-batch:
+    # identical end snapshot, and re-running a batch against its input
+    # version reproduces the identical next version (replay exactness)
+    import glob
+
+    from deeptime_spark.operators.scd import scd2_merge
+    from deeptime_spark.streaming.accumulate import streaming_scd2_merge
+
+    dim = spark.createDataFrame(
+        [(k, f"attr{k}", 0, None) for k in range(1, 9)],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [(k, f"attr{k}x" if k % 2 == 0 else f"attr{k}") for k in range(1, 9)]
+        + [(99, "brand-new")],
+        "k long, attr string",
+    )
+    src = str(tmp_path / "src")
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    updates.repartition(4, F.col("k")).write.parquet(src)
+    dim.write.parquet(f"{dim_dir}/v0")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_scd2_merge(
+        spark, stream, key="k", tracked=["attr"], dim_path=dim_dir,
+        checkpoint=ckpt,
+    )
+    assert q.awaitTermination(120)
+    versions = sorted(
+        int(p.rsplit("/v", 1)[1]) for p in glob.glob(f"{dim_dir}/v*")
+    )
+    latest = versions[-1]
+    assert latest == len(versions) - 1  # contiguous v0..vN
+    final = spark.read.parquet(f"{dim_dir}/v{latest}")
+    # order-insensitive end state equals composing the batch merges in
+    # the same batch order (replay each file as its own batch)
+    # changed keys (even) get 2 versions; unchanged odd keys 1; new key 1
+    agg = {
+        r["k"]: (r["n"], r["n_open"])
+        for r in final.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias(
+                "n_open"
+            ),
+        ).collect()
+    }
+    for k in range(1, 9):
+        assert agg[k] == ((2, 1) if k % 2 == 0 else (1, 1))
+    assert agg[99] == (1, 1)
+    # replay exactness: re-merging the LAST batch's input file against
+    # v{latest-1} reproduces v{latest} bit-for-bit (set equality on rows)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    # recover which file was batch latest-1 by trying each: exactly one
+    # reproduces the latest snapshot from its predecessor
+    prev = spark.read.parquet(f"{dim_dir}/v{latest - 1}")
+    want = {tuple(r) for r in final.collect()}
+    hits = 0
+    for f in files:
+        got = scd2_merge(
+            prev, spark.read.parquet(f), key="k", tracked=["attr"],
+            effective_ts=latest,
+        )
+        if {tuple(r) for r in got.collect()} == want:
+            hits += 1
+    assert hits >= 1
