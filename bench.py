@@ -179,6 +179,11 @@ HEADLINE = [
     "corpus_global_shuffle",
     "embedding_sq8_recall",
     "embedding_mmr_rerank",
+    # round-10: measure-then-dispatch tuned dedup (S-curve banding +
+    # recall-gate fallback on the x4 clone fixture) and the streaming
+    # SCD2 dimension merge (4 micro-batches, versioned snapshot)
+    "corpus_tuned_dedup",
+    "streaming_scd2_merge",
 ]
 
 

@@ -895,3 +895,22 @@ def test_scd2_merge_broadcasts_update_batch(spark):
     plan = plan_of(scd2_merge(dim, upd, "k", ["bal", "seg"], 1))
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_tuned_dedup_verify_no_cartesian_no_python(spark):
+    """autotune_near_dedup's banding-path verification joins candidate
+    pairs back to token sets as pure equi-joins with JVM set algebra —
+    never a CartesianProduct, never a Python eval
+    (operators/dedup.py:_verify_pairs_token_jaccard)."""
+    from deeptime_spark.operators.dedup import (
+        _verify_pairs_token_jaccard,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        "source = 'src0'"
+    ).select("doc_id", "text")
+    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8, unit="words")
+    plan = plan_of(_verify_pairs_token_jaccard(cands, docs, 70))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EvalPython" not in plan

@@ -114,6 +114,10 @@ QUERIES = [
     "amm_events", "sensitivity_events",
     # round-9b: global shuffle permutation, SQ8 recall gate, MMR rerank
     "corpus_global_shuffle", "embedding_sq8_recall", "embedding_mmr_rerank", "doc_temperature_mixture", "event_betweenness", "event_harmonic", "event_clustering_coeff", "event_assortativity", "doc_ngram_diversity", "embedding_rp_recall", "orders_constraint_audit", "customer_scd2_merge", "dedup_threshold_sweep", "doc_group_sample",
+    # round-10: tuned-dedup dispatch (clone density rises with k by
+    # construction, so the probe measurement and the fallback PPJoin
+    # both scale with the fixture's dup saturation)
+    "corpus_tuned_dedup",
 ]
 
 
