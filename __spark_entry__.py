@@ -4566,6 +4566,46 @@ def _q_doc_bpe_fertility(spark, sf_dir):
     )
 
 
+def _q_doc_unigram_fertility(spark, sf_dir):
+    """Unigram-LM tokenizer fertility audit (operators/bpe.py:
+    train_unigram / unigram_token_counts_df — Kudo ACL'18, the
+    SentencePiece default): EM + prune trained on the SAME one bounded
+    word-count aggregate BPE uses (corpus-scale work = one map-combined
+    shuffle; the EM is driver-side over the distinct-word table, which
+    is Kudo's own formulation), every document Viterbi-encoded via a
+    broadcast piece table + Arrow map, then per-language fertility =
+    unigram_tokens / words next to the BPE twin. All training inputs are
+    exact integers and every loop iterates sorted structures, so the
+    piece table is a pure function of the word counts; the oracle
+    re-derives word counts from DuckDB and replays the identical
+    training + encoding code (oracle_ref.py:oracle_doc_unigram_fertility)."""
+    from deeptime_spark.operators.bpe import (
+        train_unigram,
+        unigram_token_counts_df,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pieces = train_unigram(docs, vocab_size=300, seed_size=1500, n_em=2)
+    counts = unigram_token_counts_df(docs, pieces)
+    return (
+        counts.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_unigram_tokens").cast("long").alias("n_unigram_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_unigram_tokens",
+            (
+                F.col("n_unigram_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
 def _q_streaming_ewma(spark, sf_dir):
     """Online per-user EWMA as a custom stateful streaming operator
     (streaming/accumulate.py:streaming_ewma, applyInPandasWithState):
@@ -5734,6 +5774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_kmv": _q_corpus_overlap_kmv,
         "media_phash_pairs": _q_media_phash_pairs,
         "doc_bpe_fertility": _q_doc_bpe_fertility,
+        "doc_unigram_fertility": _q_doc_unigram_fertility,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "dedup_recall_gate": _q_dedup_recall_gate,
@@ -5750,8 +5791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-10 driver window (slots 0-49): the 2 never-driver-run round-10
-# queries first (tuned-dedup dispatch, streaming SCD2), then ALL 23
+# Round-10 driver window (slots 0-49): the 3 never-driver-run round-10
+# queries first (tuned-dedup dispatch, streaming SCD2, unigram-LM
+# tokenizer fertility), then ALL 23
 # r5-stale queries (the r9 verdict's evidence-age rotation ask — after
 # this round no query's green evidence predates r6), then the stalest
 # r06 greens, from tools/plan_window.py. Recomputed each round; exactly
@@ -5759,6 +5801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WINDOW_ORDER = [
     "corpus_tuned_dedup",  # last green r00
     "streaming_scd2_merge",  # last green r00
+    "doc_unigram_fertility",  # last green r00
     "q1_pricing_summary",  # last green r05
     "q3_top_orders",  # last green r05
     "q5_supplier_volume",  # last green r05
@@ -5806,7 +5849,6 @@ _WINDOW_ORDER = [
     "event_two_step_counts",  # last green r06
     "event_timeshifted",  # last green r06
     "event_sliding_avg",  # last green r06
-    "event_derivative",  # last green r06
 ]
 
 

@@ -184,6 +184,9 @@ HEADLINE = [
     # SCD2 dimension merge (4 micro-batches, versioned snapshot)
     "corpus_tuned_dedup",
     "streaming_scd2_merge",
+    # round-10b: unigram-LM tokenizer (EM over the bounded word table +
+    # Arrow Viterbi encode) next to the BPE twin
+    "doc_unigram_fertility",
 ]
 
 

@@ -365,3 +365,287 @@ def pack_token_sequences(
         .withColumn("toks", F.transform("_st", lambda s: s["tok"]))
         .drop("_st")
     )
+
+
+# ------------------------------------------------------------------
+# SentencePiece-style UNIGRAM language-model tokenizer (Kudo, "Subword
+# Regularization: Improving Neural Network Translation Models with
+# Multiple Subword Candidates", ACL 2018) — the second of the two
+# tokenizer families production pipelines train (BPE above; unigram is
+# what SentencePiece defaults to for T5/LLaMA-style vocabularies).
+#
+# Identical 100 TB decomposition to BPE: the corpus-scale work is the
+# SAME one word-count aggregation (collect_word_counts — map-combined,
+# bounded by min_count/top_k_words); EM training operates on the
+# distinct-word frequency dictionary driver-side (Kudo's algorithm is
+# defined on exactly that table); encoding is broadcast piece table +
+# one Arrow map with an LRU word cache. All training inputs are exact
+# integers and every loop iterates deterministically-ordered
+# structures, so the trained table is a pure function of the word
+# counts — layout-independent and replayable by the oracle.
+
+
+def seed_unigram_pieces(
+    counts: Sequence[tuple[str, int]],
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+) -> list[str]:
+    """Candidate seed vocabulary: every substring (length <= L) of every
+    dictionary word, scored by count * len(piece) (the SentencePiece
+    seed heuristic — frequent LONG substrings are the useful pieces);
+    top ``seed_size`` by (score desc, piece asc), plus ALL single
+    characters (segmentation coverage guarantee)."""
+    scores: Counter = Counter()
+    chars: set[str] = set()
+    for word, n in counts:
+        m = len(word)
+        chars.update(word)
+        for i in range(m):
+            for j in range(i + 1, min(i + max_piece_len, m) + 1):
+                scores[word[i:j]] += n * (j - i)
+    multi = [p for p in scores if len(p) > 1]
+    multi.sort(key=lambda p: (-scores[p], p))
+    return sorted(chars) + multi[: max(seed_size - len(chars), 0)]
+
+
+def _unigram_expected_counts(
+    counts: Sequence[tuple[str, int]],
+    logp: dict,
+    max_piece_len: int,
+) -> tuple[dict, float]:
+    """One E-step: forward-backward over each word's segmentation
+    lattice, expected piece counts weighted by word frequency, plus the
+    corpus log-likelihood. Deterministic: words in dictionary order,
+    lattice edges in (position, length) order."""
+    import math
+
+    expected: dict = {}
+    total_ll = 0.0
+    NEG = float("-inf")
+    for word, n in counts:
+        m = len(word)
+        fwd = [NEG] * (m + 1)
+        fwd[0] = 0.0
+        for j in range(1, m + 1):
+            acc = NEG
+            for i in range(max(0, j - max_piece_len), j):
+                lp = logp.get(word[i:j])
+                if lp is None or fwd[i] == NEG:
+                    continue
+                v = fwd[i] + lp
+                acc = v if acc == NEG else (
+                    max(acc, v) + math.log1p(math.exp(-abs(acc - v)))
+                )
+            fwd[j] = acc
+        if fwd[m] == NEG:
+            continue  # word not coverable (pruned char) — skipped consistently
+        bwd = [NEG] * (m + 1)
+        bwd[m] = 0.0
+        for i in range(m - 1, -1, -1):
+            acc = NEG
+            for j in range(i + 1, min(i + max_piece_len, m) + 1):
+                lp = logp.get(word[i:j])
+                if lp is None or bwd[j] == NEG:
+                    continue
+                v = lp + bwd[j]
+                acc = v if acc == NEG else (
+                    max(acc, v) + math.log1p(math.exp(-abs(acc - v)))
+                )
+            bwd[i] = acc
+        z = fwd[m]
+        total_ll += n * z
+        for i in range(m):
+            for ln in range(1, min(max_piece_len, m - i) + 1):
+                piece = word[i : i + ln]
+                lp = logp.get(piece)
+                if lp is None or fwd[i] == NEG or bwd[i + ln] == NEG:
+                    continue
+                post = math.exp(fwd[i] + lp + bwd[i + ln] - z)
+                if post > 0.0:
+                    expected[piece] = expected.get(piece, 0.0) + n * post
+    return expected, total_ll
+
+
+def train_unigram_from_counts(
+    counts: Iterable[tuple[str, int]],
+    vocab_size: int = 400,
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+    n_em: int = 2,
+    shrink: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Kudo's iterative EM + prune: seed a large candidate vocabulary,
+    alternate (``n_em`` EM rounds -> prune to ``shrink`` of the current
+    multi-char pieces by expected count) until <= ``vocab_size`` pieces
+    remain, with single characters never pruned (coverage). Ties in the
+    prune ordering break lexicographically; every loop iterates sorted
+    structures, so the output is a pure deterministic function of the
+    integer word counts.
+
+    Returns [(piece, log_prob)] sorted by piece."""
+    import math
+
+    counts = sorted(((w, int(n)) for w, n in counts if w), key=lambda kv: (-kv[1], kv[0]))
+    if not counts:
+        return []
+    pieces = seed_unigram_pieces(counts, max_piece_len, seed_size)
+    chars = {p for p in pieces if len(p) == 1}
+    # init: normalized seed scores (count*len), the SentencePiece seeding
+    scores: Counter = Counter()
+    for word, n in counts:
+        m = len(word)
+        for i in range(m):
+            for j in range(i + 1, min(i + max_piece_len, m) + 1):
+                p = word[i:j]
+                scores[p] += n * (j - i)
+    piece_set = set(pieces)
+    tot = float(sum(scores[p] for p in pieces))
+    logp = {p: math.log(scores[p] / tot) for p in pieces}
+    while True:
+        for _ in range(max(n_em, 1)):
+            expected, _ll = _unigram_expected_counts(counts, logp, max_piece_len)
+            tot = sum(expected[p] for p in sorted(expected))
+            if tot <= 0.0:
+                break
+            logp = {p: math.log(expected[p] / tot) for p in sorted(expected) if expected[p] > 0.0}
+            for c in sorted(chars):  # coverage floor for chars EM zeroed
+                if c not in logp:
+                    logp[c] = math.log(1e-12)
+        multi = sorted(
+            (p for p in logp if len(p) > 1),
+            key=lambda p: (-expected.get(p, 0.0), p),
+        )
+        n_keep_target = max(vocab_size - len(chars), 0)
+        if len(multi) <= n_keep_target or len(logp) <= vocab_size:
+            break
+        n_keep = max(int(len(multi) * shrink), n_keep_target)
+        if n_keep >= len(multi):
+            n_keep = n_keep_target
+        kept = set(multi[:n_keep]) | chars
+        logp = {p: lp for p, lp in logp.items() if p in kept}
+    # final renormalized table over the surviving vocabulary
+    expected, _ll = _unigram_expected_counts(counts, logp, max_piece_len)
+    tot = sum(expected[p] for p in sorted(expected))
+    out = {
+        p: math.log(expected[p] / tot)
+        for p in sorted(expected)
+        if expected[p] > 0.0
+    }
+    for c in sorted(chars):
+        if c not in out:
+            out[c] = math.log(1e-12)
+    return sorted(out.items())
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 400,
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+    n_em: int = 2,
+    min_count: int = 2,
+    top_k_words: int | None = 1_000_000,
+) -> list[tuple[str, float]]:
+    """Corpus-scale work = the same ONE bounded word-count aggregate BPE
+    trains from; EM is driver-side over the dictionary (Kudo's algorithm
+    is defined on exactly that table)."""
+    return train_unigram_from_counts(
+        collect_word_counts(df, text_col, min_count, top_k_words),
+        vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+        seed_size=seed_size,
+        n_em=n_em,
+    )
+
+
+def unigram_encode_word(
+    word: str, logp: dict, max_piece_len: int = 8, unk_logp: float | None = None
+) -> list[str]:
+    """Viterbi best segmentation under the unigram model. Unknown
+    characters fall back to a floor score (min table log-prob - 10).
+    Ties break toward the LONGEST piece ending at each position —
+    deterministic and layout-free."""
+    if unk_logp is None:
+        unk_logp = (min(logp.values()) if logp else 0.0) - 10.0
+    m = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (m + 1)
+    back = [0] * (m + 1)
+    best[0] = 0.0
+    for j in range(1, m + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if j - i == 1:
+                    lp = unk_logp  # single unknown char
+                else:
+                    continue
+            if best[i] == NEG:
+                continue
+            v = best[i] + lp
+            # strict > keeps the SMALLEST i on ties = longest piece
+            if v > best[j] or (v == best[j] and i < back[j]):
+                best[j] = v
+                back[j] = i
+    out: list[str] = []
+    j = m
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_token_counts_df(
+    df: DataFrame,
+    pieces: Sequence[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """(id, n_words, n_unigram_tokens) per document — broadcast piece
+    table, one Arrow map, per-batch LRU over distinct words (the
+    bpe_token_counts_df shape)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    logp = dict(pieces)
+    bc = df.sparkSession.sparkContext.broadcast(logp)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_words", LongType()),
+            StructField("n_unigram_tokens", LongType()),
+        ]
+    )
+    src = spread_for_map_parallelism(df.select(id_col, text_col), id_col)
+
+    def enc(batches):
+        table = bc.value
+        unk = (min(table.values()) if table else 0.0) - 10.0
+        cache: dict[str, int] = {}
+
+        def n_toks(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = len(unigram_encode_word(w, table, max_piece_len, unk))
+                cache[w] = v
+            return v
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, nw, nt = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in (t or "").lower().strip(" ").split() if w]
+                ids.append(int(i))
+                nw.append(len(ws))
+                nt.append(sum(n_toks(w) for w in ws))
+            yield pd.DataFrame({id_col: ids, "n_words": nw, "n_unigram_tokens": nt})
+
+    return src.mapInPandas(enc, schema)

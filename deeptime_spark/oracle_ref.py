@@ -3944,3 +3944,60 @@ def oracle_corpus_tuned_dedup() -> str:
 
 
 _BUILDERS["corpus_tuned_dedup"] = oracle_corpus_tuned_dedup
+
+
+def oracle_doc_unigram_fertility() -> str:
+    """Per-language unigram-LM tokenizer fertility: word counts from the
+    DuckDB corpus (independent of Spark), then the IDENTICAL
+    deterministic EM+prune trainer and Viterbi encoder (shared
+    finalize — the trainer is a pure function of the integer word
+    counts, so any Spark-side word-count deviation fails the compare);
+    DuckDB does the lang aggregation and the single division."""
+    from collections import Counter
+
+    from deeptime_spark.operators.bpe import (
+        train_unigram_from_counts,
+        unigram_encode_word,
+    )
+
+    docs = _docs(sf_dir())
+    wc: Counter = Counter()
+    per_doc = []
+    for doc_id, text in docs:
+        ws = [w for w in _tokens_py(text or "") if w]
+        per_doc.append((doc_id, ws))
+        wc.update(ws)
+    # mirror collect_word_counts defaults: min_count=2 + the 1M top-k cut
+    counts = [
+        (w, n)
+        for w, n in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n >= 2
+    ][:1_000_000]
+    table = dict(
+        train_unigram_from_counts(counts, vocab_size=300, seed_size=1500, n_em=2)
+    )
+    unk = (min(table.values()) if table else 0.0) - 10.0
+    cache: dict = {}
+    rows = []
+    for doc_id, ws in per_doc:
+        nt = 0
+        for w in ws:
+            v = cache.get(w)
+            if v is None:
+                v = len(unigram_encode_word(w, table, 8, unk))
+                cache[w] = v
+            nt += v
+        rows.append((doc_id, len(ws), nt))
+    per_doc_sql = _values_sql(rows, ["doc_id", "n_words", "n_unigram_tokens"], "bbb")
+    return f"""
+WITH per_doc AS ({per_doc_sql})
+SELECT d.lang,
+       CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_unigram_tokens) AS BIGINT) AS n_unigram_tokens,
+       CAST(SUM(p.n_unigram_tokens) AS DOUBLE) / CAST(SUM(p.n_words) AS DOUBLE) AS fertility
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+_BUILDERS["doc_unigram_fertility"] = oracle_doc_unigram_fertility

@@ -182,3 +182,83 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
         if {tuple(r) for r in got.collect()} == want:
             hits += 1
     assert hits >= 1
+
+
+# -------------------------------- unigram-LM tokenizer (Kudo, ACL'18)
+
+def test_unigram_train_deterministic_and_bounded():
+    from deeptime_spark.operators.bpe import train_unigram_from_counts
+
+    counts = [("hello", 50), ("help", 30), ("world", 40), ("word", 20),
+              ("hell", 10), ("low", 15), ("lowest", 5), ("he", 25)]
+    tab = train_unigram_from_counts(counts, vocab_size=20, seed_size=50, n_em=2)
+    # deterministic under dictionary reorder (all loops sort)
+    tab2 = train_unigram_from_counts(
+        list(reversed(counts)), vocab_size=20, seed_size=50, n_em=2
+    )
+    assert tab == tab2
+    assert len(tab) <= 20
+    # coverage: every character of the dictionary survives pruning
+    chars = {c for w, _ in counts for c in w}
+    assert chars <= {p for p, _ in tab}
+    # normalized model: probabilities sum to ~1
+    import math
+    assert abs(sum(math.exp(lp) for _, lp in tab) - 1.0) < 1e-6
+
+
+def test_unigram_viterbi_matches_bruteforce():
+    import itertools
+    import math
+
+    from deeptime_spark.operators.bpe import (
+        train_unigram_from_counts,
+        unigram_encode_word,
+    )
+
+    counts = [("abab", 20), ("abc", 10), ("bc", 15), ("cab", 5)]
+    table = dict(train_unigram_from_counts(counts, vocab_size=12, seed_size=30))
+    unk = min(table.values()) - 10.0
+
+    def brute(word):
+        best, best_score = None, -math.inf
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            segs = [word[pos[i]:pos[i + 1]] for i in range(len(pos) - 1)]
+            score = sum(
+                table.get(s, unk if len(s) == 1 else -math.inf) for s in segs
+            )
+            if score > best_score:
+                best, best_score = segs, score
+        return best_score
+
+    for w in ("abab", "abcbc", "cababc", "xbc"):
+        got = unigram_encode_word(w, table, 8, unk)
+        got_score = sum(table.get(s, unk) for s in got)
+        assert abs(got_score - brute(w)) < 1e-9, (w, got)
+
+
+def test_unigram_token_counts_df_matches_driver_encode(spark):
+    from deeptime_spark.operators.bpe import (
+        train_unigram_from_counts,
+        unigram_encode_word,
+        unigram_token_counts_df,
+    )
+
+    texts = ["hello world", "help the world", "hello hello low", ""]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    from collections import Counter
+    wc = Counter(w for t in texts for w in t.split() if w)
+    pieces = train_unigram_from_counts(sorted(wc.items()), vocab_size=30, seed_size=60)
+    table = dict(pieces)
+    unk = min(table.values()) - 10.0
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_unigram_tokens"])
+        for r in unigram_token_counts_df(docs, pieces).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = [w for w in t.lower().strip(" ").split() if w]
+        want = (len(ws), sum(len(unigram_encode_word(w, table, 8, unk)) for w in ws))
+        assert got[i] == want, (i, got[i], want)

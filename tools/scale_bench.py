@@ -118,6 +118,9 @@ QUERIES = [
     # construction, so the probe measurement and the fallback PPJoin
     # both scale with the fixture's dup saturation)
     "corpus_tuned_dedup",
+    # round-10b: unigram tokenizer — corpus-scale work is the same one
+    # word-count aggregate BPE scales by; EM cost is dictionary-bound
+    "doc_unigram_fertility",
 ]
 
 
