@@ -4566,6 +4566,77 @@ def _q_doc_bpe_fertility(spark, sf_dir):
     )
 
 
+def _q_customer_record_linkage(spark, sf_dir):
+    """Blocked record linkage / entity resolution (operators/linkage.py:
+    blocked_record_linkage — Fellegi-Sunter scoring over
+    Christen-style blocking): the customer dimension plus a synthesized
+    noisy copy of itself (last name char replaced, every 5th key's
+    balance off by one cent), blocked on (nationkey, mktsegment) with
+    the deterministic per-block cap, name compared by JVM levenshtein
+    similarity, balance cents exactly, weight-normalized score
+    thresholded at 0.9 — the clone pairs match on (name~0.94, bal=1),
+    the off-by-a-cent clones drop below threshold (partial-match
+    behavior pinned). All similarities are integers + one division, so
+    the pure-SQL DuckDB oracle replays the pipeline bit-for-bit."""
+    from deeptime_spark.operators.linkage import blocked_record_linkage
+
+    cust = _read(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    noisy = base.select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")
+        ).alias("name"),
+        "nk",
+        "seg",
+        F.when(F.col("id") % 5 == 0, F.col("bal") + 1)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    recs = base.unionByName(noisy)
+    out = blocked_record_linkage(
+        recs,
+        id_col="id",
+        block_keys=[["nk", "seg"]],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        weights={"name": 1, "bal": 2},
+        threshold=0.9,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("sim_name", 6).alias("sim_name"),
+        "sim_bal",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_event_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic (operators/profile.py:skew_profile):
+    the pre-shuffle profiling pass that sizes salting factors and AQE
+    skew thresholds — one map-combined key-count aggregate (never
+    row-scale), a distributed TakeOrdered for the heavy keys, exact
+    integer share and skew_ratio (count x n_keys / n_rows = multiples
+    of the mean bucket). Profiled on the events stream's event_type
+    (the classic low-cardinality hot-key shape). Pure-SQL oracle."""
+    from deeptime_spark.operators.profile import skew_profile
+
+    ev = _read(spark, sf_dir, "events")
+    out = skew_profile(ev, ["event_type"], top_n=5)
+    return out.select(
+        "rank", "key", "n_rows_key", "n_rows_total", "n_keys",
+        F.round("share", 6).alias("share"),
+        F.round("skew_ratio", 6).alias("skew_ratio"),
+    )
+
+
 def _q_doc_unigram_fertility(spark, sf_dir):
     """Unigram-LM tokenizer fertility audit (operators/bpe.py:
     train_unigram / unigram_token_counts_df — Kudo ACL'18, the
@@ -5775,6 +5846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_pairs": _q_media_phash_pairs,
         "doc_bpe_fertility": _q_doc_bpe_fertility,
         "doc_unigram_fertility": _q_doc_unigram_fertility,
+        "event_skew_profile": _q_event_skew_profile,
+        "customer_record_linkage": _q_customer_record_linkage,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "dedup_recall_gate": _q_dedup_recall_gate,
@@ -5791,9 +5864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-10 driver window (slots 0-49): the 3 never-driver-run round-10
+# Round-10 driver window (slots 0-49): the 5 never-driver-run round-10
 # queries first (tuned-dedup dispatch, streaming SCD2, unigram-LM
-# tokenizer fertility), then ALL 23
+# tokenizer fertility, key-skew profile, blocked record linkage), then
+# ALL 23
 # r5-stale queries (the r9 verdict's evidence-age rotation ask — after
 # this round no query's green evidence predates r6), then the stalest
 # r06 greens, from tools/plan_window.py. Recomputed each round; exactly
@@ -5802,6 +5876,8 @@ _WINDOW_ORDER = [
     "corpus_tuned_dedup",  # last green r00
     "streaming_scd2_merge",  # last green r00
     "doc_unigram_fertility",  # last green r00
+    "event_skew_profile",  # last green r00
+    "customer_record_linkage",  # last green r00
     "q1_pricing_summary",  # last green r05
     "q3_top_orders",  # last green r05
     "q5_supplier_volume",  # last green r05
@@ -5847,8 +5923,6 @@ _WINDOW_ORDER = [
     "event_funnel",  # last green r06
     "event_retention",  # last green r06
     "event_two_step_counts",  # last green r06
-    "event_timeshifted",  # last green r06
-    "event_sliding_avg",  # last green r06
 ]
 
 
@@ -6887,6 +6961,68 @@ UNION ALL
 SELECT u.c_custkey, u.acctbal_cents, u.segment,
        CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
 FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+""",
+        "customer_record_linkage": r"""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+         c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), recs AS (
+  SELECT id, name, nk, seg, bal FROM base
+  UNION ALL
+  SELECT id + 10000000,
+         substr(name, 1, length(name) - 1) || 'X',
+         nk, seg,
+         CASE WHEN id % 5 = 0 THEN bal + 1 ELSE bal END
+  FROM base
+), blk AS (
+  SELECT id, nk, seg FROM (
+    SELECT id, nk, seg,
+           row_number() OVER (PARTITION BY nk, seg ORDER BY id) AS rn
+    FROM recs WHERE nk IS NOT NULL AND seg IS NOT NULL
+  ) WHERE rn <= 1000
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM blk a JOIN blk b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+), sims AS (
+  SELECT c.id_a, c.id_b,
+         1.0 - CAST(levenshtein(coalesce(x.name, ''), coalesce(y.name, '')) AS DOUBLE)
+             / CAST(GREATEST(length(coalesce(x.name, '')), length(coalesce(y.name, '')), 1) AS DOUBLE)
+           AS sim_name,
+         CASE WHEN x.bal = y.bal THEN 1.0 ELSE 0.0 END AS sim_bal
+  FROM cand c
+  JOIN recs x ON x.id = c.id_a
+  JOIN recs y ON y.id = c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(sim_name, 6) AS sim_name,
+       sim_bal,
+       ROUND(sim_name * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+             + sim_bal * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)), 6) AS score
+FROM sims
+WHERE sim_name * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+      + sim_bal * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) >= 0.9
+""",
+        "event_skew_profile": r"""
+WITH c AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), 'NULL') AS key,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+), t AS (
+  SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c
+), r AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank FROM c
+)
+SELECT CAST(rank AS BIGINT) AS rank,
+       key,
+       CAST(n AS BIGINT) AS n_rows_key,
+       CAST(total AS BIGINT) AS n_rows_total,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       ROUND(CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE), 6) AS skew_ratio
+FROM r, t
+WHERE rank <= 5
 """,
         "streaming_scd2_merge": r"""
 WITH dim AS (

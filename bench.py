@@ -187,6 +187,10 @@ HEADLINE = [
     # round-10b: unigram-LM tokenizer (EM over the bounded word table +
     # Arrow Viterbi encode) next to the BPE twin
     "doc_unigram_fertility",
+    # round-10b: pre-shuffle key-skew diagnostic and blocked entity
+    # resolution (levenshtein scoring over capped blocking joins)
+    "event_skew_profile",
+    "customer_record_linkage",
 ]
 
 

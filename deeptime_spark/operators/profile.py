@@ -212,3 +212,73 @@ def constraint_audit(
         "constraint string, kind string, n_rows long, "
         "n_violations long, pass boolean",
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/aggregation KEY-SKEW diagnostic — the profiling pass a
+    100 TB pipeline runs BEFORE keying a shuffle on a column: every
+    groupBy/join on a skewed key funnels the heavy key's rows through
+    one reducer, and the fix (salting factor, broadcast switch, AQE
+    skew-join thresholds) needs the numbers this report carries.
+
+    ONE map-combined aggregate (groupBy(key).count()) — the key-count
+    relation is key-cardinality-scale, never row-scale — then a bounded
+    TakeOrdered for the top-``top_n`` heavy keys with EXACT integer
+    global stats riding along:
+
+    - ``share`` = the key's fraction of all rows (its reducer's load);
+    - ``skew_ratio`` = count x n_keys / n_rows — how many times the
+      mean bucket this key weighs (1.0 = perfectly uniform). A key with
+      skew_ratio r needs ~ceil(r) salts to level its reducer, which is
+      exactly how the salted two-stage top-k (operators/similarity.py)
+      and AQE's skew-join split pick their fan-out.
+
+    All values are exact integers or single divisions of exact integers
+    — engine-portable, diffable run-to-run. NULL keys profile like
+    values (a NULL-heavy join key is the most common skew bug).
+
+    Returns (rank, key, n_rows_key, n_rows_total, n_keys, share,
+    skew_ratio), rank 1 = heaviest; ``key`` is the string render of the
+    key tuple (NULL -> 'NULL', multi-col joined with '|').
+    """
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not cols or top_n < 1:
+        raise ValueError("need >=1 key column and top_n >= 1")
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+    )
+    counts = df.select(key.alias("_key")).groupBy("_key").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    from pyspark.sql import Window
+
+    totals = counts.agg(
+        F.sum("_n").alias("_total"), F.count(F.lit(1)).alias("_keys")
+    )
+    # distributed TakeOrdered heap FIRST (orderBy+limit), THEN the rank
+    # window over the top_n-row result — a bare global row_number window
+    # would funnel the whole key-cardinality relation through one task
+    top = counts.orderBy(F.col("_n").desc(), F.col("_key")).limit(int(top_n))
+    w = Window.orderBy(F.col("_n").desc(), F.col("_key"))
+    top = top.withColumn("rank", F.row_number().over(w))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_key").alias("key"),
+            F.col("_n").cast("long").alias("n_rows_key"),
+            F.col("_total").cast("long").alias("n_rows_total"),
+            F.col("_keys").cast("long").alias("n_keys"),
+            (F.col("_n").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("_n") * F.col("_keys")).cast("double")
+                / F.col("_total").cast("double")
+            ).alias("skew_ratio"),
+        )
+    )

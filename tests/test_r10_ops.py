@@ -262,3 +262,63 @@ def test_unigram_token_counts_df_matches_driver_encode(spark):
         ws = [w for w in t.lower().strip(" ").split() if w]
         want = (len(ws), sum(len(unigram_encode_word(w, table, 8, unk)) for w in ws))
         assert got[i] == want, (i, got[i], want)
+
+
+# ---------------------------- skew profiler + blocked record linkage
+
+def test_skew_profile_exact_stats(spark):
+    from deeptime_spark.operators.profile import skew_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rank"]: r for r in skew_profile(df, "k", top_n=4).collect()}
+    assert [out[i]["key"] for i in (1, 2, 3, 4)] == ["a", "b", "NULL", "c"]
+    r1 = out[1]
+    assert (r1["n_rows_key"], r1["n_rows_total"], r1["n_keys"]) == (6, 12, 4)
+    assert r1["share"] == 6 / 12 and r1["skew_ratio"] == 6 * 4 / 12
+    with pytest.raises(ValueError):
+        skew_profile(df, [], top_n=4)
+
+
+def test_blocked_candidates_cap_and_null(spark):
+    from deeptime_spark.operators.linkage import blocked_candidates
+
+    rows = [(i, "x" if i < 5 else None) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, blk string")
+    # NULL blocks never match; cap=3 keeps ids 0,1,2 -> C(3,2)=3 pairs
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_candidates(df, "id", ["blk"], max_block=3).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    # uncapped: C(5,2)=10 pairs among the non-null block members
+    assert blocked_candidates(df, "id", ["blk"], max_block=None).count() == 10
+
+
+def test_blocked_record_linkage_scores(spark):
+    from deeptime_spark.operators.linkage import blocked_record_linkage
+
+    rows = [
+        (1, "jonathan smith", "10001", 100),
+        (2, "jonathan smyth", "10001", 100),   # 1 edit, same bal -> match
+        (3, "entirely other", "10001", 100),   # same bal, name far
+        (4, "jonathan smith", "10001", 999),   # same name, bal off
+        (5, "jonathan smith", "20002", 100),   # different block: no pair
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, zip string, bal long")
+    out = blocked_record_linkage(
+        df, "id", ["zip"], string_fields=["name"], exact_fields=["bal"],
+        weights={"name": 1, "bal": 2}, threshold=0.9,
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert abs(r["sim_name"] - (1 - 1 / 14)) < 1e-12
+    assert r["sim_bal"] == 1.0
+    assert abs(r["score"] - ((1 - 1 / 14) / 3 + 2 / 3)) < 1e-12
+    # name-far + bal-match scores (low + 2/3) < 0.9; bal-off scores 1/3
+    assert (1, 3) not in got and (1, 4) not in got
+    # cross-block pair never became a candidate
+    assert all(5 not in p for p in got)
+    with pytest.raises(ValueError):
+        blocked_record_linkage(df, "id", ["zip"])

@@ -121,6 +121,11 @@ QUERIES = [
     # round-10b: unigram tokenizer — corpus-scale work is the same one
     # word-count aggregate BPE scales by; EM cost is dictionary-bound
     "doc_unigram_fertility",
+    # round-10b: skew diagnostic (one key-count agg) + blocked record
+    # linkage (blocking joins bounded by the per-block cap; pair volume
+    # grows with block density like the dedup family)
+    "event_skew_profile",
+    "customer_record_linkage",
 ]
 
 
