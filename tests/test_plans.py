@@ -914,3 +914,26 @@ def test_tuned_dedup_verify_no_cartesian_no_python(spark):
     plan = plan_of(_verify_pairs_token_jaccard(cands, docs, 70))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_record_linkage_no_cartesian_no_python(spark):
+    """Blocked record linkage must stay equi-join + codegen end to end:
+    blocking joins on the block keys, levenshtein/equality scoring as
+    column expressions — no CartesianProduct, no Python eval
+    (operators/linkage.py:blocked_record_linkage)."""
+    from deeptime_spark.operators.linkage import blocked_record_linkage
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    plan = plan_of(
+        blocked_record_linkage(
+            cust, "id", ["nk"], string_fields=["name"],
+            exact_fields=["bal"], threshold=0.9,
+        )
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EvalPython" not in plan
