@@ -4618,6 +4618,58 @@ def _q_customer_record_linkage(spark, sf_dir):
     )
 
 
+def _q_customer_entity_resolution(spark, sf_dir):
+    """Golden-record election — the entity-resolution composition
+    (linkage.blocked_record_linkage -> dedup.connected_components ->
+    min-id canonical survivor, via drop_near_duplicates): the SAME
+    noisy-clone fixture as customer_record_linkage, matched pairs
+    union-found into entity clusters, one canonical record kept per
+    cluster plus every unmatched record — the same composition the
+    document pipeline uses for near-dup drop, applied to structured
+    entities. Per-segment survivor counts + id/balance checksums; the
+    oracle replays the pair SQL (shared constant — no drift), Python
+    union-find, and a literal loser-set anti-join
+    (oracle_ref.py:oracle_customer_entity_resolution)."""
+    from deeptime_spark.operators.dedup import drop_near_duplicates
+    from deeptime_spark.operators.linkage import blocked_record_linkage
+
+    cust = _read(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    noisy = base.select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")
+        ).alias("name"),
+        "nk",
+        "seg",
+        F.when(F.col("id") % 5 == 0, F.col("bal") + 1)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    recs = base.unionByName(noisy)
+    pairs = blocked_record_linkage(
+        recs,
+        id_col="id",
+        block_keys=[["nk", "seg"]],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        weights={"name": 1, "bal": 2},
+        threshold=0.9,
+    )
+    golden = drop_near_duplicates(recs, pairs, id_col="id")
+    return golden.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("id").cast("long").alias("id_checksum"),
+        F.sum("bal").cast("long").alias("bal_checksum"),
+    )
+
+
 def _q_event_skew_profile(spark, sf_dir):
     """Join-key skew diagnostic (operators/profile.py:skew_profile):
     the pre-shuffle profiling pass that sizes salting factors and AQE
@@ -5848,6 +5900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_fertility": _q_doc_unigram_fertility,
         "event_skew_profile": _q_event_skew_profile,
         "customer_record_linkage": _q_customer_record_linkage,
+        "customer_entity_resolution": _q_customer_entity_resolution,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "dedup_recall_gate": _q_dedup_recall_gate,
@@ -5864,10 +5917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-10 driver window (slots 0-49): the 5 never-driver-run round-10
+# Round-10 driver window (slots 0-49): the 6 never-driver-run round-10
 # queries first (tuned-dedup dispatch, streaming SCD2, unigram-LM
-# tokenizer fertility, key-skew profile, blocked record linkage), then
-# ALL 23
+# tokenizer fertility, key-skew profile, blocked record linkage, and
+# the golden-record entity-resolution composition), then ALL 23
 # r5-stale queries (the r9 verdict's evidence-age rotation ask — after
 # this round no query's green evidence predates r6), then the stalest
 # r06 greens, from tools/plan_window.py. Recomputed each round; exactly
@@ -5878,6 +5931,7 @@ _WINDOW_ORDER = [
     "doc_unigram_fertility",  # last green r00
     "event_skew_profile",  # last green r00
     "customer_record_linkage",  # last green r00
+    "customer_entity_resolution",  # last green r00
     "q1_pricing_summary",  # last green r05
     "q3_top_orders",  # last green r05
     "q5_supplier_volume",  # last green r05
@@ -5922,7 +5976,6 @@ _WINDOW_ORDER = [
     "doc_novelty",  # last green r06
     "event_funnel",  # last green r06
     "event_retention",  # last green r06
-    "event_two_step_counts",  # last green r06
 ]
 
 
@@ -6962,48 +7015,6 @@ SELECT u.c_custkey, u.acctbal_cents, u.segment,
        CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
 FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim)
 """,
-        "customer_record_linkage": r"""
-WITH base AS (
-  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
-         c_mktsegment AS seg,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
-  FROM customer
-), recs AS (
-  SELECT id, name, nk, seg, bal FROM base
-  UNION ALL
-  SELECT id + 10000000,
-         substr(name, 1, length(name) - 1) || 'X',
-         nk, seg,
-         CASE WHEN id % 5 = 0 THEN bal + 1 ELSE bal END
-  FROM base
-), blk AS (
-  SELECT id, nk, seg FROM (
-    SELECT id, nk, seg,
-           row_number() OVER (PARTITION BY nk, seg ORDER BY id) AS rn
-    FROM recs WHERE nk IS NOT NULL AND seg IS NOT NULL
-  ) WHERE rn <= 1000
-), cand AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM blk a JOIN blk b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
-), sims AS (
-  SELECT c.id_a, c.id_b,
-         1.0 - CAST(levenshtein(coalesce(x.name, ''), coalesce(y.name, '')) AS DOUBLE)
-             / CAST(GREATEST(length(coalesce(x.name, '')), length(coalesce(y.name, '')), 1) AS DOUBLE)
-           AS sim_name,
-         CASE WHEN x.bal = y.bal THEN 1.0 ELSE 0.0 END AS sim_bal
-  FROM cand c
-  JOIN recs x ON x.id = c.id_a
-  JOIN recs y ON y.id = c.id_b
-)
-SELECT id_a, id_b,
-       ROUND(sim_name, 6) AS sim_name,
-       sim_bal,
-       ROUND(sim_name * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
-             + sim_bal * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)), 6) AS score
-FROM sims
-WHERE sim_name * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
-      + sim_bal * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) >= 0.9
-""",
         "event_skew_profile": r"""
 WITH c AS (
   SELECT COALESCE(CAST(event_type AS VARCHAR), 'NULL') AS key,
@@ -7986,8 +7997,13 @@ FROM v WHERE 100 * i >= 80 * u
     # driver-finalize literals (deeptime_spark/oracle_ref.py). Builders are
     # failure-isolated; a raising builder leaves its query rows-only.
     try:
-        from deeptime_spark.oracle_ref import estimator_oracles
+        from deeptime_spark.oracle_ref import (
+            CUSTOMER_LINKAGE_PAIRS_SQL,
+            estimator_oracles,
+        )
 
+        # single definition shared with the entity-resolution builder
+        base["customer_record_linkage"] = CUSTOMER_LINKAGE_PAIRS_SQL
         base.update(estimator_oracles())
     except Exception:
         pass

@@ -191,6 +191,7 @@ HEADLINE = [
     # resolution (levenshtein scoring over capped blocking joins)
     "event_skew_profile",
     "customer_record_linkage",
+    "customer_entity_resolution",
 ]
 
 

@@ -4001,3 +4001,114 @@ GROUP BY d.lang
 
 
 _BUILDERS["doc_unigram_fertility"] = oracle_doc_unigram_fertility
+
+
+# Shared by the customer_record_linkage oracle entry (__spark_entry__
+# references this constant) and the entity-resolution builder below —
+# one definition, no drift.
+CUSTOMER_LINKAGE_PAIRS_SQL = r"""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+         c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), recs AS (
+  SELECT id, name, nk, seg, bal FROM base
+  UNION ALL
+  SELECT id + 10000000,
+         substr(name, 1, length(name) - 1) || 'X',
+         nk, seg,
+         CASE WHEN id % 5 = 0 THEN bal + 1 ELSE bal END
+  FROM base
+), blk AS (
+  SELECT id, nk, seg FROM (
+    SELECT id, nk, seg,
+           row_number() OVER (PARTITION BY nk, seg ORDER BY id) AS rn
+    FROM recs WHERE nk IS NOT NULL AND seg IS NOT NULL
+  ) WHERE rn <= 1000
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM blk a JOIN blk b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+), sims AS (
+  SELECT c.id_a, c.id_b,
+         1.0 - CAST(levenshtein(coalesce(x.name, ''), coalesce(y.name, '')) AS DOUBLE)
+             / CAST(GREATEST(length(coalesce(x.name, '')), length(coalesce(y.name, '')), 1) AS DOUBLE)
+           AS sim_name,
+         CASE WHEN x.bal = y.bal THEN 1.0 ELSE 0.0 END AS sim_bal
+  FROM cand c
+  JOIN recs x ON x.id = c.id_a
+  JOIN recs y ON y.id = c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(sim_name, 6) AS sim_name,
+       sim_bal,
+       ROUND(sim_name * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+             + sim_bal * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)), 6) AS score
+FROM sims
+WHERE sim_name * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+      + sim_bal * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) >= 0.9
+"""
+
+
+def oracle_customer_entity_resolution() -> str:
+    """Golden-record election replica: the linkage pair relation comes
+    from the SAME pure SQL the customer_record_linkage oracle runs;
+    Python union-finds the match clusters (min-id canonical — the
+    doc_setsim_drop pattern) and the survivors aggregate per segment in
+    SQL over the reconstructed record set."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{sf_dir()}/customer.parquet')"
+    )
+    pairs = con.execute(CUSTOMER_LINKAGE_PAIRS_SQL).fetchall()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, *_ in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    members: dict = {}
+    for x in set(parent):
+        members.setdefault(find(x), set()).add(x)
+    losers = sorted(
+        m
+        for root, ms in members.items()
+        for m in ms | {root}
+        if m != min(ms | {root})
+    )
+    con.close()
+    not_in = (
+        f"AND id NOT IN ({', '.join(str(v) for v in losers)})" if losers else ""
+    )
+    return f"""
+WITH base AS (
+  SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), recs AS (
+  SELECT id, nk, seg, bal FROM base
+  UNION ALL
+  SELECT id + 10000000, nk, seg,
+         CASE WHEN id % 5 = 0 THEN bal + 1 ELSE bal END
+  FROM base
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(SUM(id) AS BIGINT) AS id_checksum,
+       CAST(SUM(bal) AS BIGINT) AS bal_checksum
+FROM recs
+WHERE 1 = 1 {not_in}
+GROUP BY seg
+"""
+
+
+_BUILDERS["customer_entity_resolution"] = oracle_customer_entity_resolution

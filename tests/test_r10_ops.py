@@ -322,3 +322,24 @@ def test_blocked_record_linkage_scores(spark):
     assert all(5 not in p for p in got)
     with pytest.raises(ValueError):
         blocked_record_linkage(df, "id", ["zip"])
+
+
+def test_entity_resolution_golden_records(spark):
+    # linkage pairs -> CC -> min-id canonical: the 1-edit clone loses to
+    # its original; the unmatched and off-balance records all survive
+    from deeptime_spark.operators.dedup import drop_near_duplicates
+    from deeptime_spark.operators.linkage import blocked_record_linkage
+
+    rows = [
+        (1, "jonathan smith", "10001", 100),
+        (2, "jonathan smyth", "10001", 100),   # matches 1 -> dropped
+        (3, "entirely other", "10001", 100),   # survives
+        (4, "jonathan smith", "10001", 999),   # survives (bal off)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, zip string, bal long")
+    pairs = blocked_record_linkage(
+        df, "id", ["zip"], string_fields=["name"], exact_fields=["bal"],
+        weights={"name": 1, "bal": 2}, threshold=0.9,
+    )
+    golden = drop_near_duplicates(df, pairs, id_col="id")
+    assert {r["id"] for r in golden.collect()} == {1, 3, 4}

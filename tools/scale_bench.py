@@ -126,6 +126,7 @@ QUERIES = [
     # grows with block density like the dedup family)
     "event_skew_profile",
     "customer_record_linkage",
+    "customer_entity_resolution",
 ]
 
 
