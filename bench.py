@@ -216,6 +216,17 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # A 137-query x 3-pass session compiles ~1500 whole-stage-codegen
+        # units; the JVM's default 240MB reserved code cache fills, the
+        # JIT stops compiling and DEOPTIMIZES hot methods, and the widest
+        # codegen plans (the dedup family's 32/64-column hash aggregates)
+        # crawl at 3-5x on late passes — measured as corpus_tuned_dedup's
+        # warm trials landing at 38s vs its 8s idle-session profile. Any
+        # long-lived production driver sets this; so does the bench.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1794,12 +1794,19 @@ def dedup_candidate_quality(
             F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
         ).distinct()
 
-    e = norm(exact_pairs)
-    c = norm(candidates)
-    hit = e.join(c, ["_a", "_b"])
-    n_e = e.count()
-    n_c = c.count()
-    n_h = hit.count()
+    # BOTH normalized relations feed two consumers each (their own count
+    # + the hit join) — without the persist the candidate subtree (the
+    # full LSH signature+banding pipeline when the caller passes a lazy
+    # frame) executes twice. Caches are released before returning.
+    e = norm(exact_pairs).persist()
+    c = norm(candidates).persist()
+    try:
+        n_e = e.count()
+        n_c = c.count()
+        n_h = e.join(c, ["_a", "_b"]).count()
+    finally:
+        e.unpersist(blocking=False)
+        c.unpersist(blocking=False)
     spark = candidates.sparkSession
     rec = None if n_e == 0 else float(n_h) / float(n_e)
     prec = None if n_c == 0 else float(n_h) / float(n_c)
