@@ -343,3 +343,67 @@ def test_entity_resolution_golden_records(spark):
     )
     golden = drop_near_duplicates(df, pairs, id_col="id")
     assert {r["id"] for r in golden.collect()} == {1, 3, 4}
+
+
+def test_ppjoin_matches_bruteforce_property(spark):
+    # PPJoin's prefix filter must be LOSSLESS: for random small corpora
+    # the returned pair set equals brute-force all-pairs token Jaccard
+    # at the same integer predicate (100*i >= pct*u)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "dd", "ee", "ff", "gg"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(word, min_size=1, max_size=6),
+            min_size=2,
+            max_size=10,
+        ),
+        st.sampled_from([50, 70, 90]),
+    )
+    def check(docs_words, pct):
+        texts = [" ".join(ws) for ws in docs_words]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["n_intersect"], r["n_union"])
+            for r in ppjoin_pairs(df, threshold_pct=pct).collect()
+        }
+        want = set()
+        sets = [set(ws) for ws in docs_words]
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if union and 100 * inter >= pct * union:
+                    want.add((i, j, inter, union))
+        assert got == want, (texts, pct, got ^ want)
+
+    check()
+
+
+def test_skew_profile_matches_bruteforce_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deeptime_spark.operators.profile import skew_profile
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(0, 5), min_size=1, max_size=40))
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "k int")
+        got = {
+            r["rank"]: (r["key"], r["n_rows_key"], r["share"], r["skew_ratio"])
+            for r in skew_profile(df, "k", top_n=3).collect()
+        }
+        from collections import Counter
+        cnt = Counter(str(k) for k in keys)
+        order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        n, nk = len(keys), len(cnt)
+        for rank, (key, c) in enumerate(order, 1):
+            assert got[rank] == (key, c, c / n, c * nk / n), (keys, rank)
+
+    check()
