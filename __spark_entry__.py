@@ -4670,6 +4670,57 @@ def _q_customer_entity_resolution(spark, sf_dir):
     )
 
 
+def _q_customer_linkage_probe(spark, sf_dir):
+    """Incremental entity linkage (operators/linkage.py:
+    record_linkage_probe — the daily-delta face: new records probe the
+    existing golden dimension, work proportional to the DELTA, master
+    blocks capped): the noisy customer copy arrives as the delta batch
+    and probes the day-0 master on (nationkey, mktsegment) blocks; per
+    delta the BEST master match at the 0.9 threshold is elected (score
+    desc, master id asc — deterministic). Clean clones match their
+    original; off-by-a-cent clones are absent (insert-as-new, the SCD2
+    merge's input). Pure-SQL DuckDB oracle replays blocking, scoring,
+    and the per-delta election window."""
+    from deeptime_spark.operators.linkage import record_linkage_probe
+
+    cust = _read(spark, sf_dir, "customer")
+    master = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    delta = master.select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")
+        ).alias("name"),
+        "nk",
+        "seg",
+        F.when(F.col("id") % 5 == 0, F.col("bal") + 1)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    out = record_linkage_probe(
+        master,
+        delta,
+        id_col="id",
+        block_keys=[["nk", "seg"]],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        weights={"name": 1, "bal": 2},
+        threshold=0.9,
+    )
+    return out.select(
+        "id_delta",
+        "id_master",
+        F.round("sim_name", 6).alias("sim_name"),
+        "sim_bal",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_event_skew_profile(spark, sf_dir):
     """Join-key skew diagnostic (operators/profile.py:skew_profile):
     the pre-shuffle profiling pass that sizes salting factors and AQE
@@ -5901,6 +5952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_skew_profile": _q_event_skew_profile,
         "customer_record_linkage": _q_customer_record_linkage,
         "customer_entity_resolution": _q_customer_entity_resolution,
+        "customer_linkage_probe": _q_customer_linkage_probe,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "dedup_recall_gate": _q_dedup_recall_gate,
@@ -5917,10 +5969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-10 driver window (slots 0-49): the 6 never-driver-run round-10
+# Round-10 driver window (slots 0-49): the 7 never-driver-run round-10
 # queries first (tuned-dedup dispatch, streaming SCD2, unigram-LM
-# tokenizer fertility, key-skew profile, blocked record linkage, and
-# the golden-record entity-resolution composition), then ALL 23
+# tokenizer fertility, key-skew profile, blocked record linkage, the
+# golden-record entity-resolution composition, and the incremental
+# linkage probe), then ALL 23
 # r5-stale queries (the r9 verdict's evidence-age rotation ask — after
 # this round no query's green evidence predates r6), then the stalest
 # r06 greens, from tools/plan_window.py. Recomputed each round; exactly
@@ -5932,6 +5985,7 @@ _WINDOW_ORDER = [
     "event_skew_profile",  # last green r00
     "customer_record_linkage",  # last green r00
     "customer_entity_resolution",  # last green r00
+    "customer_linkage_probe",  # last green r00
     "q1_pricing_summary",  # last green r05
     "q3_top_orders",  # last green r05
     "q5_supplier_volume",  # last green r05
@@ -5975,7 +6029,6 @@ _WINDOW_ORDER = [
     "streaming_incremental_dedup",  # last green r06
     "doc_novelty",  # last green r06
     "event_funnel",  # last green r06
-    "event_retention",  # last green r06
 ]
 
 
@@ -7014,6 +7067,48 @@ UNION ALL
 SELECT u.c_custkey, u.acctbal_cents, u.segment,
        CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
 FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+""",
+        "customer_linkage_probe": r"""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+         c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), delta AS (
+  SELECT id + 10000000 AS id,
+         substr(name, 1, length(name) - 1) || 'X' AS name,
+         nk, seg,
+         CASE WHEN id % 5 = 0 THEN bal + 1 ELSE bal END AS bal
+  FROM base
+), mblk AS (
+  SELECT id, name, nk, seg, bal FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY nk, seg ORDER BY id) AS rn
+    FROM base b WHERE nk IS NOT NULL AND seg IS NOT NULL
+  ) WHERE rn <= 1000
+), scored AS (
+  SELECT d.id AS id_delta, m.id AS id_master,
+         1.0 - CAST(levenshtein(coalesce(d.name, ''), coalesce(m.name, '')) AS DOUBLE)
+             / CAST(GREATEST(length(coalesce(d.name, '')), length(coalesce(m.name, '')), 1) AS DOUBLE)
+           AS sim_name,
+         CASE WHEN d.bal = m.bal THEN 1.0 ELSE 0.0 END AS sim_bal
+  FROM delta d JOIN mblk m ON d.nk = m.nk AND d.seg = m.seg
+  WHERE d.nk IS NOT NULL AND d.seg IS NOT NULL
+), qual AS (
+  SELECT id_delta, id_master, sim_name, sim_bal,
+         sim_name * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+         + sim_bal * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) AS score
+  FROM scored
+  WHERE sim_name * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+        + sim_bal * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) >= 0.9
+)
+SELECT id_delta, id_master,
+       ROUND(sim_name, 6) AS sim_name, sim_bal, ROUND(score, 6) AS score
+FROM (
+  SELECT q.*, row_number() OVER (
+           PARTITION BY id_delta ORDER BY score DESC, id_master
+         ) AS rk
+  FROM qual q
+) WHERE rk = 1
 """,
         "event_skew_profile": r"""
 WITH c AS (

@@ -192,6 +192,7 @@ HEADLINE = [
     "event_skew_profile",
     "customer_record_linkage",
     "customer_entity_resolution",
+    "customer_linkage_probe",
 ]
 
 

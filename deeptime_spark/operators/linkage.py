@@ -165,3 +165,113 @@ def blocked_record_linkage(
     return out.where(F.col("score") >= F.lit(float(threshold))).select(
         "id_a", "id_b", *[f"sim_{f}" for f in fields], "score"
     )
+
+
+def record_linkage_probe(
+    master: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    block_keys: list,
+    string_fields: list | None = None,
+    exact_fields: list | None = None,
+    weights: dict | None = None,
+    threshold: float = 0.8,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Incremental linkage — the daily-delta face of
+    :func:`blocked_record_linkage`, mirroring the dedup family's
+    persisted-index probe (operators/dedup.py:probe_signature_index):
+    a batch of NEW records probes the existing master/golden dimension;
+    per delta record the BEST master match at or above ``threshold`` is
+    returned (ties break to the smaller master id — deterministic).
+    Deltas with no qualifying match are absent from the output: the
+    caller inserts them as new entities (and the SCD2 merge is the
+    natural next stage for the matched ones).
+
+    Scale shape: per blocking spec one equi-join of the delta against
+    the master's blocks — work proportional to the DELTA, the master
+    never self-joins; master blocks are capped at ``max_block``
+    (deterministic by id) so a hot block cannot go quadratic; scoring
+    is the same codegen levenshtein/equality expressions; best-match
+    election is one per-delta-id window over the bounded candidate set.
+
+    Returns (id_delta, id_master, sim_<field>..., score).
+    """
+    string_fields = list(string_fields or [])
+    exact_fields = list(exact_fields or [])
+    fields = string_fields + exact_fields
+    if not fields:
+        raise ValueError("need at least one compared field")
+    if not block_keys:
+        raise ValueError("block_keys must be non-empty")
+    wmap = {f: float((weights or {}).get(f, 1.0)) for f in fields}
+    wsum = sum(wmap.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum positive")
+    cand_frames = []
+    for spec in block_keys:
+        cols = [spec] if isinstance(spec, str) else list(spec)
+        m = master.select(
+            F.col(id_col).alias("id_master"),
+            *[F.col(c).alias(f"_b{i}") for i, c in enumerate(cols)],
+        )
+        d = delta.select(
+            F.col(id_col).alias("id_delta"),
+            *[F.col(c).alias(f"_b{i}") for i, c in enumerate(cols)],
+        )
+        for i in range(len(cols)):
+            m = m.where(F.col(f"_b{i}").isNotNull())
+            d = d.where(F.col(f"_b{i}").isNotNull())
+        if max_block is not None:
+            w = Window.partitionBy(
+                *[F.col(f"_b{i}") for i in range(len(cols))]
+            ).orderBy(F.col("id_master"))
+            m = (
+                m.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= int(max_block))
+                .drop("_rn")
+            )
+        cand_frames.append(
+            d.join(m, [f"_b{i}" for i in range(len(cols))]).select(
+                "id_delta", "id_master"
+            )
+        )
+    cands = cand_frames[0]
+    for c in cand_frames[1:]:
+        cands = cands.unionByName(c)
+    cands = cands.distinct()
+    jm = master.select(
+        F.col(id_col).alias("id_master"),
+        *[F.col(f).alias(f"_m_{f}") for f in fields],
+    )
+    jd = delta.select(
+        F.col(id_col).alias("id_delta"),
+        *[F.col(f).alias(f"_d_{f}") for f in fields],
+    )
+    out = cands.join(jd, "id_delta").join(jm, "id_master")
+    sims = {}
+    for f in string_fields:
+        sims[f] = string_similarity(F.col(f"_d_{f}"), F.col(f"_m_{f}"))
+    for f in exact_fields:
+        sims[f] = (
+            F.when(F.col(f"_d_{f}").eqNullSafe(F.col(f"_m_{f}")), 1.0)
+            .otherwise(0.0)
+        )
+    score = None
+    for f in fields:
+        term = sims[f] * F.lit(wmap[f] / wsum)
+        score = term if score is None else score + term
+    for f in fields:
+        out = out.withColumn(f"sim_{f}", sims[f])
+    out = out.withColumn("score", score).where(
+        F.col("score") >= F.lit(float(threshold))
+    )
+    best = Window.partitionBy("id_delta").orderBy(
+        F.col("score").desc(), F.col("id_master")
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(best))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .select("id_delta", "id_master", *[f"sim_{f}" for f in fields], "score")
+    )

@@ -407,3 +407,39 @@ def test_skew_profile_matches_bruteforce_property(spark):
             assert got[rank] == (key, c, c / n, c * nk / n), (keys, rank)
 
     check()
+
+
+def test_record_linkage_probe_best_match(spark):
+    from deeptime_spark.operators.linkage import record_linkage_probe
+
+    master = spark.createDataFrame(
+        [
+            (1, "jonathan smith", "10001", 100),
+            (2, "jonathan smyth", "10001", 100),  # 1 edit from the probe too
+            (3, "entirely other", "10001", 100),
+            (4, "lone record", "20002", 50),
+        ],
+        "id long, name string, zip string, bal long",
+    )
+    delta = spark.createDataFrame(
+        [
+            (101, "jonathan smith", "10001", 100),  # exact -> master 1
+            (102, "jonathan smqth", "10001", 100),  # 1 edit from BOTH 1,2
+            (103, "jonathan smith", "10001", 999),  # bal off -> no match
+            (104, "other zip", "30003", 100),       # no block -> no match
+        ],
+        "id long, name string, zip string, bal long",
+    )
+    out = {
+        r["id_delta"]: r
+        for r in record_linkage_probe(
+            master, delta, "id", ["zip"], string_fields=["name"],
+            exact_fields=["bal"], weights={"name": 1, "bal": 2},
+            threshold=0.9,
+        ).collect()
+    }
+    assert out[101]["id_master"] == 1 and out[101]["score"] == 1.0
+    # 102 ties between masters 1 and 2 on score -> min master id wins
+    assert out[102]["id_master"] == 1
+    assert abs(out[102]["sim_name"] - (1 - 1 / 14)) < 1e-12
+    assert 103 not in out and 104 not in out

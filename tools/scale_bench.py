@@ -127,6 +127,7 @@ QUERIES = [
     "event_skew_profile",
     "customer_record_linkage",
     "customer_entity_resolution",
+    "customer_linkage_probe",
 ]
 
 
