@@ -45,6 +45,25 @@ from deeptime_spark.operators.text import tokens
 END = "</w>"
 
 
+_ASCII_WS = None
+
+
+def ascii_ws_words(t: str) -> list[str]:
+    """Executor-side word split matching the training dictionary and the
+    oracle EXACTLY: Java \\s+ / oracle [ \\t\\n\\x0b\\f\\r]+ are
+    ASCII-whitespace-only, while Python str.split() also breaks on
+    Unicode whitespace (U+00A0, U+2028, ...) — a document containing
+    those would tokenize differently on the encode side and break the
+    bit-for-bit oracle contract."""
+    global _ASCII_WS
+    if _ASCII_WS is None:
+        import re as _re
+
+        _ASCII_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+    return [w for w in _ASCII_WS.split((t or "").lower().strip(" ")) if w]
+
+
+
 def word_counts_df(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over the corpus — the single corpus-scale pass."""
     return (
@@ -225,7 +244,7 @@ def bpe_token_counts_df(
                 continue
             ids, nw, nb = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                ws = [w for w in (t or "").lower().strip(" ").split() if w]
+                ws = ascii_ws_words(t)
                 ids.append(int(i))
                 nw.append(len(ws))
                 nb.append(sum(n_toks(w) for w in ws))
@@ -289,7 +308,7 @@ def bpe_encode_df(
                 out[c] = list(pdf[c])
             toks_col = []
             for t in pdf[text_col]:
-                ws = [w for w in (t or "").lower().strip(" ").split() if w]
+                ws = ascii_ws_words(t)
                 syms: list = []
                 for w in ws:
                     syms.extend(toks_of(w))
@@ -385,16 +404,13 @@ def pack_token_sequences(
 # counts — layout-independent and replayable by the oracle.
 
 
-def seed_unigram_pieces(
-    counts: Sequence[tuple[str, int]],
-    max_piece_len: int = 8,
-    seed_size: int = 2000,
-) -> list[str]:
-    """Candidate seed vocabulary: every substring (length <= L) of every
-    dictionary word, scored by count * len(piece) (the SentencePiece
-    seed heuristic — frequent LONG substrings are the useful pieces);
-    top ``seed_size`` by (score desc, piece asc), plus ALL single
-    characters (segmentation coverage guarantee)."""
+def _seed_unigram_scores(
+    counts: Sequence[tuple[str, int]], max_piece_len: int
+) -> tuple[Counter, set]:
+    """One pass over the dictionary: substring scores (count * len — the
+    SentencePiece seed heuristic) and the character set. Shared by
+    :func:`seed_unigram_pieces` and the trainer's initialization so the
+    O(total_count x L^2) scoring loop runs ONCE per training call."""
     scores: Counter = Counter()
     chars: set[str] = set()
     for word, n in counts:
@@ -403,6 +419,23 @@ def seed_unigram_pieces(
         for i in range(m):
             for j in range(i + 1, min(i + max_piece_len, m) + 1):
                 scores[word[i:j]] += n * (j - i)
+    return scores, chars
+
+
+def seed_unigram_pieces(
+    counts: Sequence[tuple[str, int]],
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+    _scored: tuple | None = None,
+) -> list[str]:
+    """Candidate seed vocabulary: every substring (length <= L) of every
+    dictionary word, scored by count * len(piece) (frequent LONG
+    substrings are the useful pieces); top ``seed_size`` by
+    (score desc, piece asc), plus ALL single characters (segmentation
+    coverage guarantee)."""
+    scores, chars = _scored if _scored is not None else _seed_unigram_scores(
+        counts, max_piece_len
+    )
     multi = [p for p in scores if len(p) > 1]
     multi.sort(key=lambda p: (-scores[p], p))
     return sorted(chars) + multi[: max(seed_size - len(chars), 0)]
@@ -488,17 +521,14 @@ def train_unigram_from_counts(
     counts = sorted(((w, int(n)) for w, n in counts if w), key=lambda kv: (-kv[1], kv[0]))
     if not counts:
         return []
-    pieces = seed_unigram_pieces(counts, max_piece_len, seed_size)
+    scored = _seed_unigram_scores(counts, max_piece_len)
+    pieces = seed_unigram_pieces(
+        counts, max_piece_len, seed_size, _scored=scored
+    )
     chars = {p for p in pieces if len(p) == 1}
-    # init: normalized seed scores (count*len), the SentencePiece seeding
-    scores: Counter = Counter()
-    for word, n in counts:
-        m = len(word)
-        for i in range(m):
-            for j in range(i + 1, min(i + max_piece_len, m) + 1):
-                p = word[i:j]
-                scores[p] += n * (j - i)
-    piece_set = set(pieces)
+    # init: normalized seed scores (count*len), the SentencePiece
+    # seeding — reusing the single scoring pass
+    scores = scored[0]
     tot = float(sum(scores[p] for p in pieces))
     logp = {p: math.log(scores[p] / tot) for p in pieces}
     while True:
@@ -642,7 +672,7 @@ def unigram_token_counts_df(
                 continue
             ids, nw, nt = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                ws = [w for w in (t or "").lower().strip(" ").split() if w]
+                ws = ascii_ws_words(t)
                 ids.append(int(i))
                 nw.append(len(ws))
                 nt.append(sum(n_toks(w) for w in ws))

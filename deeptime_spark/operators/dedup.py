@@ -1983,7 +1983,8 @@ def autotune_near_dedup(
 
     Returns ``(pairs, report)``: ``pairs`` = qualifying pairs from the
     chosen path, (id_a, id_b, n_intersect, n_union, jaccard) with the
-    identical predicate either way; ``report`` = ONE row (method,
+    identical predicate either way, eagerly materialized
+    (localCheckpoint) so no internal cache outlives the call; ``report`` = ONE row (method,
     bands, rows_per_band, n_exact_probe, n_candidates_probe,
     n_hit_probe, probe_recall, pipeline_recall) — pipeline_recall is
     the measured recall of the chosen path against the exact pair set
@@ -1998,6 +1999,12 @@ def autotune_near_dedup(
     exact_probe = ppjoin_pairs(
         probe, threshold_pct=threshold_pct, text_col=text_col, id_col=id_col
     )
+    # the probe candidate frame feeds the gate AND (when the dispatch
+    # stays on banding with probe == corpus) the exact verification —
+    # persist so the LSH signature+banding pipeline, the expensive
+    # stage, executes ONCE; released before returning (pairs are
+    # eagerly materialized below, so no cached relation outlives the
+    # call — the ppjoin_pairs/triangle_counts lifecycle convention)
     cands_probe = minhash_lsh_candidates(
         probe,
         text_col=text_col,
@@ -2006,42 +2013,46 @@ def autotune_near_dedup(
         bands=bands,
         max_bucket=max_bucket,
         unit="words",
-    )
-    gate = dedup_candidate_quality(cands_probe, exact_probe).first()
-    recall = gate["recall"]
-    use_banding = recall is None or float(recall) >= float(recall_floor)
-    if use_banding:
-        method = "lsh_banding"
-        cand_pairs = (
-            cands_probe
-            if probe_docs is None
-            else minhash_lsh_candidates(
-                docs,
-                text_col=text_col,
-                id_col=id_col,
-                n_hashes=n_hashes,
-                bands=bands,
-                max_bucket=max_bucket,
-                unit="words",
+    ).persist()
+    try:
+        gate = dedup_candidate_quality(cands_probe, exact_probe).first()
+        recall = gate["recall"]
+        use_banding = recall is None or float(recall) >= float(recall_floor)
+        if use_banding:
+            method = "lsh_banding"
+            cand_pairs = (
+                cands_probe
+                if probe_docs is None
+                else minhash_lsh_candidates(
+                    docs,
+                    text_col=text_col,
+                    id_col=id_col,
+                    n_hashes=n_hashes,
+                    bands=bands,
+                    max_bucket=max_bucket,
+                    unit="words",
+                )
             )
-        )
-        pairs = _verify_pairs_token_jaccard(
-            cand_pairs, docs, threshold_pct, text_col=text_col, id_col=id_col
-        )
-        pipeline_recall = None if recall is None else float(recall)
-    else:
-        method = "ppjoin_exact"
-        pairs = (
-            exact_probe
-            if probe_docs is None
-            else ppjoin_pairs(
-                docs,
-                threshold_pct=threshold_pct,
-                text_col=text_col,
+            pairs = _verify_pairs_token_jaccard(
+                cand_pairs, docs, threshold_pct, text_col=text_col,
                 id_col=id_col,
+            ).localCheckpoint(eager=True)
+            pipeline_recall = None if recall is None else float(recall)
+        else:
+            method = "ppjoin_exact"
+            pairs = (
+                exact_probe  # already localCheckpointed by ppjoin_pairs
+                if probe_docs is None
+                else ppjoin_pairs(
+                    docs,
+                    threshold_pct=threshold_pct,
+                    text_col=text_col,
+                    id_col=id_col,
+                )
             )
-        )
-        pipeline_recall = 1.0
+            pipeline_recall = 1.0
+    finally:
+        cands_probe.unpersist(blocking=False)
     spark = docs.sparkSession
     report = spark.createDataFrame(
         [

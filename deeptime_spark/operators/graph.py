@@ -836,18 +836,30 @@ def betweenness_centrality(
             levels.append(new)
             visited = visited.union(new).localCheckpoint(eager=True)
         else:
-            # the frontier was still non-empty when max_depth ran out:
-            # deeper shortest paths exist and their dependency mass is
-            # dropped, silently underestimating centrality vs an
-            # unbounded BFS. Surface it instead of hiding it.
-            warnings.warn(
-                f"betweenness_centrality: BFS truncated at max_depth="
-                f"{max_depth} with a non-empty frontier — graph diameter "
-                f"exceeds max_depth; centrality is underestimated. "
-                f"Raise max_depth.",
-                RuntimeWarning,
-                stacklevel=2,
+            # the loop ran out with a non-empty frontier. That alone
+            # does NOT mean truncation (the graph may be explored at
+            # exactly max_depth), so probe ONE more expansion — only in
+            # this rare exhausted case — and warn only if unvisited
+            # nodes remain: their dependency mass is dropped, silently
+            # underestimating centrality vs an unbounded BFS.
+            probe = (
+                rel.join(levels[-1].withColumnRenamed("node", "u"), "u")
+                .select("pivot", F.col("v").alias("node"))
+                .join(
+                    visited.select("pivot", "node"),
+                    ["pivot", "node"],
+                    "left_anti",
+                )
             )
+            if probe.limit(1).count() > 0:
+                warnings.warn(
+                    f"betweenness_centrality: BFS truncated at max_depth="
+                    f"{max_depth} with unvisited nodes remaining — graph "
+                    f"diameter exceeds max_depth; centrality is "
+                    f"underestimated. Raise max_depth.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         # backward dependency accumulation, deepest level first
         deltas = levels[-1].withColumn("delta", F.lit(0.0)).localCheckpoint(
             eager=True
@@ -975,14 +987,23 @@ def harmonic_centrality(
             visited = visited.union(new).localCheckpoint(eager=True)
             frontier = new
         else:
-            warnings.warn(
-                f"harmonic_centrality: BFS truncated at max_depth="
-                f"{max_depth} with a non-empty frontier — graph diameter "
-                f"exceeds max_depth; centrality is underestimated. "
-                f"Raise max_depth.",
-                RuntimeWarning,
-                stacklevel=2,
+            # probe one more expansion; warn only if unvisited nodes
+            # remain (see betweenness_centrality)
+            probe = (
+                rel.join(frontier.withColumnRenamed("node", "u"), "u")
+                .select("pivot", F.col("v").alias("node"))
+                .distinct()
+                .join(visited, ["pivot", "node"], "left_anti")
             )
+            if probe.limit(1).count() > 0:
+                warnings.warn(
+                    f"harmonic_centrality: BFS truncated at max_depth="
+                    f"{max_depth} with unvisited nodes remaining — graph "
+                    f"diameter exceeds max_depth; centrality is "
+                    f"underestimated. Raise max_depth.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         factor = (float(n) / float(k)) if scale else 1.0
         if acc is None:
             return nodes.select("node", F.lit(0.0).alias("harmonic"))

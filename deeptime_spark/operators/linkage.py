@@ -151,9 +151,17 @@ def blocked_record_linkage(
     for f in string_fields:
         sims[f] = string_similarity(F.col(f"_a_{f}"), F.col(f"_b_{f}"))
     for f in exact_fields:
+        # missing data is UNINFORMATIVE, not agreeing (Fellegi-Sunter):
+        # a NULL on either side scores 0 — matching the SQL '=' the
+        # oracles replay (eqNullSafe would count two missing fields as
+        # a full-weight match and inflate false links)
         sims[f] = (
-            F.when(F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}")), 1.0)
-            .otherwise(0.0)
+            F.when(
+                F.col(f"_a_{f}").isNotNull()
+                & F.col(f"_b_{f}").isNotNull()
+                & (F.col(f"_a_{f}") == F.col(f"_b_{f}")),
+                1.0,
+            ).otherwise(0.0)
         )
     score = None
     for f in fields:
@@ -253,9 +261,14 @@ def record_linkage_probe(
     for f in string_fields:
         sims[f] = string_similarity(F.col(f"_d_{f}"), F.col(f"_m_{f}"))
     for f in exact_fields:
+        # NULL on either side scores 0 — see blocked_record_linkage
         sims[f] = (
-            F.when(F.col(f"_d_{f}").eqNullSafe(F.col(f"_m_{f}")), 1.0)
-            .otherwise(0.0)
+            F.when(
+                F.col(f"_d_{f}").isNotNull()
+                & F.col(f"_m_{f}").isNotNull()
+                & (F.col(f"_d_{f}") == F.col(f"_m_{f}")),
+                1.0,
+            ).otherwise(0.0)
         )
     score = None
     for f in fields:

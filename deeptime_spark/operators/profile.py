@@ -225,7 +225,8 @@ def skew_profile(
     one reducer, and the fix (salting factor, broadcast switch, AQE
     skew-join thresholds) needs the numbers this report carries.
 
-    ONE map-combined aggregate (groupBy(key).count()) — the key-count
+    ONE map-combined aggregate (groupBy(key).count(), lazily persisted
+    so both consumers share the single row-scale pass) — the key-count
     relation is key-cardinality-scale, never row-scale — then a bounded
     TakeOrdered for the top-``top_n`` heavy keys with EXACT integer
     global stats riding along:
@@ -251,8 +252,17 @@ def skew_profile(
     key = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
     )
-    counts = df.select(key.alias("_key")).groupBy("_key").agg(
-        F.count(F.lit(1)).alias("_n")
+    # the key-count relation feeds TWO consumers (totals + the
+    # TakeOrdered) — persist LAZILY so the row-scale scan+groupBy runs
+    # once on the first action and the second consumer reads the cache
+    # (key-cardinality-scale, cheap to hold; the caller's session or
+    # block-manager LRU reclaims it — the verify_candidates_jaccard
+    # lifecycle convention for lazy results)
+    counts = (
+        df.select(key.alias("_key"))
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
     )
     from pyspark.sql import Window
 

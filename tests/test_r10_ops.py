@@ -443,3 +443,33 @@ def test_record_linkage_probe_best_match(spark):
     assert out[102]["id_master"] == 1
     assert abs(out[102]["sim_name"] - (1 - 1 / 14)) < 1e-12
     assert 103 not in out and 104 not in out
+
+
+def test_centrality_truncation_warning_only_when_truncated(spark):
+    import warnings as _w
+
+    from deeptime_spark.operators.graph import (
+        betweenness_centrality,
+        harmonic_centrality,
+    )
+
+    # path graph 0-1-2-...-6: eccentricity from node 0 is 6
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+
+    def msgs(fn, depth):
+        with _w.catch_warnings(record=True) as w:
+            _w.simplefilter("always")
+            fn(edges, n_pivots=1, max_depth=depth).count()
+            return [str(x.message) for x in w
+                    if issubclass(x.category, RuntimeWarning)]
+
+    for fn in (betweenness_centrality, harmonic_centrality):
+        # genuinely truncated: unvisited nodes remain beyond depth 2
+        assert any("truncated" in m for m in msgs(fn, 2)), fn.__name__
+        # fully explored at exactly max_depth: loop exhausts but the
+        # probe expansion is empty -> NO false warning
+        assert not any("truncated" in m for m in msgs(fn, 6)), fn.__name__
+        # comfortably deep: no warning either
+        assert not any("truncated" in m for m in msgs(fn, 20)), fn.__name__
