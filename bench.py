@@ -335,6 +335,11 @@ def main() -> None:
         "queries_warm": warm_timings,
         "queries_warm_spread": warm_spread,
         "warm_trials": n_warm,
+        # every individual warm trial, so records taken with a different
+        # trial count can be re-adjudicated later (min-of-N is
+        # systematically lower than min-of-M for N > M; cross-round warm
+        # comparisons must compare like-for-like or re-derive from here)
+        "queries_warm_trials": warm_trials,
         "sf": sf,
     }
     print(json.dumps(payload))

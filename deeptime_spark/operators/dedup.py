@@ -1912,6 +1912,12 @@ def _verify_pairs_token_jaccard(
     candidate relation is pair-scale, never corpus-scale.
 
     Returns (id_a, id_b, n_intersect, n_union, jaccard), id_a < id_b.
+
+    Empty token sets are KEPT in the doc relation and excluded by an
+    explicit ``n_union > 0`` guard in the predicate (a pair of
+    empty/whitespace-only docs is not a near-duplicate) — the oracle
+    replica applies the identical guard, so the two paths can never
+    diverge on degenerate texts.
     """
     pct = int(threshold_pct)
     toks = docs.select(
@@ -1919,7 +1925,7 @@ def _verify_pairs_token_jaccard(
         F.array_distinct(
             F.filter(tokens(text_col), lambda t: t != "")
         ).alias("_ts"),
-    ).where(F.size("_ts") > 0)
+    )
     ta = toks.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"))
     tb = toks.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"))
     return (
@@ -1928,7 +1934,10 @@ def _verify_pairs_token_jaccard(
         .join(tb, "id_b")
         .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
         .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
-        .where(F.lit(100) * F.col("_i") >= F.lit(pct) * F.col("_u"))
+        .where(
+            (F.col("_u") > 0)
+            & (F.lit(100) * F.col("_i") >= F.lit(pct) * F.col("_u"))
+        )
         .select(
             "id_a",
             "id_b",

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "snapshot_diff"]
+__all__ = [
+    "profile_table",
+    "snapshot_diff",
+    "scalar_violation_flag",
+    "constraint_audit",
+    "skew_profile",
+]
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -244,20 +250,33 @@ def skew_profile(
 
     Returns (rank, key, n_rows_key, n_rows_total, n_keys, share,
     skew_ratio), rank 1 = heaviest; ``key`` is the string render of the
-    key tuple (NULL -> 'NULL', multi-col joined with '|').
+    key tuple (NULL -> 'NULL', multi-col joined with '|'; literal '\\'
+    and '|' inside a value are escaped as '\\\\' and '\\|' so distinct
+    key tuples can never collide in the render).
+
+    The result is MATERIALIZED before return (localCheckpoint) — it is
+    top_n rows, never data-scale — so the row-scale key-count relation
+    this pass persists can be unpersisted before the caller sees the
+    DataFrame; repeated profiling calls in a long-lived driver leak no
+    cached relations.
     """
     cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not cols or top_n < 1:
         raise ValueError("need >=1 key column and top_n >= 1")
-    key = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
-    )
+
+    def _render(c: str) -> "F.Column":
+        # escape the join character so ("a|b","c") and ("a","b|c")
+        # render differently; NULL renders as the bare token 'NULL'
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+        s = F.replace(s, F.lit("|"), F.lit("\\|"))
+        return F.coalesce(s, F.lit("NULL"))
+
+    key = F.concat_ws("|", *[_render(c) for c in cols])
     # the key-count relation feeds TWO consumers (totals + the
-    # TakeOrdered) — persist LAZILY so the row-scale scan+groupBy runs
-    # once on the first action and the second consumer reads the cache
-    # (key-cardinality-scale, cheap to hold; the caller's session or
-    # block-manager LRU reclaims it — the verify_candidates_jaccard
-    # lifecycle convention for lazy results)
+    # TakeOrdered) — persist so the row-scale scan+groupBy runs once;
+    # the bounded result below is materialized eagerly so the cache is
+    # released before return
     counts = (
         df.select(key.alias("_key"))
         .groupBy("_key")
@@ -275,7 +294,7 @@ def skew_profile(
     top = counts.orderBy(F.col("_n").desc(), F.col("_key")).limit(int(top_n))
     w = Window.orderBy(F.col("_n").desc(), F.col("_key"))
     top = top.withColumn("rank", F.row_number().over(w))
-    return (
+    result = (
         top.crossJoin(F.broadcast(totals))
         .select(
             F.col("rank").cast("long").alias("rank"),
@@ -292,3 +311,7 @@ def skew_profile(
             ).alias("skew_ratio"),
         )
     )
+    # top_n rows — materialize now so the row-scale cache can go
+    result = result.localCheckpoint(eager=True)
+    counts.unpersist()
+    return result

@@ -3906,7 +3906,9 @@ def oracle_corpus_tuned_dedup() -> str:
         for a, b in cands:
             i = len(ts[a] & ts[b])
             u = len(ts[a]) + len(ts[b]) - i
-            if 100 * i >= 70 * u:
+            # u > 0 mirrors _verify_pairs_token_jaccard's explicit
+            # guard: an empty-empty pair never qualifies on either path
+            if u > 0 and 100 * i >= 70 * u:
                 n_pairs += 1
         pipe = rec
     else:

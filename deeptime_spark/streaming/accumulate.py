@@ -703,6 +703,7 @@ def streaming_scd2_merge(
     tracked: list,
     dim_path: str,
     checkpoint: Optional[str] = None,
+    retain_versions: Optional[int] = None,
 ):
     """Streaming face of operators/scd.py:scd2_merge — the historized
     dimension maintained from a CDC-style update stream: every
@@ -727,8 +728,22 @@ def streaming_scd2_merge(
     and the snapshot never shuffles: per-batch cost is one broadcast
     join + union over the snapshot, exactly the batch op's plan.
 
+    RETENTION: by default every ``v{n}`` snapshot is kept — one full
+    dimension copy per micro-batch, so a long-running CDC stream grows
+    storage linearly with batch count and pruning old versions is the
+    CALLER's job. Pass ``retain_versions=k`` (k >= 2) to have each
+    successful batch delete snapshots older than ``v{batch_id + 1 - k}``
+    (keeping at least the just-read previous version, which failure
+    replay of the in-flight batch needs). Deletion goes through the
+    Hadoop FileSystem API, so it works on local/HDFS/S3A paths alike.
+
     Returns the started StreamingQuery (``availableNow`` trigger).
     """
+    if retain_versions is not None and int(retain_versions) < 2:
+        raise ValueError(
+            "retain_versions must be >= 2 (the previous snapshot is "
+            "needed for exact failure replay)"
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from deeptime_spark.operators.scd import scd2_merge
@@ -742,6 +757,16 @@ def streaming_scd2_merge(
             effective_ts=int(batch_id) + 1,
         )
         merged.write.mode("overwrite").parquet(f"{dim_path}/v{batch_id + 1}")
+        if retain_versions is not None:
+            # prune AFTER the new snapshot landed; keep the previous
+            # version (batch_id) so a replayed batch can still rebuild
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for m in range(max(0, batch_id + 2 - int(retain_versions))):
+                p = jvm.org.apache.hadoop.fs.Path(f"{dim_path}/v{m}")
+                fs = p.getFileSystem(hconf)
+                if fs.exists(p):
+                    fs.delete(p, True)
 
     writer = (
         stream_updates.writeStream.foreachBatch(_process)
