@@ -4721,6 +4721,70 @@ def _q_customer_linkage_probe(spark, sf_dir):
     )
 
 
+def _q_customer_linkage_gate(spark, sf_dir):
+    """Blocking pair-completeness gate (operators/linkage.py:
+    linkage_blocking_gate — Christen, "Data Matching" 2012 ch. 7: pair
+    completeness + reduction ratio): the linkage twin of
+    dedup_candidate_quality — on a BOUNDED probe (every 13th base
+    customer plus its noisy clone; the full corpus is never all-pairs),
+    exact all-pairs truth at the 0.9 score threshold vs the
+    (nk, seg)-blocked candidates at max_block=20, plus the over-cap
+    accounting the pipeline keeps silent: how many members of hot
+    blocks the deterministic cap drops from candidacy on the FULL
+    relation. Caveat (same as the dedup gate): probe blocks are
+    proportionally smaller than production blocks, so probe-level cap
+    truncation UNDERESTIMATES full-scale truncation — which is exactly
+    why n_capped_blocks / n_overcap_members are measured on the full
+    relation. All counts exact integers, the two ratios single
+    divisions — pure-SQL DuckDB oracle."""
+    from deeptime_spark.operators.linkage import linkage_blocking_gate
+
+    cust = _read(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    noisy = base.select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")
+        ).alias("name"),
+        "nk",
+        "seg",
+        F.when(F.col("id") % 5 == 0, F.col("bal") + 1)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    recs = base.unionByName(noisy)
+    probe = recs.where((F.col("id") % 10_000_000) % 13 == 0)
+    out = linkage_blocking_gate(
+        recs,
+        id_col="id",
+        block_keys=[["nk", "seg"]],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        weights={"name": 1, "bal": 2},
+        threshold=0.9,
+        max_block=20,
+        probe_records=probe,
+    )
+    return out.select(
+        "n_records",
+        "n_probe",
+        "n_probe_pairs",
+        "n_exact",
+        "n_candidates",
+        "n_hit",
+        F.round("pair_completeness", 6).alias("pair_completeness"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+        "n_capped_blocks",
+        "n_overcap_members",
+    )
+
+
 def _q_event_skew_profile(spark, sf_dir):
     """Join-key skew diagnostic (operators/profile.py:skew_profile):
     the pre-shuffle profiling pass that sizes salting factors and AQE
@@ -5953,6 +6017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_record_linkage": _q_customer_record_linkage,
         "customer_entity_resolution": _q_customer_entity_resolution,
         "customer_linkage_probe": _q_customer_linkage_probe,
+        "customer_linkage_gate": _q_customer_linkage_gate,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "dedup_recall_gate": _q_dedup_recall_gate,
@@ -7109,6 +7174,72 @@ FROM (
          ) AS rk
   FROM qual q
 ) WHERE rk = 1
+""",
+        "customer_linkage_gate": r"""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+         c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), recs AS (
+  SELECT id, name, nk, seg, bal FROM base
+  UNION ALL
+  SELECT id + 10000000,
+         substr(name, 1, length(name) - 1) || 'X',
+         nk, seg,
+         CASE WHEN id % 5 = 0 THEN bal + 1 ELSE bal END
+  FROM base
+), probe AS (
+  SELECT * FROM recs WHERE (id % 10000000) % 13 = 0
+), truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM probe a JOIN probe b ON a.id < b.id
+  WHERE (1.0 - CAST(levenshtein(coalesce(a.name, ''), coalesce(b.name, '')) AS DOUBLE)
+             / CAST(GREATEST(length(coalesce(a.name, '')), length(coalesce(b.name, '')), 1) AS DOUBLE))
+          * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+        + (CASE WHEN a.bal = b.bal THEN 1.0 ELSE 0.0 END)
+          * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) >= 0.9
+), pblk AS (
+  SELECT id, nk, seg FROM (
+    SELECT id, nk, seg,
+           row_number() OVER (PARTITION BY nk, seg ORDER BY id) AS rn
+    FROM probe WHERE nk IS NOT NULL AND seg IS NOT NULL
+  ) WHERE rn <= 20
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pblk a JOIN pblk b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+), caps AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN n > 20 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_capped_blocks,
+         CAST(COALESCE(SUM(GREATEST(n - 20, 0)), 0) AS BIGINT) AS n_overcap_members
+  FROM (
+    SELECT COUNT(*) AS n FROM recs
+    WHERE nk IS NOT NULL AND seg IS NOT NULL
+    GROUP BY nk, seg
+  )
+), scalars AS (
+  SELECT (SELECT COUNT(*) FROM recs) AS n_records,
+         (SELECT COUNT(*) FROM probe) AS n_probe,
+         (SELECT COUNT(*) FROM truth) AS n_exact,
+         (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM truth t JOIN cand c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hit
+)
+SELECT CAST(n_records AS BIGINT) AS n_records,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(n_probe * (n_probe - 1) // 2 AS BIGINT) AS n_probe_pairs,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_exact = 0 THEN NULL
+            ELSE ROUND(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+       END AS pair_completeness,
+       CASE WHEN n_probe < 2 THEN NULL
+            ELSE ROUND(1.0 - CAST(n_candidates AS DOUBLE)
+                 / CAST(n_probe * (n_probe - 1) // 2 AS DOUBLE), 6)
+       END AS reduction_ratio,
+       caps.n_capped_blocks,
+       caps.n_overcap_members
+FROM scalars, caps
 """,
         "event_skew_profile": r"""
 WITH c AS (

@@ -106,6 +106,44 @@ def string_similarity(a, b) -> "F.Column":
     )
 
 
+def _field_scores(
+    string_fields: list,
+    exact_fields: list,
+    wmap: dict,
+    wsum: float,
+    left_prefix: str,
+    right_prefix: str,
+) -> tuple[dict, "F.Column"]:
+    """Shared per-field similarity + weight-normalized score expressions
+    over a joined pair frame whose compared columns are named
+    ``{left_prefix}{field}`` / ``{right_prefix}{field}`` — ONE
+    definition so the linkage pipeline, the incremental probe, and the
+    blocking gate's exact truth can never drift from each other."""
+    sims: dict = {}
+    for f in string_fields:
+        sims[f] = string_similarity(
+            F.col(f"{left_prefix}{f}"), F.col(f"{right_prefix}{f}")
+        )
+    for f in exact_fields:
+        # missing data is UNINFORMATIVE, not agreeing (Fellegi-Sunter):
+        # a NULL on either side scores 0 — matching the SQL '=' the
+        # oracles replay (eqNullSafe would count two missing fields as
+        # a full-weight match and inflate false links)
+        sims[f] = (
+            F.when(
+                F.col(f"{left_prefix}{f}").isNotNull()
+                & F.col(f"{right_prefix}{f}").isNotNull()
+                & (F.col(f"{left_prefix}{f}") == F.col(f"{right_prefix}{f}")),
+                1.0,
+            ).otherwise(0.0)
+        )
+    score = None
+    for f in list(string_fields) + list(exact_fields):
+        term = sims[f] * F.lit(wmap[f] / wsum)
+        score = term if score is None else score + term
+    return sims, score
+
+
 def blocked_record_linkage(
     records: DataFrame,
     id_col: str,
@@ -147,26 +185,9 @@ def blocked_record_linkage(
         *[F.col(f).alias(f"_b_{f}") for f in fields],
     )
     out = cands.join(ja, "id_a").join(jb, "id_b")
-    sims = {}
-    for f in string_fields:
-        sims[f] = string_similarity(F.col(f"_a_{f}"), F.col(f"_b_{f}"))
-    for f in exact_fields:
-        # missing data is UNINFORMATIVE, not agreeing (Fellegi-Sunter):
-        # a NULL on either side scores 0 — matching the SQL '=' the
-        # oracles replay (eqNullSafe would count two missing fields as
-        # a full-weight match and inflate false links)
-        sims[f] = (
-            F.when(
-                F.col(f"_a_{f}").isNotNull()
-                & F.col(f"_b_{f}").isNotNull()
-                & (F.col(f"_a_{f}") == F.col(f"_b_{f}")),
-                1.0,
-            ).otherwise(0.0)
-        )
-    score = None
-    for f in fields:
-        term = sims[f] * F.lit(wmap[f] / wsum)
-        score = term if score is None else score + term
+    sims, score = _field_scores(
+        string_fields, exact_fields, wmap, wsum, "_a_", "_b_"
+    )
     for f in fields:
         out = out.withColumn(f"sim_{f}", sims[f])
     out = out.withColumn("score", score)
@@ -257,23 +278,9 @@ def record_linkage_probe(
         *[F.col(f).alias(f"_d_{f}") for f in fields],
     )
     out = cands.join(jd, "id_delta").join(jm, "id_master")
-    sims = {}
-    for f in string_fields:
-        sims[f] = string_similarity(F.col(f"_d_{f}"), F.col(f"_m_{f}"))
-    for f in exact_fields:
-        # NULL on either side scores 0 — see blocked_record_linkage
-        sims[f] = (
-            F.when(
-                F.col(f"_d_{f}").isNotNull()
-                & F.col(f"_m_{f}").isNotNull()
-                & (F.col(f"_d_{f}") == F.col(f"_m_{f}")),
-                1.0,
-            ).otherwise(0.0)
-        )
-    score = None
-    for f in fields:
-        term = sims[f] * F.lit(wmap[f] / wsum)
-        score = term if score is None else score + term
+    sims, score = _field_scores(
+        string_fields, exact_fields, wmap, wsum, "_d_", "_m_"
+    )
     for f in fields:
         out = out.withColumn(f"sim_{f}", sims[f])
     out = out.withColumn("score", score).where(
@@ -287,4 +294,144 @@ def record_linkage_probe(
         .where(F.col("_rk") == 1)
         .drop("_rk")
         .select("id_delta", "id_master", *[f"sim_{f}" for f in fields], "score")
+    )
+
+
+def linkage_blocking_gate(
+    records: DataFrame,
+    id_col: str,
+    block_keys: list,
+    string_fields: list | None = None,
+    exact_fields: list | None = None,
+    weights: dict | None = None,
+    threshold: float = 0.8,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+    probe_records: DataFrame | None = None,
+) -> DataFrame:
+    """Blocking-quality gate — the linkage twin of
+    :func:`deeptime_spark.operators.dedup.dedup_candidate_quality`
+    (measure the candidate-generation loss, don't trust it): on a
+    BOUNDED probe, exact all-pairs truth at the scoring threshold vs
+    the blocked candidate set, reported as Christen's standard blocking
+    metrics ("Data Matching", 2012, ch. 7):
+
+    - **pair_completeness** = |blocked ∩ truth| / |truth| — the
+      fraction of genuinely-matching pairs the blocking keys (and the
+      ``max_block`` cap) still surface. The production recall bound:
+      linkage can never find a pair blocking never generated;
+    - **reduction_ratio** = 1 − n_candidates / n_probe_pairs — how much
+      of the quadratic comparison space blocking eliminated (the whole
+      point of blocking; ~1.0 is good, ~0 means the keys don't block).
+
+    Plus the cap accounting the pipeline itself keeps silent: on the
+    FULL records relation, ``n_capped_blocks`` / ``n_overcap_members``
+    count the blocks truncated by ``max_block`` and the members dropped
+    from candidacy entirely (summed over blocking specs) — the number
+    that says whether a hot block (a NULL-ish zip, a mega-city) is
+    silently losing entities at production scale.
+
+    Scale shape: the truth pass is an all-pairs self-join **of the
+    probe only** — pass a bounded ``probe_records`` (e.g. a
+    ``mixing.group_sample`` of a few thousand records); the gate never
+    all-pairs the corpus. The cap accounting is one map-combined
+    groupBy per spec over the full relation. Everything is exact
+    integers plus single divisions — engine-portable.
+
+    Returns ONE row: (n_records, n_probe, n_probe_pairs, n_exact,
+    n_candidates, n_hit, pair_completeness, reduction_ratio,
+    n_capped_blocks, n_overcap_members). pair_completeness is NULL when
+    the probe holds no qualifying pair; reduction_ratio NULL when the
+    probe has < 2 records.
+    """
+    string_fields = list(string_fields or [])
+    exact_fields = list(exact_fields or [])
+    fields = string_fields + exact_fields
+    if not fields:
+        raise ValueError("need at least one compared field")
+    if not block_keys:
+        raise ValueError("block_keys must be non-empty")
+    wmap = {f: float((weights or {}).get(f, 1.0)) for f in fields}
+    wsum = sum(wmap.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum positive")
+    probe = probe_records if probe_records is not None else records
+    payload = probe.select(F.col(id_col), *[F.col(f) for f in fields])
+    # exact truth: ALL-PAIRS within the bounded probe, scored with the
+    # SAME expressions the pipeline uses (_field_scores — no drift)
+    pa = payload.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).alias(f"_a_{f}") for f in fields],
+    )
+    pb = payload.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).alias(f"_b_{f}") for f in fields],
+    )
+    allp = pa.crossJoin(pb).where(F.col("id_a") < F.col("id_b"))
+    _, score = _field_scores(
+        string_fields, exact_fields, wmap, wsum, "_a_", "_b_"
+    )
+    truth = (
+        allp.withColumn("_s", score)
+        .where(F.col("_s") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    cands = blocked_candidates(probe, id_col, block_keys, max_block)
+    # truth feeds two consumers (count + hit join); candidates likewise
+    truth = truth.persist()
+    cands = cands.persist()
+    try:
+        n_probe = payload.count()
+        n_exact = truth.count()
+        n_cand = cands.count()
+        n_hit = truth.join(cands, ["id_a", "id_b"]).count()
+    finally:
+        truth.unpersist(blocking=False)
+        cands.unpersist(blocking=False)
+    n_pairs = n_probe * (n_probe - 1) // 2
+    # cap accounting on the FULL relation: per spec, members past the
+    # max_block cut are dropped from candidacy entirely — count them
+    n_records = records.count()
+    n_capped_blocks = 0
+    n_overcap = 0
+    if max_block is not None:
+        cap = int(max_block)
+        for spec in block_keys:
+            cols = [spec] if isinstance(spec, str) else list(spec)
+            blk = records.select(
+                *[F.col(c).alias(f"_b{i}") for i, c in enumerate(cols)]
+            )
+            for i in range(len(cols)):
+                blk = blk.where(F.col(f"_b{i}").isNotNull())
+            sizes = blk.groupBy(
+                *[F.col(f"_b{i}") for i in range(len(cols))]
+            ).agg(F.count(F.lit(1)).alias("_n"))
+            row = sizes.agg(
+                F.sum(F.when(F.col("_n") > cap, 1).otherwise(0)).alias("_cb"),
+                F.sum(
+                    F.greatest(F.col("_n") - cap, F.lit(0))
+                ).alias("_om"),
+            ).first()
+            n_capped_blocks += int(row["_cb"] or 0)
+            n_overcap += int(row["_om"] or 0)
+    pc = None if n_exact == 0 else float(n_hit) / float(n_exact)
+    rr = None if n_pairs == 0 else 1.0 - float(n_cand) / float(n_pairs)
+    spark = records.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n_records),
+                int(n_probe),
+                int(n_pairs),
+                int(n_exact),
+                int(n_cand),
+                int(n_hit),
+                pc,
+                rr,
+                int(n_capped_blocks),
+                int(n_overcap),
+            )
+        ],
+        "n_records long, n_probe long, n_probe_pairs long, n_exact long, "
+        "n_candidates long, n_hit long, pair_completeness double, "
+        "reduction_ratio double, n_capped_blocks long, n_overcap_members long",
     )
