@@ -2229,6 +2229,179 @@ def _q_kedmd_events(spark, sf_dir):
     )
 
 
+def _q_edmd_events(spark, sf_dir):
+    """Extended DMD with a monomial dictionary (decomposition/dmd.py:86,
+    reference _dmd.py:251-334 + tests/decomposition/test_dmd.py EDMD
+    cases): Phi = monomials of v up to degree 3 (basis.Monomials — pure
+    column expressions), K = pinv(Phi'Phi) Phi'Phi_lagged from ONE
+    distributed covariance pass, eigendecomposition driver-side. Oracle
+    re-derives the dictionary covariances from the DuckDB trajectory
+    and runs the identical pinv+eig (oracle_ref.py:oracle_edmd)."""
+    import numpy as np
+
+    from deeptime_spark.basis import Monomials
+    from deeptime_spark.decomposition.dmd import EDMD
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v).alias("x"))
+    model = (
+        EDMD(basis=Monomials(p=3, d=1, include_bias=False), lagtime=1)
+        .fit(feat)
+        .fetch_model()
+    )
+    ev = np.sort_complex(model.eigenvalues)
+    return spark.createDataFrame(
+        [
+            (int(i), round(float(ev[i].real), 6), round(float(ev[i].imag), 6))
+            for i in range(len(ev))
+        ],
+        "idx long, ev_re double, ev_im double",
+    )
+
+
+def _q_kcca_events(spark, sf_dir):
+    """Kernel CCA (decomposition/kernel_methods.py:133, reference
+    _cca.py:51-127 + tests/decomposition/test_cca.py): Gaussian-kernel
+    canonical correlations between the event feature trajectory and its
+    lag-2 future, on the content-addressed landmark sample (smallest
+    md5(traj_id_t) — partition-layout-independent, any engine replays
+    the selection). Gram centering + the regularized product eigenproblem
+    are driver-side on the bounded sample. Oracle rebuilds the sample
+    from the DuckDB trajectory and replays the identical solve
+    (oracle_ref.py:oracle_kcca)."""
+    import numpy as np
+
+    from deeptime_spark.decomposition.kernel_methods import KernelCCA
+    from deeptime_spark.kernels import GaussianKernel
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v).alias("x"))
+    model = (
+        KernelCCA(GaussianKernel(1.0), n_eigs=3, max_samples=400)
+        .fit(feat, lagtime=2)
+        .fetch_model()
+    )
+    ev = np.sort_complex(np.asarray(model.eigenvalues))
+    return spark.createDataFrame(
+        [
+            (int(i), round(float(ev[i].real), 6), round(float(ev[i].imag), 6))
+            for i in range(len(ev))
+        ],
+        "idx long, ev_re double, ev_im double",
+    )
+
+
+def _q_kvad_events(spark, sf_dir):
+    """KVAD — kernel embedding variational approach for dynamics
+    (decomposition/kernel_methods.py:176, reference _kvad.py:60-170,
+    Tian & Wu 2020; tests/decomposition/test_kvad.py): whitened
+    instantaneous features against the Gaussian-kernel embedding of the
+    lag-2 future on the same content-addressed sample as KCCA; singular
+    values of the embedded objective + the KVAD score. Oracle replays
+    sample selection, whitening, and the truncated SVD
+    (oracle_ref.py:oracle_kvad)."""
+    from deeptime_spark.decomposition.kernel_methods import KVAD
+    from deeptime_spark.kernels import GaussianKernel
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v).alias("x"))
+    model = (
+        KVAD(GaussianKernel(1.0), lagtime=2, dim=2, max_samples=400)
+        .fit(feat)
+        .fetch_model()
+    )
+    rows = [
+        (f"sv{i}", round(float(sv), 6))
+        for i, sv in enumerate(model.singular_values)
+    ] + [("score", round(float(model.score), 6))]
+    return spark.createDataFrame(rows, "kind string, val double")
+
+
+def _q_minibatch_kmeans_events(spark, sf_dir):
+    """MiniBatchKMeans (clustering/kmeans.py:85, reference
+    _kmeans.py:474-559 + tests/clustering/test_kmeans.py minibatch
+    cases): running per-center weighted-mean updates, the batch
+    assignment/accumulation pass distributed via mapInPandas (Arrow).
+    Oracle face: caller-provided initial centers (first 4 embeddings)
+    instead of the MLlib k-means|| init (whose seed stream no other
+    engine can replay), full batches, and ONE sorted partition so the
+    float accumulation order is the vec_id order the numpy replica
+    iterates (oracle_ref.py:oracle_minibatch_kmeans). The multi-
+    partition sampled path stays pytest-covered."""
+    import numpy as np
+
+    from deeptime_spark.clustering.kmeans import MiniBatchKMeans
+
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+        .coalesce(1)
+        .sortWithinPartitions("vec_id")
+    )
+    init = np.asarray(
+        [r["x"] for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    )
+    est = MiniBatchKMeans(
+        n_clusters=4, batch_fraction=1.0, max_iter=3, initial_centers=init
+    )
+    est.fit(emb.select("x"))
+    model = est.fetch_model()
+    rows = [
+        ("center", int(i), int(j), round(float(model.cluster_centers[i, j]), 6))
+        for i in range(4)
+        for j in range(model.cluster_centers.shape[1])
+    ] + [
+        ("inertia", int(e), -1, round(float(c), 6))
+        for e, c in enumerate(est._inertias)
+    ]
+    return spark.createDataFrame(rows, "kind string, i long, j long, val double")
+
+
+def _q_tv_derivative_events(spark, sf_dir):
+    """Total-variation-regularized derivative (sindy/tv_derivative.py:
+    37,83 — Chartrand 2011, the reference's tests/util/test_diff.py
+    surface): per-trajectory TV denoised derivative of the scaled event
+    value, one grouped-map Arrow UDF (sequential Newton iterations per
+    series, parallel across trajectories — series are bounded, the
+    corpus is not). Fixed 10 iterations (tol=None) so the iteration
+    count is data-independent; oracle replays the identical solver on
+    the DuckDB-ordered series (oracle_ref.py:oracle_tv_derivative)."""
+    from deeptime_spark.sindy.tv_derivative import tv_derivative_df
+
+    traj = _event_traj(spark, sf_dir).select(
+        "traj_id", "t", (F.col("value") / 100.0).alias("v")
+    )
+    out = tv_derivative_df(traj, alpha=10.0, maxit=10, tol=None, value_col="v")
+    return out.select("traj_id", "t", F.round("dvalue_tv", 6).alias("dvalue_tv"))
+
+
+def _q_vamp_cv_events(spark, sf_dir):
+    """Cross-validated VAMP-2 score (decomposition/vamp.py:vamp_score_cv,
+    reference _score.py:226-319, McGibbon & Pande 2015): trajectory
+    blocks of 10 frames split 50/50 per fold by
+    pmod(xxhash64(block_id, seed+fold), 2) — content-addressed, so the
+    split is independent of partitioning AND replayable through the
+    spark_hashes XXH64 replica; folds run as concurrent Spark jobs. Per
+    fold one train covariance fit + one held-out covariance scoring.
+    Oracle rebuilds blocks and fold masks from the DuckDB trajectory and
+    replays the identical fit+score (oracle_ref.py:oracle_vamp_cv)."""
+    from deeptime_spark.decomposition.vamp import vamp_score_cv
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v).alias("x"))
+    scores = vamp_score_cv(
+        feat, lagtime=1, n=4, blocksize=10, r="VAMP2", random_state=42
+    )
+    return spark.createDataFrame(
+        [(int(i), round(float(s), 6)) for i, s in enumerate(scores)],
+        "fold long, score double",
+    )
+
+
 def _q_effective_counts_events(spark, sf_dir):
     """Statistically-uncorrelated effective count matrix (autocorrelation
     inefficiency scaling) on the event dtraj."""
@@ -4721,6 +4894,81 @@ def _q_customer_linkage_probe(spark, sf_dir):
     )
 
 
+def _q_streaming_linkage_probe(spark, sf_dir):
+    """Streaming face of the incremental entity linkage (streaming/
+    accumulate.py:streaming_record_linkage_probe): the SAME noisy
+    customer delta as customer_linkage_probe arrives as 4 key-
+    partitioned files (one micro-batch each), every batch probes the
+    persisted day-0 master inside foreachBatch, matches append to
+    parquet. Because the per-delta best-match election is independent
+    across delta records, the union of per-batch outputs EQUALS the
+    one-shot batch probe — pinned by sharing the batch query's pure-SQL
+    oracle verbatim. The daily-delta entity pipeline end-to-end:
+    probe -> matched updates feed streaming_scd2_merge, unmatched
+    insert as new entities."""
+    import tempfile
+
+    from deeptime_spark.streaming.accumulate import (
+        streaming_record_linkage_probe,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    master = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    delta = master.select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")
+        ).alias("name"),
+        "nk",
+        "seg",
+        F.when(F.col("id") % 5 == 0, F.col("bal") + 1)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    master_dir = tempfile.mkdtemp(prefix="slp_master_")
+    src_dir = tempfile.mkdtemp(prefix="slp_src_")
+    out_dir = tempfile.mkdtemp(prefix="slp_out_")
+    ckpt = tempfile.mkdtemp(prefix="slp_ckpt_")
+    master.write.mode("overwrite").parquet(master_dir)
+    delta.repartition(4, F.col("id")).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = streaming_record_linkage_probe(
+        spark,
+        stream,
+        master_path=master_dir,
+        out_path=out_dir,
+        id_col="id",
+        block_keys=[["nk", "seg"]],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        weights={"name": 1, "bal": 2},
+        threshold=0.9,
+        checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_linkage_probe: stream did not finish in 300s")
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "id_delta",
+        "id_master",
+        F.round("sim_name", 6).alias("sim_name"),
+        "sim_bal",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_customer_linkage_gate(spark, sf_dir):
     """Blocking pair-completeness gate (operators/linkage.py:
     linkage_blocking_gate — Christen, "Data Matching" 2012 ch. 7: pair
@@ -5698,6 +5946,48 @@ def _q_corpus_tuned_dedup(spark, sf_dir):
     return report.withColumn("n_pairs", F.lit(int(n_pairs)).cast("long"))
 
 
+def _q_corpus_tuned_dedup_probe(spark, sf_dir):
+    """Bounded-probe face of the tuned dedup dispatch (operators/
+    dedup.py:autotune_near_dedup with ``probe_docs``) — the 100 TB
+    shape: the recall measurement's exact PPJoin runs on a
+    ``mixing.group_sample`` probe (10 docs per source, content-
+    addressed, any engine replays membership) and the FULL corpus is
+    never PPJoined — the corpus-side work is banding + exact verify
+    only. The report carries n_probe_docs / n_corpus_docs so the
+    probe ≪ corpus shape is pinned, plus the measured probe_recall —
+    the cap-underestimation caveat's number (probe buckets are
+    proportionally smaller, so probe recall can only over-estimate;
+    on this uncloned corpus both probe and corpus sit above the
+    floor, so the decision matches the full measurement). Oracle
+    replays sampling, gate, dispatch, and the corpus-wide verified
+    pair count (oracle_ref.py:oracle_corpus_tuned_dedup_probe)."""
+    from deeptime_spark.operators.dedup import autotune_near_dedup
+    from deeptime_spark.operators.mixing import group_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    probe = group_sample(
+        docs, n_per_group=10, group_cols=["source"], key_col="doc_id"
+    ).select("doc_id", "text")
+    corpus = docs.select("doc_id", "text")
+    pairs, report = autotune_near_dedup(
+        corpus,
+        threshold_pct=70,
+        recall_floor=0.9,
+        n_hashes=64,
+        probe_docs=probe,
+    )
+    n_pairs = pairs.count()
+    n_probe = probe.count()
+    n_corpus = corpus.count()
+    return (
+        report.withColumn("n_probe_docs", F.lit(int(n_probe)).cast("long"))
+        .withColumn("n_corpus_docs", F.lit(int(n_corpus)).cast("long"))
+        .withColumn("n_pairs", F.lit(int(n_pairs)).cast("long"))
+    )
+
+
 def _q_doc_group_sample(spark, sf_dir):
     """Deterministic per-group sample (operators/mixing.py:
     group_sample): the 5 smallest-hash docs per (source, lang) cell —
@@ -5847,6 +6137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vamp_events": _q_vamp_events,
         "dmd_events": _q_dmd_events,
         "kedmd_events": _q_kedmd_events,
+        "edmd_events": _q_edmd_events,
+        "kcca_events": _q_kcca_events,
+        "kvad_events": _q_kvad_events,
+        "minibatch_kmeans_events": _q_minibatch_kmeans_events,
+        "tv_derivative_events": _q_tv_derivative_events,
+        "vamp_cv_events": _q_vamp_cv_events,
         "bayes_msm_events": _q_bayes_msm_events,
         "bayes_hmm_events": _q_bayes_hmm_events,
         "tpt_events": _q_tpt_events,
@@ -5860,6 +6156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_sample": _q_doc_group_sample,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "corpus_tuned_dedup": _q_corpus_tuned_dedup,
+        "corpus_tuned_dedup_probe": _q_corpus_tuned_dedup_probe,
         "customer_scd2_merge": _q_customer_scd2_merge,
         "streaming_scd2_merge": _q_streaming_scd2_merge,
         "orders_constraint_audit": _q_orders_constraint_audit,
@@ -6018,6 +6315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_entity_resolution": _q_customer_entity_resolution,
         "customer_linkage_probe": _q_customer_linkage_probe,
         "customer_linkage_gate": _q_customer_linkage_gate,
+        "streaming_linkage_probe": _q_streaming_linkage_probe,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "dedup_recall_gate": _q_dedup_recall_gate,
@@ -6044,56 +6342,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r06 greens, from tools/plan_window.py. Recomputed each round; exactly
 # 50 entries — the driver records only the first ~50 queries() keys.
 _WINDOW_ORDER = [
-    "corpus_tuned_dedup",  # last green r00
-    "streaming_scd2_merge",  # last green r00
-    "doc_unigram_fertility",  # last green r00
-    "event_skew_profile",  # last green r00
-    "customer_record_linkage",  # last green r00
-    "customer_entity_resolution",  # last green r00
-    "customer_linkage_probe",  # last green r00
-    "q1_pricing_summary",  # last green r05
-    "q3_top_orders",  # last green r05
-    "q5_supplier_volume",  # last green r05
-    "q6_forecast_revenue",  # last green r05
-    "q10_returned_items",  # last green r05
-    "top_customers",  # last green r05
-    "order_priority_count",  # last green r05
-    "nation_order_volume",  # last green r05
-    "brand_volume",  # last green r05
-    "event_sessions",  # last green r05
-    "distinct_users_by_type",  # last green r05
-    "event_order_asof",  # last green r05
-    "event_rollup",  # last green r05
-    "purchase_not_error_users",  # last green r05
-    "event_box",  # last green r05
-    "event_histogram2d",  # last green r05
-    "event_confidence_interval",  # last green r05
-    "event_moments",  # last green r05
-    "event_transition_counts",  # last green r05
-    "event_state_histogram",  # last green r05
-    "event_weighted_counts",  # last green r05
-    "vamp_score_events",  # last green r05
-    "web_host_stats",  # last green r05
-    "shard_manifest",  # last green r06
-    "web_extract_text",  # last green r06
-    "doc_lm2_score",  # last green r06
-    "web_corpus_pipeline",  # last green r06
-    "streaming_c4_replay",  # last green r06
-    "shards_roundtrip",  # last green r06
-    "token_pack_sequences",  # last green r06
-    "doc_hll_shingles",  # last green r06
-    "doc_bloom_decontaminate",  # last green r06
-    "doc_cms_word_counts",  # last green r06
-    "doc_bm25_search",  # last green r06
-    "streaming_hll_replay",  # last green r06
-    "doc_sparse_cosine",  # last green r06
-    "corpus_snapshot_diff",  # last green r06
-    "doc_leakage_split",  # last green r06
-    "event_kmv_quantiles",  # last green r06
-    "doc_incremental_dedup",  # last green r06
-    "streaming_incremental_dedup",  # last green r06
-    "doc_novelty",  # last green r06
-    "event_funnel",  # last green r06
+    "edmd_events",  # last green r00
+    "kcca_events",  # last green r00
+    "kvad_events",  # last green r00
+    "minibatch_kmeans_events",  # last green r00
+    "tv_derivative_events",  # last green r00
+    "vamp_cv_events",  # last green r00
+    "corpus_tuned_dedup_probe",  # last green r00
+    "customer_linkage_gate",  # last green r00
+    "streaming_linkage_probe",  # last green r00
+    "event_retention",  # last green r06
+    "event_two_step_counts",  # last green r06
+    "event_timeshifted",  # last green r06
+    "event_sliding_avg",  # last green r06
+    "event_derivative",  # last green r06
+    "event_blocksplit",  # last green r06
+    "doc_token_stats",  # last green r06
+    "doc_quality",  # last green r06
+    "doc_language",  # last green r06
+    "doc_language_summary",  # last green r06
+    "doc_hash_groups",  # last green r06
+    "dedup_docs_count",  # last green r06
+    "doc_jaccard_adjacent",  # last green r06
+    "doc_shingle_count",  # last green r06
+    "vocab_stats",  # last green r06
+    "top_tokens",  # last green r06
+    "embedding_norms",  # last green r06
+    "knn_bruteforce",  # last green r06
+    "embedding_label_stats",  # last green r06
+    "label_centroid_norm",  # last green r06
+    "tram_events",  # last green r06
+    "vamp_events",  # last green r06
+    "dmd_events",  # last green r06
+    "kedmd_events",  # last green r06
+    "bayes_msm_events",  # last green r06
+    "event_pivot",  # last green r07
+    "event_resample",  # last green r07
+    "event_json_stats",  # last green r07
+    "corpus_profile",  # last green r07
+    "event_top_spenders",  # last green r07
+    "bayes_hmm_events",  # last green r07
+    "tpt_events",  # last green r07
+    "effective_counts_events",  # last green r07
+    "koopman_weights_events",  # last green r07
+    "regspace_events",  # last green r07
+    "msm_longtail_events",  # last green r07
+    "multimodal_features",  # last green r07
+    "kernel_gram_events",  # last green r07
+    "tica_events",  # last green r07
+    "kmeans_embeddings",  # last green r07
+    "hmm_viterbi_events",  # last green r07
 ]
 
 
@@ -8235,4 +8533,8 @@ FROM v WHERE 100 * i >= 80 * u
         pass
     if "event_kmv_rollup" in base:
         base["streaming_kmv_rollup"] = base["event_kmv_rollup"]
+    # batch-equality contract: the streaming probe's per-batch union ==
+    # the one-shot batch probe, so the oracle is shared verbatim
+    if "customer_linkage_probe" in base:
+        base["streaming_linkage_probe"] = base["customer_linkage_probe"]
     return base

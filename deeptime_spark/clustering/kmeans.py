@@ -120,7 +120,21 @@ class MiniBatchKMeans(KMeans):
                 self._n = df.count()
             frac = min(1.0, self.batch_size / max(self._n, 1))
         batch = df.sample(fraction=min(1.0, frac), seed=self.seed + self._epoch)
-        if self._centers is None:
+        if self._centers is None and self.initial_centers is not None:
+            # reference parity (_kmeans.py:148-236 ctor): caller-provided
+            # initial centers skip the MLlib init entirely and the first
+            # batch performs a real minibatch update — the fully
+            # deterministic path (the k-means|| seed stream is
+            # MLlib-internal, replayable by no other engine)
+            centers0 = np.asarray(self.initial_centers, dtype=np.float64)
+            if centers0.shape[0] != self.n_clusters:
+                raise ValueError(
+                    f"initial_centers has {centers0.shape[0]} rows, "
+                    f"expected n_clusters={self.n_clusters}"
+                )
+            self._centers = centers0.copy()
+            self._counts = np.ones(self.n_clusters)
+        elif self._centers is None:
             # init from an MLlib fit on the first batch
             KMeans.fit(self, batch)
             self._centers = self._model.cluster_centers

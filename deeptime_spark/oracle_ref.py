@@ -417,6 +417,227 @@ def oracle_kedmd() -> str:
     return _values_sql(rows, ["idx", "ev_re", "ev_im"], "bdd")
 
 
+def oracle_edmd() -> str:
+    """EDMD replica: the monomial-dictionary covariances re-derived in
+    numpy from the DuckDB trajectory (the Monomials(p=3, d=1) feature
+    order IS v, v^2, v^3 — combinations_with_replacement ascending),
+    then the identical epsilon-thresholded pinv + eig the estimator
+    runs (decomposition/dmd.py:EDMD.fit)."""
+    cov = _covariance_model(sf_dir(), 1, 3, remove_mean=False, bessel=False)
+    u, s, vt = np.linalg.svd(cov.cov_00, hermitian=True)
+    r = int(np.sum(s > 1e-10 * s[0]))
+    inv = vt[:r].T @ np.diag(1.0 / s[:r]) @ u[:, :r].T
+    K = inv @ cov.cov_0t
+    vals, _ = np.linalg.eig(K)
+    ev = np.sort_complex(vals[np.argsort(-np.abs(vals))])
+    rows = [
+        (i, round(float(ev[i].real), 6), round(float(ev[i].imag), 6))
+        for i in range(len(ev))
+    ]
+    return _values_sql(rows, ["idx", "ev_re", "ev_im"], "bdd")
+
+
+def _md5_sample_pairs(sf: str, lag: int, max_samples: int, n_powers: int):
+    """The _collect_pairs landmark selection replayed from the DuckDB
+    trajectory: the ``max_samples`` lagged pairs with the smallest
+    md5(traj_id _ t) — identical to the kedmd oracle's selection."""
+    import hashlib
+
+    tid, t, _, _ = _traj(sf)
+    feats = _event_features(sf, n_powers)
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    keyed = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b - a > lag:
+            for off in range(b - a - lag):
+                h = hashlib.md5(f"{tid[a]}_{t[a + off]}".encode()).hexdigest()
+                keyed.append((h, a + off))
+    keyed.sort()
+    idx = [i for _, i in keyed[:max_samples]]
+    x = feats[idx]
+    y = feats[[i + lag for i in idx]]
+    return x, y
+
+
+def oracle_kcca() -> str:
+    """KernelCCA replica (kernel_methods.py:KernelCCA.fit): rebuild the
+    content-addressed sample, then the identical Gram centering +
+    regularized product eigenproblem."""
+    from deeptime_spark.kernels import GaussianKernel
+    from deeptime_spark.numeric.eigen import sort_eigs
+
+    x, y = _md5_sample_pairs(sf_dir(), 2, 400, 2)
+    kernel = GaussianKernel(1.0)
+    n = len(x)
+    gram_0 = kernel.gram(x)
+    gram_t = kernel.gram(y)
+    eye = np.eye(n)
+    N = eye - np.full((n, n), 1.0 / n)
+    G_0 = N @ gram_0 @ N
+    G_1 = N @ gram_t @ N
+    K = np.linalg.solve(G_0 + 1e-6 * eye, G_0)
+    Ak = np.linalg.solve(G_1 + 1e-6 * eye, G_1)
+    vals, vecs = np.linalg.eig(K @ Ak)
+    vals, vecs = sort_eigs(vals, vecs)
+    ev = np.sort_complex(np.asarray(vals[:3]))
+    rows = [
+        (i, round(float(ev[i].real), 6), round(float(ev[i].imag), 6))
+        for i in range(len(ev))
+    ]
+    return _values_sql(rows, ["idx", "ev_re", "ev_im"], "bdd")
+
+
+def oracle_kvad() -> str:
+    """KVAD replica (kernel_methods.py:KVAD.fit): same sample, same
+    whitening (spd_inv_sqrt), same embedded objective + truncated SVD,
+    same score = sum(svals) + mean(G_yy)."""
+    from deeptime_spark.decomposition.kernel_methods import spd_truncated_svd
+    from deeptime_spark.kernels import GaussianKernel
+    from deeptime_spark.numeric.eigen import spd_inv_sqrt
+
+    chi_x, chi_y = _md5_sample_pairs(sf_dir(), 2, 400, 2)
+    kernel = GaussianKernel(1.0)
+    n = len(chi_x)
+    g_yy = kernel.gram(chi_y)
+    mean_x = chi_x.mean(axis=0)
+    cov = (chi_x - mean_x).T @ (chi_x - mean_x) / (n - 1)
+    W = spd_inv_sqrt(cov, epsilon=1e-6)
+    chi_x_w = (chi_x - mean_x) @ W.T
+    x_g_x = chi_x_w.T @ g_yy @ chi_x_w / (n * n)
+    svals, _ = spd_truncated_svd(x_g_x, dim=2, eps=1e-6)
+    score = float(np.sum(svals) + np.mean(g_yy))
+    rows = [(f"sv{i}", round(float(sv), 6)) for i, sv in enumerate(svals)]
+    rows.append(("score", round(score, 6)))
+    return _values_sql(rows, ["kind", "val"], "sd")
+
+
+def oracle_minibatch_kmeans() -> str:
+    """MiniBatchKMeans replica (clustering/kmeans.py:partial_fit): the
+    vec_id-ordered embeddings ARE the single sorted partition the
+    harness feeds, initial centers = first 4 rows, full batches; the
+    per-epoch assignment / accumulation / running-mean update is the
+    same numpy the Arrow workers run, in the same row order."""
+    X = _embeddings(sf_dir())
+    centers = X[:4].copy()
+    counts = np.ones(4)
+    inertias: list = []
+    tol = 1e-5
+    for _ in range(3):
+        d2 = (
+            np.einsum("ij,ij->i", X, X)[:, None]
+            - 2.0 * (X @ centers.T)
+            + np.einsum("ij,ij->i", centers, centers)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        cost = float(np.clip(d2[np.arange(len(a)), a], 0.0, None).sum())
+        sums = np.zeros_like(centers)
+        cnt = np.zeros(4)
+        np.add.at(sums, a, X)
+        np.add.at(cnt, a, 1.0)
+        counts += cnt
+        mask = cnt > 0
+        eta = (cnt[mask] / counts[mask])[:, None]
+        centers[mask] = (1 - eta) * centers[mask] + eta * (
+            sums[mask] / cnt[mask][:, None]
+        )
+        converged = bool(inertias) and cost != 0.0 and abs(
+            cost - inertias[-1]
+        ) / cost <= tol
+        inertias.append(cost)
+        if converged:
+            break
+    rows = [
+        ("center", i, j, round(float(centers[i, j]), 6))
+        for i in range(4)
+        for j in range(centers.shape[1])
+    ] + [("inertia", e, -1, round(float(c), 6)) for e, c in enumerate(inertias)]
+    return _values_sql(rows, ["kind", "i", "j", "val"], "sbbd")
+
+
+def oracle_tv_derivative() -> str:
+    """TV-derivative replica: the identical solver
+    (sindy/tv_derivative.py:tv_derivative) on each DuckDB-ordered
+    per-trajectory series."""
+    from deeptime_spark.sindy.tv_derivative import tv_derivative
+
+    tid, t, value, _ = _traj(sf_dir())
+    v = value / 100.0
+    bounds = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1], True])
+    rows = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        d = tv_derivative(
+            t[a:b].astype(np.float64), v[a:b], alpha=10.0, maxit=10, tol=None
+        )
+        rows.extend(
+            (int(tid[a]), int(t[a + i]), _spark_round(float(d[i]), 6))
+            for i in range(b - a)
+        )
+    return _values_sql(rows, ["traj_id", "t", "dvalue_tv"], "bbd")
+
+
+def oracle_vamp_cv() -> str:
+    """Cross-validated VAMP-2 replica (vamp.py:vamp_score_cv): blocks of
+    10 frames rebuilt from the DuckDB trajectory, fold masks through the
+    spark_hashes XXH64 replica (string block_id with seed 42, then the
+    IntegerType fold-seed literal hashed with the running hash as seed —
+    Spark's multi-arg xxhash64 fold), per-fold covariances from the
+    retained blocks' lagged pairs, the same fit_from_covariances +
+    vamp_score."""
+    import struct
+
+    from deeptime_spark.covariance import CovarianceModel
+    from deeptime_spark.decomposition.vamp import VAMP, vamp_score
+    from deeptime_spark.operators.moments import MomentsResult
+    from deeptime_spark.spark_hashes import xxhash64
+
+    sf = sf_dir()
+    tid, t, _, _ = _traj(sf)
+    feats = _event_features(sf, 2)
+    bs, lag, rs = 10, 1, 42
+    bid = np.array([f"{tid[i]}_{t[i] // bs}" for i in range(len(tid))])
+    bounds = np.flatnonzero(np.r_[True, bid[1:] != bid[:-1], True])
+
+    def covm(Xs, Ys):
+        X = np.concatenate(Xs)
+        Y = np.concatenate(Ys)
+        m = MomentsResult(
+            weight_sum=float(len(X)),
+            sx=X.sum(axis=0),
+            mxx=X.T @ X,
+            sy=Y.sum(axis=0),
+            mxy=X.T @ Y,
+            myy=Y.T @ Y,
+        )
+        c00, c0t, ctt, mx, my = m.covariances(
+            remove_mean=True, bessels_correction=True, symmetrize=False
+        )
+        return CovarianceModel(
+            cov_00=c00, cov_0t=c0t, cov_tt=ctt, mean_0=mx, mean_t=my,
+            bessels_correction=True, symmetrized=False, lagtime=lag,
+            weight_sum=float(len(X)),
+        )
+
+    rows = []
+    for fold in range(4):
+        tr_x, tr_y, te_x, te_y = [], [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b - a <= lag:
+                continue
+            h = xxhash64(str(bid[a]).encode(), 42)
+            h = xxhash64(struct.pack("<i", rs + fold), h)
+            X, Y = feats[a : b - lag], feats[a + lag : b]
+            if h % 2 == 0:
+                te_x.append(X)
+                te_y.append(Y)
+            else:
+                tr_x.append(X)
+                tr_y.append(Y)
+        model = VAMP(lagtime=lag).fit_from_covariances(covm(tr_x, tr_y))
+        score = vamp_score(model, r="VAMP2", covariances_test=covm(te_x, te_y))
+        rows.append((fold, round(float(score), 6)))
+    return _values_sql(rows, ["fold", "score"], "bd")
+
+
 # monomial features spelled as chained products — bit-identical to the
 # Spark column expressions v, v*v, (v*v)*v (pow() is not guaranteed exact)
 _POW = ["v", "(v * v)", "(v * v * v)"]
@@ -941,6 +1162,12 @@ _BUILDERS = {
     "vamp_score_events": oracle_vamp_score,
     "dmd_events": oracle_dmd,
     "kedmd_events": oracle_kedmd,
+    "edmd_events": oracle_edmd,
+    "kcca_events": oracle_kcca,
+    "kvad_events": oracle_kvad,
+    "minibatch_kmeans_events": oracle_minibatch_kmeans,
+    "tv_derivative_events": oracle_tv_derivative,
+    "vamp_cv_events": oracle_vamp_cv,
     "tica_events": oracle_tica,
     "koopman_weights_events": oracle_koopman_weights,
     "embedding_whiten": oracle_embedding_whiten,
@@ -3946,6 +4173,92 @@ def oracle_corpus_tuned_dedup() -> str:
 
 
 _BUILDERS["corpus_tuned_dedup"] = oracle_corpus_tuned_dedup
+
+
+def oracle_corpus_tuned_dedup_probe() -> str:
+    """Probe-mode replay of autotune_near_dedup: group_sample(10 per
+    source) membership via the xxhash64 replica, exact pairs on the
+    PROBE only, banding candidates on probe (gate) and corpus (chosen
+    path), the same u>0-guarded integer token-Jaccard verification of
+    the corpus candidates."""
+    from deeptime_spark.operators.dedup import choose_banding
+
+    sf = sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source FROM read_parquet('{sf}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    from deeptime_spark.spark_hashes import xxhash64 as _xxh
+
+    cells: dict = {}
+    for doc_id, _, source in rows:
+        h = _xxh(f"{int(doc_id)}#gsample0".encode())
+        cells.setdefault(source, []).append((h, int(doc_id)))
+    probe_ids = {
+        i for members in cells.values() for _, i in sorted(members)[:10]
+    }
+    corpus = [(int(i), t) for (i, t, _) in rows]
+    probe = [(i, t) for (i, t) in corpus if i in probe_ids]
+    bands, rows_per_band = choose_banding(64, 70)
+    exact = _ppjoin_exact_pairs(probe, 70)
+    cands = _word_minhash_candidates(probe, 64, bands, max_bucket=256)
+    n_e, n_c = len(exact), len(cands)
+    n_h = len(exact & cands)
+    rec = None if n_e == 0 else n_h / n_e
+    if rec is None or rec >= 0.9:
+        method = "lsh_banding"
+        corpus_cands = _word_minhash_candidates(
+            corpus, 64, bands, max_bucket=256
+        )
+        ts = {i: set(_token_set(t)) for i, t in corpus}
+        n_pairs = 0
+        for a, b in corpus_cands:
+            i = len(ts[a] & ts[b])
+            u = len(ts[a]) + len(ts[b]) - i
+            if u > 0 and 100 * i >= 70 * u:
+                n_pairs += 1
+        pipe = rec
+    else:
+        method = "ppjoin_exact"
+        n_pairs = len(_ppjoin_exact_pairs(corpus, 70))
+        pipe = 1.0
+    out = [
+        (
+            method,
+            bands,
+            rows_per_band,
+            n_e,
+            n_c,
+            n_h,
+            rec,
+            pipe,
+            len(probe),
+            len(corpus),
+            n_pairs,
+        )
+    ]
+    return _values_sql(
+        out,
+        [
+            "method",
+            "bands",
+            "rows_per_band",
+            "n_exact_probe",
+            "n_candidates_probe",
+            "n_hit_probe",
+            "probe_recall",
+            "pipeline_recall",
+            "n_probe_docs",
+            "n_corpus_docs",
+            "n_pairs",
+        ],
+        "sbbbbbddbbb",
+    )
+
+
+_BUILDERS["corpus_tuned_dedup_probe"] = oracle_corpus_tuned_dedup_probe
 
 
 def oracle_doc_unigram_fertility() -> str:

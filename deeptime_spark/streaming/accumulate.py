@@ -776,3 +776,61 @@ def streaming_scd2_merge(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_record_linkage_probe(
+    spark,
+    stream_df: DataFrame,
+    master_path: str,
+    out_path: str,
+    id_col: str,
+    block_keys: list,
+    string_fields: Optional[list] = None,
+    exact_fields: Optional[list] = None,
+    weights: Optional[dict] = None,
+    threshold: float = 0.8,
+    max_block: Optional[int] = 1000,
+    checkpoint: Optional[str] = None,
+):
+    """Streaming face of the incremental entity linkage
+    (operators/linkage.py:record_linkage_probe) — the daily-delta
+    pipeline end-to-end: each micro-batch of NEW records probes the
+    persisted master/golden dimension inside ``foreachBatch`` and the
+    per-delta best matches append to ``out_path`` as parquet; the
+    unmatched remainder of each batch is the insert set the SCD2 merge
+    (:func:`streaming_scd2_merge`) consumes next.
+
+    The streaming_probe_signature_index pattern: the master is static
+    (read once per batch from storage, its blocks capped at
+    ``max_block``), per-batch work is proportional to the BATCH, and
+    because the best-match election is per-delta-record independent
+    (one window over that record's own bounded candidate set), the
+    union of per-batch outputs equals the one-shot batch probe — the
+    equivalence the harness query pins against the batch oracle.
+
+    Returns the started StreamingQuery (``availableNow`` trigger)."""
+    from deeptime_spark.operators.linkage import record_linkage_probe
+
+    master = spark.read.parquet(master_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        record_linkage_probe(
+            master,
+            batch_df,
+            id_col=id_col,
+            block_keys=list(block_keys),
+            string_fields=string_fields,
+            exact_fields=exact_fields,
+            weights=weights,
+            threshold=threshold,
+            max_block=max_block,
+        ).write.mode("append").parquet(out_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

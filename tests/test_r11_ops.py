@@ -176,3 +176,167 @@ def test_gate_truth_matches_uncapped_linkage(spark):
     assert out["n_exact"] == pairs.count()
     assert out["n_hit"] == out["n_exact"]
     assert out["pair_completeness"] == 1.0
+
+
+def test_minibatch_kmeans_initial_centers(spark):
+    import numpy as np
+
+    from deeptime_spark.clustering.kmeans import MiniBatchKMeans
+
+    rows = [([float(i), float(i % 3)],) for i in range(60)]
+    df = spark.createDataFrame(rows, "x array<double>")
+    init = np.array([[0.0, 0.0], [30.0, 1.0], [59.0, 2.0]])
+    est = MiniBatchKMeans(
+        n_clusters=3, batch_fraction=1.0, max_iter=2, initial_centers=init
+    )
+    est.fit(df)
+    model = est.fetch_model()
+    # first epoch performs a real update: centers move off the init
+    assert model.cluster_centers.shape == (3, 2)
+    assert not np.allclose(model.cluster_centers, init)
+    # 2 epochs -> 2 recorded inertias (no burned init epoch)
+    assert len(est._inertias) == 2
+    # wrong center count raises
+    with pytest.raises(ValueError):
+        MiniBatchKMeans(
+            n_clusters=4, batch_fraction=1.0, max_iter=1, initial_centers=init
+        ).fit(df)
+
+
+def test_minibatch_initial_centers_replay(spark):
+    # the oracle contract: single sorted partition + full batches ->
+    # the numpy replay of partial_fit reproduces centers exactly
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(50, 3))
+    from deeptime_spark.clustering.kmeans import MiniBatchKMeans
+
+    df = (
+        spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(50)],
+            "i long, x array<double>",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("i")
+        .select("x")
+    )
+    init = X[:2].copy()
+    est = MiniBatchKMeans(
+        n_clusters=2, batch_fraction=1.0, max_iter=3, initial_centers=init
+    )
+    est.fit(df)
+    centers = init.copy()
+    counts = np.ones(2)
+    inertias = []
+    for _ in range(3):
+        d2 = (
+            np.einsum("ij,ij->i", X, X)[:, None]
+            - 2.0 * (X @ centers.T)
+            + np.einsum("ij,ij->i", centers, centers)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        cost = float(np.clip(d2[np.arange(len(a)), a], 0.0, None).sum())
+        sums = np.zeros_like(centers)
+        cnt = np.zeros(2)
+        np.add.at(sums, a, X)
+        np.add.at(cnt, a, 1.0)
+        counts += cnt
+        mask = cnt > 0
+        eta = (cnt[mask] / counts[mask])[:, None]
+        centers[mask] = (1 - eta) * centers[mask] + eta * (
+            sums[mask] / cnt[mask][:, None]
+        )
+        converged = bool(inertias) and cost != 0.0 and abs(
+            cost - inertias[-1]
+        ) / cost <= 1e-5
+        inertias.append(cost)
+        if converged:
+            break
+    assert np.allclose(est.fetch_model().cluster_centers, centers, atol=1e-12)
+    assert est._inertias == pytest.approx(inertias, abs=1e-9)
+
+
+def test_autotune_probe_mode_never_ppjoins_corpus(spark):
+    # probe-mode banding dispatch: pairs come from corpus banding +
+    # verify; result equals full-corpus autotune when recall is high
+    from deeptime_spark.operators.dedup import autotune_near_dedup
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight",
+        "red green blue yellow purple orange pink grey",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = docs.where(F.col("doc_id") < 20)
+    pairs, report = autotune_near_dedup(
+        docs, threshold_pct=70, probe_docs=probe, max_bucket=64
+    )
+    r = report.first()
+    assert r["method"] == "lsh_banding"
+    got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
+    assert got == {(0, 1), (10, 11), (20, 21)}
+
+
+def test_streaming_linkage_probe_equals_batch(spark, tmp_path):
+    from deeptime_spark.operators.linkage import record_linkage_probe
+    from deeptime_spark.streaming.accumulate import (
+        streaming_record_linkage_probe,
+    )
+
+    master_rows = [
+        (1, "alice", "10001", 50),
+        (2, "bob", "20002", 70),
+        (3, "carol", "10001", 90),
+    ]
+    delta_rows = [
+        (101, "alicx", "10001", 50),  # matches 1
+        (102, "bobb", "20002", 70),  # matches 2
+        (103, "zzzz", "10001", 11),  # no match
+    ]
+    schema = "id long, name string, zip string, bal long"
+    master = spark.createDataFrame(master_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    mdir = str(tmp_path / "master")
+    sdir = str(tmp_path / "src")
+    odir = str(tmp_path / "out")
+    master.write.parquet(mdir)
+    delta.repartition(3, F.col("id")).write.parquet(sdir)
+    stream = (
+        spark.readStream.schema(master.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = streaming_record_linkage_probe(
+        spark,
+        stream,
+        master_path=mdir,
+        out_path=odir,
+        id_col="id",
+        block_keys=["zip"],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        threshold=0.7,
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["id_delta"], r["id_master"], round(r["score"], 9))
+        for r in spark.read.parquet(odir).collect()
+    }
+    want = {
+        (r["id_delta"], r["id_master"], round(r["score"], 9))
+        for r in record_linkage_probe(
+            master,
+            delta,
+            id_col="id",
+            block_keys=["zip"],
+            string_fields=["name"],
+            exact_fields=["bal"],
+            threshold=0.7,
+        ).collect()
+    }
+    assert got == want and len(got) == 2

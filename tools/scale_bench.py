@@ -33,8 +33,18 @@ REPLICATE = {
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
     "lineitem": ("l_orderkey",),
+    # r11: replicate customer so the linkage/ER family gets MEASURED
+    # slopes (the r10 rows were flat by fixture construction). The
+    # offset must stay below the linkage fixtures' +10M noisy-clone
+    # shift: with 1M per replica, base ids top out < 8M at x8 while
+    # noisy ids start at 10M — no collision. c_nationkey/mktsegment are
+    # kept, so (nk, seg) blocks DEEPEN with k — exactly the hot-block
+    # stress the max_block cap exists for.
+    "customer": ("c_custkey",),
 }
 OFFSET = 10_000_000
+TABLE_OFFSET = {"customer": 1_000_000}
+FIXTURE_VERSION = "v2"  # bump when REPLICATE/offsets change (stale dirs rebuild)
 
 QUERIES = [
     # text / dedup over documents (dup density grows with k)
@@ -128,13 +138,29 @@ QUERIES = [
     "customer_record_linkage",
     "customer_entity_resolution",
     "customer_linkage_probe",
+    # round-11: probe-mode tuned dedup (probe = 10 docs/source stays
+    # FIXED while the corpus replicates — the measurement cost is
+    # scale-independent, only the chosen path's corpus work grows) and
+    # the r11 estimator promotions with corpus-scale distributed stages.
+    # customer_linkage_gate is deliberately NOT laddered: its harness
+    # probe is a fixed FRACTION (mod 13) of the corpus, so the exact
+    # all-pairs truth grows k^2 by design — at scale the caller passes a
+    # bounded probe (the documented contract), which this fixture
+    # cannot express without changing the query.
+    "corpus_tuned_dedup_probe",
+    "edmd_events",
+    "kcca_events",
+    "kvad_events",
+    "minibatch_kmeans_events",
+    "tv_derivative_events",
+    "vamp_cv_events",
 ]
 
 
 def build_dir(spark, k: int) -> str:
     out = f"{ROOT}/x{k}"
     marker = f"{out}/.complete"
-    if os.path.exists(marker):
+    if os.path.exists(marker) and open(marker).read().strip() == FIXTURE_VERSION:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -147,17 +173,18 @@ def build_dir(spark, k: int) -> str:
             os.symlink(src, dst)
             continue
         df = spark.read.parquet(src)
+        off = TABLE_OFFSET.get(t, OFFSET)
         parts = []
         for i in range(k):
             p = df
             for id_col in REPLICATE[t]:
-                p = p.withColumn(id_col, F.col(id_col) + F.lit(i * OFFSET))
+                p = p.withColumn(id_col, F.col(id_col) + F.lit(i * off))
             parts.append(p)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
         u.write.mode("overwrite").parquet(dst)
-    open(marker, "w").write("ok")
+    open(marker, "w").write(FIXTURE_VERSION)
     return out
 
 
