@@ -937,3 +937,38 @@ def test_record_linkage_no_cartesian_no_python(spark):
     )
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_linkage_pipeline_no_cartesian_no_python(spark):
+    """Blocked record linkage is capped equi-joins + codegen comparison
+    everywhere (linkage.py docstring): no CartesianProduct, no Python
+    evaluation in the pipeline or the incremental probe. (The blocking
+    GATE's truth pass is an intentional bounded crossJoin over the probe
+    and is deliberately not pinned here.)"""
+    from deeptime_spark.operators.linkage import (
+        blocked_record_linkage,
+        record_linkage_probe,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, "alice", "10001", 5), (2, "alicx", "10001", 5),
+         (3, "bob", "20002", 7)],
+        "id long, name string, zip string, bal long",
+    )
+    plan = plan_of(
+        blocked_record_linkage(
+            recs, id_col="id", block_keys=["zip"],
+            string_fields=["name"], exact_fields=["bal"], threshold=0.8,
+        )
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EvalPython" not in plan
+    plan = plan_of(
+        record_linkage_probe(
+            recs, recs.withColumn("id", F.col("id") + 100),
+            id_col="id", block_keys=["zip"],
+            string_fields=["name"], exact_fields=["bal"], threshold=0.8,
+        )
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EvalPython" not in plan

@@ -155,6 +155,16 @@ FLAGSHIPS = {
         "read; the conjunctive check is one partial-aggregated groupBy "
         "over the pruned postings. No Python anywhere."
     ),
+    "customer_record_linkage": (
+        "Blocked record linkage (r10/r11): blocking is a row_number-"
+        "capped equi-join per spec (WindowGroupLimit bounds hot blocks "
+        "at max_block BEFORE pairing, so per-block fan-out is "
+        "O(max_block) — the x32 ladder measures the resulting work "
+        "plateau), comparison is codegen levenshtein + null-safe "
+        "equality, the score one Column expression. No CartesianProduct "
+        "and no Python anywhere (pinned by "
+        "test_linkage_pipeline_no_cartesian_no_python)."
+    ),
 }
 
 MANUAL_MARKER = "<!-- MANUAL SECTIONS BELOW: preserved by tools/dump_plans.py -->"
