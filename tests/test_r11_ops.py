@@ -340,3 +340,48 @@ def test_streaming_linkage_probe_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_streaming_scd2_retain_versions(spark, tmp_path):
+    # retain_versions=2 prunes snapshots older than the previous one
+    import glob
+
+    from deeptime_spark.streaming.accumulate import streaming_scd2_merge
+
+    dim = spark.createDataFrame(
+        [(k, f"a{k}", 0, None) for k in range(1, 5)],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [(k, f"a{k}x") for k in range(1, 5)], "k long, attr string"
+    )
+    src = str(tmp_path / "src")
+    dim_dir = str(tmp_path / "dim")
+    updates.repartition(4, F.col("k")).write.parquet(src)
+    dim.write.parquet(f"{dim_dir}/v0")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_scd2_merge(
+        spark, stream, key="k", tracked=["attr"], dim_path=dim_dir,
+        checkpoint=str(tmp_path / "ckpt"), retain_versions=2,
+    )
+    assert q.awaitTermination(120)
+    versions = sorted(
+        int(p.rsplit("/v", 1)[1]) for p in glob.glob(f"{dim_dir}/v*")
+    )
+    # only the latest and its predecessor survive
+    assert len(versions) == 2
+    assert versions[1] - versions[0] == 1
+    final = spark.read.parquet(f"{dim_dir}/v{versions[-1]}")
+    assert final.where(F.col("valid_to").isNull()).count() == 4
+    assert final.count() == 8  # every key got one new version
+    # the guard: retain_versions < 2 is rejected
+    with pytest.raises(ValueError):
+        streaming_scd2_merge(
+            spark, stream, key="k", tracked=["attr"], dim_path=dim_dir,
+            retain_versions=1,
+        )
