@@ -193,6 +193,18 @@ HEADLINE = [
     "customer_record_linkage",
     "customer_entity_resolution",
     "customer_linkage_probe",
+    # round-11: blocking pair-completeness gate (bounded probe + over-cap
+    # accounting), bounded-probe tuned-dedup dispatch, streaming linkage
+    # probe, and the six estimator promotions
+    "customer_linkage_gate",
+    "corpus_tuned_dedup_probe",
+    "streaming_linkage_probe",
+    "edmd_events",
+    "kcca_events",
+    "kvad_events",
+    "minibatch_kmeans_events",
+    "tv_derivative_events",
+    "vamp_cv_events",
 ]
 
 
@@ -226,7 +238,12 @@ def main() -> None:
         # long-lived production driver sets this; so does the bench.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            # 512m stopped the r10 code-cache exhaustion at 138 queries;
+            # the r11 additions (147 wide-codegen plans x 3 passes)
+            # overflowed it again — corpus_tuned_dedup read 26 s warm in
+            # the session while timing 6.4 s in isolation. 1g holds the
+            # whole compiled-plan working set.
+            "-XX:ReservedCodeCacheSize=1g",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
