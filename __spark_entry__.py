@@ -4894,6 +4894,98 @@ def _q_customer_linkage_probe(spark, sf_dir):
     )
 
 
+def _q_customer_delta_pipeline(spark, sf_dir):
+    """The daily-delta ENTITY PIPELINE end-to-end, batch face
+    (operators/linkage.py:record_linkage_probe ->
+    operators/scd.py:scd2_merge): the day's new records probe the
+    golden dimension (work proportional to the delta, master blocks
+    capped); per master the best-scoring delta is elected (score desc,
+    delta id — deterministic) and its attributes become the SCD2
+    update; unmatched deltas INSERT as brand-new entities; one Kimball
+    type-2 merge historizes the dimension. Per-segment end state:
+    entity/version/open counts + id/balance checksums over the open
+    rows. Every stage is capped equi-joins + codegen scoring + one
+    broadcast merge — the composition a 100 TB warehouse runs nightly.
+    Pure-SQL DuckDB oracle replays probe, election, and merge effect."""
+    from deeptime_spark.operators.linkage import record_linkage_probe
+    from deeptime_spark.operators.scd import scd2_merge
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer")
+    master = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    delta = master.select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")
+        ).alias("name"),
+        "nk",
+        "seg",
+        F.when(F.col("id") % 5 == 0, F.col("bal") + 1)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    dim = master.withColumn("valid_from", F.lit(0).cast("long")).withColumn(
+        "valid_to", F.lit(None).cast("long")
+    )
+    probe = record_linkage_probe(
+        master,
+        delta,
+        id_col="id",
+        block_keys=[["nk", "seg"]],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        weights={"name": 1, "bal": 2},
+        threshold=0.9,
+    )
+    # per-master best delta (a master can win several deltas' elections;
+    # the SCD2 batch needs ONE row per key)
+    w = Window.partitionBy("id_master").orderBy(
+        F.col("score").desc(), F.col("id_delta")
+    )
+    m2d = (
+        probe.withColumn("_mrk", F.row_number().over(w))
+        .where(F.col("_mrk") == 1)
+        .select("id_delta", "id_master")
+    )
+    d_attrs = delta.select(
+        F.col("id").alias("id_delta"), "name", "nk", "seg", "bal"
+    )
+    upd = m2d.join(d_attrs, "id_delta").select(
+        F.col("id_master").alias("id"), "name", "nk", "seg", "bal"
+    )
+    ins = delta.join(
+        probe.select("id_delta").distinct(),
+        delta["id"] == F.col("id_delta"),
+        "left_anti",
+    ).select("id", "name", "nk", "seg", "bal")
+    merged = scd2_merge(
+        dim,
+        upd.unionByName(ins),
+        key="id",
+        tracked=["name", "bal"],
+        effective_ts=1,
+    )
+    return merged.groupBy("seg").agg(
+        F.count_distinct("id").cast("long").alias("n_entities"),
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+        F.sum(F.when(F.col("valid_to").isNull(), F.col("id")))
+        .cast("long")
+        .alias("id_checksum"),
+        F.sum(F.when(F.col("valid_to").isNull(), F.col("bal")))
+        .cast("long")
+        .alias("bal_checksum"),
+    )
+
+
 def _q_streaming_linkage_probe(spark, sf_dir):
     """Streaming face of the incremental entity linkage (streaming/
     accumulate.py:streaming_record_linkage_probe): the SAME noisy
@@ -6316,6 +6408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_linkage_probe": _q_customer_linkage_probe,
         "customer_linkage_gate": _q_customer_linkage_gate,
         "streaming_linkage_probe": _q_streaming_linkage_probe,
+        "customer_delta_pipeline": _q_customer_delta_pipeline,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "dedup_recall_gate": _q_dedup_recall_gate,
@@ -6351,6 +6444,7 @@ _WINDOW_ORDER = [
     "corpus_tuned_dedup_probe",  # last green r00
     "customer_linkage_gate",  # last green r00
     "streaming_linkage_probe",  # last green r00
+    "customer_delta_pipeline",  # last green r00
     "event_retention",  # last green r06
     "event_two_step_counts",  # last green r06
     "event_timeshifted",  # last green r06
@@ -6391,7 +6485,6 @@ _WINDOW_ORDER = [
     "kernel_gram_events",  # last green r07
     "tica_events",  # last green r07
     "kmeans_embeddings",  # last green r07
-    "hmm_viterbi_events",  # last green r07
 ]
 
 
@@ -7472,6 +7565,76 @@ FROM (
          ) AS rk
   FROM qual q
 ) WHERE rk = 1
+""",
+        "customer_delta_pipeline": r"""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+         c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), delta AS (
+  SELECT id + 10000000 AS id,
+         substr(name, 1, length(name) - 1) || 'X' AS name,
+         nk, seg,
+         CASE WHEN id % 5 = 0 THEN bal + 1 ELSE bal END AS bal
+  FROM base
+), mblk AS (
+  SELECT id, name, nk, seg, bal FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY nk, seg ORDER BY id) AS rn
+    FROM base b WHERE nk IS NOT NULL AND seg IS NOT NULL
+  ) WHERE rn <= 1000
+), qual AS (
+  SELECT d.id AS id_delta, m.id AS id_master,
+         (1.0 - CAST(levenshtein(coalesce(d.name, ''), coalesce(m.name, '')) AS DOUBLE)
+              / CAST(GREATEST(length(coalesce(d.name, '')), length(coalesce(m.name, '')), 1) AS DOUBLE))
+           * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+         + (CASE WHEN d.bal = m.bal THEN 1.0 ELSE 0.0 END)
+           * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) AS score
+  FROM delta d JOIN mblk m ON d.nk = m.nk AND d.seg = m.seg
+  WHERE d.nk IS NOT NULL AND d.seg IS NOT NULL
+), best AS (
+  SELECT id_delta, id_master FROM (
+    SELECT q.*, row_number() OVER (
+             PARTITION BY id_delta ORDER BY score DESC, id_master
+           ) AS rk
+    FROM qual q WHERE score >= 0.9
+  ) WHERE rk = 1
+), m2d AS (
+  SELECT id_master, id_delta FROM (
+    SELECT b.*, row_number() OVER (
+             PARTITION BY id_master
+             ORDER BY (SELECT score FROM qual q
+                       WHERE q.id_delta = b.id_delta
+                         AND q.id_master = b.id_master) DESC, id_delta
+           ) AS mrk
+    FROM best b
+  ) WHERE mrk = 1
+), upd AS (
+  SELECT m.id_master AS id, d.name, d.bal
+  FROM m2d m JOIN delta d ON d.id = m.id_delta
+), final AS (
+  SELECT b.id, b.seg,
+         CASE WHEN u.id IS NOT NULL
+                   AND (u.name IS DISTINCT FROM b.name
+                        OR u.bal IS DISTINCT FROM b.bal)
+              THEN 2 ELSE 1 END AS n_versions,
+         CASE WHEN u.id IS NOT NULL
+                   AND (u.name IS DISTINCT FROM b.name
+                        OR u.bal IS DISTINCT FROM b.bal)
+              THEN u.bal ELSE b.bal END AS open_bal
+  FROM base b LEFT JOIN upd u ON u.id = b.id
+  UNION ALL
+  SELECT d.id, d.seg, 1, d.bal
+  FROM delta d
+  WHERE d.id NOT IN (SELECT id_delta FROM best)
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(n_versions) AS BIGINT) AS n_versions,
+       CAST(COUNT(*) AS BIGINT) AS n_open,
+       CAST(SUM(id) AS BIGINT) AS id_checksum,
+       CAST(SUM(open_bal) AS BIGINT) AS bal_checksum
+FROM final GROUP BY seg
 """,
         "customer_linkage_gate": r"""
 WITH base AS (

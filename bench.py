@@ -199,6 +199,7 @@ HEADLINE = [
     "customer_linkage_gate",
     "corpus_tuned_dedup_probe",
     "streaming_linkage_probe",
+    "customer_delta_pipeline",
     "edmd_events",
     "kcca_events",
     "kvad_events",

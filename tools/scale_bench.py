@@ -148,6 +148,7 @@ QUERIES = [
     # bounded probe (the documented contract), which this fixture
     # cannot express without changing the query.
     "corpus_tuned_dedup_probe",
+    "customer_delta_pipeline",
     "edmd_events",
     "kcca_events",
     "kvad_events",
