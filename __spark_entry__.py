@@ -4894,6 +4894,36 @@ def _q_customer_linkage_probe(spark, sf_dir):
     )
 
 
+def _q_customer_k_anonymity(spark, sf_dir):
+    """Re-identification-risk audit (operators/profile.py:
+    k_anonymity_audit — Sweeney k-anonymity + Machanavajjhala
+    l-diversity): the governance pass before publishing a dataset with
+    quasi-identifiers. Quasi = (nationkey, mktsegment, balance bucket)
+    — fine enough that singleton equivalence classes exist at every SF;
+    sensitive = the exact balance (l-diversity = distinct balances per
+    class). ONE map-combined groupBy at class cardinality + one bounded
+    aggregate; all counts exact integers. Pure-SQL DuckDB oracle."""
+    from deeptime_spark.operators.profile import k_anonymity_audit
+
+    cust = _read(spark, sf_dir, "customer")
+    recs = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        # floor(bal/100000) — explicit FLOOR so negative balances bucket
+        # identically in Spark (cast truncates) and DuckDB (// floors)
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            / F.lit(100000).cast("double")
+        )
+        .cast("long")
+        .alias("bal_bucket"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    return k_anonymity_audit(
+        recs, ["nk", "seg", "bal_bucket"], k=5, sensitive_col="bal"
+    )
+
+
 def _q_customer_delta_pipeline(spark, sf_dir):
     """The daily-delta ENTITY PIPELINE end-to-end, batch face
     (operators/linkage.py:record_linkage_probe ->
@@ -6409,6 +6439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_linkage_gate": _q_customer_linkage_gate,
         "streaming_linkage_probe": _q_streaming_linkage_probe,
         "customer_delta_pipeline": _q_customer_delta_pipeline,
+        "customer_k_anonymity": _q_customer_k_anonymity,
         "streaming_ewma": _q_streaming_ewma,
         "doc_setsim_pairs": _q_doc_setsim_pairs,
         "dedup_recall_gate": _q_dedup_recall_gate,
@@ -6445,6 +6476,7 @@ _WINDOW_ORDER = [
     "customer_linkage_gate",  # last green r00
     "streaming_linkage_probe",  # last green r00
     "customer_delta_pipeline",  # last green r00
+    "customer_k_anonymity",  # last green r00
     "event_retention",  # last green r06
     "event_two_step_counts",  # last green r06
     "event_timeshifted",  # last green r06
@@ -6484,7 +6516,6 @@ _WINDOW_ORDER = [
     "multimodal_features",  # last green r07
     "kernel_gram_events",  # last green r07
     "tica_events",  # last green r07
-    "kmeans_embeddings",  # last green r07
 ]
 
 
@@ -7565,6 +7596,27 @@ FROM (
          ) AS rk
   FROM qual q
 ) WHERE rk = 1
+""",
+        "customer_k_anonymity": r"""
+WITH recs AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(FLOOR(CAST(round(c_acctbal * 100) AS BIGINT) / CAST(100000 AS DOUBLE)) AS BIGINT) AS bal_bucket,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), classes AS (
+  SELECT nk, seg, bal_bucket,
+         COUNT(*) AS n,
+         COUNT(DISTINCT ROW(bal)) AS l
+  FROM recs GROUP BY nk, seg, bal_bucket
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(n) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+       CAST(MIN(n) AS BIGINT) AS k_anonymity,
+       CAST(MIN(l) AS BIGINT) AS min_l_diversity
+FROM classes
 """,
         "customer_delta_pipeline": r"""
 WITH base AS (

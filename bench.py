@@ -200,6 +200,7 @@ HEADLINE = [
     "corpus_tuned_dedup_probe",
     "streaming_linkage_probe",
     "customer_delta_pipeline",
+    "customer_k_anonymity",
     "edmd_events",
     "kcca_events",
     "kvad_events",

@@ -29,6 +29,7 @@ __all__ = [
     "scalar_violation_flag",
     "constraint_audit",
     "skew_profile",
+    "k_anonymity_audit",
 ]
 
 
@@ -315,3 +316,64 @@ def skew_profile(
     result = result.localCheckpoint(eager=True)
     counts.unpersist()
     return result
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Re-identification-risk audit (Sweeney, IJUFKS 2002: k-anonymity;
+    Machanavajjhala et al., ICDE 2006: l-diversity) — the governance
+    pass a training-data pipeline runs BEFORE publishing a dataset
+    containing quasi-identifiers: every equivalence class over
+    ``quasi_cols`` smaller than ``k`` is a re-identification risk, and
+    (with ``sensitive_col``) a class whose sensitive values are not
+    diverse leaks the attribute even at size >= k.
+
+    Spark shape: ONE map-combined groupBy over the quasi columns
+    (class-cardinality-scale, never row-scale — the skew_profile
+    pattern) carrying the class size and, when asked, the exact
+    distinct-sensitive count per class; then one bounded aggregate over
+    the class relation. NULL quasi values form their own class (NULLs
+    are a linkable value for re-identification purposes — groupBy
+    keeps them). All outputs are exact integers.
+
+    Returns ONE row: (n_rows, n_classes, min_class_size,
+    n_risky_classes, n_risky_rows, k_anonymity, min_l_diversity) —
+    ``k_anonymity`` is the dataset's actual k (the minimum class
+    size); ``n_risky_*`` count classes/rows below the requested ``k``;
+    ``min_l_diversity`` is the smallest per-class distinct-sensitive
+    count (NULL when no sensitive_col given).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sensitive_col is not None:
+        # struct-wrapped so NULL sensitive values count as a value
+        aggs.append(
+            F.count_distinct(F.struct(F.col(sensitive_col))).alias("_l")
+        )
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out_aggs = [
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("_n").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("_n") < int(k), 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("_n") < int(k), F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("_n").cast("long").alias("k_anonymity"),
+    ]
+    if sensitive_col is not None:
+        out_aggs.append(F.min("_l").cast("long").alias("min_l_diversity"))
+    else:
+        out_aggs.append(
+            F.lit(None).cast("long").alias("min_l_diversity")
+        )
+    return classes.agg(*out_aggs)

@@ -385,3 +385,40 @@ def test_streaming_scd2_retain_versions(spark, tmp_path):
             spark, stream, key="k", tracked=["attr"], dim_path=dim_dir,
             retain_versions=1,
         )
+
+
+def test_k_anonymity_audit_basics(spark):
+    from deeptime_spark.operators.profile import k_anonymity_audit
+
+    rows = [
+        ("10001", "m", 1),
+        ("10001", "m", 2),
+        ("10001", "m", 2),
+        ("20002", "f", 3),  # singleton class -> risky at k=2
+        (None, "f", 4),     # NULL quasi forms its OWN class
+        (None, "f", 4),
+    ]
+    df = spark.createDataFrame(rows, "zip string, sex string, income long")
+    out = k_anonymity_audit(
+        df, ["zip", "sex"], k=2, sensitive_col="income"
+    ).first()
+    assert out["n_rows"] == 6
+    assert out["n_classes"] == 3
+    assert out["min_class_size"] == 1 and out["k_anonymity"] == 1
+    assert out["n_risky_classes"] == 1 and out["n_risky_rows"] == 1
+    # l-diversity: (10001,m) has {1,2}=2, (20002,f) has {3}=1, NULL has {4}=1
+    assert out["min_l_diversity"] == 1
+
+
+def test_k_anonymity_no_sensitive_and_validation(spark):
+    from deeptime_spark.operators.profile import k_anonymity_audit
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "q string, v long")
+    out = k_anonymity_audit(df, ["q"], k=1).first()
+    assert out["k_anonymity"] == 2
+    assert out["n_risky_classes"] == 0
+    assert out["min_l_diversity"] is None
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [], k=2)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["q"], k=0)

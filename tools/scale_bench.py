@@ -149,6 +149,7 @@ QUERIES = [
     # cannot express without changing the query.
     "corpus_tuned_dedup_probe",
     "customer_delta_pipeline",
+    "customer_k_anonymity",
     "edmd_events",
     "kcca_events",
     "kvad_events",
