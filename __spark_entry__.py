@@ -6456,66 +6456,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-10 driver window (slots 0-49): the 7 never-driver-run round-10
-# queries first (tuned-dedup dispatch, streaming SCD2, unigram-LM
-# tokenizer fertility, key-skew profile, blocked record linkage, the
-# golden-record entity-resolution composition, and the incremental
-# linkage probe), then ALL 23
-# r5-stale queries (the r9 verdict's evidence-age rotation ask — after
-# this round no query's green evidence predates r6), then the stalest
-# r06 greens, from tools/plan_window.py. Recomputed each round; exactly
+# Round-12 driver window (slots 0-49): the evidence-age rotation from
+# tools/plan_window.py — all 35 queries whose most recent driver green
+# is r7 (the oldest cohort after the r11 rotation), then the 15 oldest
+# r8 greens. Keeps the feasible 5-round freshness cap: after this round
+# no query's green evidence predates r8. Recomputed each round; exactly
 # 50 entries — the driver records only the first ~50 queries() keys.
 _WINDOW_ORDER = [
-    "edmd_events",  # last green r00
-    "kcca_events",  # last green r00
-    "kvad_events",  # last green r00
-    "minibatch_kmeans_events",  # last green r00
-    "tv_derivative_events",  # last green r00
-    "vamp_cv_events",  # last green r00
-    "corpus_tuned_dedup_probe",  # last green r00
-    "customer_linkage_gate",  # last green r00
-    "streaming_linkage_probe",  # last green r00
-    "customer_delta_pipeline",  # last green r00
-    "customer_k_anonymity",  # last green r00
-    "event_retention",  # last green r06
-    "event_two_step_counts",  # last green r06
-    "event_timeshifted",  # last green r06
-    "event_sliding_avg",  # last green r06
-    "event_derivative",  # last green r06
-    "event_blocksplit",  # last green r06
-    "doc_token_stats",  # last green r06
-    "doc_quality",  # last green r06
-    "doc_language",  # last green r06
-    "doc_language_summary",  # last green r06
-    "doc_hash_groups",  # last green r06
-    "dedup_docs_count",  # last green r06
-    "doc_jaccard_adjacent",  # last green r06
-    "doc_shingle_count",  # last green r06
-    "vocab_stats",  # last green r06
-    "top_tokens",  # last green r06
-    "embedding_norms",  # last green r06
-    "knn_bruteforce",  # last green r06
-    "embedding_label_stats",  # last green r06
-    "label_centroid_norm",  # last green r06
-    "tram_events",  # last green r06
-    "vamp_events",  # last green r06
-    "dmd_events",  # last green r06
-    "kedmd_events",  # last green r06
-    "bayes_msm_events",  # last green r06
-    "event_pivot",  # last green r07
-    "event_resample",  # last green r07
-    "event_json_stats",  # last green r07
-    "corpus_profile",  # last green r07
-    "event_top_spenders",  # last green r07
-    "bayes_hmm_events",  # last green r07
-    "tpt_events",  # last green r07
-    "effective_counts_events",  # last green r07
-    "koopman_weights_events",  # last green r07
-    "regspace_events",  # last green r07
-    "msm_longtail_events",  # last green r07
-    "multimodal_features",  # last green r07
-    "kernel_gram_events",  # last green r07
-    "tica_events",  # last green r07
+    "kmeans_embeddings",  # last green r07
+    "hmm_viterbi_events",  # last green r07
+    "embedding_whiten",  # last green r07
+    "msm_pi_events",  # last green r07
+    "msm_its_events",  # last green r07
+    "msm_ck_events",  # last green r07
+    "pcca_events",  # last green r07
+    "sindy_events",  # last green r07
+    "semantic_dedup",  # last green r07
+    "doc_chunks",  # last green r07
+    "doc_packing",  # last green r07
+    "corpus_clean_pipeline",  # last green r07
+    "doc_decontaminate",  # last green r07
+    "doc_span_dedup",  # last green r07
+    "doc_c4_filter",  # last green r07
+    "doc_line_dedup",  # last green r07
+    "domain_mixture",  # last green r07
+    "doc_stratified_sample",  # last green r07
+    "doc_pii_scrub",  # last green r07
+    "corpus_prep_pipeline",  # last green r07
+    "dedup_verified_pairs",  # last green r07
+    "dedup_components",  # last green r07
+    "doc_gopher_quality",  # last green r07
+    "doc_gopher_repetition",  # last green r07
+    "doc_winnowing",  # last green r07
+    "doc_lm_score",  # last green r07
+    "event_session_range_join",  # last green r07
+    "event_range_frame",  # last green r07
+    "event_cube",  # last green r07
+    "event_value_percentiles",  # last green r07
+    "purchase_and_signup_users",  # last green r07
+    "streaming_dedup_replay",  # last green r07
+    "streaming_transition_counts",  # last green r07
+    "event_pagerank",  # last green r07
+    "doc_edit_pairs",  # last green r07
+    "doc_hll_rollup",  # last green r08
+    "doc_hybrid_search",  # last green r08
+    "streaming_heavy_hitters",  # last green r08
+    "q2_min_supplier",  # last green r08
+    "q4_priority_exists",  # last green r08
+    "q7_volume_shipping",  # last green r08
+    "q8_market_share",  # last green r08
+    "q9_product_profit",  # last green r08
+    "q12_late_shipments",  # last green r08
+    "q13_order_distribution",  # last green r08
+    "q14_promo_revenue",  # last green r08
+    "q15_top_supplier",  # last green r08
+    "q16_part_supplier_stats",  # last green r08
+    "doc_dup_substrings",  # last green r08
+    "doc_substring_excise",  # last green r08
 ]
 
 
