@@ -4924,6 +4924,72 @@ def _q_customer_k_anonymity(spark, sf_dir):
     )
 
 
+def _delta_entity_merge(
+    master,
+    delta,
+    dim,
+    block_keys=(("nk", "seg"),),
+    threshold=0.9,
+    effective_ts=1,
+):
+    """Shared probe -> election -> SCD2 composition behind
+    customer_delta_pipeline (and its contended-delta policy pytest,
+    tests/test_r12_ops.py). ``master``/``delta`` carry
+    (id, name, nk, seg, bal); ``dim`` is the SCD2 snapshot of
+    ``master``.
+
+    Contention policy (pinned by test_contended_delta_collapsed): a
+    delta that MATCHED a master but LOST that master's election
+    (score desc, id_delta asc) is COLLAPSED — neither applied as an
+    update nor inserted as a new entity. Matched-but-losing deltas are
+    same-entity duplicates of the elected winner, not new entities;
+    only never-matched deltas insert."""
+    from deeptime_spark.operators.linkage import record_linkage_probe
+    from deeptime_spark.operators.scd import scd2_merge
+    from pyspark.sql import Window
+
+    probe = record_linkage_probe(
+        master,
+        delta,
+        id_col="id",
+        block_keys=[list(k) for k in block_keys],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        weights={"name": 1, "bal": 2},
+        threshold=threshold,
+    )
+    # per-master best delta (a master can win several deltas' elections;
+    # the SCD2 batch needs ONE row per key)
+    w = Window.partitionBy("id_master").orderBy(
+        F.col("score").desc(), F.col("id_delta")
+    )
+    m2d = (
+        probe.withColumn("_mrk", F.row_number().over(w))
+        .where(F.col("_mrk") == 1)
+        .select("id_delta", "id_master")
+    )
+    d_attrs = delta.select(
+        F.col("id").alias("id_delta"), "name", "nk", "seg", "bal"
+    )
+    upd = m2d.join(d_attrs, "id_delta").select(
+        F.col("id_master").alias("id"), "name", "nk", "seg", "bal"
+    )
+    # anti-join on ALL matched deltas (not just winners): losers are
+    # collapsed per the contention policy above, not inserted
+    ins = delta.join(
+        probe.select("id_delta").distinct(),
+        delta["id"] == F.col("id_delta"),
+        "left_anti",
+    ).select("id", "name", "nk", "seg", "bal")
+    return scd2_merge(
+        dim,
+        upd.unionByName(ins),
+        key="id",
+        tracked=["name", "bal"],
+        effective_ts=effective_ts,
+    )
+
+
 def _q_customer_delta_pipeline(spark, sf_dir):
     """The daily-delta ENTITY PIPELINE end-to-end, batch face
     (operators/linkage.py:record_linkage_probe ->
@@ -4931,16 +4997,15 @@ def _q_customer_delta_pipeline(spark, sf_dir):
     golden dimension (work proportional to the delta, master blocks
     capped); per master the best-scoring delta is elected (score desc,
     delta id — deterministic) and its attributes become the SCD2
-    update; unmatched deltas INSERT as brand-new entities; one Kimball
-    type-2 merge historizes the dimension. Per-segment end state:
-    entity/version/open counts + id/balance checksums over the open
-    rows. Every stage is capped equi-joins + codegen scoring + one
-    broadcast merge — the composition a 100 TB warehouse runs nightly.
-    Pure-SQL DuckDB oracle replays probe, election, and merge effect."""
-    from deeptime_spark.operators.linkage import record_linkage_probe
-    from deeptime_spark.operators.scd import scd2_merge
-    from pyspark.sql import Window
-
+    update; unmatched deltas INSERT as brand-new entities; a delta that
+    matched a master but LOST its election is collapsed as a same-
+    entity duplicate of the winner (neither updated nor inserted — see
+    _delta_entity_merge); one Kimball type-2 merge historizes the
+    dimension. Per-segment end state: entity/version/open counts +
+    id/balance checksums over the open rows. Every stage is capped
+    equi-joins + codegen scoring + one broadcast merge — the
+    composition a 100 TB warehouse runs nightly. Pure-SQL DuckDB
+    oracle replays probe, election, and merge effect."""
     cust = _read(spark, sf_dir, "customer")
     master = cust.select(
         F.col("c_custkey").alias("id"),
@@ -4963,44 +5028,7 @@ def _q_customer_delta_pipeline(spark, sf_dir):
     dim = master.withColumn("valid_from", F.lit(0).cast("long")).withColumn(
         "valid_to", F.lit(None).cast("long")
     )
-    probe = record_linkage_probe(
-        master,
-        delta,
-        id_col="id",
-        block_keys=[["nk", "seg"]],
-        string_fields=["name"],
-        exact_fields=["bal"],
-        weights={"name": 1, "bal": 2},
-        threshold=0.9,
-    )
-    # per-master best delta (a master can win several deltas' elections;
-    # the SCD2 batch needs ONE row per key)
-    w = Window.partitionBy("id_master").orderBy(
-        F.col("score").desc(), F.col("id_delta")
-    )
-    m2d = (
-        probe.withColumn("_mrk", F.row_number().over(w))
-        .where(F.col("_mrk") == 1)
-        .select("id_delta", "id_master")
-    )
-    d_attrs = delta.select(
-        F.col("id").alias("id_delta"), "name", "nk", "seg", "bal"
-    )
-    upd = m2d.join(d_attrs, "id_delta").select(
-        F.col("id_master").alias("id"), "name", "nk", "seg", "bal"
-    )
-    ins = delta.join(
-        probe.select("id_delta").distinct(),
-        delta["id"] == F.col("id_delta"),
-        "left_anti",
-    ).select("id", "name", "nk", "seg", "bal")
-    merged = scd2_merge(
-        dim,
-        upd.unionByName(ins),
-        key="id",
-        tracked=["name", "bal"],
-        effective_ts=1,
-    )
+    merged = _delta_entity_merge(master, delta, dim)
     return merged.groupBy("seg").agg(
         F.count_distinct("id").cast("long").alias("n_entities"),
         F.count(F.lit(1)).cast("long").alias("n_versions"),

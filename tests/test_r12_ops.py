@@ -1,0 +1,78 @@
+"""Round-12 additions: the contended-delta collapse policy of the
+daily-delta entity pipeline (__spark_entry__._delta_entity_merge), the
+vamp_score_data / TransferOperatorModel oracle promotions, and the
+blocking-key advisor."""
+
+from pyspark.sql import functions as F
+
+
+def _entities(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, name string, nk long, seg string, bal long"
+    )
+
+
+def test_contended_delta_collapsed(spark):
+    """Two deltas best-match ONE master: the election winner (higher
+    score; tie would break to the smaller delta id) becomes the SCD2
+    update, and the LOSER is collapsed — neither applied as an update
+    nor inserted as a new entity. Losers are same-entity duplicates of
+    the winner, not new entities; only never-matched deltas insert."""
+    import __spark_entry__ as entrymod
+
+    master = _entities(spark, [(1, "alice smith", 1, "A", 100)])
+    dim = master.withColumn(
+        "valid_from", F.lit(0).cast("long")
+    ).withColumn("valid_to", F.lit(None).cast("long"))
+    # both deltas fall in master 1's (nk, seg) block and clear the 0.9
+    # threshold (bal exact-match carries weight 2 of 3); 101 wins on
+    # name similarity (1 edit over 12 chars vs 1 over 11); 103 shares
+    # no block -> never matched -> inserts as a brand-new entity
+    delta = _entities(
+        spark,
+        [
+            (101, "alice smithe", 1, "A", 100),  # winner
+            (102, "alice smyth", 1, "A", 100),  # contended loser
+            (103, "dan brown", 2, "B", 70),  # unmatched insert
+        ],
+    )
+    merged = entrymod._delta_entity_merge(master, delta, dim)
+    rows = {
+        (r["id"], r["valid_from"], r["valid_to"]): r["name"]
+        for r in merged.collect()
+    }
+    # entity 1: closed original + open winner version; 103 inserted;
+    # the contended loser 102 appears NOWHERE
+    assert set(rows) == {(1, 0, 1), (1, 1, None), (103, 1, None)}
+    assert rows[(1, 0, 1)] == "alice smith"
+    assert rows[(1, 1, None)] == "alice smithe"
+    ids = {r["id"] for r in merged.collect()}
+    assert 102 not in ids
+
+
+def test_uncontended_deltas_all_apply(spark):
+    """Control: one delta per master -> every matched delta applies and
+    nothing is collapsed (the policy only bites under contention)."""
+    import __spark_entry__ as entrymod
+
+    master = _entities(
+        spark,
+        [(1, "alice smith", 1, "A", 100), (2, "bob jones", 1, "A", 200)],
+    )
+    dim = master.withColumn(
+        "valid_from", F.lit(0).cast("long")
+    ).withColumn("valid_to", F.lit(None).cast("long"))
+    delta = _entities(
+        spark,
+        [
+            (101, "alice smithe", 1, "A", 100),
+            (102, "bob jonese", 1, "A", 200),
+        ],
+    )
+    merged = entrymod._delta_entity_merge(master, delta, dim)
+    open_names = {
+        r["id"]: r["name"]
+        for r in merged.where(F.col("valid_to").isNull()).collect()
+    }
+    assert open_names == {1: "alice smithe", 2: "bob jonese"}
+    assert merged.count() == 4  # 2 closed + 2 open, no inserts
