@@ -800,13 +800,24 @@ def streaming_record_linkage_probe(
     unmatched remainder of each batch is the insert set the SCD2 merge
     (:func:`streaming_scd2_merge`) consumes next.
 
-    The streaming_probe_signature_index pattern: the master is static
-    (read once per batch from storage, its blocks capped at
-    ``max_block``), per-batch work is proportional to the BATCH, and
-    because the best-match election is per-delta-record independent
-    (one window over that record's own bounded candidate set), the
-    union of per-batch outputs equals the one-shot batch probe — the
-    equivalence the harness query pins against the batch oracle.
+    The streaming_probe_signature_index pattern: the master DataFrame
+    is defined ONCE against storage and lazily re-evaluated at each
+    batch (no per-batch ``spark.read`` — same effect, Spark's normal
+    deferred scan; its blocks are capped at ``max_block``), per-batch
+    work is proportional to the BATCH, and because the best-match
+    election is per-delta-record independent (one window over that
+    record's own bounded candidate set), the union of per-batch outputs
+    equals the one-shot batch probe — the equivalence the harness query
+    pins against the batch oracle.
+
+    REPLAY / RETENTION: batch ``n`` overwrites its OWN partition
+    ``{out_path}/batch={n}`` instead of appending to a flat directory,
+    so a failure-replayed (or whole-stream-replayed) batch lands the
+    identical files instead of double-appending — output storage is
+    bounded by the number of DISTINCT batches, the same retention
+    argument as :func:`streaming_scd2_merge`'s versioned snapshots.
+    Reading ``out_path`` surfaces ``batch`` as a discovered partition
+    column; downstream selects are unaffected.
 
     Returns the started StreamingQuery (``availableNow`` trigger)."""
     from deeptime_spark.operators.linkage import record_linkage_probe
@@ -824,7 +835,7 @@ def streaming_record_linkage_probe(
             weights=weights,
             threshold=threshold,
             max_block=max_block,
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

@@ -76,3 +76,57 @@ def test_uncontended_deltas_all_apply(spark):
     }
     assert open_names == {1: "alice smithe", 2: "bob jonese"}
     assert merged.count() == 4  # 2 closed + 2 open, no inserts
+
+
+def test_streaming_linkage_probe_replay_bounded(spark, tmp_path):
+    """Whole-stream replay (fresh checkpoint over the same source) must
+    land the IDENTICAL output, not double-append: each batch overwrites
+    its own batch=N partition of out_path."""
+    from deeptime_spark.streaming.accumulate import (
+        streaming_record_linkage_probe,
+    )
+
+    schema = "id long, name string, zip string, bal long"
+    master = spark.createDataFrame(
+        [(1, "alice", "10001", 50), (2, "bob", "20002", 70)], schema
+    )
+    delta = spark.createDataFrame(
+        [(101, "alicx", "10001", 50), (102, "bobb", "20002", 70)], schema
+    )
+    mdir = str(tmp_path / "master")
+    sdir = str(tmp_path / "src")
+    odir = str(tmp_path / "out")
+    master.write.parquet(mdir)
+    delta.repartition(2, F.col("id")).write.parquet(sdir)
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.schema(master.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q = streaming_record_linkage_probe(
+            spark,
+            stream,
+            master_path=mdir,
+            out_path=odir,
+            id_col="id",
+            block_keys=["zip"],
+            string_fields=["name"],
+            exact_fields=["bal"],
+            threshold=0.7,
+            checkpoint=str(tmp_path / ckpt),
+        )
+        assert q.awaitTermination(120)
+
+    _run("ckpt1")
+    first = sorted(
+        (r["id_delta"], r["id_master"])
+        for r in spark.read.parquet(odir).collect()
+    )
+    _run("ckpt2")  # replay from scratch: overwrites, must not grow
+    second = sorted(
+        (r["id_delta"], r["id_master"])
+        for r in spark.read.parquet(odir).collect()
+    )
+    assert first == second == [(101, 1), (102, 2)]
