@@ -2191,6 +2191,76 @@ def _q_vamp_score_events(spark, sf_dir):
     return spark.createDataFrame(rows, "score_kind string, score double")
 
 
+def _q_vamp_score_data_events(spark, sf_dir):
+    """vamp_score_data convenience surface (decomposition/vamp.py:142,
+    reference decomposition/_score.py:119-155 and
+    tests/decomposition/test_vamp.py score-from-data cases): fit + score
+    in ONE call, dim-truncated to 2 singular functions — distinct from
+    vamp_score_events' full-rank model. Each call is one distributed
+    covariance pass; the score is a deterministic driver-side function
+    of it. Oracle re-derives the covariances from the DuckDB trajectory
+    and runs the identical truncated fit + score."""
+    from deeptime_spark.decomposition.vamp import vamp_score_data
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v, v * v * v).alias("x"))
+    rows = [
+        ("vamp1_dim2", round(float(vamp_score_data(feat, 2, dim=2, r=1.0)), 6)),
+        ("vamp2_dim2", round(float(vamp_score_data(feat, 2, dim=2, r=2.0)), 6)),
+        ("vampe_dim2", round(float(vamp_score_data(feat, 2, dim=2, r="E")), 6)),
+    ]
+    return spark.createDataFrame(rows, "score_kind string, score double")
+
+
+def _q_koopman_propagate_events(spark, sf_dir):
+    """TransferOperatorModel observable-propagation surface
+    (decomposition/koopman.py:67-104, reference _koopman.py:14-129):
+    per-row projections in BOTH directions — f = U^T (x - mean_0)
+    (instantaneous singular functions, transform default) and
+    g = V^T (x - mean_t) (timelagged, transform(propagate=True)) —
+    plus the forward-propagated expectation K^T f (K diagonal for the
+    covariance-derived model, so fwd_k = sigma_k * f_k; forward()'s
+    numpy parity with this column is pinned in tests/test_r12_ops.py).
+    Projections are whole-stage-codegen column expressions; the oracle
+    re-applies the literal coefficient matrices to SQL-re-derived
+    features. Coefficients are parity-quantized to 9 decimals on both
+    sides: the distributed covariance sums differ from the oracle's
+    numpy replay in the last ulps (~1e-14), which the SVD carries into
+    U/V; snapping both estimates to 1e-9 (far above that noise, far
+    below the 1e-6 output rounding) makes the per-row expressions
+    bit-identical across engines instead of boundary-lucky."""
+    import numpy as np
+
+    from deeptime_spark.decomposition.koopman import TransferOperatorModel
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    traj = _event_traj(spark, sf_dir)
+    v = F.col("value") / 100.0
+    feat = traj.select("traj_id", "t", F.array(v, v * v, v * v * v).alias("x"))
+    model = VAMP(lagtime=2, dim=2).fit(feat).fetch_model()
+    sv = np.round(model.singular_values, 9)
+    qm = TransferOperatorModel(
+        np.diag(sv),
+        np.round(model.U, 9),
+        np.round(model.V, 9),
+        mean_0=model.mean_0,
+        mean_t=model.mean_t,
+    )
+    f = qm.transform(feat, out_col="f")
+    both = qm.transform(f, propagate=True, out_col="g")
+    return both.select(
+        "traj_id",
+        "t",
+        F.round(F.col("f")[0], 6).alias("f1"),
+        F.round(F.col("f")[1], 6).alias("f2"),
+        F.round(F.col("g")[0], 6).alias("g1"),
+        F.round(F.col("g")[1], 6).alias("g2"),
+        F.round(F.lit(float(sv[0])) * F.col("f")[0], 6).alias("fwd1"),
+        F.round(F.lit(float(sv[1])) * F.col("f")[1], 6).alias("fwd2"),
+    )
+
+
 def _q_dmd_events(spark, sf_dir):
     """DMD eigenvalues of the event-value feature trajectory."""
     import numpy as np
@@ -6396,6 +6466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_state_histogram": _q_event_state_histogram,
         "event_weighted_counts": _q_event_weighted_counts,
         "vamp_score_events": _q_vamp_score_events,
+        "vamp_score_data_events": _q_vamp_score_data_events,
+        "koopman_propagate_events": _q_koopman_propagate_events,
         "web_host_stats": _q_web_host_stats,
         # r04-green corpus/dedup/ANN pipelines (rest of family)
         "doc_chunks": _q_doc_chunks,
@@ -6484,13 +6556,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in q.items() if k not in head}
 
 
-# Round-12 driver window (slots 0-49): the evidence-age rotation from
-# tools/plan_window.py — all 35 queries whose most recent driver green
-# is r7 (the oldest cohort after the r11 rotation), then the 15 oldest
-# r8 greens. Keeps the feasible 5-round freshness cap: after this round
-# no query's green evidence predates r8. Recomputed each round; exactly
-# 50 entries — the driver records only the first ~50 queries() keys.
+# Round-12 driver window (slots 0-49): the 2 never-driver-run round-12
+# queries first (vamp_score_data + TransferOperatorModel propagation),
+# then the evidence-age rotation from tools/plan_window.py — all 35
+# queries whose most recent driver green is r7 (the oldest cohort after
+# the r11 rotation), then the 13 oldest r8 greens that fit. Keeps the
+# feasible 5-round freshness cap: after this round no query's green
+# evidence predates r8. Recomputed each round; exactly 50 entries —
+# the driver records only the first ~50 queries() keys.
 _WINDOW_ORDER = [
+    "vamp_score_data_events",  # never driver-run (new r12)
+    "koopman_propagate_events",  # never driver-run (new r12)
     "kmeans_embeddings",  # last green r07
     "hmm_viterbi_events",  # last green r07
     "embedding_whiten",  # last green r07
@@ -6539,8 +6615,6 @@ _WINDOW_ORDER = [
     "q14_promo_revenue",  # last green r08
     "q15_top_supplier",  # last green r08
     "q16_part_supplier_stats",  # last green r08
-    "doc_dup_substrings",  # last green r08
-    "doc_substring_excise",  # last green r08
 ]
 
 

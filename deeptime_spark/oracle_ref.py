@@ -369,6 +369,84 @@ def oracle_vamp_score() -> str:
     return _values_sql(rows, ["score_kind", "score"], "sd")
 
 
+def oracle_vamp_score_data() -> str:
+    """vamp_score_data replica (vamp.py:142): covariances re-derived
+    independently from the DuckDB trajectory, then the identical
+    dim-truncated fit + score finalize."""
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    cov = _covariance_model(sf_dir(), 2, 3)
+    model = VAMP(lagtime=2, dim=2).fit_from_covariances(cov)
+    rows = [
+        ("vamp1_dim2", round(float(model.score(1.0)), 6)),
+        ("vamp2_dim2", round(float(model.score(2.0)), 6)),
+        ("vampe_dim2", round(float(model.score("E")), 6)),
+    ]
+    return _values_sql(rows, ["score_kind", "score"], "sd")
+
+
+def _sql_sround(expr: str, scale: int = 6) -> str:
+    """DuckDB replica of Spark's ``F.round`` on DOUBLE: Spark rounds the
+    SHORTEST-ROUNDTRIP decimal repr HALF_UP (BigDecimal.valueOf), while
+    DuckDB's round() works on the binary value — they disagree exactly
+    when the shortest repr sits on a .5 boundary the double is just
+    below (1-in-1e5-rows class; bit us on koopman_propagate g2). Route
+    through VARCHAR (DuckDB prints shortest roundtrip digits, same
+    digit sequence as Java's Double.toString) into DECIMAL(38,25) —
+    lossless for any |x| < 1e13 since shortest reprs have <= 17
+    significant digits — then decimal round (half away from zero ==
+    HALF_UP). Validated on both engines' boundary cases in
+    tests/test_r12_ops.py."""
+    return (
+        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,25)),"
+        f" {scale}) AS DOUBLE)"
+    )
+
+
+def oracle_koopman_propagate(round_to: int = 6) -> str:
+    """TransferOperatorModel projection replica (koopman.py:67-104):
+    SQL re-derives the features and applies the literal f-space
+    (U, mean_0), g-space (V, mean_t) and forward (sigma_k * f_k)
+    expressions — coefficients from the independently-estimated
+    covariances. Rounding goes through _sql_sround so half-way reprs
+    match Spark bit-for-bit."""
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    cov = _covariance_model(sf_dir(), 2, 3)
+    model = VAMP(lagtime=2, dim=2).fit_from_covariances(cov)
+    # parity quantization — see _q_koopman_propagate_events: snap both
+    # engines' coefficient estimates to 1e-9 so the 1e-14 covariance
+    # ulp noise cannot reach the per-row expressions
+    sv = np.round(model.singular_values, 9)
+    U = np.round(model.U, 9)
+    V = np.round(model.V, 9)
+
+    def proj(W, mu, k):
+        return " + ".join(
+            f"({_lit(float(W[j, k]))}) * ({_POW[j]} - ({_lit(float(mu[j]))}))"
+            for j in range(3)
+            if float(W[j, k]) != 0.0
+        ) or "0.0"
+
+    comps = []
+    for k, name in enumerate(["f1", "f2"]):
+        comps.append(f"{_sql_sround(proj(U, model.mean_0, k), round_to)} AS {name}")
+    for k, name in enumerate(["g1", "g2"]):
+        comps.append(f"{_sql_sround(proj(V, model.mean_t, k), round_to)} AS {name}")
+    for k, name in enumerate(["fwd1", "fwd2"]):
+        comps.append(
+            _sql_sround(
+                f"({_lit(float(sv[k]))}) * ({proj(U, model.mean_0, k)})",
+                round_to,
+            )
+            + f" AS {name}"
+        )
+    return f"""
+WITH {_traj_feature_cte()}
+SELECT traj_id, t, {', '.join(comps)} FROM traj
+"""
+
+
 def oracle_dmd() -> str:
     cov = _covariance_model(sf_dir(), 1, 2, remove_mean=False, bessel=False)
     mxx, mxy = cov.cov_00, cov.cov_0t
@@ -1160,6 +1238,8 @@ _BUILDERS = {
     "effective_counts_events": oracle_effective_counts,
     "vamp_events": oracle_vamp,
     "vamp_score_events": oracle_vamp_score,
+    "vamp_score_data_events": oracle_vamp_score_data,
+    "koopman_propagate_events": oracle_koopman_propagate,
     "dmd_events": oracle_dmd,
     "kedmd_events": oracle_kedmd,
     "edmd_events": oracle_edmd,

@@ -130,3 +130,81 @@ def test_streaming_linkage_probe_replay_bounded(spark, tmp_path):
         for r in spark.read.parquet(odir).collect()
     )
     assert first == second == [(101, 1), (102, 2)]
+
+
+def test_transfer_operator_forward_matches_columns(spark):
+    """forward() (driver-side numpy propagation, koopman.py:101) must
+    agree with the distributed fwd_k = sigma_k * f_k columns of the
+    koopman_propagate_events surface."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod._q_koopman_propagate_events(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.orderBy("traj_id", "t").limit(5).collect()
+    # rebuild the same quantized model to drive forward()
+    from deeptime_spark.decomposition.koopman import TransferOperatorModel
+    from deeptime_spark.decomposition.vamp import VAMP
+
+    traj = entrymod._event_traj(spark, "/root/testdata/sf0.001")
+    feat = traj.select(
+        "traj_id",
+        "t",
+        F.array(
+            F.col("value") / 100.0,
+            (F.col("value") / 100.0) ** 2,
+            (F.col("value") / 100.0) ** 3,
+        ).alias("x"),
+    )
+    model = VAMP(lagtime=2, dim=2).fit(feat).fetch_model()
+    sv = np.round(model.singular_values, 9)
+    qm = TransferOperatorModel(
+        np.diag(sv),
+        np.round(model.U, 9),
+        np.round(model.V, 9),
+        mean_0=model.mean_0,
+        mean_t=model.mean_t,
+    )
+    xs = {
+        (r["traj_id"], r["t"]): r["x"]
+        for r in feat.orderBy("traj_id", "t").limit(5).collect()
+    }
+    for r in rows:
+        fwd = qm.forward(np.array(xs[(r["traj_id"], r["t"])]))[0]
+        assert round(float(fwd[0]), 6) == r["fwd1"]
+        assert round(float(fwd[1]), 6) == r["fwd2"]
+
+
+def test_sql_sround_matches_spark_round():
+    """_sql_sround (oracle_ref) must reproduce Spark's F.round on
+    DOUBLE — HALF_UP over the shortest-roundtrip decimal repr — on the
+    boundary classes where DuckDB's binary round() disagrees."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from deeptime_spark.oracle_ref import _sql_sround
+
+    con = duckdb.connect()
+    cases = [
+        0.39751149999999996,  # repr just under a .5 boundary
+        0.3975115,
+        -0.39751149999999996,
+        2.6750000000000003,
+        -0.0000005,
+        0.0000005,
+        9.999999999999999e-07,
+        -74827.35366197555,
+        123456.7890123456,
+        0.1 + 0.2,
+    ]
+    for x in cases:
+        # Spark F.round == BigDecimal(Double.toString(x)).setScale(6, HALF_UP)
+        want = float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+        lit = "CAST('" + repr(x) + "' AS DOUBLE)"
+        got = con.execute("SELECT " + _sql_sround(lit)).fetchone()[0]
+        assert got == want, (x, got, want)
