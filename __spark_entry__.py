@@ -5253,6 +5253,77 @@ def _q_customer_linkage_gate(spark, sf_dir):
     )
 
 
+_ADVISOR_SPECS = [
+    [["nk", "seg"]],  # the pipeline's current choice
+    ["nk"],  # coarser: nation only
+    ["seg"],  # coarsest: 5 mega-blocks
+    [["nk", "seg"], "bal"],  # union: add exact-balance blocking
+]
+
+
+def _q_customer_blocking_advisor(spark, sf_dir):
+    """Blocking-key ADVISOR (operators/linkage.py:blocking_key_advisor
+    — the measure-then-dispatch pattern of autotune_near_dedup applied
+    to Christen blocking): four candidate blocking configurations for
+    the customer linkage — the pipeline's (nk, seg), the coarser nk and
+    seg, and (nk, seg) unioned with exact-balance blocking — each
+    evaluated against the SAME bounded-probe exact truth
+    (customer_linkage_gate's fixture: every 13th base customer plus its
+    noisy clone) and reported as pair_completeness / reduction_ratio /
+    full-relation over-cap loss. The row a production pipeline reads to
+    pick its key: acceptable completeness at the highest reduction,
+    with n_overcap_members saying when the remedy is a FINER key, not a
+    bigger cap. Truth is computed once and shared across candidates;
+    per-candidate cost is one probe-sized blocked join + the
+    map-combined cap accounting. Pure-SQL DuckDB oracle replays every
+    candidate."""
+    from deeptime_spark.operators.linkage import blocking_key_advisor
+
+    cust = _read(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    noisy = base.select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")
+        ).alias("name"),
+        "nk",
+        "seg",
+        F.when(F.col("id") % 5 == 0, F.col("bal") + 1)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    recs = base.unionByName(noisy)
+    probe = recs.where((F.col("id") % 10_000_000) % 13 == 0)
+    out = blocking_key_advisor(
+        recs,
+        id_col="id",
+        candidate_specs=_ADVISOR_SPECS,
+        string_fields=["name"],
+        exact_fields=["bal"],
+        weights={"name": 1, "bal": 2},
+        threshold=0.9,
+        max_block=20,
+        probe_records=probe,
+    )
+    return out.select(
+        "spec",
+        "n_probe",
+        "n_exact",
+        "n_candidates",
+        "n_hit",
+        F.round("pair_completeness", 6).alias("pair_completeness"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+        "n_capped_blocks",
+        "n_overcap_members",
+    )
+
+
 def _q_event_skew_profile(spark, sf_dir):
     """Join-key skew diagnostic (operators/profile.py:skew_profile):
     the pre-shuffle profiling pass that sizes salting factors and AQE
@@ -6537,6 +6608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_entity_resolution": _q_customer_entity_resolution,
         "customer_linkage_probe": _q_customer_linkage_probe,
         "customer_linkage_gate": _q_customer_linkage_gate,
+        "customer_blocking_advisor": _q_customer_blocking_advisor,
         "streaming_linkage_probe": _q_streaming_linkage_probe,
         "customer_delta_pipeline": _q_customer_delta_pipeline,
         "customer_k_anonymity": _q_customer_k_anonymity,
@@ -6557,16 +6629,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-12 driver window (slots 0-49): the 2 never-driver-run round-12
-# queries first (vamp_score_data + TransferOperatorModel propagation),
+# queries first (vamp_score_data, TransferOperatorModel propagation,
+# blocking-key advisor),
 # then the evidence-age rotation from tools/plan_window.py — all 35
 # queries whose most recent driver green is r7 (the oldest cohort after
-# the r11 rotation), then the 13 oldest r8 greens that fit. Keeps the
+# the r11 rotation), then the 12 oldest r8 greens that fit. Keeps the
 # feasible 5-round freshness cap: after this round no query's green
 # evidence predates r8. Recomputed each round; exactly 50 entries —
 # the driver records only the first ~50 queries() keys.
 _WINDOW_ORDER = [
     "vamp_score_data_events",  # never driver-run (new r12)
     "koopman_propagate_events",  # never driver-run (new r12)
+    "customer_blocking_advisor",  # never driver-run (new r12)
     "kmeans_embeddings",  # last green r07
     "hmm_viterbi_events",  # last green r07
     "embedding_whiten",  # last green r07
@@ -6614,10 +6688,115 @@ _WINDOW_ORDER = [
     "q13_order_distribution",  # last green r08
     "q14_promo_revenue",  # last green r08
     "q15_top_supplier",  # last green r08
-    "q16_part_supplier_stats",  # last green r08
 ]
 
 
+
+
+def _blocking_advisor_oracle_sql(cap: int = 20) -> str:
+    """Pure-SQL replica of customer_blocking_advisor: the gate oracle's
+    base/recs/probe/truth CTEs, then per candidate configuration the
+    capped per-spec block pairs (unioned distinct), the full-relation
+    cap accounting, and the two ratios — one SELECT per candidate,
+    UNION ALL'd. Generated from the same _ADVISOR_SPECS list the Spark
+    query passes, so the census of candidates can never drift."""
+    blks, cands, selects = [], [], []
+    for i, candidate in enumerate(_ADVISOR_SPECS):
+        specs = [candidate] if isinstance(candidate, str) else list(candidate)
+        per_spec_pairs, cap_cb, cap_om = [], [], []
+        label_parts = []
+        for j, spec in enumerate(specs):
+            cols = [spec] if isinstance(spec, str) else list(spec)
+            label_parts.append("+".join(cols))
+            notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+            collist = ", ".join(cols)
+            eqs = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+            blks.append(
+                f"blk_{i}_{j} AS (\n"
+                f"  SELECT id, {collist} FROM (\n"
+                f"    SELECT id, {collist},\n"
+                f"           row_number() OVER (PARTITION BY {collist}"
+                f" ORDER BY id) AS rn\n"
+                f"    FROM probe WHERE {notnull}\n"
+                f"  ) WHERE rn <= {cap}\n"
+                f")"
+            )
+            per_spec_pairs.append(
+                f"SELECT a.id AS id_a, b.id AS id_b\n"
+                f"  FROM blk_{i}_{j} a JOIN blk_{i}_{j} b"
+                f" ON {eqs} AND a.id < b.id"
+            )
+            grp = (
+                f"(SELECT COUNT(*) AS n FROM recs WHERE {notnull}"
+                f" GROUP BY {collist})"
+            )
+            cap_cb.append(
+                f"(SELECT COALESCE(SUM(CASE WHEN n > {cap} THEN 1 ELSE 0"
+                f" END), 0) FROM {grp})"
+            )
+            cap_om.append(
+                f"(SELECT COALESCE(SUM(GREATEST(n - {cap}, 0)), 0)"
+                f" FROM {grp})"
+            )
+        cands.append(
+            f"cand_{i} AS (\n  "
+            + "\n  UNION\n  ".join(per_spec_pairs)
+            + "\n)"
+        )
+        label = "|".join(label_parts)
+        selects.append(
+            f"""SELECT '{label}' AS spec,
+       CAST(np.n AS BIGINT) AS n_probe,
+       CAST(ne.n AS BIGINT) AS n_exact,
+       CAST(nc.n AS BIGINT) AS n_candidates,
+       CAST(nh.n AS BIGINT) AS n_hit,
+       CASE WHEN ne.n = 0 THEN NULL
+            ELSE ROUND(CAST(nh.n AS DOUBLE) / CAST(ne.n AS DOUBLE), 6)
+       END AS pair_completeness,
+       CASE WHEN np.n < 2 THEN NULL
+            ELSE ROUND(1.0 - CAST(nc.n AS DOUBLE)
+                 / CAST(np.n * (np.n - 1) // 2 AS DOUBLE), 6)
+       END AS reduction_ratio,
+       CAST({" + ".join(cap_cb)} AS BIGINT) AS n_capped_blocks,
+       CAST({" + ".join(cap_om)} AS BIGINT) AS n_overcap_members
+FROM (SELECT COUNT(*) AS n FROM probe) np,
+     (SELECT COUNT(*) AS n FROM truth) ne,
+     (SELECT COUNT(*) AS n FROM cand_{i}) nc,
+     (SELECT COUNT(*) AS n FROM truth t JOIN cand_{i} c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b) nh"""
+        )
+    shared = r"""base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+         c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), recs AS (
+  SELECT id, name, nk, seg, bal FROM base
+  UNION ALL
+  SELECT id + 10000000,
+         substr(name, 1, length(name) - 1) || 'X',
+         nk, seg,
+         CASE WHEN id % 5 = 0 THEN bal + 1 ELSE bal END
+  FROM base
+), probe AS (
+  SELECT * FROM recs WHERE (id % 10000000) % 13 = 0
+), truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM probe a JOIN probe b ON a.id < b.id
+  WHERE (1.0 - CAST(levenshtein(coalesce(a.name, ''), coalesce(b.name, '')) AS DOUBLE)
+             / CAST(GREATEST(length(coalesce(a.name, '')), length(coalesce(b.name, '')), 1) AS DOUBLE))
+          * (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE))
+        + (CASE WHEN a.bal = b.bal THEN 1.0 ELSE 0.0 END)
+          * (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) >= 0.9
+)"""
+    return (
+        "WITH "
+        + shared
+        + ",\n"
+        + ",\n".join(blks + cands)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 def _zorder_oracle_sql(bits: int = 16, prefix_shift: int = 24) -> str:
@@ -7787,6 +7966,7 @@ SELECT seg,
        CAST(SUM(open_bal) AS BIGINT) AS bal_checksum
 FROM final GROUP BY seg
 """,
+        "customer_blocking_advisor": _blocking_advisor_oracle_sql(),
         "customer_linkage_gate": r"""
 WITH base AS (
   SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,

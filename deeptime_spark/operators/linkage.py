@@ -391,28 +391,7 @@ def linkage_blocking_gate(
     # cap accounting on the FULL relation: per spec, members past the
     # max_block cut are dropped from candidacy entirely — count them
     n_records = records.count()
-    n_capped_blocks = 0
-    n_overcap = 0
-    if max_block is not None:
-        cap = int(max_block)
-        for spec in block_keys:
-            cols = [spec] if isinstance(spec, str) else list(spec)
-            blk = records.select(
-                *[F.col(c).alias(f"_b{i}") for i, c in enumerate(cols)]
-            )
-            for i in range(len(cols)):
-                blk = blk.where(F.col(f"_b{i}").isNotNull())
-            sizes = blk.groupBy(
-                *[F.col(f"_b{i}") for i in range(len(cols))]
-            ).agg(F.count(F.lit(1)).alias("_n"))
-            row = sizes.agg(
-                F.sum(F.when(F.col("_n") > cap, 1).otherwise(0)).alias("_cb"),
-                F.sum(
-                    F.greatest(F.col("_n") - cap, F.lit(0))
-                ).alias("_om"),
-            ).first()
-            n_capped_blocks += int(row["_cb"] or 0)
-            n_overcap += int(row["_om"] or 0)
+    n_capped_blocks, n_overcap = _cap_accounting(records, block_keys, max_block)
     pc = None if n_exact == 0 else float(n_hit) / float(n_exact)
     rr = None if n_pairs == 0 else 1.0 - float(n_cand) / float(n_pairs)
     spark = records.sparkSession
@@ -434,4 +413,156 @@ def linkage_blocking_gate(
         "n_records long, n_probe long, n_probe_pairs long, n_exact long, "
         "n_candidates long, n_hit long, pair_completeness double, "
         "reduction_ratio double, n_capped_blocks long, n_overcap_members long",
+    )
+
+def _cap_accounting(
+    records: DataFrame, block_keys: list, max_block: int | None
+) -> tuple[int, int]:
+    """(n_capped_blocks, n_overcap_members) over the FULL relation —
+    one map-combined block-size groupBy + one bounded aggregate per
+    blocking spec; summed across specs. Shared by the gate and the
+    advisor so the cap-loss arithmetic can never drift."""
+    if max_block is None:
+        return 0, 0
+    cap = int(max_block)
+    n_capped_blocks = 0
+    n_overcap = 0
+    for spec in block_keys:
+        cols = [spec] if isinstance(spec, str) else list(spec)
+        blk = records.select(
+            *[F.col(c).alias(f"_b{i}") for i, c in enumerate(cols)]
+        )
+        for i in range(len(cols)):
+            blk = blk.where(F.col(f"_b{i}").isNotNull())
+        sizes = blk.groupBy(
+            *[F.col(f"_b{i}") for i in range(len(cols))]
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        row = sizes.agg(
+            F.sum(F.when(F.col("_n") > cap, 1).otherwise(0)).alias("_cb"),
+            F.sum(F.greatest(F.col("_n") - cap, F.lit(0))).alias("_om"),
+        ).first()
+        n_capped_blocks += int(row["_cb"] or 0)
+        n_overcap += int(row["_om"] or 0)
+    return n_capped_blocks, n_overcap
+
+
+def blocking_spec_label(block_keys: list) -> str:
+    """Deterministic display name for a blocking configuration:
+    multi-column specs join with '+', unioned specs with '|'
+    (e.g. [["nk", "seg"], "zip"] -> 'nk+seg|zip')."""
+    parts = []
+    for spec in block_keys:
+        cols = [spec] if isinstance(spec, str) else list(spec)
+        parts.append("+".join(cols))
+    return "|".join(parts)
+
+
+def blocking_key_advisor(
+    records: DataFrame,
+    id_col: str,
+    candidate_specs: list,
+    string_fields: list | None = None,
+    exact_fields: list | None = None,
+    weights: dict | None = None,
+    threshold: float = 0.8,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+    probe_records: DataFrame | None = None,
+) -> DataFrame:
+    """Blocking-key ADVISOR — the measure-then-dispatch pattern of
+    dedup.autotune_near_dedup applied to Christen blocking: given a
+    list of candidate blocking configurations (each in
+    :func:`blocked_candidates` ``block_keys`` form), evaluate every
+    candidate against the SAME bounded-probe exact truth that
+    :func:`linkage_blocking_gate` uses and report, per candidate, the
+    metrics that pick a production blocking key: pair_completeness
+    (recall bound), reduction_ratio (comparison-space elimination) and
+    the full-relation over-cap loss. The caller dispatches to the spec
+    with acceptable completeness and the highest reduction — or reads
+    n_overcap_members to see that the remedy for a hot block is a finer
+    key, not a bigger cap.
+
+    Scale shape: the exact truth is ONE all-pairs self-join of the
+    BOUNDED probe, computed once and shared across all candidates
+    (never re-scored per spec, never over the corpus); per candidate
+    the cost is one probe-sized blocked-candidate join plus the
+    map-combined full-relation cap accounting — advisor cost is
+    O(|probe|^2 + n_specs * |records|), independent of corpus pair
+    count.
+
+    Returns one row per candidate, in input order: (spec, n_probe,
+    n_exact, n_candidates, n_hit, pair_completeness, reduction_ratio,
+    n_capped_blocks, n_overcap_members). Ratio NULL semantics match
+    the gate.
+    """
+    string_fields = list(string_fields or [])
+    exact_fields = list(exact_fields or [])
+    fields = string_fields + exact_fields
+    if not fields:
+        raise ValueError("need at least one compared field")
+    if not candidate_specs:
+        raise ValueError("candidate_specs must be non-empty")
+    for bk in candidate_specs:
+        if not bk:
+            raise ValueError("every candidate spec must be non-empty")
+    wmap = {f: float((weights or {}).get(f, 1.0)) for f in fields}
+    wsum = sum(wmap.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum positive")
+    probe = probe_records if probe_records is not None else records
+    payload = probe.select(F.col(id_col), *[F.col(f) for f in fields])
+    pa = payload.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).alias(f"_a_{f}") for f in fields],
+    )
+    pb = payload.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).alias(f"_b_{f}") for f in fields],
+    )
+    allp = pa.crossJoin(pb).where(F.col("id_a") < F.col("id_b"))
+    _, score = _field_scores(
+        string_fields, exact_fields, wmap, wsum, "_a_", "_b_"
+    )
+    truth = (
+        allp.withColumn("_s", score)
+        .where(F.col("_s") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+        .persist()
+    )
+    rows = []
+    try:
+        n_probe = payload.count()
+        n_exact = truth.count()
+        n_pairs = n_probe * (n_probe - 1) // 2
+        for bk in candidate_specs:
+            bk = [bk] if isinstance(bk, str) else list(bk)
+            cands = blocked_candidates(probe, id_col, bk, max_block).persist()
+            try:
+                n_cand = cands.count()
+                n_hit = truth.join(cands, ["id_a", "id_b"]).count()
+            finally:
+                cands.unpersist(blocking=False)
+            ncb, nom = _cap_accounting(records, bk, max_block)
+            pc = None if n_exact == 0 else float(n_hit) / float(n_exact)
+            rr = None if n_pairs == 0 else 1.0 - float(n_cand) / float(n_pairs)
+            rows.append(
+                (
+                    blocking_spec_label(bk),
+                    int(n_probe),
+                    int(n_exact),
+                    int(n_cand),
+                    int(n_hit),
+                    pc,
+                    rr,
+                    int(ncb),
+                    int(nom),
+                )
+            )
+    finally:
+        truth.unpersist(blocking=False)
+    spark = records.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "spec string, n_probe long, n_exact long, n_candidates long, "
+        "n_hit long, pair_completeness double, reduction_ratio double, "
+        "n_capped_blocks long, n_overcap_members long",
     )

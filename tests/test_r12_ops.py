@@ -208,3 +208,77 @@ def test_sql_sround_matches_spark_round():
         lit = "CAST('" + repr(x) + "' AS DOUBLE)"
         got = con.execute("SELECT " + _sql_sround(lit)).fetchone()[0]
         assert got == want, (x, got, want)
+
+
+def test_blocking_key_advisor_ranks_specs(spark):
+    """Advisor returns one row per candidate in input order, with the
+    finer key beating the hot single-key spec on reduction while both
+    keep completeness — and over-cap loss reported per candidate."""
+    from deeptime_spark.operators.linkage import blocking_key_advisor
+
+    rows = [
+        # two clone pairs in zip 10001, one in 20002, one unmatched
+        (1, "alice", "10001", "A", 50),
+        (2, "alicx", "10001", "A", 50),
+        (3, "bob", "10001", "B", 70),
+        (4, "bobb", "10001", "B", 70),
+        (5, "carol", "20002", "A", 90),
+        (6, "caroll", "20002", "A", 90),
+        (7, "dave", "30003", "B", 10),
+    ]
+    recs = spark.createDataFrame(
+        rows, "id long, name string, zip string, seg string, bal long"
+    )
+    out = blocking_key_advisor(
+        recs,
+        id_col="id",
+        candidate_specs=["zip", [["zip", "seg"]], ["seg"]],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        threshold=0.85,
+        max_block=10,
+    ).collect()
+    assert [r["spec"] for r in out] == ["zip", "zip+seg", "seg"]
+    by = {r["spec"]: r for r in out}
+    # truth shared: same n_exact on every row
+    assert len({r["n_exact"] for r in out}) == 1 and out[0]["n_exact"] == 3
+    # all three blockings surface all 3 true pairs here...
+    assert all(r["pair_completeness"] == 1.0 for r in out)
+    # ...but the finer zip+seg key generates fewer candidates than zip
+    assert by["zip+seg"]["n_candidates"] < by["zip"]["n_candidates"]
+    assert by["zip+seg"]["reduction_ratio"] > by["zip"]["reduction_ratio"]
+
+
+def test_blocking_key_advisor_overcap_accounting(spark):
+    """A hot block past max_block reports its dropped members on the
+    full relation, and the capped spec loses completeness on the probe."""
+    from deeptime_spark.operators.linkage import blocking_key_advisor
+
+    # 6 records in ONE zip block, cap 4 -> ids 5,6 dropped from
+    # candidacy; the (5,6) clone pair is then invisible to blocking
+    rows = [
+        (1, "alice", "10001", 50),
+        (2, "alicx", "10001", 50),
+        (3, "xavier", "10001", 30),
+        (4, "yvonne", "10001", 40),
+        (5, "carol", "10001", 90),
+        (6, "caroll", "10001", 90),
+    ]
+    recs = spark.createDataFrame(
+        rows, "id long, name string, zip string, bal long"
+    )
+    out = blocking_key_advisor(
+        recs,
+        id_col="id",
+        candidate_specs=["zip"],
+        string_fields=["name"],
+        exact_fields=["bal"],
+        threshold=0.85,
+        max_block=4,
+    ).first()
+    assert out["spec"] == "zip"
+    assert out["n_capped_blocks"] == 1
+    assert out["n_overcap_members"] == 2
+    assert out["n_exact"] == 2  # (1,2) and (5,6)
+    assert out["n_hit"] == 1  # only (1,2) survives the cap
+    assert abs(out["pair_completeness"] - 0.5) < 1e-12
