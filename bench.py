@@ -207,6 +207,12 @@ HEADLINE = [
     "minibatch_kmeans_events",
     "tv_derivative_events",
     "vamp_cv_events",
+    # round-12: score-from-data + transfer-operator propagation
+    # (covariance-aggregate estimator shapes) and the blocking-key
+    # advisor (shared probe truth, n_specs * map-combined cap scans)
+    "vamp_score_data_events",
+    "koopman_propagate_events",
+    "customer_blocking_advisor",
 ]
 
 

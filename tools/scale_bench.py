@@ -156,6 +156,15 @@ QUERIES = [
     "minibatch_kmeans_events",
     "tv_derivative_events",
     "vamp_cv_events",
+    # round-12: one covariance aggregate each (score-from-data runs
+    # three of them; the propagation adds a codegen projection pass).
+    # customer_blocking_advisor is NOT laddered for the same reason as
+    # customer_linkage_gate: its harness probe is a fixed FRACTION
+    # (mod 13) of the corpus, so the exact all-pairs truth grows k^2 by
+    # fixture construction; at scale the caller passes a bounded probe
+    # (the documented contract).
+    "vamp_score_data_events",
+    "koopman_propagate_events",
 ]
 
 
