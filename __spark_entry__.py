@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from deeptime_spark.local_relation import local_df as _local_df
+
 # ----------------------------------------------------------------- loaders
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -663,7 +665,7 @@ def _q_msm_pi_events(spark, sf_dir):
     pi = msm.stationary_distribution
     m = mfpt(P, target=0)
     rows = [(int(i), float(pi[i]), float(m[i])) for i in range(len(pi))]
-    return spark.createDataFrame(rows, "state long, pi double, mfpt0 double")
+    return _local_df(spark, rows, "state long, pi double, mfpt0 double")
 
 
 def _q_vampnet_events(spark, sf_dir):
@@ -688,7 +690,7 @@ def _q_vampnet_events(spark, sf_dir):
         .fetch_model()
     )
     rows = [(int(e), float(s)) for e, s in enumerate(m.scores)]
-    return spark.createDataFrame(rows, "epoch long, vamp2_score double")
+    return _local_df(spark, rows, "epoch long, vamp2_score double")
 
 
 def _q_tae_events(spark, sf_dir):
@@ -710,7 +712,7 @@ def _q_tae_events(spark, sf_dir):
         .fetch_model()
     )
     rows = [(int(e), float(v)) for e, v in enumerate(m.losses)]
-    return spark.createDataFrame(rows, "epoch long, mse double")
+    return _local_df(spark, rows, "epoch long, mse double")
 
 
 def _q_tvae_events(spark, sf_dir):
@@ -733,7 +735,7 @@ def _q_tvae_events(spark, sf_dir):
         .fetch_model()
     )
     rows = [(int(e), float(v)) for e, v in enumerate(m.losses)]
-    return spark.createDataFrame(rows, "epoch long, loss double")
+    return _local_df(spark, rows, "epoch long, loss double")
 
 
 def _q_kvadnet_events(spark, sf_dir):
@@ -759,7 +761,7 @@ def _q_kvadnet_events(spark, sf_dir):
         .fetch_model()
     )
     rows = [(int(e), float(v)) for e, v in enumerate(m.scores)]
-    return spark.createDataFrame(rows, "epoch long, kvad_score double")
+    return _local_df(spark, rows, "epoch long, kvad_score double")
 
 
 def _q_rate_matrix_events(spark, sf_dir):
@@ -785,7 +787,7 @@ def _q_rate_matrix_events(spark, sf_dir):
         for i in range(K.shape[0]):
             for j in range(K.shape[1]):
                 rows.append((method, int(i), int(j), float(K[i, j])))
-    return spark.createDataFrame(rows, "method string, i long, j long, k_rate double")
+    return _local_df(spark, rows, "method string, i long, j long, k_rate double")
 
 
 def _q_oom_events(spark, sf_dir):
@@ -810,7 +812,7 @@ def _q_oom_events(spark, sf_dir):
         for i in range(T.shape[0])
         for j in range(T.shape[0])
     ]
-    return spark.createDataFrame(rows, "s_from long, s_to long, t_prob double")
+    return _local_df(spark, rows, "s_from long, s_to long, t_prob double")
 
 
 def _q_amm_events(spark, sf_dir):
@@ -834,7 +836,7 @@ def _q_amm_events(spark, sf_dir):
     pa = amm.stationary_distribution
     mh = float(amm.m_hat[0])
     rows = [(int(symbols[i]), float(pa[i]), mh, m_unb) for i in range(len(symbols))]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "state long, pi_amm double, m_hat double, m_unbiased double"
     )
 
@@ -860,7 +862,7 @@ def _q_sensitivity_events(spark, sf_dir):
         for i in range(S.shape[0])
         for j in range(S.shape[1])
     ]
-    return spark.createDataFrame(rows, "kind string, i long, j long, dval double")
+    return _local_df(spark, rows, "kind string, i long, j long, dval double")
 
 
 def _q_msm_its_events(spark, sf_dir):
@@ -875,7 +877,7 @@ def _q_msm_its_events(spark, sf_dir):
         for i, tau in enumerate(its.lagtimes)
         for k in range(its.max_n_processes)
     ]
-    return spark.createDataFrame(rows, "lagtime long, process long, its double")
+    return _local_df(spark, rows, "lagtime long, process long, its double")
 
 
 def _q_msm_ck_events(spark, sf_dir):
@@ -891,7 +893,7 @@ def _q_msm_ck_events(spark, sf_dir):
         for i in range(2)
         for j in range(2)
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "lagtime long, set_i long, set_j long, predicted double, estimated double"
     )
 
@@ -918,7 +920,7 @@ def _q_msm_longtail_events(spark, sf_dir):
     rows = [
         (int(i), float(h[i]), float(amp[i]), float(ec[i])) for i in range(n)
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "state long, hitting_p4 double, fp_amplitude double, expected_out_counts double"
     )
 
@@ -931,7 +933,7 @@ def _q_pcca_events(spark, sf_dir):
     pcca = msm.pcca(2)
     m = np.asarray(pcca.memberships)
     rows = [(int(i), float(m[i, 0]), float(m[i, 1])) for i in range(m.shape[0])]
-    return spark.createDataFrame(rows, "state long, m0 double, m1 double")
+    return _local_df(spark, rows, "state long, m0 double, m1 double")
 
 
 def _q_bucketed_traj_counts(spark, sf_dir):
@@ -969,7 +971,7 @@ def _q_bucketed_traj_counts(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(r["s_from"]), int(r["s_to"]), int(r["n"])) for r in rows],
         "s_from long, s_to long, n long",
     )
@@ -1053,7 +1055,7 @@ def _q_generator_msm_roundtrip(spark, sf_dir):
     rows = [
         (s, hist.get(s, 0), round(full_pi.get(s, 0.0), 6)) for s in range(n)
     ]
-    return spark.createDataFrame(rows, "state long, n_visits long, pi double")
+    return _local_df(spark, rows, "state long, n_visits long, pi double")
 
 
 def _q_doc_sql_surface(spark, sf_dir):
@@ -1142,7 +1144,7 @@ def _q_doc_hll_shingles(spark, sf_dir):
         (d["lang"], int(d["n_registers"]), round(float(d["est_distinct"]), 6), int(exact[d["lang"]]))
         for d in est
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "lang string, n_registers long, est_distinct double, exact_distinct long"
     )
 
@@ -1199,7 +1201,7 @@ def _q_doc_hll_rollup(spark, sf_dir):
         )
         for d in est
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "lang string, n_days long, n_registers long, est_distinct double"
     )
 
@@ -1413,7 +1415,7 @@ def _q_event_kmv_quantiles(spark, sf_dir):
          float(d["q75"]), float(d["q90"]))
         for d in rows
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         out,
         "event_type string, n_sample long, q25 double, q50 double, "
         "q75 double, q90 double",
@@ -1451,7 +1453,7 @@ def _q_doc_incremental_dedup(spark, sf_dir):
         rows = res.collect()
     finally:
         _rmtree_quiet(tmp)
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 def _q_streaming_incremental_dedup(spark, sf_dir):
@@ -1495,7 +1497,7 @@ def _q_streaming_incremental_dedup(spark, sf_dir):
         rows = res.collect()
     finally:
         _rmtree_quiet(tmp)
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 def _q_doc_novelty(spark, sf_dir):
@@ -1765,7 +1767,7 @@ def _q_streaming_cusum(spark, sf_dir):
     finally:
         _drop_view_quiet(spark, sink)
         _rmtree_quiet(src_dir, ckpt_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 r["event_type"],
@@ -2085,7 +2087,7 @@ def _q_sindy_events(spark, sf_dir):
         (int(i), str(name), round(float(model.coefficients[0, i]), 6))
         for i, name in enumerate(model.feature_names)
     ]
-    return spark.createDataFrame(rows, "idx long, feature string, coef double")
+    return _local_df(spark, rows, "idx long, feature string, coef double")
 
 
 def _q_tram_events(spark, sf_dir):
@@ -2110,7 +2112,7 @@ def _q_tram_events(spark, sf_dir):
         for k in range(fki.shape[0])
         for i in range(fki.shape[1])
     ]
-    return spark.createDataFrame(rows, "therm_state long, state long, f double")
+    return _local_df(spark, rows, "therm_state long, state long, f double")
 
 
 def _q_bayes_msm_events(spark, sf_dir):
@@ -2130,7 +2132,7 @@ def _q_bayes_msm_events(spark, sf_dir):
         for i in range(n)
         for j in range(n)
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "s_from long, s_to long, p_mean double, p_lo double, p_hi double"
     )
 
@@ -2152,7 +2154,7 @@ def _q_tpt_events(spark, sf_dir):
         for i in range(n)
         for j in range(n)
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "s_from long, s_to long, qplus double, qminus double, net_flux double"
     )
 
@@ -2166,7 +2168,7 @@ def _q_vamp_events(spark, sf_dir):
     feat = traj.select("traj_id", "t", F.array(v, v * v, v * v * v).alias("x"))
     model = VAMP(lagtime=2).fit(feat).fetch_model()
     sv = model.singular_values
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), round(float(sv[i]), 6)) for i in range(len(sv))], "idx long, sv double"
     )
 
@@ -2188,7 +2190,7 @@ def _q_vamp_score_events(spark, sf_dir):
         ("vamp2", round(float(model.score(2)), 6)),
         ("vampe", round(float(model.score("E")), 6)),
     ]
-    return spark.createDataFrame(rows, "score_kind string, score double")
+    return _local_df(spark, rows, "score_kind string, score double")
 
 
 def _q_vamp_score_data_events(spark, sf_dir):
@@ -2210,7 +2212,7 @@ def _q_vamp_score_data_events(spark, sf_dir):
         ("vamp2_dim2", round(float(vamp_score_data(feat, 2, dim=2, r=2.0)), 6)),
         ("vampe_dim2", round(float(vamp_score_data(feat, 2, dim=2, r="E")), 6)),
     ]
-    return spark.createDataFrame(rows, "score_kind string, score double")
+    return _local_df(spark, rows, "score_kind string, score double")
 
 
 def _q_koopman_propagate_events(spark, sf_dir):
@@ -2272,7 +2274,7 @@ def _q_dmd_events(spark, sf_dir):
     feat = traj.select("traj_id", "t", F.array(v, v * v).alias("x"))
     model = DMD(lagtime=1).fit(feat).fetch_model()
     ev = np.sort_complex(model.eigenvalues)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), round(float(ev[i].real), 6), round(float(ev[i].imag), 6)) for i in range(len(ev))],
         "idx long, ev_re double, ev_im double",
     )
@@ -2293,7 +2295,7 @@ def _q_kedmd_events(spark, sf_dir):
         feat, lagtime=2
     ).fetch_model()
     ev = np.sort_complex(model.eigenvalues)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), round(float(ev[i].real), 6), round(float(ev[i].imag), 6)) for i in range(len(ev))],
         "idx long, ev_re double, ev_im double",
     )
@@ -2321,7 +2323,7 @@ def _q_edmd_events(spark, sf_dir):
         .fetch_model()
     )
     ev = np.sort_complex(model.eigenvalues)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (int(i), round(float(ev[i].real), 6), round(float(ev[i].imag), 6))
             for i in range(len(ev))
@@ -2354,7 +2356,7 @@ def _q_kcca_events(spark, sf_dir):
         .fetch_model()
     )
     ev = np.sort_complex(np.asarray(model.eigenvalues))
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (int(i), round(float(ev[i].real), 6), round(float(ev[i].imag), 6))
             for i in range(len(ev))
@@ -2387,7 +2389,7 @@ def _q_kvad_events(spark, sf_dir):
         (f"sv{i}", round(float(sv), 6))
         for i, sv in enumerate(model.singular_values)
     ] + [("score", round(float(model.score), 6))]
-    return spark.createDataFrame(rows, "kind string, val double")
+    return _local_df(spark, rows, "kind string, val double")
 
 
 def _q_minibatch_kmeans_events(spark, sf_dir):
@@ -2427,7 +2429,7 @@ def _q_minibatch_kmeans_events(spark, sf_dir):
         ("inertia", int(e), -1, round(float(c), 6))
         for e, c in enumerate(est._inertias)
     ]
-    return spark.createDataFrame(rows, "kind string, i long, j long, val double")
+    return _local_df(spark, rows, "kind string, i long, j long, val double")
 
 
 def _q_tv_derivative_events(spark, sf_dir):
@@ -2466,7 +2468,7 @@ def _q_vamp_cv_events(spark, sf_dir):
     scores = vamp_score_cv(
         feat, lagtime=1, n=4, blocksize=10, r="VAMP2", random_state=42
     )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), round(float(s), 6)) for i, s in enumerate(scores)],
         "fold long, score double",
     )
@@ -2482,7 +2484,7 @@ def _q_effective_counts_events(spark, sf_dir):
     rows = [
         (int(i), int(j), float(C[i, j])) for i in range(C.shape[0]) for j in range(C.shape[1])
     ]
-    return spark.createDataFrame(rows, "s_from long, s_to long, n_eff double")
+    return _local_df(spark, rows, "s_from long, s_to long, n_eff double")
 
 
 def _q_koopman_weights_events(spark, sf_dir):
@@ -2666,7 +2668,7 @@ def _q_ivf_index_probe(spark, sf_dir):
         ).collect()
     finally:
         _rmtree_quiet(idx_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(r["query_id"]), int(r["vec_id"]), int(r["rank"])) for r in rows],
         "query_id long, vec_id long, rank long",
     )
@@ -3225,7 +3227,7 @@ def _q_bayes_hmm_events(spark, sf_dir):
         for i in range(2)
         for j in range(2)
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "h_from long, h_to long, p_mean double, p_lo double, p_hi double"
     )
 
@@ -3499,7 +3501,7 @@ def _q_streaming_interval_join(spark, sf_dir):
         if sink:
             _drop_view_quiet(spark, sink)
         _rmtree_quiet(src_dir, ckpt_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 int(r["user_id"]),
@@ -3564,7 +3566,7 @@ def _q_streaming_sessions(spark, sf_dir):
     finally:
         _drop_view_quiet(spark, sink)
         _rmtree_quiet(src_dir, ckpt_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(r["user_id"]), int(r["n_sessions"]), int(r["n_events"])) for r in rows],
         "user_id long, n_sessions long, n_events long",
     )
@@ -3620,7 +3622,7 @@ def _q_streaming_window_counts(spark, sf_dir):
     finally:
         _drop_view_quiet(spark, sink)
         _rmtree_quiet(src_dir, ckpt_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (int(r["window_start_s"]), int(r["window_end_s"]), str(r["event_type"]), int(r["n"]))
             for r in rows
@@ -3678,7 +3680,7 @@ def _q_streaming_dedup_replay(spark, sf_dir):
     finally:
         _drop_view_quiet(spark, sink)
         _rmtree_quiet(src_dir, ckpt_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(row["n_kept"]), int(row["n_distinct_text"]))],
         "n_kept long, n_distinct_text long",
     )
@@ -3728,7 +3730,7 @@ def _q_streaming_transition_counts(spark, sf_dir):
     finally:
         _drop_view_quiet(spark, sink)
         _rmtree_quiet(src_dir, ckpt_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(r["s_from"]), int(r["s_to"]), int(r["n"])) for r in rows],
         "s_from long, s_to long, n long",
     )
@@ -4350,7 +4352,7 @@ def _q_shards_roundtrip(spark, sf_dir):
         rows = res.collect()
     finally:
         _rmtree_quiet(tmp)
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 def _q_web_extract_text(spark, sf_dir):
@@ -4430,7 +4432,7 @@ def _q_streaming_c4_replay(spark, sf_dir):
     finally:
         spark.catalog.dropTempView(sink)
         _rmtree_quiet(src_dir, ckpt_dir)
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 def _q_streaming_heavy_hitters(spark, sf_dir):
@@ -4520,7 +4522,7 @@ def _q_streaming_heavy_hitters(spark, sf_dir):
         if sink:
             _drop_view_quiet(spark, sink)
         _rmtree_quiet(src_dir, ckpt_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (r["lang"], r["term"], int(r["count_lb"]), int(r["n_stream"]))
             for r in rows
@@ -4582,7 +4584,7 @@ def _q_streaming_hll_replay(spark, sf_dir):
         (d["lang"], int(d["n_registers"]), round(float(d["est_distinct"]), 6))
         for d in est
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "lang string, n_registers long, est_distinct double"
     )
 
@@ -4700,7 +4702,7 @@ def _q_doc_postings_index(spark, sf_dir):
         rows = out.collect()
     finally:
         _rmtree_quiet(idx_dir)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(r["doc_id"]), int(r["n_terms"]), int(r["total_tf"])) for r in rows],
         "doc_id long, n_terms long, total_tf long",
     )
@@ -5018,6 +5020,15 @@ def _delta_entity_merge(
     from deeptime_spark.operators.scd import scd2_merge
     from pyspark.sql import Window
 
+    # The probe result feeds THREE consumers (the per-master election,
+    # the matched-delta anti-join, and — through the update batch —
+    # scd2_merge's unique-key guard aggregate); without materialization
+    # the whole capped-join + levenshtein-scoring + window DAG executes
+    # once per consumer (r12 profile: the guard's first() alone re-ran it
+    # for 3.2 s of the query's 14 s). One eager localCheckpoint runs it
+    # once — the frame is delta-sized (≤ one row per delta record), so
+    # the checkpoint is bounded at any corpus scale (guide §5: cut
+    # lineage of a reused intermediate instead of recomputing it).
     probe = record_linkage_probe(
         master,
         delta,
@@ -5027,7 +5038,7 @@ def _delta_entity_merge(
         exact_fields=["bal"],
         weights={"name": 1, "bal": 2},
         threshold=threshold,
-    )
+    ).localCheckpoint(eager=True)
     # per-master best delta (a master can win several deltas' elections;
     # the SCD2 batch needs ONE row per key)
     w = Window.partitionBy("id_master").orderBy(
@@ -5455,7 +5466,7 @@ def _q_streaming_ewma(spark, sf_dir):
     finally:
         _rmtree_quiet(src_dir, ckpt_dir)
         _drop_view_quiet(spark, sink)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (int(r["user_id"]), int(r["n_events"]), float(r["ewma_value"]))
             for r in rows
@@ -5586,7 +5597,7 @@ def _q_event_kmv_rollup(spark, sf_dir):
         rows = out.collect()
     finally:
         _rmtree_quiet(d)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 r["event_type"],
@@ -5666,7 +5677,7 @@ def _q_streaming_kmv_rollup(spark, sf_dir):
     finally:
         _rmtree_quiet(src_dir, ckpt_dir)
         _drop_view_quiet(spark, sink)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 r["event_type"],
@@ -5717,7 +5728,7 @@ def _q_jsonl_roundtrip(spark, sf_dir):
         )
     finally:
         _rmtree_quiet(d)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 r["lang"],
@@ -6061,7 +6072,7 @@ def _q_customer_scd2_merge(spark, sf_dir):
     # the brand-new key is DERIVED (max+1) so it can never collide with
     # a real custkey at any scale factor (TPC-H keys grow with SF)
     mx = int(cust.agg(F.max("c_custkey")).first()[0])
-    new_row = spark.createDataFrame(
+    new_row = _local_df(spark, 
         [(mx + 1, 1000, "BUILDING")],
         "c_custkey long, acctbal_cents long, segment string",
     )
@@ -6118,7 +6129,7 @@ def _q_streaming_scd2_merge(spark, sf_dir):
         ).alias("segment"),
     )
     mx = int(cust.agg(F.max("c_custkey")).first()[0])
-    new_row = spark.createDataFrame(
+    new_row = _local_df(spark, 
         [(mx + 1, 1000, "BUILDING")],
         "c_custkey long, acctbal_cents long, segment string",
     )
@@ -6172,7 +6183,7 @@ def _q_streaming_scd2_merge(spark, sf_dir):
         )
     finally:
         _rmtree_quiet(src_dir, dim_dir, ckpt)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 int(r["c_custkey"]),
@@ -6258,9 +6269,13 @@ def _q_corpus_tuned_dedup_probe(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
+    # the probe frame feeds THREE consumers (the exact PPJoin, the probe
+    # banding, and its own count); localCheckpoint runs the group_sample
+    # window once — the probe is bounded (10 docs/source) so the
+    # materialization is O(sources), never corpus-scale (guide §5)
     probe = group_sample(
         docs, n_per_group=10, group_cols=["source"], key_col="doc_id"
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").localCheckpoint(eager=True)
     corpus = docs.select("doc_id", "text")
     pairs, report = autotune_near_dedup(
         corpus,
@@ -6349,7 +6364,7 @@ def _q_streaming_constraint_audit(spark, sf_dir):
              int(row[name] or 0) == 0)
             for name, _, _ in cons
         ]
-        return spark.createDataFrame(
+        return _local_df(spark, 
             rows,
             "constraint string, kind string, n_rows long, "
             "n_violations long, pass boolean",

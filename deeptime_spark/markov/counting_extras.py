@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,7 +104,7 @@ def bootstrap_counts(
     rng = np.random.default_rng(seed)
     drawn = rng.choice(len(block_ids), size=len(block_ids), replace=True)
     mult = np.bincount(drawn, minlength=len(block_ids))
-    lut = df.sparkSession.createDataFrame(
+    lut = _local_df(df.sparkSession, 
         [(block_ids[i], int(m)) for i, m in enumerate(mult) if m > 0], ["block_id", "_mult"]
     )
     w = Window.partitionBy("block_id").orderBy("t")
@@ -133,7 +134,7 @@ def bootstrap_trajectories_df(df: DataFrame, blocksize: int, seed: int = 42) -> 
     block_ids = [r["block_id"] for r in blocked.select("block_id").distinct().collect()]
     rng = np.random.default_rng(seed)
     drawn = rng.choice(len(block_ids), size=len(block_ids), replace=True)
-    lut = df.sparkSession.createDataFrame(
+    lut = _local_df(df.sparkSession, 
         [(block_ids[b], int(i)) for i, b in enumerate(drawn)], ["block_id", "_new_traj"]
     )
     out = blocked.join(F.broadcast(lut), "block_id")

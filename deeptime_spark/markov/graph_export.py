@@ -25,6 +25,8 @@ from typing import TYPE_CHECKING, Optional
 
 import numpy as np
 
+from deeptime_spark.local_relation import local_df as _local_df
+
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
@@ -48,7 +50,7 @@ def matrix_edges(
     rows = [
         (int(i), int(j), float(m[i, j])) for i, j in zip(src.tolist(), dst.tolist())
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, f"{src_col} long, {dst_col} long, {weight_col} double"
     )
 
@@ -68,7 +70,7 @@ def msm_nodes(spark: "SparkSession", msm) -> "DataFrame":
     ``(state, pi)`` with the stationary distribution as node weight
     (the reference Network's default ``state_sizes``)."""
     pi = np.asarray(msm.stationary_distribution, dtype=np.float64)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), float(p)) for i, p in enumerate(pi.tolist())],
         "state long, pi double",
     )
@@ -110,7 +112,7 @@ def flux_nodes(spark: "SparkSession", flux) -> "DataFrame":
     for i in range(len(pi)):
         role = "source" if i in src else ("target" if i in tgt else "intermediate")
         rows.append((i, float(pi[i]), float(qf[i]), float(qb[i]), role))
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows,
         "state long, pi double, committor_forward double, "
         "committor_backward double, role string",

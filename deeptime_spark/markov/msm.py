@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -200,7 +201,7 @@ class MarkovStateModel(Model):
         for i, s in enumerate(symbols):
             h = float(hist[s]) if hist is not None and s < len(hist) else 1.0
             rows.append((int(s), float(pi[i] / max(h, 1.0))))
-        lut = spark.createDataFrame(rows, ["state_symbol", "weight"])
+        lut = _local_df(spark, rows, ["state_symbol", "weight"])
         return dtraj_df.join(
             F.broadcast(lut), dtraj_df[state_col] == lut["state_symbol"], "left"
         ).drop("state_symbol")

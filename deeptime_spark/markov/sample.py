@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,7 +87,7 @@ def indices_by_distribution_df(
         for s, p in enumerate(dist)
         if p > 0.0
     ]
-    lut = spark.createDataFrame(rows, ["dist_id", "_state", "weight"])
+    lut = _local_df(spark, rows, ["dist_id", "_state", "weight"])
     joined = df.where(F.col(state_col) >= 0).join(
         F.broadcast(lut), df[state_col] == lut["_state"]
     ).drop("_state")

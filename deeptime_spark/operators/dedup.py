@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -720,7 +721,7 @@ def connected_components(
         head = e0.collect()
         e0.unpersist()
         comp = _union_find_local([(r["a"], r["b"]) for r in head])
-        return spark.createDataFrame(
+        return _local_df(spark, 
             sorted(comp.items()), "node long, component long"
         )
     if mode == "star":
@@ -1780,9 +1781,10 @@ def dedup_candidate_quality(
     that qualify) as ONE summary row.
 
     Pure set algebra over the two pair relations: pairs are order-
-    normalized and deduplicated, the hit count is an inner equi-join —
-    every frame is candidate-scale, never corpus-scale, so the gate adds
-    two broadcast-size joins to a pipeline regardless of corpus size.
+    normalized and deduplicated, then ONE full-outer equi-join + one
+    aggregate reads all three counts — every frame is candidate-scale,
+    never corpus-scale, so the gate adds one candidate-sized join (a
+    single Spark job) to a pipeline regardless of corpus size.
 
     Returns (n_exact, n_candidates, n_hit, recall, precision); recall /
     precision are null when the respective denominator is zero.
@@ -1794,23 +1796,25 @@ def dedup_candidate_quality(
             F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
         ).distinct()
 
-    # BOTH normalized relations feed two consumers each (their own count
-    # + the hit join) — without the persist the candidate subtree (the
-    # full LSH signature+banding pipeline when the caller passes a lazy
-    # frame) executes twice. Caches are released before returning.
-    e = norm(exact_pairs).persist()
-    c = norm(candidates).persist()
-    try:
-        n_e = e.count()
-        n_c = c.count()
-        n_h = e.join(c, ["_a", "_b"]).count()
-    finally:
-        e.unpersist(blocking=False)
-        c.unpersist(blocking=False)
+    # ONE action: both normalized relations are distinct on (_a, _b), so
+    # a full-outer join fans nothing out and a single aggregate reads
+    # |exact|, |candidates| and |hit| off the marker columns. The r11
+    # shape (persist both sides + three count jobs) paid two extra
+    # materialization jobs per gate call — and each side is consumed
+    # exactly once here, so no persist lifecycle is needed at all
+    # (guide §1.2: remove passes before tuning what is left).
+    e = norm(exact_pairs).withColumn("_e", F.lit(1))
+    c = norm(candidates).withColumn("_c", F.lit(1))
+    row = e.join(c, ["_a", "_b"], "full_outer").agg(
+        F.count("_e").alias("_ne"),
+        F.count("_c").alias("_nc"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_c").isNotNull(), 1)).alias("_nh"),
+    ).first()
+    n_e, n_c, n_h = int(row["_ne"]), int(row["_nc"]), int(row["_nh"])
     spark = candidates.sparkSession
     rec = None if n_e == 0 else float(n_h) / float(n_e)
     prec = None if n_c == 0 else float(n_h) / float(n_c)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(n_e), int(n_c), int(n_h), rec, prec)],
         "n_exact long, n_candidates long, n_hit long, recall double, precision double",
     )
@@ -1858,7 +1862,7 @@ def dedup_threshold_sweep(
     ]
     row = pairs.agg(*aggs).first()
     spark = docs.sparkSession
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(t, int(row[f"_c{t}"] or 0)) for t in ths],
         "threshold_pct long, n_pairs long",
     )
@@ -2063,7 +2067,7 @@ def autotune_near_dedup(
     finally:
         cands_probe.unpersist(blocking=False)
     spark = docs.sparkSession
-    report = spark.createDataFrame(
+    report = _local_df(spark, 
         [
             (
                 method,

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import warnings
 
+from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -99,17 +100,32 @@ def pagerank(
     )
     # multiplicity-sum once so the per-iteration join touches each
     # distinct (src,dst) exactly once, then divide by out-weight ->
-    # column-stochastic transition probability p.
-    agg = e0.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # column-stochastic transition probability p. The aggregated
+    # relation feeds FOUR consumers (out-weights, the node set — which
+    # is identical whether read off the raw or the aggregated edges —
+    # and both sides of the transition join); persisting it means the
+    # raw edge relation is scanned ONCE instead of once per consumer
+    # (guide §2.4 / §5 — r12: three redundant full scans of the source
+    # removed).
+    agg = e0.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
     out_w = agg.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = (
-        e0.select(F.col("src").alias("node"))
-        .union(e0.select(F.col("dst").alias("node")))
+        agg.select(F.col("src").alias("node"))
+        .union(agg.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    n = nodes.count()  # also materializes the persisted node set
+    n = nodes.count()  # also materializes the persisted node set + agg
     small = n <= broadcast_threshold
+    if small:
+        # O(|V|) frames are broadcast-sized by definition here; keeping
+        # them at shuffle-partition width makes every per-iteration
+        # localCheckpoint pay one task per (mostly empty) partition —
+        # measured 32 tasks for a 211-row rank frame. One narrow merge
+        # fixes the physical shape for the whole iteration loop.
+        compact = nodes.coalesce(1).localCheckpoint(eager=True)
+        nodes.unpersist(blocking=False)
+        nodes = compact
     # dangling node set (no out-edges), computed ONCE: the per-iteration
     # dangling mass is Σ rank_prev over this set, which equals
     # 1 - Σ contrib but reads the already-checkpointed previous ranks
@@ -133,11 +149,18 @@ def pagerank(
         trans = trans.repartition(n_part, "src")
     elif partitions:
         trans = trans.repartition(partitions, "src")
-    # small regime: keep the AQE-coalesced agg output (a ≤|V|² relation
-    # collapses to a handful of partitions — per-iteration scan cost is
-    # task-count-bound, not data-bound)
+    else:
+        # small regime: a ≤|V|²-row relation in ONE partition. Beyond the
+        # task-count saving, SinglePartition satisfies the per-iteration
+        # ``groupBy("dst")`` clustering requirement, so the contribution
+        # aggregate runs with NO Exchange in the loop at all (guide §2.4:
+        # establish the partitioning once, reuse it every pass).
+        trans = trans.coalesce(1)
     trans = trans.persist()
     trans.count()
+    # the aggregated edge relation was only needed to build out_w /
+    # nodes / trans, all materialized by now
+    agg.unpersist(blocking=False)
     if personalization is not None:
         # L1-normalize the teleport vector once; pin it onto the node
         # frame so the per-iteration update is a column expression.
@@ -244,22 +267,37 @@ def hits(
         F.col(dst).cast("long").alias("dst"),
         w.alias("w"),
     )
-    ew = e0.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # aggregate multiplicities once and derive the node set from the
+    # AGGREGATED relation (identical set, one raw-edge scan instead of
+    # three — the pagerank r12 fix)
+    ew = e0.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
     nodes = (
-        e0.select(F.col("src").alias("node"))
-        .union(e0.select(F.col("dst").alias("node")))
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
     n = nodes.count()
     small = n <= broadcast_threshold
+    if small:
+        # single-partition O(|V|) frames: per-half-step checkpoints cost
+        # one task, and SinglePartition satisfies BOTH alternating
+        # groupBy keys (src / dst), so neither half-step shuffles
+        # (guide §2.4) — see pagerank for the measured 32-task pathology
+        compact = nodes.coalesce(1).localCheckpoint(eager=True)
+        nodes.unpersist(blocking=False)
+        nodes = compact
+    ew_raw = ew
     if not small:
         n_part = partitions or spark.sparkContext.defaultParallelism
         ew = ew.repartition(n_part, "src")
     elif partitions:
         ew = ew.repartition(partitions, "src")
+    else:
+        ew = ew.coalesce(1)
     ew = ew.persist()
     ew.count()
+    ew_raw.unpersist(blocking=False)
 
     def _half(scores: DataFrame, key_in: str, key_out: str, eager: bool):
         """One half-step: propagate `scores` across edges from key_in to
@@ -676,7 +714,7 @@ def bfs_distances(
         und = und2
     try:
         frontier = (
-            spark.createDataFrame(
+            _local_df(spark, 
                 [(int(s),) for s in sorted(set(sources))], "node long"
             )
             .withColumn("dist", F.lit(0))
@@ -814,7 +852,7 @@ def betweenness_centrality(
     k = min(int(n_pivots), n)
     pivots = _content_pivots(nodes, k, "#bcpivot")
     levels = [
-        spark.createDataFrame(
+        _local_df(spark, 
             [(p, p, 1) for p in pivots], "pivot long, node long, sigma long"
         ).localCheckpoint(eager=True)
     ]
@@ -962,7 +1000,7 @@ def harmonic_centrality(
     k = min(int(n_pivots), n)
     pivots = _content_pivots(nodes, k, "#hcpivot")
     try:
-        frontier = spark.createDataFrame(
+        frontier = _local_df(spark, 
             [(p, p) for p in pivots], "pivot long, node long"
         ).localCheckpoint(eager=True)
         visited = frontier
@@ -1098,7 +1136,7 @@ def degree_assortativity(
         und.unpersist(blocking=False)
     m = int(row["m"])
     if m == 0:
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(0, 0, None)], "n_nodes long, n_edges long, assortativity double"
         )
     # symmetrized moments: Σ over both edge directions == 2·sxy over
@@ -1110,7 +1148,7 @@ def degree_assortativity(
     num = float(row["sxy"]) * 2.0 / two_m - mean * mean
     den = float(row["sxx"]) / two_m - mean * mean
     r = (num / den) if den != 0.0 else None
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(n_nodes), m, r)],
         "n_nodes long, n_edges long, assortativity double",
     )

@@ -34,6 +34,7 @@ the whole pipeline bit-for-bit.
 
 from __future__ import annotations
 
+from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -376,17 +377,26 @@ def linkage_blocking_gate(
         .select("id_a", "id_b")
     )
     cands = blocked_candidates(probe, id_col, block_keys, max_block)
-    # truth feeds two consumers (count + hit join); candidates likewise
-    truth = truth.persist()
-    cands = cands.persist()
-    try:
-        n_probe = payload.count()
-        n_exact = truth.count()
-        n_cand = cands.count()
-        n_hit = truth.join(cands, ["id_a", "id_b"]).count()
-    finally:
-        truth.unpersist(blocking=False)
-        cands.unpersist(blocking=False)
+    # ONE action for all three pair counts: both relations are distinct
+    # on (id_a, id_b), so a full-outer join fans nothing out and a
+    # single aggregate reads |truth|, |candidates| and |hit| off marker
+    # columns — each side is consumed exactly once (no persist
+    # lifecycle), replacing the r11 shape's 2 persists + 3 count jobs
+    # (guide §1.2: fewer passes first).
+    n_probe = payload.count()
+    row = (
+        truth.withColumn("_t", F.lit(1))
+        .join(cands.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_t").alias("_ne"),
+            F.count("_c").alias("_nc"),
+            F.count(
+                F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+            ).alias("_nh"),
+        )
+        .first()
+    )
+    n_exact, n_cand, n_hit = int(row["_ne"]), int(row["_nc"]), int(row["_nh"])
     n_pairs = n_probe * (n_probe - 1) // 2
     # cap accounting on the FULL relation: per spec, members past the
     # max_block cut are dropped from candidacy entirely — count them
@@ -395,7 +405,7 @@ def linkage_blocking_gate(
     pc = None if n_exact == 0 else float(n_hit) / float(n_exact)
     rr = None if n_pairs == 0 else 1.0 - float(n_cand) / float(n_pairs)
     spark = records.sparkSession
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 int(n_records),
@@ -535,12 +545,30 @@ def blocking_key_advisor(
         n_pairs = n_probe * (n_probe - 1) // 2
         for bk in candidate_specs:
             bk = [bk] if isinstance(bk, str) else list(bk)
-            cands = blocked_candidates(probe, id_col, bk, max_block).persist()
-            try:
-                n_cand = cands.count()
-                n_hit = truth.join(cands, ["id_a", "id_b"]).count()
-            finally:
-                cands.unpersist(blocking=False)
+            # one full-outer join + aggregate per candidate spec reads
+            # n_candidates and n_hit in a single job (the gate's count
+            # merge); the spec's candidate subtree runs exactly once, so
+            # the per-spec persist/count/join/unpersist cycle is gone
+            cands = blocked_candidates(probe, id_col, bk, max_block)
+            crow = (
+                truth.withColumn("_t", F.lit(1))
+                .join(
+                    cands.withColumn("_c", F.lit(1)),
+                    ["id_a", "id_b"],
+                    "full_outer",
+                )
+                .agg(
+                    F.count("_c").alias("_nc"),
+                    F.count(
+                        F.when(
+                            F.col("_t").isNotNull() & F.col("_c").isNotNull(),
+                            1,
+                        )
+                    ).alias("_nh"),
+                )
+                .first()
+            )
+            n_cand, n_hit = int(crow["_nc"]), int(crow["_nh"])
             ncb, nom = _cap_accounting(records, bk, max_block)
             pc = None if n_exact == 0 else float(n_hit) / float(n_exact)
             rr = None if n_pairs == 0 else 1.0 - float(n_cand) / float(n_pairs)
@@ -560,7 +588,7 @@ def blocking_key_advisor(
     finally:
         truth.unpersist(blocking=False)
     spark = records.sparkSession
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows,
         "spec string, n_probe long, n_exact long, n_candidates long, "
         "n_hit long, pair_completeness double, reduction_ratio double, "

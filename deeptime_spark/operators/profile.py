@@ -20,6 +20,7 @@ operators/sketches.py — same relation shape, bounded state.
 
 from __future__ import annotations
 
+from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,7 +75,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         )
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return _local_df(spark, 
         out,
         "column string, n_rows long, n_null long, n_distinct long, "
         "min_value string, max_value string, avg_len_x100 long",
@@ -214,7 +215,7 @@ def constraint_audit(
         (name, kind, n_rows, counts[name], counts[name] == 0)
         for name, kind in order
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows,
         "constraint string, kind string, n_rows long, "
         "n_violations long, pass boolean",

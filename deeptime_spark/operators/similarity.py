@@ -17,6 +17,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
+from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -598,10 +599,10 @@ def write_ivf_index(
     km = ClusterModel(centers)
     assigned = km.transform(corpus, x_col=vec_col, out_col="_cell")
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/lists")
-    spark.createDataFrame(
+    _local_df(spark, 
         [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
         "cell int, center array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/quantizer")
+    ).write.mode("overwrite").parquet(f"{path}/quantizer")
 
 
 def probe_ivf_index(
@@ -658,7 +659,7 @@ def probe_ivf_index(
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("_cell").isin(sorted(cells))
     )
-    probes = spark.createDataFrame(probe_rows, ["_qid", "_qvec", "_cell"])
+    probes = _local_df(spark, probe_rows, ["_qid", "_qvec", "_cell"])
     scored = lists.join(F.broadcast(probes), "_cell").select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
