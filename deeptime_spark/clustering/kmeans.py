@@ -357,6 +357,32 @@ class DeterministicKMeans(Estimator):
             .collect()
         )
         X0 = np.array([r[x_col] for r in sample_rows], dtype=np.float64)
+        if len(sample_rows) < self.sample_size:
+            # The bounded init sample IS the whole relation (limit
+            # returned fewer rows than requested), so the Lloyd loop
+            # runs driver-side on the rows already collected —
+            # bit-identical by construction (deterministic_kmeans_numpy
+            # shares kmeanspp_init, the batch-shape-invariant distance
+            # kernel, and the exactly-reduced fixed-point update; the
+            # integer partials are associative, so one batch == any
+            # partitioning). Saves max_iter mapInPandas jobs whose
+            # inputs the driver already holds — the connected_components
+            # "driver union-find below the bound, distributed above"
+            # dispatch (guide §1.2/§5). Above sample_size rows the
+            # distributed path below is unchanged at any scale.
+            centers, self.n_iter_ = deterministic_kmeans_numpy(
+                X0,
+                X0,
+                k,
+                seed=self.seed,
+                max_iter=self.max_iter,
+                tolerance=self.tolerance,
+                scale=scale,
+            )
+            self._model = KMeansModel(
+                centers, converged=True, metric="euclidean-deterministic"
+            )
+            return self
         rng = np.random.default_rng(self.seed)
         centers = kmeanspp_init(X0, k, rng)
 

@@ -224,7 +224,18 @@ class SINDy(Estimator):
             df = with_derivative(df, x_col=self.x_col, dt=dt)
             xdot_col = "x_dot"
         phi = lib(df, x_col=self.x_col, out_col="_phi")
-        m = compute_moments(phi, x_col="_phi", y_col=xdot_col, compute_xx=True, compute_yy=False)
+        # widths are known (library arity; xdot has x's width): passing
+        # them skips compute_moments' two take(1) probes, which on the
+        # FD-window frame would each materialize a full shuffle stage
+        m = compute_moments(
+            phi,
+            x_col="_phi",
+            y_col=xdot_col,
+            d=len(lib.get_feature_names_out()),
+            d_y=d,
+            compute_xx=True,
+            compute_yy=False,
+        )
         Xi = self.optimizer.solve(m.mxx, m.mxy)
         self._model = SINDyModel(Xi, lib, lib.get_feature_names_out(), x_col=self.x_col)
         return self

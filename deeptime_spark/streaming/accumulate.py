@@ -800,15 +800,16 @@ def streaming_record_linkage_probe(
     unmatched remainder of each batch is the insert set the SCD2 merge
     (:func:`streaming_scd2_merge`) consumes next.
 
-    The streaming_probe_signature_index pattern: the master DataFrame
-    is defined ONCE against storage and lazily re-evaluated at each
-    batch (no per-batch ``spark.read`` — same effect, Spark's normal
-    deferred scan; its blocks are capped at ``max_block``), per-batch
-    work is proportional to the BATCH, and because the best-match
-    election is per-delta-record independent (one window over that
-    record's own bounded candidate set), the union of per-batch outputs
-    equals the one-shot batch probe — the equivalence the harness query
-    pins against the batch oracle.
+    The streaming_probe_signature_index pattern: the master's capped
+    block frames and compared-field payload are computed and
+    materialized ONCE before the stream starts (localCheckpoint of a
+    bounded dimension), so per-batch work is proportional to the BATCH
+    — each micro-batch joins against the precomputed master sides
+    instead of re-running the block-cap window per batch. Because the
+    best-match election is per-delta-record independent (one window
+    over that record's own bounded candidate set), the union of
+    per-batch outputs equals the one-shot batch probe — the equivalence
+    the harness query pins against the batch oracle.
 
     REPLAY / RETENTION: batch ``n`` overwrites its OWN partition
     ``{out_path}/batch={n}`` instead of appending to a flat directory,
@@ -820,9 +821,28 @@ def streaming_record_linkage_probe(
     column; downstream selects are unaffected.
 
     Returns the started StreamingQuery (``availableNow`` trigger)."""
-    from deeptime_spark.operators.linkage import record_linkage_probe
+    from deeptime_spark.operators.linkage import (
+        master_probe_sides,
+        record_linkage_probe,
+    )
 
     master = spark.read.parquet(master_path)
+    # Materialize the master-side probe relations ONCE, before the first
+    # batch: the per-spec block-cap window is a full master scan +
+    # shuffle, and running it inside ``_process`` repeats it (and its
+    # planning) every micro-batch — per-batch work must be proportional
+    # to the BATCH, not the master. localCheckpoint also truncates the
+    # per-batch plan to a leaf scan (guide §2.4/§3.3). The master is a
+    # bounded dimension; the checkpointed copy is its capped blocks +
+    # compared fields only.
+    fields = list(string_fields or []) + list(exact_fields or [])
+    m_frames, jm = master_probe_sides(
+        master, id_col, list(block_keys), fields, max_block
+    )
+    sides = (
+        [m.localCheckpoint(eager=True) for m in m_frames],
+        jm.localCheckpoint(eager=True),
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         record_linkage_probe(
@@ -835,6 +855,7 @@ def streaming_record_linkage_probe(
             weights=weights,
             threshold=threshold,
             max_block=max_block,
+            master_sides=sides,
         ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     writer = (

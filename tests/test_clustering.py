@@ -207,6 +207,28 @@ def test_deterministic_kmeans_layout_invariant(spark):
     np.testing.assert_allclose(got, np.sort([0.0, 4.0, 0.0]), atol=0.5)
 
 
+def test_deterministic_kmeans_driver_dispatch_bit_equal(spark):
+    """When the init sample already contains the whole relation
+    (len(sample) < sample_size) the fit runs driver-side; forcing the
+    distributed path on the SAME full-relation sample (sample_size == n
+    exactly) must give bit-identical centers — the dispatch is a pure
+    execution-strategy choice."""
+    from deeptime_spark.clustering.kmeans import DeterministicKMeans
+
+    rng = np.random.default_rng(55)
+    X = rng.normal(size=(90, 3))
+    rows = [(int(i), X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "id long, x array<double>").repartition(4)
+
+    est = dict(n_clusters=4, seed=3, max_iter=10, order_col="id")
+    # sample_size == n: limit() returns exactly sample_size rows, so the
+    # distributed Lloyd loop runs (on a sample equal to the full data)
+    m_dist = DeterministicKMeans(sample_size=90, **est).fit(df).fetch_model()
+    # sample_size > n: the driver dispatch fires on the identical sample
+    m_loc = DeterministicKMeans(sample_size=91, **est).fit(df).fetch_model()
+    assert np.array_equal(m_dist.cluster_centers, m_loc.cluster_centers)
+
+
 def test_deterministic_kmeans_assignment_layout_invariant(spark):
     """transform() uses the batch-shape-invariant kernel: assignments match
     the numpy replica row-for-row."""
