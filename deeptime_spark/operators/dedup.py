@@ -15,6 +15,7 @@ import pandas as pd
 from deeptime_spark.local_relation import local_df as _local_df
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 from deeptime_spark.operators.text import shingles, tokens
 
@@ -144,43 +145,70 @@ def with_minhash(df: DataFrame, text_col: str = "text", n_hashes: int = 64, shin
 def minhash_signatures_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 64, shingle_k: int = 5, out_col: str = "minhash",
-    unit: str = "chars",
+    unit: str = "chars", impl: str = "arrow",
 ) -> DataFrame:
-    """(id, minhash) signatures via explode + codegen hash + partial-agg min.
+    """(id, minhash) signatures, scan-local (mapInPandas + numpy murmur3).
 
     Numerically identical to ``minhash_signature`` (same murmur3-by-seed
-    family, same mins) but ~50x faster: Spark's higher-order functions
-    (transform/array_min) are *interpreted* per element, so the column
-    form pays n_hashes interpreted passes per document. Here shingles are
-    exploded once and the n_hashes hash+min aggregates run inside
-    whole-stage codegen; map-side partial aggregation collapses each
-    partition to one row per document before the shuffle, so shuffle
-    volume is |docs| x n_hashes longs regardless of document length —
-    the right plan at 100 TB as well as the fast one locally.
+    family, same mins; ``F.hash(s, lit(i))`` chains seeds, so
+    ``sig[i] = min murmur3_int32(i, seed=murmur3_utf8(s, 42))``) — the
+    integers come from the ``spark_hashes`` replicas, vectorized per
+    batch in ``operators/sig_numpy.py``, and ``impl='sql'`` keeps the
+    explode + codegen-hash + partial-agg-min plan this replaces (the
+    r12 equality pytest runs both). The Arrow form wins twice at any
+    scale: the n_hashes-buffer hash-aggregate update cost (~11 us per
+    exploded shingle row, 95% of the old stage) becomes vectorized
+    numpy, and the pass is map-only — NO shuffle of document text,
+    output is |docs| x (id, n_hashes ints) (guide §4.2, §2.3).
     """
     from deeptime_spark.operators.layout import spread_for_map_parallelism
 
     # single-row-group inputs scan as ONE task; the hash work is map-side,
-    # so spread (no-op at scale) and key by id: the signature groupBy is
-    # then satisfied with no further exchange (see operators/layout.py)
+    # so spread (no-op at scale) and key by id: downstream per-id joins
+    # and groupBys reuse this layout (see operators/layout.py)
     df = spread_for_map_parallelism(df, id_col)
+    if unit not in ("chars", "words"):
+        raise ValueError(f"unit must be 'chars' or 'words', got {unit!r}")
+    if impl == "arrow":
+        from deeptime_spark.operators.sig_numpy import minhash_batch
+
+        id_field = df.schema[id_col]
+        sel = df.select(F.col(id_col), F.col(text_col).cast("string").alias("_txt"))
+        schema = StructType(
+            [
+                StructField(id_col, id_field.dataType, id_field.nullable),
+                StructField(out_col, ArrayType(IntegerType()), False),
+            ]
+        )
+
+        def emit(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keep, sigs = minhash_batch(
+                    pdf["_txt"].tolist(), n_hashes, shingle_k, unit
+                )
+                if not keep:
+                    continue
+                out = pdf.iloc[keep, [0]].copy()
+                out[out_col] = sigs.tolist()
+                yield out
+
+        return sel.mapInPandas(emit, schema=schema)
     if unit == "chars":
         elems = F.array_distinct(shingles(text_col, shingle_k))
-    elif unit == "words":
+    else:
         # token-SET minhash: the unit that makes the banding directly
         # comparable to the exact token-Jaccard PPJoin (dedup gate)
         from deeptime_spark.operators.text import tokens
 
         elems = F.array_distinct(F.filter(tokens(text_col), lambda t: t != ""))
-    else:
-        raise ValueError(f"unit must be 'chars' or 'words', got {unit!r}")
     sh = df.select(F.col(id_col), F.explode(elems).alias("_sh"))
     # n_hashes SCALAR hash columns, not one array column: building an
     # n_hashes-element array per exploded shingle row costs one heap
     # allocation per row (|docs| x |shingles| of them) plus interpreted
     # element_at in every aggregate buffer; as flat columns both the
-    # projection and the min() buffers stay primitive — measured 2-3x
-    # faster at every JIT warmth level at sf0.1
+    # projection and the min() buffers stay primitive
     hs = sh.select(
         F.col(id_col),
         *[F.hash("_sh", F.lit(i)).alias(f"_h{i}") for i in range(n_hashes)],
@@ -456,28 +484,53 @@ def hamming_distance64(a: Column, b: Column) -> Column:
 
 def simhash_signatures_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    bits: int = 64, out_col: str = "sim",
+    bits: int = 64, out_col: str = "sim", impl: str = "arrow",
 ) -> DataFrame:
-    """(id, simhash) via explode + codegen bit votes + partial-agg sums.
+    """(id, simhash) fingerprints, scan-local (mapInPandas + numpy xxh64).
 
     Identical fingerprints to ``simhash`` (same xxhash64 token hashes,
-    same sign votes) but the per-bit vote runs as ``sum(CASE ...)``
-    aggregates inside whole-stage codegen instead of ``bits`` interpreted
-    ``aggregate`` passes over the token array. Map-side partial sums mean
-    the shuffle carries |docs| x bits longs.
+    same count-weighted sign votes — ``operators/sig_numpy.simhash_batch``
+    computes them with the ``spark_hashes`` XXH64 replica, vectorized
+    per batch). Like the MinHash rewrite this removes both the
+    64-buffer hash-aggregate update cost and the token shuffle: the
+    pass is map-only, emitting |docs| x (id, int64). ``impl='sql'``
+    keeps the explode + codegen-bit-vote plan (r12 equality pytest).
     """
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # keyed spread (no-op at scale): downstream banding groupBys/joins
+    # on id reuse this layout; on a single-row-group input it also
+    # parallelizes the fingerprint map work
+    df = spread_for_map_parallelism(df, id_col)
+    if impl == "arrow":
+        from deeptime_spark.operators.sig_numpy import simhash_batch
+
+        id_field = df.schema[id_col]
+        sel = df.select(F.col(id_col), F.col(text_col).cast("string").alias("_txt"))
+        schema = StructType(
+            [
+                StructField(id_col, id_field.dataType, id_field.nullable),
+                StructField(out_col, LongType(), False),
+            ]
+        )
+
+        def emit(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keep, sigs = simhash_batch(pdf["_txt"].tolist(), bits)
+                if not keep:
+                    continue
+                out = pdf.iloc[keep, [0]].copy()
+                out[out_col] = sigs
+                yield out
+
+        return sel.mapInPandas(emit, schema=schema)
     # hash projected ONCE before the aggregate: inlining xxhash64 into all
     # ``bits`` aggregate expressions multiplies the generated code size by
     # 64x and the first-run JIT compile goes from ~1s to ~5s (execution
     # cost is identical — runtime subexpression elimination handles it —
     # but compile time is what a fresh plan pays)
-    from deeptime_spark.operators.layout import spread_for_map_parallelism
-
-    # keyed spread (no-op at scale): the token-collapse groupBy(id, _h)
-    # AND the vote groupBy(id) are both satisfied by hash(id), so on a
-    # single-row-group input this removes both downstream exchanges while
-    # parallelizing the bit-vote map work
-    df = spread_for_map_parallelism(df, id_col)
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t")).select(
         F.col(id_col), F.xxhash64("_t").alias("_h")
     )

@@ -190,23 +190,48 @@ def test_range_join_no_nested_loop_in_harness_query(spark):
 
 
 def test_simhash_hash_not_inlined_into_aggregates(spark):
-    # xxhash64 must be computed in ONE projection, not inlined into the 64
-    # bit-vote aggregates (generated-aggregate code size -> ~5s JIT compile
-    # for a fresh plan). The plan therefore contains exactly one xxhash64.
+    # sql impl: xxhash64 must be computed in ONE projection, not inlined
+    # into the 64 bit-vote aggregates (generated-aggregate code size ->
+    # ~5s JIT compile for a fresh plan) — exactly one xxhash64.
+    from deeptime_spark.operators.dedup import simhash_signatures_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(simhash_signatures_df(docs, impl="sql"))
+    assert plan.count("xxhash64") == 1, plan[:2000]
+
+
+def test_simhash_arrow_impl_map_only(spark):
+    # r12 default impl: ONE Python eval pass, no aggregate, and no
+    # exchange beyond the conditional input spread — the fingerprint is
+    # scan-local (token bytes never shuffle)
     from deeptime_spark.operators.dedup import simhash_signatures_df
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(simhash_signatures_df(docs))
-    assert plan.count("xxhash64") == 1, plan[:2000]
+    assert "MapInPandas" in plan, plan[:1500]
+    assert "HashAggregate" not in plan, plan[:1500]
+    assert n_exchanges(plan) <= 1, plan[:1500]
 
 
-def test_minhash_hash_not_inlined_into_aggregates(spark):
-    # the 32 murmur blocks live in one projection; the aggregate buffers
-    # are min(element_at(...)) — no hash(...) calls inside HashAggregate
+def test_minhash_arrow_impl_map_only(spark):
+    # r12 default impl: scan-local numpy signatures — one Python eval
+    # node, no aggregate, no exchange beyond the conditional spread
     from deeptime_spark.operators.dedup import minhash_signatures_df
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_signatures_df(docs, n_hashes=32))
+    assert "MapInPandas" in plan, plan[:1500]
+    assert "HashAggregate" not in plan, plan[:1500]
+    assert n_exchanges(plan) <= 1, plan[:1500]
+
+
+def test_minhash_hash_not_inlined_into_aggregates(spark):
+    # sql impl: the 32 murmur blocks live in one projection; the aggregate
+    # buffers are min(element_at(...)) — no hash(...) inside HashAggregate
+    from deeptime_spark.operators.dedup import minhash_signatures_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures_df(docs, n_hashes=32, impl="sql"))
     agg_sections = [
         seg for seg in plan.split("\n") if "HashAggregate" in seg
     ]

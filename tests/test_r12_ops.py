@@ -282,3 +282,57 @@ def test_blocking_key_advisor_overcap_accounting(spark):
     assert out["n_exact"] == 2  # (1,2) and (5,6)
     assert out["n_hit"] == 1  # only (1,2) survives the cap
     assert abs(out["pair_completeness"] - 0.5) < 1e-12
+
+
+def test_minhash_arrow_impl_matches_sql(spark):
+    """r12: the scan-local numpy MinHash (sig_numpy.minhash_batch) must be
+    bit-identical to the explode + codegen-hash + partial-agg-min plan it
+    replaced — including dropped docs (NULL text / all-empty tokens) and
+    non-ASCII + shorter-than-k edge texts."""
+    from deeptime_spark.operators.dedup import minhash_signatures_df
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  quick\tbrown\nfox"),
+        (3, "abc"),  # shorter than k
+        (4, ""),  # empty -> single '' shingle (chars), dropped (words)
+        (5, "café crème brûlée déjà vu"),  # non-ascii
+        (6, None),  # NULL -> dropped by explode in both units
+        (7, "   \t  "),  # whitespace only
+        (8, "repeat repeat repeat repeat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for unit in ("chars", "words"):
+        a = {
+            r.doc_id: r.minhash
+            for r in minhash_signatures_df(
+                docs, n_hashes=16, unit=unit, impl="arrow"
+            ).collect()
+        }
+        b = {
+            r.doc_id: r.minhash
+            for r in minhash_signatures_df(
+                docs, n_hashes=16, unit=unit, impl="sql"
+            ).collect()
+        }
+        assert a == b, f"unit={unit}"
+
+
+def test_simhash_arrow_impl_matches_sql(spark):
+    """r12: numpy SimHash (sig_numpy.simhash_batch) bit-identical to the
+    64-buffer codegen bit-vote aggregate it replaced."""
+    from deeptime_spark.operators.dedup import simhash_signatures_df
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),
+        (4, "\ta leading tab keeps an empty split token"),
+        (5, "café crème brûlée déjà vu café"),
+        (6, None),
+        (7, "one-token"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r.sim for r in simhash_signatures_df(docs, impl="arrow").collect()}
+    b = {r.doc_id: r.sim for r in simhash_signatures_df(docs, impl="sql").collect()}
+    assert a == b
