@@ -405,15 +405,50 @@ def tae_train_arrays(trajs: List[tuple], layers: Sequence[int], tau: int,
 
 # ------------------------------------------------------ Spark plumbing
 
-def _collocate(df: DataFrame, traj_col: str, time_col: str, x_cols: List[str]):
-    """One shuffle: hash-partition by trajectory, time-sort within
-    partitions, persist — every epoch then reads cached partitions."""
-    sel = df.select(
+def _traj_sel(df: DataFrame, traj_col: str, time_col: str, x_cols: List[str]):
+    """The shared (tid, t, features) projection both execution paths
+    start from — one place, so the driver and distributed fits can
+    never disagree on the casts."""
+    return df.select(
         F.col(traj_col).cast("long").alias("_tid"),
         F.col(time_col).alias("_t"),
         *[F.col(c).cast("double").alias(f"_x{i}") for i, c in enumerate(x_cols)],
     )
+
+
+def _collocate(df: DataFrame, traj_col: str, time_col: str, x_cols: List[str]):
+    """One shuffle: hash-partition by trajectory, time-sort within
+    partitions, persist — every epoch then reads cached partitions."""
+    sel = _traj_sel(df, traj_col, time_col, x_cols)
     return sel.repartition("_tid").sortWithinPartitions("_tid", "_t").persist()
+
+
+# Driver-dispatch bound for the epoch loops: when the whole training
+# input holds at most this many float64 feature elements (rows x dims;
+# ~32 MB), one Arrow collect plus the established driver replay
+# (*_train_arrays — the SAME per-traj kernels and sorted reduces, so
+# bit-identical results) replaces n_epochs x (broadcast + mapInPandas +
+# collect) round trips whose inputs the driver could hold outright —
+# the connected_components / DeterministicKMeans "driver below the
+# bound, distributed above" convention. Above the bound nothing
+# changes, at any scale.
+DRIVER_FIT_MAX_ELEMS = 4_000_000
+
+
+def _driver_traj_arrays(sel: DataFrame, d: int) -> List[tuple]:
+    """[(traj_id, (T, d) float64 X)] in sorted-trajectory order from one
+    Arrow collect of the projected frame — the numpy mirror of
+    ``_collocate`` + ``_partition_traj_arrays`` (stable time sort within
+    each trajectory, same casts), bounded by DRIVER_FIT_MAX_ELEMS."""
+    pdf = sel.toPandas()
+    if pdf.empty:
+        return []
+    pdf = pdf.sort_values(["_tid", "_t"], kind="mergesort")
+    xcols = [f"_x{i}" for i in range(d)]
+    return [
+        (int(tid), grp[xcols].to_numpy(dtype=np.float64))
+        for tid, grp in pdf.groupby("_tid", sort=True)
+    ]
 
 
 def _partition_traj_arrays(batches: Iterator[pd.DataFrame], d: int):
@@ -472,7 +507,8 @@ class VAMPNet(Estimator):
     bit-exactly via :func:`vampnet_train_arrays`."""
 
     def __init__(self, lagtime: int, layers: Sequence[int], n_epochs: int = 8,
-                 lr: float = 0.05, seed: int = 42, epsilon: float = 1e-6):
+                 lr: float = 0.05, seed: int = 42, epsilon: float = 1e-6,
+                 driver_max_elems: int = DRIVER_FIT_MAX_ELEMS):
         super().__init__()
         self.lagtime = int(lagtime)
         self.layers = list(layers)
@@ -480,6 +516,7 @@ class VAMPNet(Estimator):
         self.lr = float(lr)
         self.seed = int(seed)
         self.epsilon = float(epsilon)
+        self.driver_max_elems = int(driver_max_elems)
 
     def fit(self, df: DataFrame, x_cols: Sequence[str] = ("x",),
             traj_col: str = "traj_id", time_col: str = "t") -> "VAMPNet":
@@ -488,6 +525,14 @@ class VAMPNet(Estimator):
             raise ValueError(f"layers[0]={self.layers[0]} != len(x_cols)={d}")
         k = int(self.layers[-1])
         tau = self.lagtime
+        sel = _traj_sel(df, traj_col, time_col, list(x_cols))
+        if sel.count() * max(d, 1) <= self.driver_max_elems:
+            params, scores = vampnet_train_arrays(
+                _driver_traj_arrays(sel, d), self.layers, tau,
+                self.n_epochs, self.lr, self.seed, self.epsilon,
+            )
+            self._model = VAMPNetModel(params, self.layers, scores, self.lagtime)
+            return self
         data = _collocate(df, traj_col, time_col, list(x_cols))
         spark = df.sparkSession
         params = mlp_init(self.layers, self.seed)
@@ -597,7 +642,8 @@ class TAE(Estimator):
     of weight layers in the encoder)."""
 
     def __init__(self, lagtime: int, layers: Sequence[int], bottleneck_layer: int,
-                 n_epochs: int = 10, lr: float = 0.01, seed: int = 42):
+                 n_epochs: int = 10, lr: float = 0.01, seed: int = 42,
+                 driver_max_elems: int = DRIVER_FIT_MAX_ELEMS):
         super().__init__()
         if layers[0] != layers[-1]:
             raise ValueError("TAE reconstructs its input space: layers[0] must equal layers[-1]")
@@ -607,6 +653,7 @@ class TAE(Estimator):
         self.n_epochs = int(n_epochs)
         self.lr = float(lr)
         self.seed = int(seed)
+        self.driver_max_elems = int(driver_max_elems)
 
     def fit(self, df: DataFrame, x_cols: Sequence[str] = ("x",),
             traj_col: str = "traj_id", time_col: str = "t") -> "TAE":
@@ -614,6 +661,16 @@ class TAE(Estimator):
         if self.layers[0] != d:
             raise ValueError(f"layers[0]={self.layers[0]} != len(x_cols)={d}")
         tau = self.lagtime
+        sel = _traj_sel(df, traj_col, time_col, list(x_cols))
+        if sel.count() * max(d, 1) <= self.driver_max_elems:
+            params, losses = tae_train_arrays(
+                _driver_traj_arrays(sel, d), self.layers, tau,
+                self.n_epochs, self.lr, self.seed,
+            )
+            self._model = TAEModel(
+                params, self.layers, losses, self.lagtime, self.bottleneck_layer
+            )
+            return self
         data = _collocate(df, traj_col, time_col, list(x_cols))
         spark = df.sparkSession
         params = mlp_init(self.layers, self.seed)
@@ -803,7 +860,7 @@ class TVAE(Estimator):
 
     def __init__(self, lagtime: int, hidden: int, bottleneck: int,
                  n_epochs: int = 10, beta: float = 1.0, lr: float = 0.01,
-                 seed: int = 42):
+                 seed: int = 42, driver_max_elems: int = DRIVER_FIT_MAX_ELEMS):
         super().__init__()
         self.lagtime = int(lagtime)
         self.hidden = int(hidden)
@@ -812,11 +869,20 @@ class TVAE(Estimator):
         self.beta = float(beta)
         self.lr = float(lr)
         self.seed = int(seed)
+        self.driver_max_elems = int(driver_max_elems)
 
     def fit(self, df: DataFrame, x_cols: Sequence[str] = ("x",),
             traj_col: str = "traj_id", time_col: str = "t") -> "TVAE":
         d = len(x_cols)
         tau, beta, seed = self.lagtime, self.beta, self.seed
+        sel = _traj_sel(df, traj_col, time_col, list(x_cols))
+        if sel.count() * max(d, 1) <= self.driver_max_elems:
+            params, losses = tvae_train_arrays(
+                _driver_traj_arrays(sel, d), d, self.hidden, self.bottleneck,
+                tau, self.n_epochs, beta, self.lr, seed,
+            )
+            self._model = TVAEModel(params, losses, self.lagtime)
+            return self
         data = _collocate(df, traj_col, time_col, list(x_cols))
         spark = df.sparkSession
         params = tvae_init(d, self.hidden, self.bottleneck, seed)
