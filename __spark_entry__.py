@@ -99,6 +99,17 @@ def _event_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         F.col("event_id"),
     )
+    # Pin the trajectory exchange at cluster width while the events
+    # projection is small in bytes (r12; no-op at scale): the window's
+    # ENSURE_REQUIREMENTS exchange is otherwise AQE-coalesced to 2-3
+    # tasks at sf0.1 (2.4 MB of shuffle), which strands every downstream
+    # CPU-dense per-trajectory stage (grouped Arrow solvers, covariance
+    # kernels) on those few cores. A pinned repartition BELOW the window
+    # is the only placement Catalyst keeps — the same repartition above
+    # the window is elided as redundant with the window's partitioning.
+    from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+    ev = pin_width_for_cpu_dense(ev, "traj_id")
     w = Window.partitionBy("traj_id").orderBy("ts", "event_id")
     return ev.select(
         "traj_id",

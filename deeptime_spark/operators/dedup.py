@@ -1461,6 +1461,12 @@ def duplicated_substring_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_occurrences < 2:
         raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # the k-gram regex explosion runs in the scan stage, which for a
+    # single-row-group input is ONE task; keyed spread (no-op at scale)
+    # parallelizes it and pre-satisfies the per-doc islands window
+    docs = spread_for_map_parallelism(docs, id_col)
     grams = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), k)
     sh = docs.select(
         F.col(id_col), F.posexplode(grams).alias("_pos", "_g")
@@ -1524,6 +1530,12 @@ def drop_duplicated_substrings(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
+
+    # same scan-stage explosion as duplicated_substring_spans: spread
+    # (no-op at scale) so the gram pass, the token pass, and the per-doc
+    # reassembly all run at cluster width off one keyed exchange
+    docs = spread_for_map_parallelism(docs, id_col)
     grams = _word_ngrams_all(F.coalesce(F.col(text_col), F.lit("")), k)
     sh = docs.select(F.col(id_col), F.posexplode(grams).alias("_pos", "_g"))
     key = F.xxhash64("_g") if hash_shingles else F.col("_g")

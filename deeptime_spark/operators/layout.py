@@ -73,6 +73,40 @@ def spread_for_map_parallelism(
     return df.repartition(target)
 
 
+def pin_width_for_cpu_dense(
+    df: DataFrame,
+    *key_cols: str,
+    target: int | None = None,
+    max_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Pin a CPU-dense stage's exchange at cluster width when its input
+    is SMALL in bytes.
+
+    ``spread_for_map_parallelism`` guards the static scan layout, but an
+    exchange that plans at full width can still be coalesced by AQE at
+    runtime when its shuffle BYTES are small — and for stages whose rows
+    are expensive (per-row Newton solves, levenshtein fan-out, grouped
+    Arrow kernels) that strands the work on 1-3 tasks while the cluster
+    idles. This inserts a USER-pinned keyed repartition (which AQE must
+    respect) iff Catalyst's size estimate for ``df`` is under
+    ``max_bytes`` — i.e. exactly when the data is small enough that AQE
+    would coalesce AND the shuffle itself is cheap. Above ``max_bytes``
+    (any real at-scale input) it is a NO-OP and the natural exchange
+    stands. Downstream groupBy/window/applyInPandas keyed the same way
+    reuse the pinned exchange, so the pass count never changes."""
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if target <= 1:
+        return df
+    est = estimated_size_bytes(df)
+    if est is None or est > max_bytes:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 def zorder_key(
     bucket_cols: "list",
     bits: int = 16,

@@ -68,6 +68,14 @@ def blocked_candidates(
         )
         for i in range(len(cols)):
             blk = blk.where(F.col(f"_b{i}").isNotNull())
+        # pin the block-cap window's exchange at cluster width while the
+        # projection is small in bytes (no-op at scale): the window AND
+        # the pair fan-out join both reuse this exchange, and AQE would
+        # otherwise coalesce the few-MB shuffle to 2-3 tasks right where
+        # the quadratic-in-block pair expansion runs
+        from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+        blk = pin_width_for_cpu_dense(blk, *[f"_b{i}" for i in range(len(cols))])
         if max_block is not None:
             w = Window.partitionBy(
                 *[F.col(f"_b{i}") for i in range(len(cols))]
@@ -93,7 +101,17 @@ def blocked_candidates(
     out = pair_frames[0]
     for p in pair_frames[1:]:
         out = out.unionByName(p)
-    return out.distinct()
+    # The dedup exchange doubles as the LAYOUT of the downstream scoring
+    # stage (payload joins broadcast at this size, so whatever width this
+    # exchange ends with is the width levenshtein scoring runs at). The
+    # candidate relation is few BYTES but expensive ROWS, so AQE
+    # coalesces it to 1-3 partitions and the scoring serializes on a
+    # near-idle cluster (measured 2.5 s on 3 of 32 cores at sf0.1).
+    # Pinning the exchange (size-gated, no-op at scale) keeps distinct's
+    # single exchange, just at a width AQE must respect.
+    from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+    return pin_width_for_cpu_dense(out, "id_a", "id_b").distinct()
 
 
 def string_similarity(a, b) -> "F.Column":
@@ -225,6 +243,13 @@ def master_probe_sides(
         )
         for i in range(len(cols)):
             m = m.where(F.col(f"_b{i}").isNotNull())
+        # pin the block-cap window's exchange at cluster width while the
+        # master projection is small in bytes (no-op at scale): the
+        # delta equi-join fans out IN this exchange's layout, and AQE
+        # would coalesce the few-MB shuffle to 1-2 tasks
+        from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+        m = pin_width_for_cpu_dense(m, *[f"_b{i}" for i in range(len(cols))])
         if max_block is not None:
             w = Window.partitionBy(
                 *[F.col(f"_b{i}") for i in range(len(cols))]
@@ -306,7 +331,12 @@ def record_linkage_probe(
     cands = cand_frames[0]
     for c in cand_frames[1:]:
         cands = cands.unionByName(c)
-    cands = cands.distinct()
+    # pin the dedup exchange at cluster width while the pair ids are
+    # small in bytes (no-op at scale): the levenshtein scoring runs in
+    # this exchange's layout, and AQE would coalesce it to 1-2 tasks
+    from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+    cands = pin_width_for_cpu_dense(cands, "id_delta", "id_master").distinct()
     jd = delta.select(
         F.col(id_col).alias("id_delta"),
         *[F.col(f).alias(f"_d_{f}") for f in fields],

@@ -105,4 +105,15 @@ def tv_derivative_df(
         d = tv_derivative(xs, ys, alpha=alpha, maxit=maxit, tol=tol)
         return pd.DataFrame({"traj_id": pdf["traj_id"].to_numpy(), "t": pdf["t"].to_numpy(), out_col: d})
 
-    return df.select("traj_id", "t", value_col).groupBy("traj_id").applyInPandas(per_traj, schema=schema)
+    # The grouped-map exchange is few bytes (3 narrow columns) but each
+    # row costs maxit Newton solves downstream, so AQE coalesces it to
+    # 1-3 partitions and the solver serializes (measured 3.2 s on 3 of
+    # 32 cores at sf0.1). Pin the exchange at cluster width while the
+    # input is small in bytes (no-op at scale); applyInPandas reuses
+    # that clustering, so the pass count is unchanged.
+    from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+    sel = pin_width_for_cpu_dense(
+        df.select("traj_id", "t", value_col), "traj_id"
+    )
+    return sel.groupBy("traj_id").applyInPandas(per_traj, schema=schema)

@@ -92,9 +92,26 @@ def write_training_shards(
     assigned = assign_training_shards(
         df, budget, text_col, id_col, source_col, docs_per_shard
     )
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        narrow = df.rdd.getNumPartitions() < target
+    except Exception:
+        narrow = False
+    to_write = assigned.drop("shard", "shard_seq")
+    # keyless repartition("shard_key") lets AQE coalesce a small corpus
+    # to 1-2 write tasks that then emit every shard directory serially
+    # (measured 1.7 s on 2 of 32 cores at sf0.1); when the input scans
+    # narrower than the cluster, pin the exchange at cluster width —
+    # same one shuffle, same one-file-per-shard layout. At scale the
+    # input is wide, the branch no-ops, and the plain keyed exchange
+    # stands as before.
+    if narrow:
+        to_write = to_write.repartition(target, "shard_key")
+    else:
+        to_write = to_write.repartition("shard_key")
     (
-        assigned.drop("shard", "shard_seq")
-        .repartition("shard_key")
+        to_write
         .write.mode("overwrite")
         .partitionBy("shard_key")
         .parquet(path)
