@@ -4090,7 +4090,16 @@ def _q_q21_waiting_supplier(spark, sf_dir):
     orders where exactly one supplier had a returned line, count those
     sole-culprit suppliers — the EXISTS/NOT-EXISTS pair re-expressed as
     one conditional aggregation per order."""
-    li = _read(spark, sf_dir, "lineitem")
+    from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # the two countDistincts make the post-exchange aggregation CPU-dense
+    # (expand + two-phase agg); AQE coalesces the few-MB shuffle to 3
+    # tasks — pin it at cluster width while the input is small (r12;
+    # no-op at scale)
+    li = pin_width_for_cpu_dense(li, "l_orderkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("ns"),
         F.countDistinct(
