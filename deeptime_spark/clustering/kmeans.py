@@ -350,8 +350,16 @@ class DeterministicKMeans(Estimator):
         from deeptime_spark.clustering.metrics import _euclidean_batch_invariant
 
         k, x_col, scale = self.n_clusters, self.x_col, self.scale
+        # tie-break the TakeOrdered by the feature vector itself (array
+        # ordering is lexicographic and deterministic): a non-unique
+        # order_col otherwise leaves the sample's tie order to the
+        # physical layout, breaking the class's any-partitioning
+        # determinism promise (surfaced in r12 when a layout pin changed
+        # partition counts; rows identical in BOTH keys are fully
+        # interchangeable, so the residual ambiguity is harmless). A
+        # no-op for unique order keys.
         sample_rows = (
-            df.orderBy(self.order_col)
+            df.orderBy(self.order_col, x_col)
             .limit(self.sample_size)
             .select(x_col)
             .collect()
