@@ -316,9 +316,18 @@ def verify_candidates_jaccard(
     # the gram regex pass is the expensive map stage here; spread it off a
     # single-split scan (no-op at scale), keyed so the pair joins cluster
     doc_side = spread_for_map_parallelism(doc_side, id_col)
+    # DISTINCT gram arrays + their size, computed once per document.
+    # array_intersect/array_union are SET operations (both deduplicate),
+    # so intersecting the distinct arrays yields the same value, and
+    # |A ∪ B| = |A| + |B| − |A ∩ B| holds exactly on the distinct
+    # sizes — the per-pair array_union (as expensive as the intersect)
+    # becomes integer arithmetic over per-doc sizes, and the smaller
+    # distinct arrays make the remaining intersect cheaper (guide §1.2:
+    # per-doc work should never be re-done per pair).
     grams = doc_side.select(
-        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
-    )
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
+    ).withColumn("_gsz", F.size("_grams"))
     if candidates_materialized:
         # BOTH pair joins consume the gram frame; without a cache the
         # semi-join + regex subtree executes once per branch (measured 2x
@@ -335,15 +344,30 @@ def verify_candidates_jaccard(
         # THE CALLER'S: unpersist via spark.catalog.clearCache() (the
         # bench/correctness harnesses do) or blockManager LRU reclaims it.
         grams = grams.persist()
+    # jaccard keeps the EXACT r11 float semantics (same int/int division
+    # of the same integers: |A∩B| unchanged, greatest(|A∪B|,1) via the
+    # size identity above) while the filter's pushed-down join condition
+    # carries ONE array_intersect — the prior phrasing re-derived both
+    # set ops in the condition AND the projection (guide §1.2/§4.4:
+    # pushdown duplicates derived-column expressions).
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"), F.col("_gsz").alias("_gsa")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb"), F.col("_gsz").alias("_gsb")
+    )
     out = (
-        candidates.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("_grams", "_ga"), "id_a")
-        .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("_grams", "_gb"), "id_b")
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("_ga", "_gb"))
-            / F.greatest(F.size(F.array_union("_ga", "_gb")), F.lit(1)),
+            / F.greatest(
+                F.col("_gsa") + F.col("_gsb") - F.size(F.array_intersect("_ga", "_gb")),
+                F.lit(1),
+            ),
         )
-        .drop("_ga", "_gb")
+        .drop("_ga", "_gb", "_gsa", "_gsb")
     )
     return out.where(F.col("jaccard") >= threshold)
 
@@ -382,30 +406,46 @@ def verify_candidates_containment(
         )
         doc_side = docs.join(cand_ids, id_col, "left_semi")
     doc_side = spread_for_map_parallelism(doc_side, id_col)
+    # DISTINCT gram arrays for the set intersect (array_intersect
+    # deduplicates anyway, so the value is unchanged and the arrays are
+    # smaller) + the RAW gram count, which is the containment
+    # denominator this function has always used. Sizes are per-doc
+    # precomputations so the per-pair work is one intersect.
+    raw = word_ngrams(F.col(text_col), n)
     grams = doc_side.select(
-        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+        F.col(id_col),
+        F.array_distinct(raw).alias("_grams"),
+        F.size(raw).alias("_gsz"),
     )
     if candidates_materialized:
         # same lazy-persist contract as verify_candidates_jaccard: both
         # pair joins consume the gram frame; lifecycle is the caller's
         grams = grams.persist()
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"), F.col("_gsz").alias("_da")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb"), F.col("_gsz").alias("_db")
+    )
     inter = F.size(F.array_intersect("_ga", "_gb"))
+    # The keep predicate max(i/da', i/db') >= t is phrased as
+    # i/least(da', db') >= t — EXACTLY one of the two original division
+    # values (i/x is monotone decreasing in x), so float semantics are
+    # bit-identical while the pushed-down join condition evaluates the
+    # intersect ONCE (the r11 phrasing re-derived it twice in the
+    # condition and twice more in the projection — guide §1.2/§4.4).
+    keep = inter / F.least(
+        F.greatest(F.col("_da"), F.lit(1)), F.greatest(F.col("_db"), F.lit(1))
+    ) >= threshold
     out = (
-        candidates.join(
-            grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("_grams", "_ga"),
-            "id_a",
-        )
-        .join(
-            grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("_grams", "_gb"),
-            "id_b",
-        )
-        .withColumn("containment_a", inter / F.greatest(F.size("_ga"), F.lit(1)))
-        .withColumn("containment_b", inter / F.greatest(F.size("_gb"), F.lit(1)))
-        .drop("_ga", "_gb")
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(keep)
+        .withColumn("containment_a", inter / F.greatest(F.col("_da"), F.lit(1)))
+        .withColumn("containment_b", inter / F.greatest(F.col("_db"), F.lit(1)))
+        .drop("_ga", "_gb", "_da", "_db")
     )
-    return out.where(
-        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
-    )
+    return out
 
 
 def prefix_duplicates(
@@ -1994,19 +2034,38 @@ def _verify_pairs_token_jaccard(
         F.array_distinct(
             F.filter(tokens(text_col), lambda t: t != "")
         ).alias("_ts"),
+    ).withColumn("_sz", F.size("_ts"))
+    ta = toks.select(
+        F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"), F.col("_sz").alias("_sa")
     )
-    ta = toks.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"))
-    tb = toks.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"))
+    tb = toks.select(
+        F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"), F.col("_sz").alias("_sb")
+    )
+    # The qualifying predicate is phrased with ONE array_intersect
+    # occurrence over per-doc PRE-COMPUTED set sizes. Catalyst pushes a
+    # where() on derived columns into the join condition by substituting
+    # their defining expressions — the r11 phrasing (predicate over _i
+    # and _u = sa+sb-_i) therefore planted size(array_intersect(..))
+    # TWICE in the join condition plus once more in the survivor
+    # projection, tripling the per-pair set work and producing a
+    # codegen method large enough that C2 compile latency dominated
+    # short stages (measured 28-130 s executor time run-to-run for the
+    # identical 1.78M-pair verify at sf0.1). Equivalence is integer
+    # algebra: u = sa+sb-i > 0 <=> sa+sb > 0 (i <= min(sa,sb)), and
+    # 100*i >= pct*(sa+sb-i) <=> (100+pct)*i >= pct*(sa+sb) — exact on
+    # longs, no float boundary to flip (guide §1.2 / §4: do not compute
+    # what you throw away; keep generated code small).
+    inter = F.size(F.array_intersect("_ta", "_tb"))
     return (
         candidates.select("id_a", "id_b")
         .join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
-        .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
         .where(
-            (F.col("_u") > 0)
-            & (F.lit(100) * F.col("_i") >= F.lit(pct) * F.col("_u"))
+            (F.col("_sa") + F.col("_sb") > 0)
+            & (F.lit(100 + pct) * inter >= F.lit(pct) * (F.col("_sa") + F.col("_sb")))
         )
+        .withColumn("_i", inter)
+        .withColumn("_u", F.col("_sa") + F.col("_sb") - F.col("_i"))
         .select(
             "id_a",
             "id_b",
