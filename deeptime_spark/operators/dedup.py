@@ -324,10 +324,20 @@ def verify_candidates_jaccard(
     # becomes integer arithmetic over per-doc sizes, and the smaller
     # distinct arrays make the remaining intersect cheaper (guide §1.2:
     # per-doc work should never be re-done per pair).
+    # The distinct grams are hashed to LONGS for the per-pair intersect:
+    # array_intersect has specialized codegen hash sets for primitive
+    # element types only — on strings every pair pays the interpreted
+    # SQLOpenHashSet path (guide §4.2). |hash(A) ∩ hash(B)| == |A ∩ B|
+    # whenever xxhash64 is injective on the pair's gram union — pinned
+    # exact against the string-path oracle at all three SFs.
     grams = doc_side.select(
         F.col(id_col),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
-    ).withColumn("_gsz", F.size("_grams"))
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_g0"),
+    ).select(
+        id_col,
+        F.expr("transform(_g0, g -> xxhash64(g))").alias("_grams"),
+        F.size("_g0").alias("_gsz"),
+    )
     if candidates_materialized:
         # BOTH pair joins consume the gram frame; without a cache the
         # semi-join + regex subtree executes once per branch (measured 2x
@@ -412,10 +422,18 @@ def verify_candidates_containment(
     # denominator this function has always used. Sizes are per-doc
     # precomputations so the per-pair work is one intersect.
     raw = word_ngrams(F.col(text_col), n)
+    # hashed-long distinct grams for the intersect (specialized codegen
+    # hash set — see verify_candidates_jaccard) + the RAW gram count
+    # denominator; injectivity on the pair unions pinned tri-SF vs the
+    # string-path oracle
     grams = doc_side.select(
         F.col(id_col),
-        F.array_distinct(raw).alias("_grams"),
+        F.array_distinct(raw).alias("_g0"),
         F.size(raw).alias("_gsz"),
+    ).select(
+        id_col,
+        F.expr("transform(_g0, g -> xxhash64(g))").alias("_grams"),
+        "_gsz",
     )
     if candidates_materialized:
         # same lazy-persist contract as verify_candidates_jaccard: both
@@ -2029,17 +2047,32 @@ def _verify_pairs_token_jaccard(
     diverge on degenerate texts.
     """
     pct = int(threshold_pct)
+    # Per-doc ONCE: distinct token set, its size, and the xxhash64 of
+    # every token. The per-pair intersect then runs on ARRAY<LONG> —
+    # Spark's array_intersect has a SPECIALIZED codegen hash set for
+    # primitive element types only; on strings it falls back to the
+    # interpreted nullSafeEval/SQLOpenHashSet path (thread dump: task
+    # threads 12-17 s RUNNABLE inside ArrayIntersect.nullSafeEval over
+    # the 1.78M-pair verify). |hash(A) ∩ hash(B)| == |A ∩ B| as long
+    # as xxhash64 is injective on the pair's token union — verified
+    # exact against the string-path oracle at all three SFs on this
+    # deterministic corpus (and the hash arrays are also the ONLY
+    # payload the broadcast ships — guide §2.3/§4.2).
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             F.filter(tokens(text_col), lambda t: t != "")
         ).alias("_ts"),
-    ).withColumn("_sz", F.size("_ts"))
+    ).select(
+        "_id",
+        F.size("_ts").alias("_sz"),
+        F.expr("transform(_ts, t -> xxhash64(t))").alias("_th"),
+    )
     ta = toks.select(
-        F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"), F.col("_sz").alias("_sa")
+        F.col("_id").alias("id_a"), F.col("_th").alias("_ta"), F.col("_sz").alias("_sa")
     )
     tb = toks.select(
-        F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"), F.col("_sz").alias("_sb")
+        F.col("_id").alias("id_b"), F.col("_th").alias("_tb"), F.col("_sz").alias("_sb")
     )
     # The qualifying predicate is phrased with ONE array_intersect
     # occurrence over per-doc PRE-COMPUTED set sizes. Catalyst pushes a
@@ -2056,12 +2089,34 @@ def _verify_pairs_token_jaccard(
     # longs, no float boundary to flip (guide §1.2 / §4: do not compute
     # what you throw away; keep generated code small).
     inter = F.size(F.array_intersect("_ta", "_tb"))
+    # The token frames broadcast, so the verify FUSES into whatever
+    # stage produces the candidate pairs — typically the banding
+    # distinct, whose few-bytes exchange AQE coalesces to 1-3 tasks
+    # while the per-pair set intersect (the expensive part) strands on
+    # them (thread dump: 2 RUNNABLE tasks 12-17 s deep in
+    # ArrayIntersect.nullSafeEval, 30 cores parked). Pin the pair
+    # relation at cluster width in the small-bytes regime (no-op at
+    # scale — guide §2.5/§2.6).
+    from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
     return (
-        candidates.select("id_a", "id_b")
+        pin_width_for_cpu_dense(
+            candidates.select("id_a", "id_b"), "id_a", size_probe=docs
+        )
         .join(ta, "id_a")
         .join(tb, "id_b")
+        # conjunct ORDER matters: the codegen And short-circuits, and
+        # the PPJoin length filter — (100+pct)*min(sa,sb) >= pct*(sa+sb)
+        # is IMPLIED by the final predicate via i <= min(sa,sb), so it
+        # drops no qualifying pair — is integer math that skips the
+        # whole intersect for pairs whose sizes are incompatible with
+        # the threshold (guide §1.2: don't compute what you throw away).
         .where(
             (F.col("_sa") + F.col("_sb") > 0)
+            & (
+                F.lit(100 + pct) * F.least("_sa", "_sb")
+                >= F.lit(pct) * (F.col("_sa") + F.col("_sb"))
+            )
             & (F.lit(100 + pct) * inter >= F.lit(pct) * (F.col("_sa") + F.col("_sb")))
         )
         .withColumn("_i", inter)

@@ -78,6 +78,7 @@ def pin_width_for_cpu_dense(
     *key_cols: str,
     target: int | None = None,
     max_bytes: int = 1 << 30,
+    size_probe: DataFrame | None = None,
 ) -> DataFrame:
     """Pin a CPU-dense stage's exchange at cluster width when its input
     is SMALL in bytes.
@@ -93,13 +94,22 @@ def pin_width_for_cpu_dense(
     would coalesce AND the shuffle itself is cheap. Above ``max_bytes``
     (any real at-scale input) it is a NO-OP and the natural exchange
     stands. Downstream groupBy/window/applyInPandas keyed the same way
-    reuse the pinned exchange, so the pass count never changes."""
+    reuse the pinned exchange, so the pass count never changes.
+
+    ``size_probe``: gate the decision on ANOTHER frame's estimate
+    instead of ``df``'s own. Catalyst's estimate for a post-explode /
+    post-join pair relation is fan-out-inflated (it can exceed
+    ``max_bytes`` by orders of magnitude on kilobytes of real data, so
+    the pin silently never fires); gating on the SCAN-rooted relation
+    the pairs were derived from (whose estimate comes from parquet
+    stats) keeps the regime decision accurate at both ends of the
+    scale."""
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
     if target <= 1:
         return df
-    est = estimated_size_bytes(df)
+    est = estimated_size_bytes(size_probe if size_probe is not None else df)
     if est is None or est > max_bytes:
         return df
     if key_cols:

@@ -336,3 +336,43 @@ def test_simhash_arrow_impl_matches_sql(spark):
     a = {r.doc_id: r.sim for r in simhash_signatures_df(docs, impl="arrow").collect()}
     b = {r.doc_id: r.sim for r in simhash_signatures_df(docs, impl="sql").collect()}
     assert a == b
+
+
+def test_token_jaccard_verify_matches_python_sets(spark):
+    """r12: the hashed-long intersect + PPJoin length pre-filter in
+    _verify_pairs_token_jaccard produce EXACTLY the string-set numbers:
+    n_intersect/n_union/jaccard equal a per-pair Python set computation,
+    qualifying pairs are identical (the length filter is implied by the
+    final predicate, so it can drop no qualifying pair), and degenerate
+    empty/whitespace docs stay excluded by the n_union>0 guard."""
+    import re
+
+    from deeptime_spark.operators.dedup import _verify_pairs_token_jaccard
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),      # 5/7 = 71% vs 1
+        (3, "alpha beta"),                               # size-incompatible vs 1
+        (4, ""),                                         # empty
+        (5, "   \t  "),                                  # whitespace only
+        (6, "alpha beta gamma delta epsilon zeta"),      # exact dup of 1
+        (7, "alpha alpha beta beta gamma gamma delta delta epsilon epsilon zeta zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(1, 8) for b in range(a + 1, 8)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_intersect, r.n_union, r.jaccard)
+        for r in _verify_pairs_token_jaccard(cand, docs, 70).collect()
+    }
+    toks = {i: set(t for t in re.split(r"\W+", s or "") if t) for i, s in rows}
+    want = {}
+    for a in range(1, 8):
+        for b in range(a + 1, 8):
+            i = len(toks[a] & toks[b])
+            u = len(toks[a] | toks[b])
+            if u > 0 and 100 * i >= 70 * u:
+                want[(a, b)] = (i, u, i / u)
+    assert got == want
