@@ -369,6 +369,90 @@ def hits(
     )
 
 
+DRIVER_TRI_MAX_EDGES = 500_000
+_DRIVER_TRI_MAX_WEDGES = 20_000_000
+# shared driver-dispatch bound for the integer-exact iterative kernels
+# (k-core peel, BFS, label propagation) — same convention as
+# connected_components' local_threshold (dedup.py): driver below the
+# bound, distributed above, bit-identical either way
+DRIVER_GRAPH_MAX_EDGES = 500_000
+
+
+def _driver_triangle_counts(a, b):
+    """Exact per-node triangle counts on the driver — the numpy
+    vectorization of the SAME degree-ordered compact-forward algorithm
+    :func:`triangle_counts` runs distributed. Every quantity is an
+    integer (degrees, orientation comparisons, closing-edge membership,
+    counts), so the result is bit-identical to the distributed wedge
+    join by construction — counting triangles has exactly one right
+    answer per node.
+
+    ``a``/``b`` are the canonical undirected distinct edge arrays
+    (int64, a < b). Returns ``(nodes, n_triangles, degree)`` sorted by
+    node id, or ``None`` when the wedge volume exceeds the driver
+    budget (caller falls back to the distributed join).
+    """
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = a.shape[0]
+    ia, ib = inv[:m], inv[m:]
+    n = int(nodes.shape[0])
+    deg = np.bincount(ia, minlength=n) + np.bincount(ib, minlength=n)
+    # orient u -> v with (deg, id)(u) < (deg, id)(v) — identical total
+    # order to the distributed plan
+    a_first = (deg[ia] < deg[ib]) | ((deg[ia] == deg[ib]) & (ia < ib))
+    u = np.where(a_first, ia, ib)
+    v = np.where(a_first, ib, ia)
+    outdeg = np.bincount(u, minlength=n)
+    indeg = np.bincount(v, minlength=n)
+    n_wedges = int((outdeg.astype(np.int64) * indeg.astype(np.int64)).sum())
+    if n_wedges > _DRIVER_TRI_MAX_WEDGES:
+        return None
+    # oriented-edge membership keys, sorted for binary search
+    key_sorted = np.sort(u.astype(np.int64) * n + v)
+    # out-edges grouped by source, in-edges grouped by target
+    o_order = np.argsort(u, kind="stable")
+    v_s = v[o_order]
+    i_order = np.argsort(v, kind="stable")
+    ui_s, vi_s = u[i_order], v[i_order]
+    o_start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(outdeg, out=o_start[1:])
+    tri = np.zeros(n, dtype=np.int64)
+    # wedge (x -> y -> z) expansion in bounded chunks over the in-edges:
+    # in-edge (x, y) pairs with every out-edge (y, z); chunking keeps
+    # peak memory ~6 arrays x chunk wedges
+    reps_all = outdeg[vi_s].astype(np.int64)
+    cum = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(reps_all, out=cum[1:])
+    chunk = 5_000_000
+    lo = 0
+    while lo < m:
+        hi = int(np.searchsorted(cum, cum[lo] + chunk, side="left"))
+        hi = max(hi, lo + 1)
+        hi = min(hi, m)
+        reps = reps_all[lo:hi]
+        total = int(reps.sum())
+        if total:
+            xs = np.repeat(ui_s[lo:hi], reps)
+            base = np.repeat(o_start[vi_s[lo:hi]], reps)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                cum[lo:hi] - cum[lo], reps
+            )
+            zs = v_s[base + offs]
+            closing = xs.astype(np.int64) * n + zs
+            idx = np.searchsorted(key_sorted, closing)
+            idx[idx >= key_sorted.shape[0]] = key_sorted.shape[0] - 1
+            hit = key_sorted[idx] == closing
+            if hit.any():
+                ys = np.repeat(vi_s[lo:hi], reps)
+                tri += np.bincount(xs[hit], minlength=n)
+                tri += np.bincount(ys[hit], minlength=n)
+                tri += np.bincount(zs[hit], minlength=n)
+        lo = hi
+    return nodes, tri, deg.astype(np.int64)
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",
@@ -417,7 +501,39 @@ def triangle_counts(
     # orientation join, plus the join input) — without the persist each
     # one re-scans the raw edges and re-runs the distinct exchange.
     und = e0.distinct().persist()
-    und.count()
+    n_edges = und.count()
+    if materialize and 0 < n_edges <= DRIVER_TRI_MAX_EDGES:
+        # driver below the bound, distributed above — the
+        # connected_components convention (dedup.py local_threshold):
+        # the canonical edge set is already materialized in cache, one
+        # Arrow collect replaces the degree join + wedge join + count
+        # aggregate + node outer-join (4 shuffles and ~8 jobs), and the
+        # integer kernel is bit-identical by construction. Falls through
+        # to the distributed join when the wedge volume exceeds the
+        # driver budget.
+        pdf = und.toPandas()
+        res = _driver_triangle_counts(
+            pdf["a"].to_numpy().astype("int64"),
+            pdf["b"].to_numpy().astype("int64"),
+        )
+        if res is not None:
+            und.unpersist()
+            spark = edges.sparkSession
+            nodes_np, tri_np, deg_np = res
+            if include_degree:
+                return _local_df(
+                    spark,
+                    [
+                        (int(nd), int(t), int(d))
+                        for nd, t, d in zip(nodes_np, tri_np, deg_np)
+                    ],
+                    "node long, n_triangles long, degree long",
+                )
+            return _local_df(
+                spark,
+                [(int(nd), int(t)) for nd, t in zip(nodes_np, tri_np)],
+                "node long, n_triangles long",
+            )
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -478,6 +594,101 @@ def triangle_counts(
     return out
 
 
+def _driver_k_core(a, b, k):
+    """Numpy peel to the k-core fixed point — the fixed point is unique
+    (Seidman 1983), so peel order is irrelevant and the result is
+    bit-identical to the distributed loop. ``a``/``b``: canonical
+    undirected distinct edges. Returns sorted (node, degree) rows."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = a.shape[0]
+    ia, ib = inv[:m], inv[m:]
+    n = int(nodes.shape[0])
+    alive_n = np.ones(n, dtype=bool)
+    while True:
+        alive_e = alive_n[ia] & alive_n[ib]
+        deg = np.bincount(ia[alive_e], minlength=n) + np.bincount(
+            ib[alive_e], minlength=n
+        )
+        keep = alive_n & (deg >= k)
+        if int(keep.sum()) == int(alive_n.sum()):
+            break
+        alive_n = keep
+    idx = np.nonzero(alive_n)[0]
+    return [(int(nodes[i]), int(deg[i])) for i in idx]
+
+
+def _driver_bfs(u, v, sources, max_depth):
+    """Numpy level-synchronous BFS — hop distances are a unique fixed
+    point, bit-identical to the distributed frontier loop. ``u``/``v``:
+    deduplicated (already symmetrized iff undirected) directed edge
+    arrays. Returns (node, dist) rows sorted by node."""
+    import numpy as np
+
+    src_arr = np.asarray(sorted(set(int(s) for s in sources)), dtype=np.int64)
+    nodes = np.unique(np.concatenate([u, v, src_arr]))
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    n = int(nodes.shape[0])
+    order = np.argsort(iu, kind="stable")
+    iv_s = iv[order]
+    outdeg = np.bincount(iu, minlength=n)
+    start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(outdeg, out=start[1:])
+    dist = np.full(n, -1, dtype=np.int64)
+    frontier = np.searchsorted(nodes, src_arr)
+    dist[frontier] = 0
+    for d in range(1, max_depth + 1):
+        if frontier.size == 0:
+            break
+        reps = outdeg[frontier]
+        base = np.repeat(start[frontier], reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        nbrs = np.unique(iv_s[base + offs]) if reps.sum() else np.empty(0, np.int64)
+        new = nbrs[dist[nbrs] < 0]
+        if new.size == 0:
+            break
+        dist[new] = d
+        frontier = new
+    idx = np.nonzero(dist >= 0)[0]
+    return [(int(nodes[i]), int(dist[i])) for i in idx]
+
+
+def _driver_label_propagation(a, b, w, n_iter):
+    """Numpy replay of the deterministic SYNCHRONOUS label-propagation
+    rule: per iteration every node adopts the neighbor label with the
+    highest multiplicity-weighted vote, ties to the SMALLEST label —
+    all exact integer votes, so the replica is bit-identical to the
+    distributed joins. ``a``/``b``/``w``: the operator's already
+    symmetrized, multiplicity-aggregated unique edge relation. Returns
+    (node, label) rows sorted by node."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    half = a.shape[0]
+    ea, eb = inv[:half].astype(np.int64), inv[half:].astype(np.int64)
+    n = int(nodes.shape[0])
+    w = np.asarray(w, dtype=np.int64)
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(n_iter):
+        vkey = ea * n + lab[eb]
+        uvk, vinv = np.unique(vkey, return_inverse=True)
+        cnt = np.bincount(vinv, weights=w.astype(np.float64)).astype(np.int64)
+        va = (uvk // n).astype(np.int64)
+        vl = (uvk % n).astype(np.int64)
+        order = np.lexsort((vl, -cnt, va))
+        va_s = va[order]
+        first = np.ones(va_s.shape[0], dtype=bool)
+        first[1:] = va_s[1:] != va_s[:-1]
+        new_lab = lab.copy()
+        new_lab[va_s[first]] = vl[order][first]
+        lab = new_lab
+    return [(int(nodes[i]), int(nodes[lab[i]])) for i in range(n)]
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
@@ -509,12 +720,33 @@ def label_propagation(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).where(F.col("a") != F.col("b"))
     und = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    und = und.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")).persist()
+    n_edges = und.count()
+    if 0 < n_edges <= DRIVER_GRAPH_MAX_EDGES:
+        # driver below the bound (the connected_components /
+        # triangle_counts convention): one Arrow collect of the
+        # aggregated relation replaces n_iter x (join + two aggregates
+        # + localCheckpoint); the all-integer synchronous vote rule is
+        # replayed exactly, so output is bit-identical at any layout
+        pdf = und.toPandas()
+        und.unpersist()
+        return _local_df(
+            spark,
+            _driver_label_propagation(
+                pdf["a"].to_numpy().astype("int64"),
+                pdf["b"].to_numpy().astype("int64"),
+                pdf["w"].to_numpy().astype("int64"),
+                n_iter,
+            ),
+            "node long, label long",
+        )
     n_part = partitions or spark.sparkContext.defaultParallelism
-    und = und.repartition(n_part, "a").persist()
+    und2 = und.repartition(n_part, "a").persist()
+    und2.count()
+    und.unpersist(blocking=False)
+    und = und2
     nodes = und.select(F.col("a").alias("node")).distinct().persist()
     nodes.count()
-    und.count()
     labels = nodes.select("node", F.col("node").alias("label"))
     labels = labels.localCheckpoint(eager=True)
     try:
@@ -590,7 +822,25 @@ def k_core(
         F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
         F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
     ).where(F.col("a") != F.col("b"))
-    und = e0.distinct()
+    base = e0.distinct().persist()
+    n_edges = base.count()
+    if 0 < n_edges <= DRIVER_GRAPH_MAX_EDGES:
+        # driver below the bound: the k-core fixed point is UNIQUE, so
+        # the numpy peel is bit-identical to the distributed loop and
+        # replaces per-round (2 semi-joins + degree aggregate +
+        # localCheckpoint + convergence count) with one Arrow collect
+        pdf = base.toPandas()
+        base.unpersist()
+        return _local_df(
+            spark,
+            _driver_k_core(
+                pdf["a"].to_numpy().astype("int64"),
+                pdf["b"].to_numpy().astype("int64"),
+                k,
+            ),
+            "node long, degree long",
+        )
+    und = base
     alive = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -599,13 +849,11 @@ def k_core(
     )
     n_alive = alive.count()
     small = n_alive <= broadcast_threshold
-    if not small:
+    if not small or partitions:
         n_part = partitions or spark.sparkContext.defaultParallelism
-        und = und.repartition(n_part, "a")
-    elif partitions:
-        und = und.repartition(partitions, "a")
-    und = und.persist()
-    und.count()
+        und = base.repartition(n_part, "a").persist()
+        und.count()
+        base.unpersist(blocking=False)
 
     def _live(survivors: DataFrame) -> DataFrame:
         a_side = survivors.select(F.col("node").alias("a"))
@@ -702,6 +950,24 @@ def bfs_distances(
     # O(|E|) union+distinct shuffle runs once; the large regime derives
     # its repartitioned copy from the cache
     und = e.distinct().persist()
+    n_und = und.count()
+    if 0 < n_und <= DRIVER_GRAPH_MAX_EDGES:
+        # driver below the bound: hop distances are a unique fixed
+        # point, so the numpy level-synchronous BFS is bit-identical
+        # and replaces up to max_depth x (frontier join + anti-join +
+        # two localCheckpoints) with one Arrow collect
+        pdf = und.toPandas()
+        und.unpersist()
+        return _local_df(
+            spark,
+            _driver_bfs(
+                pdf["u"].to_numpy().astype("int64"),
+                pdf["v"].to_numpy().astype("int64"),
+                sources,
+                max_depth,
+            ),
+            "node long, dist int",
+        )
     nodes = und.select(F.col("u").alias("node")).distinct()
     n = nodes.count()
     small = n <= broadcast_threshold

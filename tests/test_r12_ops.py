@@ -376,3 +376,71 @@ def test_token_jaccard_verify_matches_python_sets(spark):
             if u > 0 and 100 * i >= 70 * u:
                 want[(a, b)] = (i, u, i / u)
     assert got == want
+
+
+def test_triangle_driver_dispatch_bit_equal(spark):
+    """r12: the driver numpy compact-forward kernel produces exactly the
+    distributed wedge join's per-node triangle counts and degrees, on a
+    graph with hubs, multi-edges, self-loops, and both orientations."""
+    import random
+
+    from deeptime_spark.operators import graph as G
+
+    random.seed(11)
+    rows = [(random.randint(0, 120), random.randint(0, 120)) for _ in range(2500)]
+    rows += [(5, 5), (7, 7)]          # self-loops dropped
+    rows += [(3, 9), (9, 3), (3, 9)]  # duplicates/direction collapsed
+    e = spark.createDataFrame(rows, "src long, dst long")
+    drv = {
+        r.node: (r.n_triangles, r.degree)
+        for r in G.triangle_counts(e, include_degree=True).collect()
+    }
+    old = G.DRIVER_TRI_MAX_EDGES
+    try:
+        G.DRIVER_TRI_MAX_EDGES = 0  # force the distributed wedge join
+        dist = {
+            r.node: (r.n_triangles, r.degree)
+            for r in G.triangle_counts(e, include_degree=True).collect()
+        }
+    finally:
+        G.DRIVER_TRI_MAX_EDGES = old
+    assert drv == dist and len(drv) > 100
+
+
+def test_graph_driver_dispatch_bit_equal(spark):
+    """r12: the driver numpy kernels for k-core, BFS, and synchronous
+    label propagation are bit-identical to the distributed loops (all
+    three results are integer-exact: unique fixed points for k-core and
+    BFS, a deterministic synchronous vote rule for LP)."""
+    import random
+
+    from deeptime_spark.operators import graph as G
+
+    random.seed(17)
+    rows = [(random.randint(0, 90), random.randint(0, 90)) for _ in range(2000)]
+    rows += [(2, 8), (8, 2), (2, 8), (4, 4)]  # multi-edges + self-loop
+    e = spark.createDataFrame(rows, "src long, dst long")
+
+    def both(fn):
+        drv = fn()
+        old = G.DRIVER_GRAPH_MAX_EDGES
+        G.DRIVER_GRAPH_MAX_EDGES = 0  # force the distributed loops
+        try:
+            dist = fn()
+        finally:
+            G.DRIVER_GRAPH_MAX_EDGES = old
+        return drv, dist
+
+    d, s = both(lambda: {r.node: r.degree for r in G.k_core(e, k=5).collect()})
+    assert d == s and d
+    d, s = both(
+        lambda: {
+            r.node: r.dist
+            for r in G.bfs_distances(e, sources=[0, 3], max_depth=3).collect()
+        }
+    )
+    assert d == s and d
+    d, s = both(
+        lambda: {r.node: r.label for r in G.label_propagation(e, n_iter=4).collect()}
+    )
+    assert d == s and d
