@@ -180,8 +180,14 @@ def sparse_cosine_pairs(
     joins touch only candidate documents (left_semi restriction).
     """
     from deeptime_spark.operators.dedup import _bucket_pairs
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
     from deeptime_spark.operators.text import word_ngrams
 
+    # the gram regex explosion and tokenize pass inherit the scan's
+    # split count — ONE task on a single-row-group parquet (profiled
+    # 2.5 s of single-task jobs at sf0.1); hash-spread the doc side
+    # first (no-op at scale — guide §2.4)
+    docs = spread_for_map_parallelism(docs, id_col)
     tf = tokenize_counts(docs, text_col, id_col)
     grams = docs.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("g")
