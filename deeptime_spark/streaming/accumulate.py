@@ -756,12 +756,25 @@ def streaming_scd2_merge(
             tracked=list(tracked),
             effective_ts=int(batch_id) + 1,
         )
-        merged.write.mode("overwrite").parquet(f"{dim_path}/v{batch_id + 1}")
+        # size the snapshot's file count from the PREVIOUS snapshot's
+        # actual bytes (~128 MB target files, guide §6): the merge
+        # otherwise inherits the union's partitioning and writes a
+        # small dimension as 30+ near-empty files that every later
+        # batch re-lists and re-reads. coalesce (no shuffle); the
+        # file-count floor keeps parallelism at real dimension sizes.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        prev = jvm.org.apache.hadoop.fs.Path(f"{dim_path}/v{batch_id}")
+        prev_bytes = (
+            prev.getFileSystem(hconf).getContentSummary(prev).getLength()
+        )
+        n_files = max(1, min(int(prev_bytes // (128 << 20)) + 1, 4096))
+        merged.coalesce(n_files).write.mode("overwrite").parquet(
+            f"{dim_path}/v{batch_id + 1}"
+        )
         if retain_versions is not None:
             # prune AFTER the new snapshot landed; keep the previous
             # version (batch_id) so a replayed batch can still rebuild
-            jvm = spark._jvm
-            hconf = spark._jsc.hadoopConfiguration()
             for m in range(max(0, batch_id + 2 - int(retain_versions))):
                 p = jvm.org.apache.hadoop.fs.Path(f"{dim_path}/v{m}")
                 fs = p.getFileSystem(hconf)

@@ -444,3 +444,4 @@ def test_graph_driver_dispatch_bit_equal(spark):
         lambda: {r.node: r.label for r in G.label_propagation(e, n_iter=4).collect()}
     )
     assert d == s and d
+
