@@ -324,20 +324,17 @@ def verify_candidates_jaccard(
     # becomes integer arithmetic over per-doc sizes, and the smaller
     # distinct arrays make the remaining intersect cheaper (guide §1.2:
     # per-doc work should never be re-done per pair).
-    # The distinct grams are hashed to LONGS for the per-pair intersect:
-    # array_intersect has specialized codegen hash sets for primitive
-    # element types only — on strings every pair pays the interpreted
-    # SQLOpenHashSet path (guide §4.2). |hash(A) ∩ hash(B)| == |A ∩ B|
-    # whenever xxhash64 is injective on the pair's gram union — pinned
-    # exact against the string-path oracle at all three SFs.
+    # NOTE on gram hashing: hashing the distinct grams to longs for the
+    # per-pair intersect (as _verify_pairs_token_jaccard and
+    # verify_candidates_containment do) was MEASURED SLOWER here — this
+    # function's callers verify few pairs per doc, so the per-doc
+    # hashing pass (interpreted transform() HOF: anchor 5.09 -> 6.31 s
+    # on corpus_clean_pipeline; explode+collect_list: 6.42 s) costs
+    # more than the string-set intersects it saves. String arrays stay.
     grams = doc_side.select(
         F.col(id_col),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_g0"),
-    ).select(
-        id_col,
-        F.expr("transform(_g0, g -> xxhash64(g))").alias("_grams"),
-        F.size("_g0").alias("_gsz"),
-    )
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_grams"),
+    ).withColumn("_gsz", F.size("_grams"))
     if candidates_materialized:
         # BOTH pair joins consume the gram frame; without a cache the
         # semi-join + regex subtree executes once per branch (measured 2x
@@ -426,6 +423,13 @@ def verify_candidates_containment(
     # hash set — see verify_candidates_jaccard) + the RAW gram count
     # denominator; injectivity on the pair unions pinned tri-SF vs the
     # string-path oracle
+    # hashed-long distinct grams for the intersect (specialized codegen
+    # hash set; measured 4.45 -> 3.80 s on doc_containment_pairs —
+    # unlike verify_candidates_jaccard's callers, the containment
+    # banding generates enough pairs per doc that the per-doc hashing
+    # pass pays for itself) + the RAW gram count denominator;
+    # injectivity on the pair unions pinned tri-SF vs the string-path
+    # oracle
     grams = doc_side.select(
         F.col(id_col),
         F.array_distinct(raw).alias("_g0"),
