@@ -90,55 +90,79 @@ def bm25_search(
     terms = sorted(set(_norm_tokens_py(query)))
     if not terms:
         raise ValueError("query has no terms after normalization")
-    # pivot columns are positional aliases _t0.._tn (sorted-term order),
-    # so arbitrary query tokens (backticks, dots, 'dl') can never break
-    # column resolution; only a pathological id_col can collide
+    # per-term columns are positional aliases _t0.._tn (sorted-term
+    # order), so arbitrary query tokens (backticks, dots, 'dl') can never
+    # break column resolution; only a pathological id_col can collide
     alias = {t: f"_t{i}" for i, t in enumerate(terms)}
     if id_col in set(alias.values()) | {"dl"}:
         raise ValueError(f"id_col {id_col!r} collides with internal column names")
-    tf, dl, dfreq = term_stats(docs, text_col, id_col)
+    # ONE tokenize pass: the per-doc relation carries dl (token count)
+    # and the query-term tf columns as conditional sums of the SAME
+    # exploded rows term_stats would aggregate — identical integers, so
+    # every downstream double is unchanged.  The r12-pre shape ran THREE
+    # full tokenize passes (avgdl scalar off dl, df collect off dfreq,
+    # tf-pivot + dl join), each a separate explode + hash aggregate of
+    # the whole corpus (guide §1.2: remove passes before tuning them).
+    # spread_for_map_parallelism widens the explode off the scan's split
+    # count (single-row-group parquet at bench scale -> 1 task; no-op on
+    # a many-split corpus).
+    from deeptime_spark.operators.layout import spread_for_map_parallelism
 
-    # global stats: one tiny agg action (2 longs) + |terms| df rows
-    g = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    spread = spread_for_map_parallelism(docs, id_col)
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    toks = spread.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("term")
+    ).where(F.col("term") != "")
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == F.lit(t)).cast("long")).alias(alias[t])
+            for t in terms
+        ],
+    )
+    # lazy persist: the stats action below and the returned scoring plan
+    # both consume per_doc; without it the tokenize pass re-executes
+    per_doc = per_doc.persist()
+
+    # global stats: one tiny agg action — n_docs, total dl, and every
+    # per-term df (count of docs containing the term) in a single row
+    g = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("total"),
+        *[
+            F.sum((F.col(alias[t]) > 0).cast("long")).alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ],
     ).first()
     n_docs, total = int(g["n"]), int(g["total"] or 0)
     if n_docs == 0:
         raise ValueError("empty corpus")
     avgdl = total / float(n_docs)
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in dfreq.where(F.col("term").isin(terms)).collect()
-    }
+    df_map = {t: int(g[f"_df{i}"] or 0) for i, t in enumerate(terms)}
     idf = {
         t: math.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5))
         for t in terms
     }
 
-    # pivot the query terms to positional columns; score in ONE expression
-    # with the terms in sorted order (fixed fp summation order)
-    term_key = F.create_map(
-        *[x for t in terms for x in (F.lit(t), F.lit(alias[t]))]
-    )[F.col("term")]
-    hits = (
-        tf.where(F.col("term").isin(terms))
-        .withColumn("_tkey", term_key)
-        .groupBy(id_col)
-        .pivot("_tkey", [alias[t] for t in terms])
-        .agg(F.first("tf"))
-        .join(dl, id_col)
-    )
+    # score in ONE expression with the terms in sorted order (fixed fp
+    # summation order); only docs matching >= 1 query term are scored —
+    # the same set the r12-pre inner pivot produced
     score = F.lit(0.0)
     matched = F.lit(0)
     norm_len = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+    any_hit = F.lit(False)
     for t in terms:
         tf_c = F.coalesce(F.col(alias[t]), F.lit(0)).cast("double")
         score = score + F.lit(idf[t]) * (
             tf_c * F.lit(k1 + 1.0) / (tf_c + F.lit(k1) * norm_len)
         )
         matched = matched + (tf_c > 0).cast("int")
+        any_hit = any_hit | (F.col(alias[t]) > 0)
     return (
-        hits.select(
+        per_doc.where(any_hit)
+        .select(
             F.col(id_col),
             score.alias("score"),
             matched.cast("long").alias("n_matched"),
