@@ -1139,16 +1139,10 @@ def _q_doc_hll_shingles(spark, sf_dir):
     approx_count_distinct's opaque HLL++ state this sketch is
     layout-independent and value-pinnable — and mergeable across shards
     by max(rho)."""
-    from deeptime_spark.operators.layout import spread_for_map_parallelism
     from deeptime_spark.operators.sketches import hll_count_distinct
     from deeptime_spark.operators.text import shingles
 
-    # both the sketch pass and the exact countDistinct pass run the
-    # shingle explode; off the single-row-group bench parquet each was
-    # ONE task (profiled 0.6 s each) — hash-spread first (no-op at scale)
-    docs = spread_for_map_parallelism(
-        _read(spark, sf_dir, "documents"), "doc_id"
-    )
+    docs = _read(spark, sf_dir, "documents")
     vals = docs.select("lang", F.explode(shingles(F.col("text"), 5)).alias("v"))
     est = hll_count_distinct(vals, "v", ["lang"], p=12)
     exact = {
@@ -1181,7 +1175,6 @@ def _q_doc_hll_rollup(spark, sf_dir):
     each day folds its own partition, history is never rescanned."""
     import tempfile
 
-    from deeptime_spark.operators.layout import spread_for_map_parallelism
     from deeptime_spark.operators.sketches import (
         hll_estimate_rows,
         hll_merge,
@@ -1189,12 +1182,7 @@ def _q_doc_hll_rollup(spark, sf_dir):
     )
     from deeptime_spark.operators.text import shingles
 
-    # the daily-register explode + min aggregate feeding the partitioned
-    # write inherited the scan's single split (profiled 0.85 s + 0.37 s
-    # one-task AQE stages) — hash-spread first (no-op at scale)
-    docs = spread_for_map_parallelism(
-        _read(spark, sf_dir, "documents"), "doc_id"
-    )
+    docs = _read(spark, sf_dir, "documents")
     vals = docs.select(
         "lang",
         (F.col("doc_id") % 7).alias("day"),
