@@ -594,11 +594,16 @@ def triangle_counts(
     return out
 
 
-def _driver_k_core(a, b, k):
+def _driver_k_core(a, b, k, max_iter):
     """Numpy peel to the k-core fixed point — the fixed point is unique
     (Seidman 1983), so peel order is irrelevant and the result is
     bit-identical to the distributed loop. ``a``/``b``: canonical
-    undirected distinct edges. Returns sorted (node, degree) rows."""
+    undirected distinct edges. Returns sorted (node, degree) rows.
+
+    The synchronous peel rounds here are one-to-one with the
+    distributed loop's rounds (both drop ALL degree<k nodes per round),
+    so the ``max_iter`` exhaustion contract carries over exactly: raise
+    rather than return degree<k nodes as core members."""
     import numpy as np
 
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
@@ -606,7 +611,14 @@ def _driver_k_core(a, b, k):
     ia, ib = inv[:m], inv[m:]
     n = int(nodes.shape[0])
     alive_n = np.ones(n, dtype=bool)
+    rounds = 0
     while True:
+        rounds += 1
+        if rounds > max_iter:
+            raise RuntimeError(
+                f"k_core did not reach a fixed point in {max_iter} rounds "
+                f"({int(alive_n.sum())} survivors); raise max_iter"
+            )
         alive_e = alive_n[ia] & alive_n[ib]
         deg = np.bincount(ia[alive_e], minlength=n) + np.bincount(
             ib[alive_e], minlength=n
@@ -837,6 +849,7 @@ def k_core(
                 pdf["a"].to_numpy().astype("int64"),
                 pdf["b"].to_numpy().astype("int64"),
                 k,
+                max_iter,
             ),
             "node long, degree long",
         )

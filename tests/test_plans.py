@@ -711,10 +711,13 @@ def test_kcore_small_regime_broadcasts_survivors(spark):
         return orig(df)
 
     G.F.broadcast = spy
+    old_bound = G.DRIVER_GRAPH_MAX_EDGES
+    G.DRIVER_GRAPH_MAX_EDGES = 0  # force the distributed loop under test
     try:
         G.k_core(edges, k=8)
     finally:
         G.F.broadcast = orig
+        G.DRIVER_GRAPH_MAX_EDGES = old_bound
     # two broadcast survivor sides per peel round, at least one round
     assert len(captured) >= 2
 
