@@ -1384,7 +1384,9 @@ def _q_doc_leakage_split(spark, sf_dir):
     from deeptime_spark.operators.mixing import leakage_safe_split
 
     docs = _read(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8).persist()
+    cands = minhash_lsh_candidates(
+        docs, n_hashes=32, bands=8, with_est=False
+    ).persist()
     cands.count()
     pairs = verify_candidates_jaccard(
         cands, docs, threshold=0.2, candidates_materialized=True
@@ -2926,7 +2928,9 @@ def _q_dedup_verified_pairs(spark, sf_dir):
     # the whole LSH subtree re-executes per consumer — superlinear under
     # rising duplicate density (weak-scaling x8 measured 106 s -> the
     # persisted form stays near-linear)
-    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8).persist()
+    cands = minhash_lsh_candidates(
+        docs, n_hashes=32, bands=8, with_est=False
+    ).persist()
     cands.count()
     out = verify_candidates_jaccard(
         cands, docs, threshold=0.2, candidates_materialized=True
@@ -2949,7 +2953,9 @@ def _q_dedup_components(spark, sf_dir):
     # same candidate materialization as dedup_verified_pairs: the pair
     # pipeline is consumed by connected_components' own persist+count,
     # and the candidate subtree must not re-execute per join consumer
-    cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8).persist()
+    cands = minhash_lsh_candidates(
+        docs, n_hashes=32, bands=8, with_est=False
+    ).persist()
     cands.count()
     pairs = verify_candidates_jaccard(
         cands, docs, threshold=0.2, candidates_materialized=True
@@ -3390,7 +3396,9 @@ def _q_corpus_clean_pipeline(spark, sf_dir):
     # in two gram joins plus the restriction semi-join (same pattern as
     # dedup_verified_pairs — without it the signature+banding subtree
     # executes per consumer)
-    cands = minhash_lsh_candidates(s2, n_hashes=32, bands=8).persist()
+    cands = minhash_lsh_candidates(
+        s2, n_hashes=32, bands=8, with_est=False
+    ).persist()
     cands.count()
     pairs = verify_candidates_jaccard(
         cands, s2, threshold=0.2, candidates_materialized=True
@@ -5530,7 +5538,9 @@ def _q_dedup_recall_gate(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").where(F.col("source") == "src0")
     exact = ppjoin_pairs(docs, threshold_pct=70)
-    cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16, unit="words")
+    cands = minhash_lsh_candidates(
+        docs, n_hashes=64, bands=16, unit="words", with_est=False
+    )
     return dedup_candidate_quality(cands, exact)
 
 

@@ -285,7 +285,11 @@ def main() -> None:
 
         tiny = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(48).cache()
         tiny.count()
-        tiny_cands = minhash_lsh_candidates(tiny, n_hashes=32, bands=8).persist()
+        # with_est=False matches the shape the dedup queries now run
+        # (payload-free banding); the JIT warmup must compile THAT plan
+        tiny_cands = minhash_lsh_candidates(
+            tiny, n_hashes=32, bands=8, with_est=False
+        ).persist()
         tiny_cands.count()
         # ...including the verification shapes (cached-candidate scan,
         # semi-join + n-gram regex pass, pair join + array set algebra)

@@ -43,6 +43,7 @@ def _bucket_pairs(
     id_col: str,
     payload_cols: list[str],
     max_bucket: int | None,
+    size_probe: DataFrame | None = None,
 ) -> DataFrame:
     """Within-bucket candidate pairs WITHOUT a self-join.
 
@@ -53,7 +54,19 @@ def _bucket_pairs(
     degenerate hot bucket) and a collect_list bounded by that cap; the
     (i, j) pairs are then expanded map-side from each bucket's member
     array. Member structs sort by id, so id_a < id_b by construction.
+
+    ``size_probe``: scan-rooted frame whose Catalyst estimate gates a
+    cluster-width pin of the bucket exchange (operators/layout.py).
+    Payload-free banding rows are few BYTES but the in-bucket pair
+    expansion is quadratic CPU — AQE coalesces the sub-MB shuffle to one
+    task and the expansion serializes on it (measured 2.9 s single-task
+    on corpus_tuned_dedup_probe after the with_est=False change). The
+    pin is a no-op at scale (guide §2.5).
     """
+    if size_probe is not None:
+        from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+        df = pin_width_for_cpu_dense(df, *bucket_cols, size_probe=size_probe)
     capped = _cap_buckets(df, bucket_cols, id_col, max_bucket)
     member = F.struct(F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in payload_cols])
     grouped = capped.groupBy(*bucket_cols).agg(F.sort_array(F.collect_list(member)).alias("_m"))
@@ -228,6 +241,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     unit: str = "chars",
+    with_est: bool = True,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     r = n_hashes/bands rows; docs agreeing on any full band are candidates.
@@ -239,21 +253,40 @@ def minhash_lsh_candidates(
     j has match probability 1-(1-j^r)^b — the standard S-curve; tune
     bands/r for the target threshold. The cap bounds the self-join at
     O(max_bucket^2) per bucket (see DEFAULT_MAX_BUCKET).
+
+    ``with_est=False`` drops the ``est_jaccard`` column AND, more
+    importantly, the full ``minhash`` signature payload that computing it
+    forces through the banding: with the estimate, every one of the
+    ``bands`` exploded rows per doc carries the n_hashes-int array through
+    the band-key exchange, into the capped-bucket member structs, and out
+    through the pair dedup (nested-field pruning does not reach through
+    collect_list + explode, so the payload survives even when the caller
+    never reads ``est_jaccard``). Without it the banding moves (id,
+    band_idx, band_hash) only — ~24 bytes/row instead of 24 + 4*n_hashes —
+    and the pair dedup is a codegen HashAggregate over two ids instead of
+    a SortAggregate dragging two signature arrays (guide §2.3: shuffle
+    keys and metadata, not payloads). The candidate PAIR SET is identical
+    either way; callers that feed exact verification (which never reads
+    the estimate) should pass False.
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, n_hashes, shingle_k, unit=unit)
+    payload = ["minhash"] if with_est else []
     banded = sig.select(
         id_col,
-        "minhash",
+        *payload,
         F.posexplode(
             F.array(*[F.xxhash64(F.slice("minhash", i * r + 1, r).cast("string")) for i in range(bands)])
         ).alias("band_idx", "band_hash"),
     )
     pairs = _bucket_pairs(
-        banded, ["band_idx", "band_hash"], id_col, ["minhash"], max_bucket
+        banded, ["band_idx", "band_hash"], id_col, payload, max_bucket,
+        size_probe=df,
     ).dropDuplicates(["id_a", "id_b"])
+    if not with_est:
+        return pairs
     est = F.size(
         F.filter(F.zip_with("minhash_a", "minhash_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
     )
@@ -625,6 +658,7 @@ def hamming_near_pairs(
     sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "sim",
     max_hamming: int = 3, n_blocks: int | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    size_probe: DataFrame | None = None,
 ) -> DataFrame:
     """Generic 64-bit-signature Hamming join with pigeonhole banding —
     the blocking core shared by SimHash text dedup and perceptual image
@@ -658,7 +692,10 @@ def hamming_near_pairs(
     blocked = sigs.select(id_col, "sim", F.explode(bands).alias("b")).select(
         id_col, "sim", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
-    pairs = _bucket_pairs(blocked, ["band", "val"], id_col, ["sim"], max_bucket).select(
+    pairs = _bucket_pairs(
+        blocked, ["band", "val"], id_col, ["sim"], max_bucket,
+        size_probe=size_probe,
+    ).select(
         "id_a",
         "id_b",
         hamming_distance64(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
@@ -679,7 +716,7 @@ def simhash_near_duplicates(
     sigs = simhash_signatures_df(df, text_col, id_col)
     return hamming_near_pairs(
         sigs, id_col=id_col, sig_col="sim", max_hamming=max_hamming,
-        n_blocks=n_blocks, max_bucket=max_bucket,
+        n_blocks=n_blocks, max_bucket=max_bucket, size_probe=df,
     )
 
 
@@ -2201,6 +2238,8 @@ def autotune_near_dedup(
     # stage, executes ONCE; released before returning (pairs are
     # eagerly materialized below, so no cached relation outlives the
     # call — the ppjoin_pairs/triangle_counts lifecycle convention)
+    # with_est=False: the gate and the exact verify read only the id
+    # pairs, so the banding never ships the signature payload (guide §2.3)
     cands_probe = minhash_lsh_candidates(
         probe,
         text_col=text_col,
@@ -2209,6 +2248,7 @@ def autotune_near_dedup(
         bands=bands,
         max_bucket=max_bucket,
         unit="words",
+        with_est=False,
     ).persist()
     try:
         gate = dedup_candidate_quality(cands_probe, exact_probe).first()
@@ -2227,6 +2267,7 @@ def autotune_near_dedup(
                     bands=bands,
                     max_bucket=max_bucket,
                     unit="words",
+                    with_est=False,
                 )
             )
             pairs = _verify_pairs_token_jaccard(
