@@ -163,6 +163,56 @@ def _field_scores(
     return sims, score
 
 
+def _implied_exact_prefilter(
+    string_fields: list,
+    exact_fields: list,
+    wmap: dict,
+    wsum: float,
+    threshold: float,
+    left_prefix: str,
+    right_prefix: str,
+) -> "F.Column | None":
+    """Conjunction of exact-field equalities IMPLIED by
+    ``score >= threshold`` — a cheap integer/equality pre-filter that
+    lets the codegen And skip the levenshtein terms for pairs that
+    cannot reach the threshold (guide §1.2: don't compute what you
+    throw away; the §13-dedup length-prefilter pattern applied to
+    Fellegi-Sunter scoring).
+
+    Exact-field similarities are binary {0, 1}. For field ``f``, replay
+    the score accumulation in the SAME IEEE order `_field_scores` uses,
+    with ``sim_f = 0`` and every other similarity at its maximum 1.0;
+    every per-term product and the left-to-right additions are monotone
+    in the sims, so the replayed value is the exact float MAXIMUM a
+    pair with ``sim_f = 0`` can score. If that maximum is < threshold,
+    the threshold filter already rejects every such pair, and the
+    equality conjunct drops nothing the filter would keep. Fields whose
+    replayed maximum reaches the threshold (including any exact-equality
+    boundary) contribute no conjunct; negative weights disable the
+    filter entirely (the max-at-1.0 argument needs w >= 0).
+
+    Returns None when no field qualifies — callers apply the score
+    filter unchanged in that case.
+    """
+    fields = list(string_fields) + list(exact_fields)
+    if any(wmap[f] < 0 for f in fields):
+        return None
+    conj = None
+    for f in exact_fields:
+        s = None
+        for g in fields:
+            term = 0.0 if g == f else 1.0 * (wmap[g] / wsum)
+            s = term if s is None else s + term
+        if s < float(threshold):
+            c = (
+                F.col(f"{left_prefix}{f}").isNotNull()
+                & F.col(f"{right_prefix}{f}").isNotNull()
+                & (F.col(f"{left_prefix}{f}") == F.col(f"{right_prefix}{f}"))
+            )
+            conj = c if conj is None else conj & c
+    return conj
+
+
 def blocked_record_linkage(
     records: DataFrame,
     id_col: str,
@@ -204,6 +254,14 @@ def blocked_record_linkage(
         *[F.col(f).alias(f"_b_{f}") for f in fields],
     )
     out = cands.join(ja, "id_a").join(jb, "id_b")
+    # implied exact-equality pre-filter FIRST (its own Filter below the
+    # score filter, so the And short-circuits before any levenshtein):
+    # drops only pairs the threshold filter rejects anyway
+    pref = _implied_exact_prefilter(
+        string_fields, exact_fields, wmap, wsum, threshold, "_a_", "_b_"
+    )
+    if pref is not None:
+        out = out.where(pref)
     sims, score = _field_scores(
         string_fields, exact_fields, wmap, wsum, "_a_", "_b_"
     )
@@ -342,6 +400,14 @@ def record_linkage_probe(
         *[F.col(f).alias(f"_d_{f}") for f in fields],
     )
     out = cands.join(jd, "id_delta").join(jm, "id_master")
+    # implied exact-equality pre-filter (see _implied_exact_prefilter):
+    # per micro-batch/delta probe this skips the levenshtein terms for
+    # every candidate whose exact fields already put it below threshold
+    pref = _implied_exact_prefilter(
+        string_fields, exact_fields, wmap, wsum, threshold, "_d_", "_m_"
+    )
+    if pref is not None:
+        out = out.where(pref)
     sims, score = _field_scores(
         string_fields, exact_fields, wmap, wsum, "_d_", "_m_"
     )
@@ -441,6 +507,15 @@ def linkage_blocking_gate(
         *[F.col(f).alias(f"_b_{f}") for f in fields],
     )
     allp = pa.crossJoin(pb).where(F.col("id_a") < F.col("id_b"))
+    # implied exact-equality pre-filter: drops only pairs the threshold
+    # filter rejects, and because it is an EQUALITY conjunct Catalyst can
+    # extract it into the join condition — the all-pairs nested loop
+    # becomes an equi-join wherever one qualifies (guide §3)
+    pref = _implied_exact_prefilter(
+        string_fields, exact_fields, wmap, wsum, threshold, "_a_", "_b_"
+    )
+    if pref is not None:
+        allp = allp.where(pref)
     _, score = _field_scores(
         string_fields, exact_fields, wmap, wsum, "_a_", "_b_"
     )
@@ -610,6 +685,12 @@ def blocking_key_advisor(
         *[F.col(f).alias(f"_b_{f}") for f in fields],
     )
     allp = pa.crossJoin(pb).where(F.col("id_a") < F.col("id_b"))
+    # same implied pre-filter as the gate's truth pass (see there)
+    pref = _implied_exact_prefilter(
+        string_fields, exact_fields, wmap, wsum, threshold, "_a_", "_b_"
+    )
+    if pref is not None:
+        allp = allp.where(pref)
     _, score = _field_scores(
         string_fields, exact_fields, wmap, wsum, "_a_", "_b_"
     )
