@@ -221,8 +221,13 @@ def sparse_cosine_pairs(
     # lazy persists: cand feeds BOTH the id restriction and the dot join,
     # tfv feeds the norms and both sides of the dot join — without them
     # the gram/tokenize subtrees re-execute up to 3x
+    # size_probe=docs: the rare-gram bucket rows are few BYTES but the
+    # in-bucket pair expansion is quadratic CPU — AQE coalesces the
+    # sub-MB shuffle to ~3 tasks and the expansion strands (measured
+    # 0.66 s/3 tasks at sf0.1); the scan-rooted gate pins it at cluster
+    # width, no-op at scale (guide §2.5, the _bucket_pairs convention)
     cand = (
-        _bucket_pairs(rare, ["g"], id_col, [], max_bucket)
+        _bucket_pairs(rare, ["g"], id_col, [], max_bucket, size_probe=docs)
         .select("id_a", "id_b")
         .distinct()
         .persist()
@@ -234,11 +239,25 @@ def sparse_cosine_pairs(
     )
     tfv = tf.join(ids, id_col, "left_semi").persist()
     norms = tfv.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("_n2"))
-    ta = tfv.select(
-        F.col(id_col).alias("id_a"), F.col("term").alias("_t"), F.col("tf").alias("_tfa")
+    # xxhash64 the term ONCE per (candidate doc, term) row: the dot
+    # join's first leg expands |pairs| x |terms(a)| rows (435k pairs x
+    # ~23 terms at sf0.1 — pairs >> docs by construction), and every one
+    # of them carries the join key through the (id_b, term) hash join.
+    # As a long the key is 8 bytes with primitive hashing/compares
+    # instead of a UTF8String (the §13 dedup regime: hash per DOC, join
+    # per PAIR — guide §2.3/§4.2). Correctness rides on xxhash64 being
+    # injective on each doc pair's term union (collision probability
+    # ~|terms|^2 * 2^-64 per pair — a collision double-counts a dot
+    # term); exactness is pinned against the string-path DuckDB oracle
+    # at all three SFs, same contract as the dedup hashed intersects.
+    th = tfv.select(
+        F.col(id_col), F.xxhash64("term").alias("_t"), F.col("tf")
     )
-    tb = tfv.select(
-        F.col(id_col).alias("id_b"), F.col("term").alias("_t"), F.col("tf").alias("_tfb")
+    ta = th.select(
+        F.col(id_col).alias("id_a"), F.col("_t"), F.col("tf").alias("_tfa")
+    )
+    tb = th.select(
+        F.col(id_col).alias("id_b"), F.col("_t"), F.col("tf").alias("_tfb")
     )
     dot = (
         cand.join(ta, "id_a")
