@@ -446,23 +446,20 @@ def verify_candidates_containment(
         )
         doc_side = docs.join(cand_ids, id_col, "left_semi")
     doc_side = spread_for_map_parallelism(doc_side, id_col)
-    # DISTINCT gram arrays for the set intersect (array_intersect
-    # deduplicates anyway, so the value is unchanged and the arrays are
-    # smaller) + the RAW gram count, which is the containment
-    # denominator this function has always used. Sizes are per-doc
-    # precomputations so the per-pair work is one intersect.
     raw = word_ngrams(F.col(text_col), n)
-    # hashed-long distinct grams for the intersect (specialized codegen
-    # hash set — see verify_candidates_jaccard) + the RAW gram count
-    # denominator; injectivity on the pair unions pinned tri-SF vs the
-    # string-path oracle
-    # hashed-long distinct grams for the intersect (specialized codegen
-    # hash set; measured 4.45 -> 3.80 s on doc_containment_pairs —
-    # unlike verify_candidates_jaccard's callers, the containment
-    # banding generates enough pairs per doc that the per-doc hashing
-    # pass pays for itself) + the RAW gram count denominator;
-    # injectivity on the pair unions pinned tri-SF vs the string-path
-    # oracle
+    # hashed-long distinct grams for the intersect (array_intersect has
+    # specialized codegen hash sets for primitive element types only;
+    # measured 4.45 -> 3.80 s on doc_containment_pairs — unlike
+    # verify_candidates_jaccard's callers, the containment banding
+    # generates enough pairs per doc that the per-doc hashing pass pays
+    # for itself) + the RAW gram count denominator. CORRECTNESS REGIME:
+    # the emitted counts equal the string-path values iff xxhash64 is
+    # injective on each pair's gram union — a collision inflates the
+    # intersect and can admit a below-threshold pair (probability
+    # ~|grams|^2 x 2^-64 per pair); pinned empirically against the
+    # string-path DuckDB oracle at all three SFs. Callers needing an
+    # unconditional exactness guarantee should intersect the string
+    # arrays (_g0) instead, as verify_candidates_jaccard does.
     grams = doc_side.select(
         F.col(id_col),
         F.array_distinct(raw).alias("_g0"),
@@ -2095,8 +2092,9 @@ def _verify_pairs_token_jaccard(
     # interpreted nullSafeEval/SQLOpenHashSet path (thread dump: task
     # threads 12-17 s RUNNABLE inside ArrayIntersect.nullSafeEval over
     # the 1.78M-pair verify). |hash(A) ∩ hash(B)| == |A ∩ B| as long
-    # as xxhash64 is injective on the pair's token union — verified
-    # exact against the string-path oracle at all three SFs on this
+    # as xxhash64 is injective on the pair's token union (collision
+    # probability ~|tokens|^2 x 2^-64 per pair) — verified exact
+    # against the string-path oracle at all three SFs on this
     # deterministic corpus (and the hash arrays are also the ONLY
     # payload the broadcast ships — guide §2.3/§4.2).
     toks = docs.select(

@@ -688,7 +688,12 @@ def _driver_label_propagation(a, b, w, n_iter):
     for _ in range(n_iter):
         vkey = ea * n + lab[eb]
         uvk, vinv = np.unique(vkey, return_inverse=True)
-        cnt = np.bincount(vinv, weights=w.astype(np.float64)).astype(np.int64)
+        # integer accumulation (np.add.at), NOT bincount's float64
+        # weights: vote sums above 2^53 would round in the float path,
+        # silently weakening the bit-identical contract with the
+        # distributed integer F.sum(w) — exact by construction instead
+        cnt = np.zeros(uvk.shape[0], dtype=np.int64)
+        np.add.at(cnt, vinv, w)
         va = (uvk // n).astype(np.int64)
         vl = (uvk % n).astype(np.int64)
         order = np.lexsort((vl, -cnt, va))

@@ -525,13 +525,15 @@ def linkage_blocking_gate(
         .select("id_a", "id_b")
     )
     cands = blocked_candidates(probe, id_col, block_keys, max_block)
-    # ONE action for all three pair counts: both relations are distinct
-    # on (id_a, id_b), so a full-outer join fans nothing out and a
-    # single aggregate reads |truth|, |candidates| and |hit| off marker
-    # columns — each side is consumed exactly once (no persist
-    # lifecycle), replacing the r11 shape's 2 persists + 3 count jobs
-    # (guide §1.2: fewer passes first).
-    n_probe = payload.count()
+    # ONE action for EVERY count the gate reports: both pair relations
+    # are distinct on (id_a, id_b), so a full-outer join fans nothing
+    # out and a single aggregate reads |truth|, |candidates| and |hit|
+    # off marker columns; the probe count, the full-relation count and
+    # the cap accounting are independent one-row aggregates crossJoined
+    # onto it (1-row broadcast nested loops), so the whole gate is one
+    # collect instead of four first()/count() jobs (guide §1.2: fewer
+    # passes AND fewer actions — each action re-pays scheduling +
+    # planning latency).
     row = (
         truth.withColumn("_t", F.lit(1))
         .join(cands.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "full_outer")
@@ -542,14 +544,16 @@ def linkage_blocking_gate(
                 F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
             ).alias("_nh"),
         )
+        .crossJoin(payload.agg(F.count(F.lit(1)).alias("_np")))
+        .crossJoin(records.agg(F.count(F.lit(1)).alias("_nr")))
+        .crossJoin(_cap_accounting_df(records, block_keys, max_block))
         .first()
     )
     n_exact, n_cand, n_hit = int(row["_ne"]), int(row["_nc"]), int(row["_nh"])
+    n_probe = int(row["_np"])
     n_pairs = n_probe * (n_probe - 1) // 2
-    # cap accounting on the FULL relation: per spec, members past the
-    # max_block cut are dropped from candidacy entirely — count them
-    n_records = records.count()
-    n_capped_blocks, n_overcap = _cap_accounting(records, block_keys, max_block)
+    n_records = int(row["_nr"])
+    n_capped_blocks, n_overcap = int(row["_cb"] or 0), int(row["_om"] or 0)
     pc = None if n_exact == 0 else float(n_hit) / float(n_exact)
     rr = None if n_pairs == 0 else 1.0 - float(n_cand) / float(n_pairs)
     spark = records.sparkSession
@@ -573,18 +577,21 @@ def linkage_blocking_gate(
         "reduction_ratio double, n_capped_blocks long, n_overcap_members long",
     )
 
-def _cap_accounting(
+def _cap_accounting_df(
     records: DataFrame, block_keys: list, max_block: int | None
-) -> tuple[int, int]:
-    """(n_capped_blocks, n_overcap_members) over the FULL relation —
-    one map-combined block-size groupBy + one bounded aggregate per
-    blocking spec; summed across specs. Shared by the gate and the
-    advisor so the cap-loss arithmetic can never drift."""
+) -> DataFrame:
+    """LAZY one-row (_cb, _om) frame: capped-block / over-cap-member
+    counts over the FULL relation, summed across blocking specs — the
+    same map-combined block-size groupBy per spec as always, but as a
+    composable plan so gate/advisor fold it into ONE collect instead of
+    one ``first()`` job per spec (guide §1.2: fewer passes/actions).
+    Shared by the gate and the advisor so the cap-loss arithmetic can
+    never drift."""
+    spark = records.sparkSession
     if max_block is None:
-        return 0, 0
+        return _local_df(spark, [(0, 0)], "_cb long, _om long")
     cap = int(max_block)
-    n_capped_blocks = 0
-    n_overcap = 0
+    per_spec = []
     for spec in block_keys:
         cols = [spec] if isinstance(spec, str) else list(spec)
         blk = records.select(
@@ -595,13 +602,33 @@ def _cap_accounting(
         sizes = blk.groupBy(
             *[F.col(f"_b{i}") for i in range(len(cols))]
         ).agg(F.count(F.lit(1)).alias("_n"))
-        row = sizes.agg(
-            F.sum(F.when(F.col("_n") > cap, 1).otherwise(0)).alias("_cb"),
-            F.sum(F.greatest(F.col("_n") - cap, F.lit(0))).alias("_om"),
-        ).first()
-        n_capped_blocks += int(row["_cb"] or 0)
-        n_overcap += int(row["_om"] or 0)
-    return n_capped_blocks, n_overcap
+        per_spec.append(
+            sizes.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") > cap, 1).otherwise(0)), F.lit(0)
+                ).alias("_cb"),
+                F.coalesce(
+                    F.sum(F.greatest(F.col("_n") - cap, F.lit(0))), F.lit(0)
+                ).alias("_om"),
+            )
+        )
+    out = per_spec[0]
+    for p in per_spec[1:]:
+        out = out.unionByName(p)
+    if len(per_spec) > 1:
+        out = out.agg(
+            F.sum("_cb").alias("_cb"), F.sum("_om").alias("_om")
+        )
+    return out
+
+
+def _cap_accounting(
+    records: DataFrame, block_keys: list, max_block: int | None
+) -> tuple[int, int]:
+    """(n_capped_blocks, n_overcap_members) — eager face of
+    :func:`_cap_accounting_df` for callers that want the two ints."""
+    row = _cap_accounting_df(records, block_keys, max_block).first()
+    return int(row["_cb"] or 0), int(row["_om"] or 0)
 
 
 def blocking_spec_label(block_keys: list) -> str:
@@ -702,15 +729,22 @@ def blocking_key_advisor(
     )
     try:
         n_probe = payload.count()
+        # materialize the persisted truth BEFORE the per-spec branches
+        # consume it: the single multi-spec action below schedules every
+        # branch concurrently, and a not-yet-cached persist would race
+        # (branches recomputing the all-pairs pass until blocks land)
         n_exact = truth.count()
         n_pairs = n_probe * (n_probe - 1) // 2
 
         def one_spec(bk) -> tuple:
             bk = [bk] if isinstance(bk, str) else list(bk)
-            # one full-outer join + aggregate per candidate spec reads
-            # n_candidates and n_hit in a single job (the gate's count
-            # merge); the spec's candidate subtree runs exactly once, so
-            # the per-spec persist/count/join/unpersist cycle is gone
+            # ONE action per candidate spec: the gate's full-outer count
+            # merge (n_candidates + n_hit in one aggregate) crossJoined
+            # with the spec's one-row cap accounting — the r12 shape ran
+            # the cap accounting as a SECOND first() per spec. (A single
+            # all-spec union collect was TRIED and measured SLOWER —
+            # 3.86 vs 2.77 warm: AQE walks one job's stage ladder more
+            # serially than four concurrent queries overlap.)
             cands = blocked_candidates(probe, id_col, bk, max_block)
             crow = (
                 truth.withColumn("_t", F.lit(1))
@@ -728,10 +762,10 @@ def blocking_key_advisor(
                         )
                     ).alias("_nh"),
                 )
+                .crossJoin(_cap_accounting_df(records, bk, max_block))
                 .first()
             )
             n_cand, n_hit = int(crow["_nc"]), int(crow["_nh"])
-            ncb, nom = _cap_accounting(records, bk, max_block)
             pc = None if n_exact == 0 else float(n_hit) / float(n_exact)
             rr = None if n_pairs == 0 else 1.0 - float(n_cand) / float(n_pairs)
             return (
@@ -742,8 +776,8 @@ def blocking_key_advisor(
                 int(n_hit),
                 pc,
                 rr,
-                int(ncb),
-                int(nom),
+                int(crow["_cb"] or 0),
+                int(crow["_om"] or 0),
             )
 
         # the per-spec evaluations are independent short jobs against the

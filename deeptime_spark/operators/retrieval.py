@@ -86,6 +86,14 @@ def bm25_search(
     ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
     with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the
     Robertson–Sparck-Jones form used by Lucene).
+
+    CACHE LIFECYCLE IS THE CALLER'S (the verify_candidates_jaccard
+    convention): the per-doc stats relation is lazily ``persist()``-ed —
+    one stats action reads avgdl/N/df off it and the returned scoring
+    plan references it — and it stays cached until the caller clears it
+    (``spark.catalog.clearCache()``, as the bench/correctness harnesses
+    do between queries) or block-manager LRU evicts it. Callers issuing
+    many searches in one session should clear between searches.
     """
     terms = sorted(set(_norm_tokens_py(query)))
     if not terms:

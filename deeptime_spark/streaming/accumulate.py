@@ -757,10 +757,15 @@ def streaming_scd2_merge(
             effective_ts=int(batch_id) + 1,
         )
         # size the snapshot's file count from the PREVIOUS snapshot's
-        # actual bytes (~128 MB target files, guide §6): the merge
-        # otherwise inherits the union's partitioning and writes a
-        # small dimension as 30+ near-empty files that every later
-        # batch re-lists and re-reads. coalesce (no shuffle); the
+        # actual bytes PLUS the incoming batch's estimated bytes
+        # (~128 MB target files, guide §6): the merge otherwise inherits
+        # the union's partitioning and writes a small dimension as 30+
+        # near-empty files that every later batch re-lists and re-reads.
+        # Sizing from the previous snapshot ALONE under-sizes the write
+        # when a batch grows the dimension by orders of magnitude (a
+        # large initial CDC load merged over a tiny seeded v0 would
+        # coalesce the whole new snapshot to one task); the batch
+        # estimate covers that regime. coalesce (no shuffle); the
         # file-count floor keeps parallelism at real dimension sizes.
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
@@ -768,7 +773,12 @@ def streaming_scd2_merge(
         prev_bytes = (
             prev.getFileSystem(hconf).getContentSummary(prev).getLength()
         )
-        n_files = max(1, min(int(prev_bytes // (128 << 20)) + 1, 4096))
+        from deeptime_spark.operators.layout import estimated_size_bytes
+
+        batch_bytes = estimated_size_bytes(batch_df) or 0
+        n_files = max(
+            1, min(int((prev_bytes + batch_bytes) // (128 << 20)) + 1, 4096)
+        )
         merged.coalesce(n_files).write.mode("overwrite").parquet(
             f"{dim_path}/v{batch_id + 1}"
         )
