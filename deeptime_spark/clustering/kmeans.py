@@ -14,6 +14,7 @@ the rest of the engine without MLlib types leaking out.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -365,7 +366,15 @@ class DeterministicKMeans(Estimator):
             .collect()
         )
         X0 = np.array([r[x_col] for r in sample_rows], dtype=np.float64)
-        if len(sample_rows) < self.sample_size:
+        # the env kill-switch exists ONLY for the forced-distributed
+        # scale gate (tools/forced_distributed_bench.py / SCALE.md):
+        # both paths are bit-identical (pinned by pytest), the gate
+        # needs the distributed Lloyd loop TIMED on inputs the driver
+        # replay normally absorbs. Default unchanged.
+        driver_ok = os.environ.get(
+            "DEEPTIME_KMEANS_DRIVER_DISPATCH", "1"
+        ) != "0"
+        if driver_ok and len(sample_rows) < self.sample_size:
             # The bounded init sample IS the whole relation (limit
             # returned fewer rows than requested), so the Lloyd loop
             # runs driver-side on the rows already collected —

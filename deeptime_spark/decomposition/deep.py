@@ -34,6 +34,7 @@ Colocation is ONE shuffle paid once before the epoch loop.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -432,7 +433,21 @@ def _collocate(df: DataFrame, traj_col: str, time_col: str, x_cols: List[str]):
 # the connected_components / DeterministicKMeans "driver below the
 # bound, distributed above" convention. Above the bound nothing
 # changes, at any scale.
-DRIVER_FIT_MAX_ELEMS = 4_000_000
+# env-overridable for the forced-distributed scale gate (set to 0 to
+# force the distributed epoch loop on inputs the driver replay normally
+# absorbs — tools/forced_distributed_bench.py / SCALE.md; bit-identical
+# either way, pinned by the cross-path pytests).
+#
+# Bound MEASURED by that gate (r13): the driver replay's per-trajectory
+# Python loop scales ~2.05 s/100k elems while the distributed epoch
+# loop scales ~0.75 s/100k on top of a ~4 s session floor — they cross
+# at ~270k elems (driver wins 2.64 vs 4.84 at 100k, LOSES 17.0 vs 10.1
+# at 800k). The r12 bound (4M) kept the driver path far past the
+# crossover; 256k dispatches each side to its winning regime with the
+# same bit-identical results either way.
+DRIVER_FIT_MAX_ELEMS = int(
+    os.environ.get("DEEPTIME_DRIVER_FIT_MAX_ELEMS", 262_144)
+)
 
 
 def _driver_traj_arrays(sel: DataFrame, d: int) -> List[tuple]:

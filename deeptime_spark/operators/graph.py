@@ -39,6 +39,7 @@ oracle replays it densely) and is how production crawl ranks are run
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from deeptime_spark.local_relation import local_df as _local_df
@@ -369,13 +370,22 @@ def hits(
     )
 
 
-DRIVER_TRI_MAX_EDGES = 500_000
+# env-overridable so the forced-distributed scale gate
+# (tools/forced_distributed_bench.py, SCALE.md) can TIME the distributed
+# loops on the same inputs the driver kernels normally absorb — set to 0
+# to force the distributed path (results bit-identical either way; the
+# cross-path pytests pin it). Defaults unchanged.
+DRIVER_TRI_MAX_EDGES = int(
+    os.environ.get("DEEPTIME_DRIVER_TRI_MAX_EDGES", 500_000)
+)
 _DRIVER_TRI_MAX_WEDGES = 20_000_000
 # shared driver-dispatch bound for the integer-exact iterative kernels
 # (k-core peel, BFS, label propagation) — same convention as
 # connected_components' local_threshold (dedup.py): driver below the
 # bound, distributed above, bit-identical either way
-DRIVER_GRAPH_MAX_EDGES = 500_000
+DRIVER_GRAPH_MAX_EDGES = int(
+    os.environ.get("DEEPTIME_DRIVER_GRAPH_MAX_EDGES", 500_000)
+)
 
 
 def _driver_triangle_counts(a, b):
