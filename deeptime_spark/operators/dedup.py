@@ -1902,14 +1902,32 @@ def ppjoin_pairs(
     pref = ranked.where(
         F.col("_pos") <= F.col("_sz") - F.expr(f"(({pct} * _sz + 99) div 100)") + 1
     ).select("_id", "_tok", "_sz").persist()
+    # candidate equi-join on the xxhash64 of the prefix token, NOT the
+    # string: the prefix relation is the join's fan-out side and a long
+    # key halves its width with primitive hashing/compares. This needs
+    # NO injectivity assumption — the prefix filter guarantees every
+    # qualifying pair shares a true prefix token, so a hash collision
+    # can only ADD candidate pairs, which the exact verification below
+    # filters (or the distinct dedups); the output is unconditionally
+    # unchanged (guide §2.3).
     a = pref.select(
-        F.col("_id").alias("id_a"), F.col("_tok"), F.col("_sz").alias("_sa")
+        F.col("_id").alias("id_a"),
+        F.xxhash64("_tok").alias("_tk"),
+        F.col("_sz").alias("_sa"),
     )
     b = pref.select(
-        F.col("_id").alias("id_b"), F.col("_tok"), F.col("_sz").alias("_sb")
+        F.col("_id").alias("id_b"),
+        F.xxhash64("_tok").alias("_tk"),
+        F.col("_sz").alias("_sb"),
     )
-    cand = (
-        a.join(b, "_tok")
+    from deeptime_spark.operators.layout import pin_width_for_cpu_dense
+
+    # the candidate distinct's exchange is few BYTES (two longs) but the
+    # per-pair set intersects downstream are expensive rows — pin it at
+    # cluster width in the small-input regime so the verify does not
+    # strand on 1-3 AQE-coalesced tasks (guide §2.5; no-op at scale)
+    cand = pin_width_for_cpu_dense(
+        a.join(b, "_tk")
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (
@@ -1917,17 +1935,36 @@ def ppjoin_pairs(
                 >= F.lit(pct) * F.greatest("_sa", "_sb")
             )
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .select("id_a", "id_b"),
+        "id_a",
+        "id_b",
+        size_probe=docs,
+    ).distinct()
+    ta = toks.select(
+        F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"),
+        F.size("_ts").alias("_va"),
     )
-    ta = toks.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"))
-    tb = toks.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"))
+    tb = toks.select(
+        F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"),
+        F.size("_ts").alias("_vb"),
+    )
+    # ONE array_intersect occurrence in the filter (the §13 algebra):
+    # the old phrasing's `100*i >= pct*u` with u = sa+sb-i re-planted
+    # the intersect via predicate substitution; `(100+pct)*i >=
+    # pct*(sa+sb)` is the same integer inequality rearranged — exact on
+    # longs, no float boundary. The PPJoin length filter is already
+    # applied at the candidate join (100*min >= pct*max is algebraically
+    # the same conjunct), so no further prefilter is needed here.
+    inter = F.size(F.array_intersect("_ta", "_tb"))
     verified = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
-        .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
-        .where(F.lit(100) * F.col("_i") >= F.lit(pct) * F.col("_u"))
+        .where(
+            F.lit(100 + pct) * inter
+            >= F.lit(pct) * (F.col("_va") + F.col("_vb"))
+        )
+        .withColumn("_i", inter)
+        .withColumn("_u", F.col("_va") + F.col("_vb") - F.col("_i"))
     )
     out = verified.select(
         "id_a",
