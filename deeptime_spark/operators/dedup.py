@@ -482,7 +482,11 @@ def verify_candidates_containment(
     )
     if candidates_materialized:
         # same lazy-persist contract as verify_candidates_jaccard: both
-        # pair joins consume the gram frame; lifecycle is the caller's
+        # pair joins consume the gram frame; lifecycle is the caller's.
+        # (Eager materialization — grams.count() before the joins — was
+        # TRIED r13 and measured FLAT: the cold-cache branch race does
+        # re-run parts of the gram subtree, but the recompute overlaps
+        # otherwise-idle cores while the count adds serial latency.)
         grams = grams.persist()
     ga = grams.select(
         F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"), F.col("_gsz").alias("_da")
