@@ -622,13 +622,6 @@ def _cap_accounting_df(
     return out
 
 
-def _cap_accounting(
-    records: DataFrame, block_keys: list, max_block: int | None
-) -> tuple[int, int]:
-    """(n_capped_blocks, n_overcap_members) — eager face of
-    :func:`_cap_accounting_df` for callers that want the two ints."""
-    row = _cap_accounting_df(records, block_keys, max_block).first()
-    return int(row["_cb"] or 0), int(row["_om"] or 0)
 
 
 def blocking_spec_label(block_keys: list) -> str:
